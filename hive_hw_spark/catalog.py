@@ -1,0 +1,68 @@
+"""Table catalog: registers the testdata parquet tables as views/tables.
+
+The engine treats ``/root/testdata/sf*/`` parquet files as its warehouse
+(TESTDATA.md). ``register_tables`` exposes them as temp views for SQL and
+returns a dict of DataFrames for the DataFrame API; ``save_as_catalog_table``
+persists one into the session catalog (Hive-metastore-compatible path,
+SURVEY.md Q06).
+
+Scale note: at 100 TB these would be external partitioned tables (partitioned
+by date / bucketed by join key) registered once in a shared metastore; the
+per-session temp-view registration here is the local-test equivalent and the
+query code is identical either way (``spark.table(name)``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, tables: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Register each testdata table as a temp view; return name → DataFrame."""
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def save_as_catalog_table(
+    spark: SparkSession, sf_dir: str, name: str, catalog_name: str | None = None
+) -> str:
+    """Persist a testdata table into the session catalog (managed table).
+
+    This is the Hive-metastore-compatible registration path: the same
+    ``saveAsTable`` call against a session with
+    ``enableHiveSupport()`` writes to a real metastore.
+    """
+    catalog_name = catalog_name or f"cat_{name}"
+    load_table(spark, sf_dir, name).write.mode("overwrite").saveAsTable(catalog_name)
+    return catalog_name

@@ -1,0 +1,68 @@
+"""SparkSession factory with scale-aware defaults.
+
+Design notes (100 TB posture):
+- AQE on everywhere: runtime shuffle-partition coalescing, skew-join
+  splitting, and dynamic join-strategy switching are the primary levers
+  that keep a plan healthy when data grows 100x.
+- ``spark.sql.shuffle.partitions`` defaults to a local-friendly value but
+  is a config, not code: on a 1000-executor cluster the same queries run
+  with partitions sized so each post-shuffle partition is ~128-256 MB
+  (AQE coalesces down from a high initial number).
+- Session timezone pinned to UTC so event-time semantics are deterministic
+  across drivers/executors (the reference pipeline has no absolute clock;
+  see SURVEY.md §1.1 Timestamp row, master.ino:700-712).
+- Arrow enabled for every Python exchange (pandas UDFs, toPandas).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "hive_hw_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (falling back to
+    ``local[*]``) so tests and bench share one code path; on a real
+    cluster the caller passes the cluster master / lets spark-submit set it.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- planner / runtime adaptivity -------------------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.localShuffleReader.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- determinism -------------------------------------------------
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- Python exchange is always Arrow-batched ---------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- scan sizing: 128 MB splits, the parquet sweet spot ----------
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # --- broadcast threshold: dims up to 64 MB broadcast -------------
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

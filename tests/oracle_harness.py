@@ -1,0 +1,76 @@
+"""Local mirror of the driver's DuckDB-oracle compare.
+
+Runs a registered Spark query and its oracle SQL side by side over the same
+parquet tables, canonicalizes both results (sort columns by name, sort rows,
+round floats), and asserts equality. Catching parity bugs here is cheaper
+than waiting for the driver's CORRECTNESS_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from hive_hw_spark.catalog import TABLES, table_path
+
+ROUND = 6  # comparison tolerance: driver hashes rounded values; we round(6)
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            df[c] = s.round(ROUND)
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            # normalize tz + ns/us precision differences between engines
+            try:
+                s = s.dt.tz_localize(None)
+            except TypeError:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = s.astype("datetime64[us]")
+        elif s.dtype == object:
+            df[c] = s.map(
+                lambda v: round(v, ROUND) if isinstance(v, float) else
+                (tuple(round(x, ROUND) if isinstance(x, float) else x for x in v)
+                 if isinstance(v, (list, tuple)) else v)
+            )
+    df = df.sort_values(by=list(df.columns), ignore_index=True, key=lambda s: s.map(str))
+    return df
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "query") -> None:
+    got = _canon(spark_df.toPandas())
+    want = _canon(con.execute(sql).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: column mismatch spark={list(got.columns)} duckdb={list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: row count spark={len(got)} duckdb={len(want)}"
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+            ga = g.astype(float).to_numpy()
+            wa = w.astype(float).to_numpy()
+            for i, (x, y) in enumerate(zip(ga, wa)):
+                ok = (math.isnan(x) and math.isnan(y)) or x == y or (
+                    abs(x - y) <= 1e-9 * max(1.0, abs(x), abs(y))
+                )
+                assert ok, f"{name}: col {c} row {i}: spark={x!r} duckdb={y!r}"
+        else:
+            same = g.map(str).to_numpy() == w.map(str).to_numpy()
+            if not same.all():
+                i = int((~same).argmax())
+                raise AssertionError(
+                    f"{name}: col {c} row {i}: spark={g.iloc[i]!r} duckdb={w.iloc[i]!r}"
+                )
