@@ -39,6 +39,20 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table, normalizing physical quirks.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects ([PARQUET_TYPE_ILLEGAL]); read it as raw nanos and
+    truncate to microseconds — exactly what DuckDB's reader does — so both
+    engines see identical instants. Set here (runtime conf) rather than only
+    at session build so the function also works on a vanilla driver session.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -1,1 +1,129 @@
-"""Placeholder — queries land incrementally (SURVEY.md §2)."""
+"""B-B Projection / filter / predicates (SURVEY.md §2 Q10–Q15).
+
+Grounding: the reference's linear calibration transform (A11,
+slave.ino:22,141), command dispatch (A20, gateway.ino:69-75), budget
+predicates (A28, master.ino:33), and — critically — the sentinel-zero
+missing-value convention (A24, master.ino:162): ``0.0`` means "no reading",
+so ingestion maps it to real NULL via ``nullif`` before any aggregate
+touches it.
+
+Scale notes: every predicate here compiles to a parquet row-group filter
+(PushedFilters) — verified in tests/test_plan_shapes.py. No shuffles in
+this family at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_hw_spark.catalog import load_table
+from hive_hw_spark.queries import register
+
+
+@register(
+    "q10",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="Projection + per-row arithmetic (IEEE-deterministic, no rounding needed).",
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "q11",
+    oracle="""
+    SELECT o_orderkey FROM orders
+    WHERE o_orderstatus IN ('F', 'O') ORDER BY o_orderkey
+    """,
+    doc="IN-list filter (pushed to parquet).",
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "O"))
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q12",
+    oracle="""
+    SELECT event_id FROM events
+    WHERE value BETWEEN 50 AND 100 ORDER BY event_id
+    """,
+    doc="Range/BETWEEN predicate (A28 budget-predicate analog).",
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").between(50, 100))
+        .select("event_id")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q13",
+    oracle="""
+    SELECT p_partkey FROM part
+    WHERE p_name LIKE '%red%' ORDER BY p_partkey
+    """,
+    doc="LIKE / substring-search predicate (A22 strstr analog).",
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "q14",
+    oracle="""
+    SELECT event_id FROM events
+    WHERE (event_type = 'error' OR value > 150) AND NOT user_id = 13
+    ORDER BY event_id
+    """,
+    doc="Boolean combination with NOT (A25 flag-logic analog).",
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            ((F.col("event_type") == "error") | (F.col("value") > 150))
+            & ~(F.col("user_id") == 13)
+        )
+        .select("event_id")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q15",
+    oracle="""
+    SELECT event_id, coalesce(nullif(value, 0), -1) AS v
+    FROM events ORDER BY event_id
+    """,
+    doc="Sentinel-zero → NULL ingestion rule (A24, master.ino:162): the "
+    "reference cannot distinguish a true 0.0 reading from 'missing'; the "
+    "engine maps the sentinel to NULL at ingest so aggregates stay honest.",
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(F.nullif(F.col("value"), F.lit(0)), F.lit(-1.0)).alias("v"),
+    ).orderBy("event_id")

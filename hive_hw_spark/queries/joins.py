@@ -1,1 +1,231 @@
-"""Placeholder — queries land incrementally (SURVEY.md §2)."""
+"""B-C Joins (SURVEY.md §2 Q20–Q28).
+
+Grounding: the reference's two-phase request/confirm exchange (A27,
+master.ino:231-267) is a key-correlated join with a confirm gate; the
+positional address↔reading zip (A33, master.ino:467-474) is an equi join
+to a dimension. Everything else generalizes to the OLAP join surface.
+
+Scale notes:
+- Q20/Q22-Q25 shuffle on the join key (sort-merge under AQE); at 100 TB the
+  orders/customer join co-locates if both are bucketed by custkey — the
+  query code is unchanged.
+- Q21 broadcasts the dim side explicitly: nation/region are KB-sized and a
+  shuffle there would be pure waste at any scale.
+- Q27 is an equi join on user_id with a range residual — Spark executes it
+  as a sort-merge join on user_id, NOT a cartesian product; the per-user
+  time filter is applied post-merge. Skewed users would salt.
+- Q28 (as-of) deliberately avoids an O(n·m) join: one union + one window
+  pass (single shuffle on user_id) — the scalable as-of pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_hw_spark.catalog import load_table
+from hive_hw_spark.queries import register
+
+
+@register(
+    "q20",
+    oracle="""
+    SELECT o_orderkey, c_name FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_orderkey
+    """,
+    doc="Inner equi join (A27/A33 key correlation).",
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "c_name")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q21",
+    oracle="""
+    SELECT r_name, COUNT(*) AS n FROM nation
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+    doc="Broadcast hash join: tiny dim explicitly broadcast (plan asserted "
+    "in tests/test_plan_shapes.py).",
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "q22",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey ORDER BY c_custkey
+    """,
+    doc="Left outer join: customers with order counts including zero "
+    "(A25 completeness incl. missing nodes).",
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n"))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q23",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           COUNT(s_suppkey) AS n_supp,
+           COUNT(c_custkey) AS n_cust
+    FROM supplier FULL OUTER JOIN customer ON s_nationkey = c_nationkey
+    """,
+    doc="Full outer join on nationkey with null-side counts.",
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return s.join(c, s.s_nationkey == c.c_nationkey, "full").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("s_suppkey").alias("n_supp"),
+        F.count("c_custkey").alias("n_cust"),
+    )
+
+
+@register(
+    "q24",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+    doc="Left semi join (EXISTS): customers having ≥1 order (A25).",
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q25",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+    doc="Left anti join (NOT EXISTS): the reference's 'missing slave' set "
+    "(A24/A28 error report, master.ino:552-574).",
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q26",
+    oracle="SELECT COUNT(*) AS n FROM region CROSS JOIN nation",
+    doc="Cross join cardinality.",
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q27",
+    oracle="""
+    SELECT e1.user_id AS user_id, COUNT(*) AS n
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 60 SECOND
+    GROUP BY e1.user_id ORDER BY user_id
+    """,
+    doc="Theta/range self-join: event pairs of the same user within 60 s "
+    "(A27 request↔response window). Executes as an equi join on user_id "
+    "with a range residual — not a cartesian product.",
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    e1 = ev.alias("e1")
+    e2 = ev.alias("e2")
+    cond = (
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e2.ts") > F.col("e1.ts"))
+        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 60 SECONDS"))
+    )
+    return (
+        e1.join(e2, cond)
+        .groupBy(F.col("e1.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q28",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         s AS (SELECT * FROM events WHERE event_type = 'signup')
+    SELECT p.event_id AS event_id, s.ts AS signup_ts
+    FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+    ORDER BY event_id
+    """,
+    doc="Batch as-of join: each purchase matched to the latest prior-or-equal "
+    "signup of the same user. Spark has no native batch ASOF; this is the "
+    "scalable union+window emulation — ONE shuffle on user_id, no n×m join "
+    "(SURVEY.md §4.3). DuckDB ASOF JOIN is the oracle.",
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "signup"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            (F.col("event_type") == "signup").alias("is_signup"),
+        )
+    )
+    # Order signups before purchases at equal ts so p.ts >= s.ts includes ties.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_signup").desc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn(
+            "signup_ts",
+            F.last(F.when(F.col("is_signup"), F.col("ts")), ignorenulls=True).over(w),
+        )
+        .filter(~F.col("is_signup"))
+        .select("event_id", "signup_ts")
+        .orderBy("event_id")
+    )
