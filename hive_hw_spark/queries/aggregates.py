@@ -2,13 +2,16 @@
 
 Grounding: the reference's per-node sample averaging (slave.ino:141) and
 master-side fan-in gather (master.ino:151-169) are the partial/final
-aggregation pattern; everything else generalizes it to the OLAP surface.
+aggregation pattern; the ALL()-completeness reduction (A25,
+master.ino:158-168) is Q36's filtered-agg + bool_and.
 
-Scale notes: all of these are hash aggregations with map-side partial
-combine — the shuffle carries one row per (group × partition), not per
-input row. ``count(distinct)`` expands then de-dups (two shuffles via
-expand); at 100 TB prefer ``approx_count_distinct`` (Q32) unless exactness
-is contractual.
+Scale notes: all hash aggregations with map-side partial combine — the
+shuffle carries one row per (group × partition), not per input row.
+``count(distinct)`` expands the plan (two shuffles); at 100 TB prefer
+``approx_count_distinct`` (Q32, HLL sketch, one shuffle) unless exactness
+is contractual. Float sums go through exact DECIMAL accumulators for
+oracle parity AND for order-independence under AQE re-partitioning —
+see queries/_util.py.
 """
 
 from __future__ import annotations
@@ -46,4 +49,187 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q31",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Exact distinct count (expand + two-phase agg).",
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q32",
+    oracle=None,  # HLL sketch ≠ DuckDB's algorithm; unit test asserts ≤5% error
+    doc="Approximate distinct count (HyperLogLog++): one shuffle instead of "
+    "Q31's two — the 100 TB default.",
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q33",
+    oracle="""
+    SELECT r_name, n_name, GROUPING(r_name) AS g_r, GROUPING(n_name) AS g_n,
+           COUNT(c_custkey) AS n
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY g_r, g_n, r_name, n_name
+    """,
+    doc="ROLLUP with GROUPING() indicator columns.",
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(n, c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("int").alias("g_r"),
+            F.grouping("n_name").cast("int").alias("g_n"),
+            F.count("c_custkey").alias("n"),
+        )
+        .select("r_name", "n_name", "g_r", "g_n", "n")
+        .orderBy("g_r", "g_n", "r_name", "n_name")
+    )
+
+
+@register(
+    "q34",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_s, GROUPING(o_orderpriority) AS g_p,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY g_s, g_p, o_orderstatus, o_orderpriority
+    """,
+    doc="CUBE / grouping sets.",
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_s"),
+            F.grouping("o_orderpriority").cast("int").alias("g_p"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "g_s", "g_p", "n")
+        .orderBy("g_s", "g_p", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@register(
+    "q35",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n FROM events
+    GROUP BY user_id HAVING COUNT(*) >= 10 ORDER BY user_id
+    """,
+    doc="HAVING (post-aggregation filter).",
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 10)
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q36",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+           bool_and(value > 0) AS all_positive
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Filtered aggregates + ALL()-completeness reduction (A25, "
+    "master.ino:158-168): 'done iff every node reported' becomes bool_and.",
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_error"),
+            F.bool_and(F.col("value") > 0).alias("all_positive"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q37",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list(event_type)), ',') AS types
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    doc="collect_list canonicalized (sorted, joined) — A33 gather: the "
+    "master's per-round reading set as one record per node.",
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("event_type")), ",").alias("types")
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q39",
+    oracle=f"""
+    SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+    doc="Multi-join + aggregate: revenue per nation (TPC-H Q5 shape). "
+    "nation broadcasts; lineitem⋈orders is the big shuffle, co-locatable "
+    "by bucketing both on orderkey at scale.",
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy("n_name")
     )
