@@ -1,0 +1,90 @@
+"""Headline-query benchmark — the driver's per-round perf probe.
+
+Runs a fixed set of representative queries from the registry at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints EXACTLY ONE JSON line to stdout:
+
+    {"metric": "headline_wall_sec", "value": <total>, "unit": "sec",
+     "queries": {"q30": 0.71, ...}, "sf": 0.1}
+
+Everything else (Spark logs) goes to stderr. Each query is executed to
+completion with a count()-free materialization: we collect the (already
+ORDER BY-bounded) result rows, because the driver's oracle path does the
+same — this measures the full scan→shuffle→sort path, not a lazy no-op.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+# Representative of every operator family that exists in the registry;
+# unknown names are skipped so bench never breaks when run against an
+# older checkout.
+HEADLINE = [
+    "q01",  # scan count
+    "q02",  # pruned scan + global sort
+    "q10",  # projection arithmetic
+    "q20",  # shuffle equi join
+    "q27",  # range self-join
+    "q28",  # as-of join emulation
+    "q30",  # TPC-H Q1 agg
+    "q33",  # rollup over 3-table join
+    "q39",  # 4-table join + agg
+    "q41",  # window rank
+    "q44",  # moving avg (range frame)
+    "q52",  # top-k per group
+    "q55",  # set ops
+    "q63",  # scalar: boundary math
+    "q68",  # scalar: JSON rebuild
+    "q70",  # tumbling-window batch equivalent
+    "q90",  # exact dedup
+    "q92",  # cosine top-k
+    "q93",  # stopword word count
+    "q94",  # bigram counts
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from hive_hw_spark.queries import all_queries
+    from hive_hw_spark.session import get_spark
+
+    spark = get_spark(app_name="hive_hw_bench")
+
+    registry = all_queries()
+    # Warm the JVM/scheduler so q01 doesn't pay session startup.
+    registry["q01"].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry.get(name)
+        if q is None:
+            continue
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -44,8 +44,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     reader rejects ([PARQUET_TYPE_ILLEGAL]); read it as raw nanos and
     truncate to microseconds — exactly what DuckDB's reader does — so both
-    engines see identical instants. Set here (runtime conf) rather than only
-    at session build so the function also works on a vanilla driver session.
+    engines see identical instants. The conf is set once at session build
+    in ``get_spark`` (see session.py); the set() below is a defensive
+    fallback for vanilla driver-owned sessions and is a no-op otherwise.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -78,5 +79,16 @@ def save_as_catalog_table(
     ``enableHiveSupport()`` writes to a real metastore.
     """
     catalog_name = catalog_name or f"cat_{name}"
+    # A fresh session's in-memory catalog doesn't know about a managed-table
+    # location left in the warehouse by a previous session; drop both the
+    # catalog entry and any stale location so saveAsTable never hits
+    # LOCATION_ALREADY_EXISTS.
+    spark.sql(f"DROP TABLE IF EXISTS {catalog_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith("file:"):
+        import shutil
+
+        stale = os.path.join(warehouse.removeprefix("file:"), catalog_name)
+        shutil.rmtree(stale, ignore_errors=True)
     load_table(spark, sf_dir, name).write.mode("overwrite").saveAsTable(catalog_name)
     return catalog_name

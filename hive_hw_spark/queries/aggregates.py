@@ -190,15 +190,19 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            array_to_string(list_sort(list(event_type)), ',') AS types
-    FROM events GROUP BY user_id ORDER BY user_id
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
     """,
     doc="collect_list canonicalized (sorted, joined) — A33 gather: the "
-    "master's per-round reading set as one record per node.",
+    "master's per-round reading set as one record per node. NULLs are "
+    "filtered explicitly on both sides: Spark collect_list drops them, "
+    "DuckDB list() keeps them, so unfiltered parity is data-dependent.",
 )
 def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.groupBy("user_id")
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy("user_id")
         .agg(
             F.array_join(F.sort_array(F.collect_list("event_type")), ",").alias("types")
         )

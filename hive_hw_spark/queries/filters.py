@@ -77,14 +77,14 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q13",
     oracle="""
     SELECT p_partkey FROM part
-    WHERE p_name LIKE '%red%' ORDER BY p_partkey
+    WHERE p_name LIKE '%gold%' ORDER BY p_partkey
     """,
     doc="LIKE / substring-search predicate (A22 strstr analog).",
 )
 def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "part")
-        .filter(F.col("p_name").like("%red%"))
+        .filter(F.col("p_name").like("%gold%"))
         .select("p_partkey")
         .orderBy("p_partkey")
     )

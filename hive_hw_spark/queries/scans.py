@@ -49,10 +49,14 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q06",
     oracle="SELECT * FROM region ORDER BY r_regionkey",
-    doc="Catalog-registered table read back through spark.table() "
-    "(Hive-metastore-compatible registration path).",
+    doc="Catalog-registered table: saveAsTable persists region into the "
+    "session catalog's warehouse and spark.table() reads it back — the "
+    "Hive-metastore-compatible registration path (same saveAsTable call "
+    "against an enableHiveSupport() session writes a real metastore "
+    "entry). Not a temp view.",
 )
 def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = load_table(spark, sf_dir, "region")
-    df.createOrReplaceTempView("hive_hw_region")
-    return spark.table("hive_hw_region").orderBy("r_regionkey")
+    from hive_hw_spark.catalog import save_as_catalog_table
+
+    name = save_as_catalog_table(spark, sf_dir, "region")
+    return spark.table(name).orderBy("r_regionkey")

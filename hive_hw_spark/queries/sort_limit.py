@@ -1,1 +1,82 @@
-"""Placeholder — queries land incrementally (SURVEY.md §2)."""
+"""B-F Sort / limit / top-k (SURVEY.md §2 Q50–Q52).
+
+Scale notes: Q51's global top-k is orderBy().limit(k) — Spark plans this
+as TakeOrderedAndProject: each partition keeps its local top-k and only k
+rows per partition reach the driver-side merge, no global sort. Q52's
+top-k per group is the window + rank≤k filter — one shuffle on the group
+key; at 100 TB this beats a self-join-based top-k by orders of magnitude.
+Q50 is a genuine global sort (range partitioned), which is what the
+contract asks for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_hw_spark.catalog import load_table
+from hive_hw_spark.queries import register
+
+
+@register(
+    "q50",
+    oracle="""
+    SELECT event_id, nullif(value, 0) AS v
+    FROM events
+    ORDER BY v ASC NULLS LAST, event_id
+    """,
+    doc="Multi-key sort with NULLS LAST over the sentinel→NULL column "
+    "(A24): missing readings sort after every real value.",
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", F.nullif(F.col("value"), F.lit(0)).alias("v"))
+        .orderBy(F.col("v").asc_nulls_last(), F.col("event_id"))
+    )
+
+
+@register(
+    "q51",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    doc="Global top-k (TakeOrderedAndProject — per-partition local top-k, "
+    "no global sort), deterministic tie-break on orderkey.",
+)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q52",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+    """,
+    doc="Top-3 orders per customer: window rank + filter — single shuffle "
+    "on the group key, the scalable per-group top-k pattern.",
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+        .orderBy("o_custkey", F.col("o_totalprice").desc(), "o_orderkey")
+    )

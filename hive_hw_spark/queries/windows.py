@@ -1,1 +1,209 @@
-"""Placeholder — queries land incrementally (SURVEY.md §2)."""
+"""B-E Window functions (SURVEY.md §2 Q40–Q45).
+
+Grounding: the reference has window *scheduling* (A17 hourly boundary,
+master.ino:670-679) but no window *functions*; this family is the declared
+OLAP contract. Q42's lag() is the reference's inter-reading cadence (the
+gap between consecutive hourly readings of one node).
+
+Scale notes: every query here shuffles ONCE on its partition key
+(user_id / o_custkey) and sorts within partitions — the optimal physical
+shape for window functions. Q41's global rank is inherently a
+single-ordered-pass operator; at 100 TB it runs over the (tiny)
+pre-aggregated per-customer totals, not the fact table, so the global sort
+input is |customers|, not |orders|. Running sums use exact DECIMAL
+accumulators so results are independent of partition/merge order
+(queries/_util.py rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_hw_spark.catalog import load_table
+from hive_hw_spark.queries import register
+from hive_hw_spark.queries._util import DEC, sql_dsum
+
+
+@register(
+    "q40",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS rn
+    FROM orders ORDER BY o_custkey, rn
+    """,
+    doc="row_number per customer ordered by orderdate (deterministic "
+    "tie-break on orderkey).",
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rn"))
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "q41",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_custkey, ROUND({sql_dsum('o_totalprice')}, 2) AS total
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, total,
+           RANK()       OVER (ORDER BY total DESC) AS rnk,
+           DENSE_RANK() OVER (ORDER BY total DESC) AS drnk
+    FROM t ORDER BY rnk, o_custkey
+    """,
+    doc="rank/dense_rank of customers by total spend. The rank input is the "
+    "per-customer aggregate (150 rows at sf1e-2, ~10M at 100 TB) — the "
+    "global sort never sees the fact table.",
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    totals = o.groupBy("o_custkey").agg(
+        F.round(F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 2).alias("total")
+    )
+    w = Window.orderBy(F.col("total").desc())
+    return (
+        totals.select(
+            "o_custkey",
+            "total",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .orderBy("rnk", "o_custkey")
+    )
+
+
+@register(
+    "q42",
+    oracle="""
+    SELECT user_id, event_id,
+           date_diff('second',
+                     LAG(ts)  OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) AS gap_s,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events ORDER BY user_id, event_id
+    """,
+    doc="lag/lead: per-user gap seconds to previous event — the reference's "
+    "inter-reading cadence (hourly alarm, master.ino:27,670-679) as an "
+    "analytic function.",
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+            ).alias("gap_s"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "q43",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(30,10)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running
+    FROM events ORDER BY user_id, event_id
+    """,
+    doc="Running sum per user (rowsBetween unboundedPreceding..currentRow) "
+    "with an exact DECIMAL accumulator for engine-order independence.",
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("running"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "q44",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10)))
+                 OVER w AS DOUBLE)
+                 / COUNT(*) OVER w, 4) AS avg_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    doc="1-hour trailing moving average per user: rangeBetween on unix "
+    "seconds (A17 window math as an analytic frame). sum/count instead of "
+    "avg so the accumulator is the exact DECIMAL path.",
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_s", F.unix_timestamp("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s").rangeBetween(-3600, 0)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(
+                F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+                / F.count(F.lit(1)).over(w),
+                4,
+            ).alias("avg_1h"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "q45",
+    oracle="""
+    SELECT o_orderkey,
+           NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile,
+           FIRST_VALUE(o_orderdate) OVER wc AS first_date,
+           LAST_VALUE(o_orderdate)  OVER wc AS last_date
+    FROM orders
+    WINDOW wc AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_orderkey
+    """,
+    doc="ntile quartiles of order totals + first/last orderdate per "
+    "customer (full-partition frame).",
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wq = Window.orderBy("o_totalprice", "o_orderkey")
+    wc = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            F.ntile(4).over(wq).alias("quartile"),
+            F.first("o_orderdate").over(wc).alias("first_date"),
+            F.last("o_orderdate").over(wc).alias("last_date"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -51,6 +51,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # --- determinism -------------------------------------------------
         .config("spark.sql.session.timeZone", "UTC")
+        # TIMESTAMP(NANOS) parquet (events.ts) arrives as raw long nanos
+        # everywhere, session-wide, instead of being flipped per-read
+        # (race-prone). load_table() still sets it defensively for vanilla
+        # driver-owned sessions.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- catalog: persistent warehouse so saveAsTable round-trips ----
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/hive_hw_warehouse"),
+        )
         # --- Python exchange is always Arrow-batched ---------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # --- scan sizing: 128 MB splits, the parquet sweet spot ----------

@@ -46,7 +46,18 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
                 (tuple(round(x, ROUND) if isinstance(x, float) else x for x in v)
                  if isinstance(v, (list, tuple)) else v)
             )
-    df = df.sort_values(by=list(df.columns), ignore_index=True, key=lambda s: s.map(str))
+    # Sort primarily on non-float columns: a float that rounds differently
+    # across engines inside the 1e-9 compare tolerance must not reorder
+    # rows. Floats participate only as coarse (round-3) tie-breakers.
+    non_float = [c for c in df.columns if not pd.api.types.is_float_dtype(df[c])]
+    floats = [c for c in df.columns if pd.api.types.is_float_dtype(df[c])]
+
+    def _key(s: pd.Series) -> pd.Series:
+        if pd.api.types.is_float_dtype(s):
+            return s.round(3)
+        return s.map(str)
+
+    df = df.sort_values(by=non_float + floats, ignore_index=True, key=_key)
     return df
 
 
