@@ -1,1 +1,626 @@
-"""Placeholder — queries land incrementally (SURVEY.md §2)."""
+"""B-K LLM-data-pipeline operators (SURVEY.md §2 Q90–Q96 + extensions).
+
+Mandated by the driver contract (BASELINE.json north_star): dedup
+(exact + MinHash/LSH + SimHash + n-gram Jaccard + embedding cosine),
+similarity search, text analysis (word count, n-grams, TF-IDF, language
+stats, language-ID heuristic, quality scoring, token counting,
+fingerprinting), and multimodal binary columns. No reference analog —
+the reference is telemetry firmware; grounding is the contract.
+
+Scale design (the whole point of these ops is 100 TB corpora):
+- Everything is higher-order-function SQL per row + hash-partitioned
+  aggregation; NO driver-side collect anywhere.
+- Q91 near-dup NEVER does all-pairs: LSH banding (16 bands × 2 rows,
+  fixed seeds 0..31) buckets candidates by (band, band-signature), so the
+  self-join shuffles on bucket keys and each bucket is tiny; exact
+  Jaccard verification runs per candidate pair only. At 100 TB add a
+  per-bucket size cap (skew guard) before the pair expansion.
+- Q92 brute-force cosine is the CORRECTNESS baseline; the scale path is
+  q92b (random-hyperplane LSH buckets + multiprobe), which turns top-k
+  search into a bucket-local problem.
+- Signatures (MinHash / SimHash) are computed per-row inside codegen via
+  transform/aggregate lambdas — zero shuffles until the bucket join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_hw_spark.catalog import load_table
+from hive_hw_spark.queries import register
+
+# Fixed stopword list for Q93/Q98 (the engine vocabulary's function words).
+STOPWORDS = ("a", "the", "and", "of", "to", "in", "is", "on", "for", "with")
+_SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _toks(col: str = "text") -> F.Column:
+    return F.split(F.col(col), " ")
+
+
+# --------------------------------------------------------------------------
+# Q90 exact dedup
+# --------------------------------------------------------------------------
+@register(
+    "q90",
+    oracle="""
+    SELECT doc_id, sha256(text) AS h FROM (
+      SELECT doc_id, text,
+             ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1 ORDER BY doc_id
+    """,
+    doc="Exact dedup by content hash: sha2-256 + keep lowest doc_id per "
+    "hash. One shuffle on the 32-byte hash (not the document body) — at "
+    "100 TB the shuffle carries hashes + ids only. Behavioral test with "
+    "injected duplicates lives in tests/test_llm_ops.py (this corpus has "
+    "no exact dups, so the oracle row checks plumbing, the unit test "
+    "checks survivor selection).",
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "h", F.sha2("text", 256)
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "h")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q91 near-dup: MinHash + LSH banding, exact-Jaccard verified
+# --------------------------------------------------------------------------
+def _shingles() -> F.Column:
+    return F.array_distinct(
+        F.expr(
+            "transform(sequence(0, size(toks)-3),"
+            " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+        )
+    )
+
+
+@register(
+    "q91",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(string_split(text,' ')) - 1),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2])) AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jac
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Near-duplicate pairs (word-trigram Jaccard ≥ 0.8) via MinHash/LSH: "
+    "32 fixed-seed min-hashes per doc (computed per-row in codegen), "
+    "banded 16×2, candidates = bucket-join on (band, band_sig), then "
+    "EXACT Jaccard verification per candidate. Never all-pairs — the "
+    "oracle's brute-force O(n²) join is exactly what this avoids at "
+    "scale. With 2-row bands, P(candidate | jac=0.8) = 1-(1-0.64)^16 "
+    "≈ 1-8e-8, so LSH recall loss is beneath the oracle's resolution.",
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("toks", _toks())
+        .withColumn("sh", _shingles())
+        .select("doc_id", "sh")
+    )
+    # 32 min-hashes, seeds 0..31: hash(shingle, j) is murmur3 over both
+    # values — a fixed family of pseudo-permutations, deterministic across
+    # partitions/executors.
+    sig = d.withColumn(
+        "sig",
+        F.expr(
+            "transform(sequence(0, 31),"
+            " j -> array_min(transform(sh, s -> hash(s, j))))"
+        ),
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 15),"
+                " b -> struct(b AS band,"
+                "             xxhash64(sig[2*b], sig[2*b+1]) AS bsig))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bsig")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh_a = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b"))
+    )
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jac_raw", jac)
+        .filter(F.col("jac_raw") >= 0.8)
+        .select("doc_a", "doc_b", F.round("jac_raw", 4).alias("jac"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q92 similarity search: brute-force cosine top-k (baseline)
+# --------------------------------------------------------------------------
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " 0D, (acc, v) -> acc + v)"
+)
+
+
+def _cosine(a: str, b: str) -> F.Column:
+    dot = F.expr(_DOT.format(a=a, b=b))
+    na = F.sqrt(F.expr(_DOT.format(a=a, b=a)))
+    nb = F.sqrt(F.expr(_DOT.format(a=b, b=b)))
+    return dot / (na * nb)
+
+
+@register(
+    "q92",
+    oracle="""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, ROUND(list_cosine_similarity(
+             e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cos
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+             DESC, e.vec_id
+    LIMIT 10
+    """,
+    doc="Similarity search baseline: brute-force cosine top-10 neighbors "
+    "of vec_id=0 (dot product via zip_with+aggregate, double math, "
+    "tie-break vec_id). The query vector broadcasts; the scan is "
+    "embarrassingly parallel; top-k is TakeOrderedAndProject (no global "
+    "sort). Scale path: q92b LSH buckets.",
+)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos_raw", _cosine("embedding", "qv"))
+        .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("cos_raw", 4).alias("cos"))
+    )
+
+
+@register(
+    "q92b",
+    oracle=None,  # approximate by construction; recall tested in tests/test_llm_ops.py
+    doc="ANN scale path: random-hyperplane LSH — 8 deterministic "
+    "pseudo-hyperplanes (hash-derived weights, no RNG) give a 8-bit "
+    "bucket per vector; search touches only the query's bucket and "
+    "Hamming≤1 neighbor buckets (multiprobe), ~9/256 of the corpus "
+    "instead of all of it. Unit test asserts recall@10 vs exact q92.",
+)
+def q92b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    # plane(j)·v computed per-row: weight for dim i of plane j is a fixed
+    # hash-derived value in [-1, 1] — deterministic, seed-free at runtime.
+    plane_dot = (
+        "aggregate(zip_with({v}, sequence(0, size({v})-1),"
+        " (x, i) -> CAST(x AS DOUBLE) * ((hash(i, {j}) % 1000) / 1000.0)),"
+        " 0D, (acc, t) -> acc + t)"
+    )
+    bucket_bits = F.expr(
+        "aggregate(sequence(0, 7), 0L, (acc, j) -> acc * 2 + IF("
+        + plane_dot.format(v="embedding", j="j")
+        + " >= 0, 1L, 0L))"
+    )
+    bucketed = e.withColumn("bucket", bucket_bits)
+    q = bucketed.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    # multiprobe: query bucket plus all Hamming-distance-1 buckets
+    probes = q.select(
+        "qv",
+        F.explode(
+            F.expr(
+                "array_union(array(qbucket),"
+                " transform(sequence(0, 7),"
+                "           b -> CAST(qbucket ^ shiftleft(1L, b) AS BIGINT)))"
+            )
+        ).alias("probe"),
+    )
+    return (
+        bucketed.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probes), F.col("bucket") == F.col("probe"))
+        .withColumn("cos_raw", _cosine("embedding", "qv"))
+        .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("cos_raw", 4).alias("cos"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q93–Q95: text analysis
+# --------------------------------------------------------------------------
+@register(
+    "q93",
+    oracle=f"""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+    WHERE word NOT IN ({_SW_SQL}) AND word <> ''
+    GROUP BY word ORDER BY n DESC, word
+    """,
+    doc="Word count minus stopwords: explode + hash agg with map-side "
+    "combine; the shuffle carries (word, partial count), not tokens.",
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(~F.col("word").isin(*STOPWORDS) & (F.col("word") != ""))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+    )
+
+
+@register(
+    "q94",
+    oracle="""
+    SELECT bigram, COUNT(*) AS n FROM (
+      SELECT unnest(list_transform(range(1, len(string_split(text,' '))),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1])) AS bigram
+      FROM documents
+    ) GROUP BY bigram ORDER BY n DESC, bigram
+    """,
+    doc="Bigram counts: per-row adjacent-token transform (codegen) then "
+    "hash agg — n-gram extraction never leaves the row until the count.",
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
+    return (
+        d.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks)-2),"
+                    " i -> concat_ws(' ', toks[i], toks[i+1]))"
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+    )
+
+
+@register(
+    "q94b",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wc  AS (SELECT doc_id, word, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+    dl  AS (SELECT doc_id, COUNT(*) AS dlen FROM tok GROUP BY 1),
+    df  AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n   AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT wc.doc_id, wc.word,
+           ROUND((wc.cnt::DOUBLE / dl.dlen) * ln(n.n_docs::DOUBLE / df.df), 4)
+             AS tfidf
+    FROM wc JOIN dl USING (doc_id) JOIN df USING (word) CROSS JOIN n
+    ORDER BY wc.doc_id, wc.word
+    """,
+    doc="TF-IDF per (doc, word): tf = term count / doc length, idf = "
+    "ln(N/df). Three hash aggs + broadcast of the (tiny) df and N sides; "
+    "at 100 TB df is |vocab| rows — always broadcastable.",
+)
+def q94b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_toks()).alias("word"))
+    wc = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        wc.join(dl, "doc_id")
+        .join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                (F.col("cnt").cast("double") / F.col("dlen"))
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                4,
+            ).alias("tfidf"),
+        )
+        .orderBy("doc_id", "word")
+    )
+
+
+@register(
+    "q95",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(SUM(n_chars)::DOUBLE / COUNT(*), 2) AS avg_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="Language filter + per-language stats (doc counts, avg length): "
+    "the corpus-composition report every multilingual pipeline starts with.",
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 2
+            ).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q96 multimodal binary column
+# --------------------------------------------------------------------------
+@register(
+    "q96",
+    oracle="""
+    SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+           'text/plain' AS mime
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Multimodal column plumbing: payload as BinaryType + typed "
+    "metadata struct(mime, n_bytes). The parquet round-trip, partitioning "
+    "and the stubbed decode (mapInPandas over Arrow batches — the decode "
+    "body is a deterministic fake; image/audio libs are not in this "
+    "container) are unit-tested in tests/test_llm_ops.py.",
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "payload", F.col("text").cast("binary")
+    )
+    meta = F.struct(
+        F.lit("text/plain").alias("mime"),
+        F.length("payload").alias("n_bytes"),
+    )
+    return (
+        d.withColumn("meta", meta)
+        .select(
+            "doc_id",
+            F.col("meta.n_bytes").alias("n_bytes"),
+            F.col("meta.mime").alias("mime"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Extensions: SimHash, quality score, lang-ID, token counts, fingerprint,
+# embedding near-dup
+# --------------------------------------------------------------------------
+@register(
+    "q97",
+    oracle=None,  # xxhash64 bit pattern is Spark-specific; semantics unit-tested
+    doc="SimHash (64-bit) per document from token hashes — each bit is the "
+    "sign of the ±1 vote sum across tokens — plus Hamming distance to the "
+    "next doc_id. Near-dup texts land within a few bits (unit-tested with "
+    "injected near-dups); bucketing by simhash prefix is the scale path.",
+)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
+    # bitwise OR + shiftleft (not acc*2+bit): setting bit 63 of a signed
+    # long must not trip ANSI overflow checking.
+    simhash = F.expr(
+        "aggregate(sequence(0, 63), 0L, (acc, b) -> IF("
+        " aggregate(toks, 0L,"
+        "  (vote, w) -> vote + IF(((xxhash64(w) >> b) & 1) = 1, 1L, -1L))"
+        " >= 0, acc | shiftleft(1L, b), acc))"
+    )
+    w = Window.orderBy("doc_id")
+    return (
+        d.select("doc_id", simhash.alias("simhash"))
+        .withColumn(
+            "hamming_next",
+            F.bit_count(
+                F.col("simhash").bitwiseXOR(F.lead("simhash").over(w))
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q98",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           ROUND(length(replace(text, ' ', ''))::DOUBLE
+                 / len(string_split(text, ' ')), 4) AS avg_word_len,
+           ROUND(len(list_filter(string_split(text, ' '),
+                                 w -> w IN ({_SW_SQL})))::DOUBLE
+                 / len(string_split(text, ' ')), 4) AS stopword_ratio,
+           ROUND(len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE
+                 / length(text), 4) AS punct_ratio
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Text-quality scoring: token count, average word length, stopword "
+    "ratio, punctuation ratio — the heuristic filters a pretraining "
+    "pipeline applies before anything expensive. Pure per-row codegen.",
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
+    n_tokens = F.size("toks")
+    sw_array = F.array(*[F.lit(w) for w in STOPWORDS])
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            .cast("double")
+            / n_tokens,
+            4,
+        ).alias("avg_word_len"),
+        F.round(
+            F.size(
+                F.filter("toks", lambda x: F.array_contains(sw_array, x))
+            ).cast("double")
+            / n_tokens,
+            4,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.size(F.regexp_extract_all("text", F.lit("[^a-z0-9 ]"), 0)).cast(
+                "double"
+            )
+            / F.length("text"),
+            4,
+        ).alias("punct_ratio"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q99",
+    oracle=f"""
+    SELECT doc_id,
+           CASE
+             WHEN regexp_matches(text, '[^\\x00-\\x7F]') THEN 'other'
+             WHEN len(list_filter(string_split(text, ' '),
+                                  w -> w IN ({_SW_SQL})))::DOUBLE
+                  / len(string_split(text, ' ')) >= 0.05 THEN 'en'
+             ELSE 'unk'
+           END AS lang_guess
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Language-ID heuristic: charset check (non-ASCII → other) + "
+    "function-word density (≥5% English stopwords → en). A real pipeline "
+    "swaps in an n-gram model; the engine surface — per-row classify, "
+    "groupBy lang downstream — is identical.",
+)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
+    sw_array = F.array(*[F.lit(w) for w in STOPWORDS])
+    sw_density = (
+        F.size(F.filter("toks", lambda x: F.array_contains(sw_array, x))).cast(
+            "double"
+        )
+        / F.size("toks")
+    )
+    return d.select(
+        "doc_id",
+        F.when(F.col("text").rlike("[^\\x00-\\x7F]"), "other")
+        .when(sw_density >= 0.05, "en")
+        .otherwise("unk")
+        .alias("lang_guess"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q100",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+             AS n_bpe_ish
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Token counting two ways: whitespace split and a BPE-ish regex "
+    "(letter runs | digit runs | single punctuation) — the cheap "
+    "token-budget estimator for corpus sizing.",
+)
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_toks()).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), 0)
+        ).alias("n_bpe_ish"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q101",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(range(1, least(length(text), 64) + 1),
+                              i -> ascii(text[i])::BIGINT)),
+             (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Document fingerprint: polynomial rolling hash (base 31, mod 1e9+7) "
+    "over the first 64 chars — deterministic, engine-independent (unlike "
+    "murmur/xxhash), cheap enough to run at ingest for incremental dedup.",
+)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.expr(
+        "aggregate(transform(sequence(1, least(length(text), 64)),"
+        " i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),"
+        " 0L, (acc, c) -> pmod(acc * 31 + c, 1000000007L))"
+    )
+    return d.select("doc_id", fp.alias("fp")).orderBy("doc_id")
+
+
+@register(
+    "q102",
+    oracle="""
+    WITH t AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos
+    FROM t a JOIN t b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    ORDER BY vec_a, vec_b
+    """,
+    doc="Embedding-cosine near-dup pairs (threshold 0.4 — this corpus has "
+    "no planted embedding dups; max pair cosine ≈ 0.51). The oracle/"
+    "baseline is brute-force all-pairs; the scale path is q92b's LSH "
+    "bucketing — candidates only within a bucket — unit-tested with "
+    "synthetic near-dups in tests/test_llm_ops.py.",
+)
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_raw", _cosine("va", "vb"))
+        .filter(F.col("cos_raw") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos"))
+        .orderBy("vec_a", "vec_b")
+    )

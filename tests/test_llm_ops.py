@@ -1,0 +1,182 @@
+"""Behavioral tests for the LLM-pipeline ops that the oracle can't fully
+exercise: dedup survivor selection (corpus has no exact dups), LSH/ANN
+recall, SimHash locality, and the multimodal binary round-trip.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_hw_spark.queries import all_queries
+
+
+def test_q90_dedup_survivors(spark, tmp_path):
+    """Exact dedup keeps exactly the lowest doc_id per content hash."""
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta gamma"),  # dup of 1
+        (3, "delta epsilon zeta"),
+        (7, "alpha beta gamma"),  # dup of 1
+        (9, "unique text here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    survivors = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    assert sorted(r.doc_id for r in survivors.collect()) == [1, 3, 9]
+
+
+def test_q91_minhash_finds_planted_neardups(spark, sf_dir):
+    """The LSH path finds the corpus's planted near-dup pairs —
+    cross-checked against brute-force exact Jaccard computed here."""
+    q91 = all_queries()["q91"].fn(spark, sf_dir)
+    got = {(r.doc_a, r.doc_b) for r in q91.collect()}
+
+    d = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .withColumn("toks", F.split("text", " "))
+        .withColumn(
+            "sh",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(toks)-3),"
+                    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+                )
+            ),
+        )
+        .select("doc_id", "sh")
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    brute = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "jac",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jac") >= 0.8)
+    )
+    want = {(r.doc_a, r.doc_b) for r in brute.collect()}
+    assert want, "corpus should contain planted near-dups"
+    assert got == want
+
+
+def test_q92b_ann_recall(spark, sf_dir):
+    """LSH-bucketed ANN recovers a useful fraction of the exact top-10."""
+    exact = [r.vec_id for r in all_queries()["q92"].fn(spark, sf_dir).collect()]
+    approx = [r.vec_id for r in all_queries()["q92b"].fn(spark, sf_dir).collect()]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.3, f"recall@10 = {recall}"
+
+
+def test_q97_simhash_locality(spark):
+    """Identical texts → identical simhash; a one-word edit flips only a
+    few of the 64 bits; unrelated text is far."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bend"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (3, "completely different words about spark shuffles and parquet files"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "toks", F.split("text", " ")
+    )
+    simhash = F.expr(
+        "aggregate(sequence(0, 63), 0L, (acc, b) -> IF("
+        " aggregate(toks, 0L,"
+        "  (vote, w) -> vote + IF(((xxhash64(w) >> b) & 1) = 1, 1L, -1L))"
+        " >= 0, acc | shiftleft(1L, b), acc))"
+    )
+    s = {r.doc_id: r.sh for r in df.select("doc_id", simhash.alias("sh")).collect()}
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+    assert s[0] == s[2]
+    assert ham(s[0], s[1]) <= 16
+    assert ham(s[0], s[3]) > ham(s[0], s[1])
+
+
+def test_q102_embedding_neardup_synthetic(spark):
+    """Cosine near-dup flags the planted near-identical vector pair and
+    nothing else."""
+    base = [float(i % 7 - 3) for i in range(16)]
+    near = list(base)
+    near[0] += 0.01  # tiny perturbation → cosine ≈ 1
+    ortho = [float((i * 31) % 11 - 5) for i in range(16)]
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, ortho)], "vec_id long, embedding array<double>"
+    )
+    dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    )
+    a = df.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    pairs = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos",
+            F.expr(dot.format(a="va", b="vb"))
+            / (
+                F.sqrt(F.expr(dot.format(a="va", b="va")))
+                * F.sqrt(F.expr(dot.format(a="vb", b="vb")))
+            ),
+        )
+        .filter(F.col("cos") >= 0.95)
+    )
+    assert [(r.vec_a, r.vec_b) for r in pairs.collect()] == [(0, 1)]
+
+
+def test_q96_multimodal_roundtrip(spark, sf_dir, tmp_path):
+    """BinaryType payload + metadata struct survives a parquet round-trip
+    and flows through a (stubbed) mapInPandas decode with a real schema."""
+    d = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .limit(50)
+        .withColumn("payload", F.col("text").cast("binary"))
+        .withColumn(
+            "meta",
+            F.struct(
+                F.lit("text/plain").alias("mime"),
+                F.length(F.col("payload")).alias("n_bytes"),
+                F.lit(0).alias("width"),
+                F.lit(0).alias("height"),
+            ),
+        )
+        .select("doc_id", "payload", "meta")
+    )
+    out = str(tmp_path / "mm.parquet")
+    d.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    assert dict(back.dtypes)["payload"] == "binary"
+    assert back.count() == 50
+    joined = back.alias("b").join(d.alias("o"), "doc_id")
+    assert (
+        joined.filter(
+            (F.col("b.payload") != F.col("o.payload"))
+            | (F.col("b.meta.n_bytes") != F.col("o.meta.n_bytes"))
+        ).count()
+        == 0
+    )
+
+    # Stubbed decode: real Arrow-batched plumbing, deterministic fake body.
+    # A real pipeline swaps the body for PIL/ffmpeg; the schema, batch
+    # iteration, and partition behavior are exactly what production uses.
+    def fake_decode(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["decoded_len"] = pdf["payload"].map(len)
+            yield pdf[["doc_id", "decoded_len"]]
+
+    decoded = back.mapInPandas(
+        fake_decode, schema="doc_id long, decoded_len long"
+    )
+    row = decoded.orderBy("doc_id").first()
+    orig = d.orderBy("doc_id").first()
+    assert row.decoded_len == orig.meta.n_bytes
