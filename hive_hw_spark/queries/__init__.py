@@ -55,7 +55,7 @@ _MODULES = (
     "setops",
     "scalar_funcs",
     "streaming_batch",
-    "telemetry",
+    "udfs",
     "llm_ops",
 )
 

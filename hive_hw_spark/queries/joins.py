@@ -169,21 +169,39 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY e1.user_id ORDER BY user_id
     """,
     doc="Theta/range self-join: event pairs of the same user within 60 s "
-    "(A27 request↔response window). Executes as an equi join on user_id "
-    "with a range residual — not a cartesian product.",
+    "(A27 request↔response window). Scale-hardened shape: the join key is "
+    "(user_id, minute-bucket) — each left row probes its bucket b and "
+    "b+1, so candidate pairs are bounded to adjacent minutes per user "
+    "instead of O(rows_per_user²) for the bare user_id key. The time "
+    "residual then filters exactly. Same oracle result, bounded per-key "
+    "work at any scale.",
 )
 def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    e1 = ev.alias("e1")
-    e2 = ev.alias("e2")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts")
+        .withColumn("b", F.expr("unix_timestamp(ts) div 60"))
+    )
+    # left side probes its own minute bucket and the next one
+    e1 = ev.select(
+        "user_id",
+        F.col("ts").alias("ts1"),
+        F.explode(F.array(F.col("b"), F.col("b") + 1)).alias("jb"),
+    )
+    e2 = ev.select(
+        F.col("user_id").alias("user_id2"),
+        F.col("ts").alias("ts2"),
+        F.col("b").alias("jb2"),
+    )
     cond = (
-        (F.col("e1.user_id") == F.col("e2.user_id"))
-        & (F.col("e2.ts") > F.col("e1.ts"))
-        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 60 SECONDS"))
+        (F.col("user_id") == F.col("user_id2"))
+        & (F.col("jb") == F.col("jb2"))
+        & (F.col("ts2") > F.col("ts1"))
+        & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 60 SECONDS"))
     )
     return (
         e1.join(e2, cond)
-        .groupBy(F.col("e1.user_id").alias("user_id"))
+        .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("user_id")
     )

@@ -1,1 +1,115 @@
-"""Placeholder — queries land incrementally (SURVEY.md §2)."""
+"""B-I Streaming operators — batch-equivalent oracle rows (Q70–Q72).
+
+Structured Streaming's windowing primitives (`window`, `session_window`)
+run identically over batch DataFrames, so the oracle checks the exact
+window-assignment semantics the streaming engine uses; the genuinely
+streaming behaviors (watermark late-drop Q73, stream dedup Q74, stateful
+gather Q75, foreachBatch Q76, stream-stream join Q77/Q29) are real
+readStream pipelines in tests/test_streaming.py — DuckDB has no
+micro-batch engine to mirror them.
+
+Grounding: the reference wakes on an hourly RTC alarm and assigns every
+reading to its hour (A17/A32, master.ino:27,670-679) — that is exactly a
+tumbling window; its wake/sleep duty cycle is a session window.
+
+Scale notes: window assignment is a per-row projection (no shuffle);
+the aggregation is a standard hash agg on (window, keys). Session windows
+shuffle on user_id then sort-merge sessions within each user — the same
+single-shuffle shape as the as-of join (q28).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_hw_spark.catalog import load_table
+from hive_hw_spark.queries import register
+from hive_hw_spark.queries._util import dsum, sql_dsum
+
+
+@register(
+    "q70",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS hour,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS sum_value
+    FROM events GROUP BY 1 ORDER BY hour
+    """,
+    doc="Tumbling 1-hour window aggregate via the streaming window() "
+    "primitive in batch mode — the reference's hourly reporting round "
+    "(A17/A32, master.ino:27,670-674). window.start ≡ date_trunc('hour').",
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+        .select(F.col("window.start").alias("hour"), "n", "sum_value")
+        .orderBy("hour")
+    )
+
+
+@register(
+    "q71",
+    oracle="""
+    WITH slides AS (
+      SELECT make_timestamp(
+               ((CAST(FLOOR(epoch(ts)) AS BIGINT) // 900) * 900
+                - 2700 + j * 900) * 1000000) AS win_start
+      FROM events, unnest(range(0, 4)) AS u(j)
+    )
+    SELECT win_start, COUNT(*) AS n
+    FROM slides GROUP BY win_start ORDER BY win_start
+    """,
+    doc="Sliding window (1 hour every 15 minutes): each event lands in 4 "
+    "overlapping windows. Spark explodes rows into their windows before "
+    "the hash agg; the DuckDB mirror materializes the same 4 window "
+    "starts per event arithmetically.",
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("win_start"), "n")
+        .orderBy("win_start")
+    )
+
+
+@register(
+    "q72",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM flagged GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Session windows (30-minute gap) per user via the streaming "
+    "session_window() primitive in batch mode — the reference's "
+    "wake/sleep duty cycle (A32). DuckDB mirror is the gaps-and-islands "
+    "rewrite: a session starts where the gap to the previous event "
+    "STRICTLY exceeds the 30-minute timeout — Spark merges sessions whose "
+    "windows touch (an event at exactly last_ts+gap joins the session).",
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_session = ev.groupBy(
+        F.session_window("ts", "30 minutes"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

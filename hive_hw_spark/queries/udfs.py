@@ -1,0 +1,232 @@
+"""B-J UDF / UDAF / UDTF surface (SURVEY.md §2 Q80–Q85).
+
+Grounding: the calibration transform `(raw − tare)/factor`, then
+`fabs(units − zero_factor)` (A11/A12, slave.ino:22,52,141;
+hx711_calibration.ino:20-30) is Q80's pandas UDF; the printable-char
+scrub (A23, master.ino:612) is Q83's mapInPandas; kg→grams (A14,
+master.ino:474) is Q84's SQL-registered UDF.
+
+Performance rules embodied here (the UDF story at 100 TB):
+- Every Python UDF below is Arrow-batched (pandas_udf / applyInPandas /
+  mapInPandas) — never row-at-a-time Python. The JVM↔Python exchange
+  moves columnar batches, ~10-100× the throughput of pickled rows.
+- Q80/Q84 exist to prove the surface; their docstrings note the built-in
+  expression equivalent, which stays in codegen and is what production
+  should use when the logic is expressible (tests assert equality).
+- Exact-sum discipline: grouped reductions use math.fsum (correctly
+  rounded exact sum) so results are partition-order independent and match
+  the oracle's DECIMAL accumulator bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from hive_hw_spark.catalog import load_table
+from hive_hw_spark.queries import register
+
+# Reference calibration constants (slave.ino:22): factor 20750, zero -0.5.
+CAL_FACTOR = 20750.0
+ZERO_FACTOR = -0.5
+
+
+def calibrate_udf():
+    """HX711 calibration (A11/A12): units = raw/factor, weight = |units − zero|.
+
+    Built lazily — pandas_udf registration needs an active SparkContext.
+    """
+
+    @pandas_udf("double")
+    def calibrate(raw: pd.Series) -> pd.Series:
+        return (raw / CAL_FACTOR - ZERO_FACTOR).abs()
+
+    return calibrate
+
+
+@register(
+    "q80",
+    oracle=f"""
+    SELECT event_id, abs(value / {CAL_FACTOR} - ({ZERO_FACTOR})) AS kg
+    FROM events ORDER BY event_id
+    """,
+    doc="Scalar pandas UDF (Arrow-batched): the reference's calibration "
+    "math (slave.ino:22,141) over raw counts. Same IEEE ops as the "
+    "oracle's built-in expression → bit-identical. Production would use "
+    "the built-in form (stays in codegen); equality is asserted in "
+    "tests/test_udfs.py.",
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", calibrate_udf()(F.col("value")).alias("kg")
+    ).orderBy("event_id")
+
+
+def trimmed_mean_udf():
+    """Drop one min and one max, exact-sum the rest (grouped-agg UDF)."""
+
+    @pandas_udf("double")
+    def trimmed_mean(v: pd.Series) -> float:
+        if len(v) <= 2:
+            return float("nan")
+        total = math.fsum(v) - v.min() - v.max()
+        return total / (len(v) - 2)
+
+    return trimmed_mean
+
+
+@register(
+    "q81",
+    oracle="""
+    SELECT user_id,
+           (CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+            - MIN(value) - MAX(value)) / (COUNT(*) - 2) AS tmean
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Grouped-aggregate pandas UDF: per-user trimmed mean (A13 "
+    "averaging, robustified). math.fsum = correctly-rounded exact sum, "
+    "matching the oracle's DECIMAL accumulator regardless of partition "
+    "order.",
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(trimmed_mean_udf()(F.col("value")).alias("tmean"))
+        .orderBy("user_id")
+    )
+
+
+def _znorm(pdf: pd.DataFrame) -> pd.DataFrame:
+    mu = math.fsum(pdf["value"]) / len(pdf)
+    var = math.fsum((x - mu) ** 2 for x in pdf["value"]) / len(pdf)
+    sd = math.sqrt(var)
+    out = pdf[["event_id", "user_id"]].copy()
+    out["z"] = [round((x - mu) / sd, 4) if sd > 0 else 0.0 for x in pdf["value"]]
+    return out
+
+
+@register(
+    "q82",
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS mu,
+             COUNT(*) AS n
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id,
+           ROUND((e.value - m.mu) /
+                 sqrt((SELECT CAST(SUM(CAST((e2.value - m.mu)*(e2.value - m.mu)
+                                   AS DECIMAL(38,18))) AS DOUBLE)
+                       FROM events e2 WHERE e2.user_id = e.user_id) / m.n),
+                 4) AS z
+    FROM events e JOIN m USING (user_id)
+    ORDER BY e.event_id
+    """,
+    doc="Grouped-map applyInPandas: z-normalize value per user — the "
+    "whole group arrives as one pandas frame (Arrow), the canonical "
+    "custom-per-group transform. Population std, exact sums, round(4).",
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(_znorm, schema="event_id long, user_id long, z double")
+        .orderBy("event_id")
+    )
+
+
+def _scrub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import re
+
+    pat = re.compile(r"[^ -~]")
+    for pdf in batches:
+        out = pdf[["doc_id"]].copy()
+        out["clean"] = pdf["text"].map(lambda s: pat.sub("", s))
+        yield out
+
+
+@register(
+    "q83",
+    oracle="""
+    SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS clean
+    FROM documents ORDER BY doc_id
+    """,
+    doc="mapInPandas: the reference's printable-character scrub (A23, "
+    "master.ino:612 keeps bytes 32..126) over document batches. This "
+    "corpus is ASCII-clean, so the oracle checks plumbing; "
+    "tests/test_udfs.py scrubs actual control bytes.",
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "text")
+        .mapInPandas(_scrub, schema="doc_id long, clean string")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q84",
+    oracle="""
+    SELECT event_id, CAST(ceil(value * 1000) AS BIGINT) AS g
+    FROM events ORDER BY event_id
+    """,
+    doc="SQL-registered UDF: `grams(value)` usable from spark.sql — the "
+    "kg→integer-grams conversion (A14, master.ino:474) registered as a "
+    "vectorized pandas UDF, invoked through the SQL surface.",
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    @pandas_udf("long")
+    def grams(kg: pd.Series) -> pd.Series:
+        return np.ceil(kg * 1000).astype("int64")
+
+    spark.udf.register("grams", grams)
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("hive_hw_q84_events")
+    return spark.sql(
+        "SELECT event_id, grams(value) AS g FROM hive_hw_q84_events"
+        " ORDER BY event_id"
+    )
+
+
+@register(
+    "q85",
+    oracle="""
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS word,
+           unnest(range(0, len(string_split(text, ' ')))) AS pos
+    FROM documents
+    ORDER BY doc_id, pos
+    """,
+    doc="Python UDTF (lateral join): explode text into (word, pos) rows — "
+    "equivalent to posexplode(split()), which is what production uses; "
+    "the UDTF proves the table-function surface.",
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, pos int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" ")):
+                yield w, i
+
+    spark.udtf.register("hive_hw_split_words", SplitWords)
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("hive_hw_q85_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.word, t.pos"
+        " FROM hive_hw_q85_docs d, LATERAL hive_hw_split_words(d.text) t"
+        " ORDER BY d.doc_id, t.pos"
+    )

@@ -1,0 +1,60 @@
+"""B-A source/sink round-trips (SURVEY.md §2 Q03–Q05).
+
+Grounding: the reference's sinks are serialized JSON uplinks (A7,
+master.ino:462-505) and its routing is the one-char prefix dispatch (A20,
+gateway.ino:69-75) — here: format round-trips with explicit schemas
+(inference never touches declared data) and a partitioned write whose
+directory layout IS the routing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_q03_csv_roundtrip(spark, sf_dir, tmp_path):
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    out = str(tmp_path / "nation_csv")
+    nation.write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .option("header", True)
+        .csv(out)
+    )
+    assert back.count() == nation.count()
+    assert back.exceptAll(nation).count() == 0
+    assert nation.exceptAll(back).count() == 0
+
+
+def test_q04_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).limit(500)
+    out = str(tmp_path / "events_jsonl")
+    ev.write.mode("overwrite").json(out)
+    back = spark.read.schema(ev.schema).json(out)
+    assert back.count() == ev.count()
+    # sample equality on a deterministic key
+    a = ev.select("event_id", "user_id", "event_type").orderBy("event_id")
+    b = back.select("event_id", "user_id", "event_type").orderBy("event_id")
+    assert a.exceptAll(b).count() == 0
+
+
+def test_q05_partitioned_write_routing(spark, sf_dir, tmp_path):
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = str(tmp_path / "by_type")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    # directory layout is the dispatch (A20): one path per message type
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("event_type="))
+    types = sorted(
+        r.event_type for r in ev.select("event_type").distinct().collect()
+    )
+    assert dirs == [f"event_type={t}" for t in types]
+    # reading ONE partition prunes to exactly that type's rows
+    one = spark.read.parquet(out).filter(F.col("event_type") == types[0])
+    assert one.count() == ev.filter(F.col("event_type") == types[0]).count()
+    # partition pruning is visible in the plan
+    plan = one._sc._jvm.PythonSQLUtils.explainString(
+        one._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan

@@ -1,0 +1,238 @@
+"""Real Structured Streaming tests (SURVEY.md §2 Q73, Q74, Q76, Q77/Q29).
+
+Each test builds a file-source stream processed in deterministic
+micro-batches (maxFilesPerTrigger=1, mtimes forced so batch order is
+file order) with Trigger.AvailableNow, and asserts the streaming-only
+semantics DuckDB cannot mirror: watermark late-drop, stream dedup,
+foreachBatch routing, and the watermarked stream-stream interval join.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+SCHEMA = "event_id long, ts timestamp, user_id long, value double"
+
+
+def _write_batch(dirpath: str, name: str, rows: list[dict], mtime: float) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    p = os.path.join(dirpath, name)
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.utime(p, (mtime, mtime))
+
+
+def _run_available_now(stream_writer):
+    q = stream_writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    return q
+
+
+def test_q73_watermark_drops_late_rows(spark, tmp_path):
+    """A row arriving below the watermark is excluded from its (closed)
+    window — the reference's 60s round budget: data after the budget goes
+    to the error path, never into the round's payload (A28,
+    master.ino:130-145,552-599)."""
+    src = str(tmp_path / "src")
+    t0 = time.time() - 1000
+    # batch 1: window 10:00 gets 3 rows; a row at 10:25 lifts the
+    # watermark to 10:15 once the batch's stats are folded in.
+    _write_batch(
+        src,
+        "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01 10:00:30", "user_id": 1, "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01 10:04:00", "user_id": 1, "value": 1.0},
+            {"event_id": 3, "ts": "2024-01-01 10:05:10", "user_id": 2, "value": 1.0},
+            {"event_id": 4, "ts": "2024-01-01 10:25:00", "user_id": 2, "value": 1.0},
+        ],
+        t0,
+    )
+    # batch 2: buffer batch — watermark application lags one batch behind
+    # the event-time stats (observed on this Spark: the wm computed from
+    # batch N's data filters input from batch N+2).
+    _write_batch(
+        src,
+        "b2.json",
+        [
+            {"event_id": 9, "ts": "2024-01-01 10:26:00", "user_id": 1, "value": 1.0},
+        ],
+        t0 + 10,
+    )
+    # batch 3: event_id=5 is LATE (10:02, below watermark 10:15) → dropped;
+    # event_id=6 at 10:50 lifts the watermark to 10:40, closing [10:20,10:30).
+    _write_batch(
+        src,
+        "b3.json",
+        [
+            {"event_id": 5, "ts": "2024-01-01 10:02:00", "user_id": 1, "value": 1.0},
+            {"event_id": 6, "ts": "2024-01-01 10:50:00", "user_id": 1, "value": 1.0},
+        ],
+        t0 + 20,
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("win"), "n")
+    )
+    _run_available_now(
+        stream.writeStream.format("memory").queryName("q73_sink").outputMode("append")
+    )
+    rows = spark.table("q73_sink").collect()
+    out = {r.win.strftime("%H:%M"): r.n for r in rows}
+    # closed windows only; the late row 5 must NOT be counted in 10:00,
+    # and the closed window must not re-open (no duplicate emission).
+    assert len(rows) == len(out)
+    assert out["10:00"] == 3
+    assert out["10:20"] == 2  # rows 4 and 9
+
+
+def test_q74_stream_dedup(spark, tmp_path):
+    """dropDuplicates within the watermark suppresses redelivered events —
+    the reference's confirm-gate against double-counted readings (A27,
+    master.ino:256)."""
+    src = str(tmp_path / "src")
+    t0 = time.time() - 1000
+    _write_batch(
+        src,
+        "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1, "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01 10:01:00", "user_id": 1, "value": 2.0},
+            {"event_id": 3, "ts": "2024-01-01 10:02:00", "user_id": 2, "value": 3.0},
+        ],
+        t0,
+    )
+    _write_batch(
+        src,
+        "b2.json",
+        [
+            # duplicate delivery of event 2 (same id, same ts)
+            {"event_id": 2, "ts": "2024-01-01 10:01:00", "user_id": 1, "value": 2.0},
+            {"event_id": 4, "ts": "2024-01-01 10:03:00", "user_id": 2, "value": 4.0},
+        ],
+        t0 + 10,
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicates(["event_id"])
+    )
+    _run_available_now(
+        stream.writeStream.format("memory").queryName("q74_sink").outputMode("append")
+    )
+    rows = spark.table("q74_sink").collect()
+    ids = sorted(r.event_id for r in rows)
+    assert ids == [1, 2, 3, 4], f"dup not suppressed: {ids}"
+
+
+def test_q76_foreachbatch_routed_sink(spark, tmp_path):
+    """foreachBatch writes each micro-batch partitioned by message type —
+    the gateway's D/S/E prefix→endpoint routing (A7/A20,
+    gateway.ino:69-87) as a sink."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "endpoints")
+    t0 = time.time() - 1000
+    _write_batch(
+        src,
+        "b1.json",
+        [
+            {"msg_type": "D", "master_code": "M0001", "body": '{"H0001":{"w":12345}}'},
+            {"msg_type": "D", "master_code": "M0002", "body": '{"H0003":{"w":9901}}'},
+            {"msg_type": "S", "master_code": "M0001", "body": '{"H0001":true}'},
+            {"msg_type": "E", "master_code": "M0002", "body": '{"H0003":{"w":0},"p":0}'},
+        ],
+        t0,
+    )
+
+    def route(batch_df, batch_id):
+        batch_df.write.mode("append").partitionBy("msg_type").json(out)
+
+    stream = spark.readStream.schema(
+        "msg_type string, master_code string, body string"
+    ).json(src)
+    _run_available_now(stream.writeStream.foreachBatch(route))
+
+    back = spark.read.schema(
+        "master_code string, body string, msg_type string"
+    ).json(out)
+    counts = {r.msg_type: r.n for r in back.groupBy("msg_type").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"D": 2, "S": 1, "E": 1}
+    # routing is physical: one directory per message type
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("msg_type=")
+    ) == ["msg_type=D", "msg_type=E", "msg_type=S"]
+
+
+def test_q77_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join within a 60s interval — the
+    reference's two-phase request/confirm correlation (A27,
+    master.ino:231-267): a response joins its request only inside the
+    round window. Result must equal the batch join of the same data."""
+    req_dir = str(tmp_path / "req")
+    resp_dir = str(tmp_path / "resp")
+    t0 = time.time() - 1000
+    reqs = [
+        {"req_id": 1, "node": "H0001", "req_ts": "2024-01-01 10:00:00"},
+        {"req_id": 2, "node": "H0002", "req_ts": "2024-01-01 10:00:05"},
+        {"req_id": 3, "node": "H0001", "req_ts": "2024-01-01 10:10:00"},
+    ]
+    resps = [
+        # joins req 1 (4s after)
+        {"resp_id": 11, "node": "H0001", "resp_ts": "2024-01-01 10:00:04"},
+        # 95s after req 2 → outside the 60s interval, must NOT join
+        {"resp_id": 12, "node": "H0002", "resp_ts": "2024-01-01 10:01:40"},
+        # joins req 3 (30s after)
+        {"resp_id": 13, "node": "H0001", "resp_ts": "2024-01-01 10:10:30"},
+    ]
+    _write_batch(req_dir, "b1.json", reqs, t0)
+    _write_batch(resp_dir, "b1.json", resps, t0)
+
+    req_schema = "req_id long, node string, req_ts timestamp"
+    resp_schema = "resp_id long, node string, resp_ts timestamp"
+    req_s = (
+        spark.readStream.schema(req_schema).json(req_dir)
+        .withWatermark("req_ts", "5 minutes")
+    )
+    resp_s = (
+        spark.readStream.schema(resp_schema).json(resp_dir)
+        .withWatermark("resp_ts", "5 minutes")
+        .withColumnRenamed("node", "r_node")
+    )
+    cond = (
+        (F.col("node") == F.col("r_node"))
+        & (F.col("resp_ts") >= F.col("req_ts"))
+        & (F.col("resp_ts") <= F.col("req_ts") + F.expr("INTERVAL 60 SECONDS"))
+    )
+    joined = req_s.join(resp_s, cond).select("req_id", "resp_id")
+    _run_available_now(
+        joined.writeStream.format("memory").queryName("q77_sink").outputMode("append")
+    )
+    got = sorted((r.req_id, r.resp_id) for r in spark.table("q77_sink").collect())
+
+    # batch reference over identical data
+    req_b = spark.createDataFrame(
+        [(r["req_id"], r["node"], r["req_ts"]) for r in reqs],
+        "req_id long, node string, req_ts string",
+    ).withColumn("req_ts", F.to_timestamp("req_ts"))
+    resp_b = spark.createDataFrame(
+        [(r["resp_id"], r["node"], r["resp_ts"]) for r in resps],
+        "resp_id long, r_node string, resp_ts string",
+    ).withColumn("resp_ts", F.to_timestamp("resp_ts"))
+    want = sorted(
+        (r.req_id, r.resp_id)
+        for r in req_b.join(resp_b, cond).select("req_id", "resp_id").collect()
+    )
+    assert got == want == [(1, 11), (3, 13)]

@@ -1,0 +1,51 @@
+"""B-J UDF surface behavioral tests: pandas UDF ≡ built-in expression,
+scrub on actually-dirty input, UDTF ≡ posexplode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_hw_spark.queries.udfs import CAL_FACTOR, ZERO_FACTOR, calibrate_udf
+
+
+def test_q80_udf_equals_builtin(spark, sf_dir):
+    """The Arrow-batched calibration UDF is bit-identical to the codegen
+    built-in expression (same IEEE ops)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(2000)
+    both = ev.select(
+        calibrate_udf()(F.col("value")).alias("udf_kg"),
+        F.abs(F.col("value") / CAL_FACTOR - ZERO_FACTOR).alias("builtin_kg"),
+    )
+    assert both.filter(F.col("udf_kg") != F.col("builtin_kg")).count() == 0
+
+
+def test_q83_scrub_removes_nonprintable(spark):
+    """mapInPandas scrub keeps exactly bytes 32..126 (A23, master.ino:612)."""
+    from hive_hw_spark.queries.udfs import _scrub
+
+    rows = [
+        (0, "clean text"),
+        (1, "tab\there\nand\x07bell"),
+        (2, "\x00\x01\x02"),
+        (3, "mixed \x1b[0m ansi"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.clean
+        for r in df.mapInPandas(_scrub, "doc_id long, clean string").collect()
+    }
+    assert got == {0: "clean text", 1: "tabhereandbell", 2: "", 3: "mixed [0m ansi"}
+
+
+def test_q85_udtf_equals_posexplode(spark, sf_dir):
+    """UDTF output matches the built-in posexplode(split()) rewrite."""
+    from hive_hw_spark.queries import all_queries
+
+    got = all_queries()["q85"].fn(spark, sf_dir)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).select("doc_id", "word", "pos")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
