@@ -7,10 +7,11 @@ Runs a fixed set of representative queries from the registry at
     {"metric": "headline_wall_sec", "value": <total>, "unit": "sec",
      "queries": {"q30": 0.71, ...}, "sf": 0.1}
 
-Everything else (Spark logs) goes to stderr. Each query is executed to
-completion with a count()-free materialization: we collect the (already
-ORDER BY-bounded) result rows, because the driver's oracle path does the
-same — this measures the full scan→shuffle→sort path, not a lazy no-op.
+Everything else (Spark logs) goes to stderr. Each query is fully executed
+through Spark's `noop` benchmark sink: every operator (scan, shuffle,
+sort, agg) runs to completion, but result rows are not shipped to the
+Python driver — so the timing measures engine throughput, not Py4J row
+conversion of 600k-row ORDER BY outputs.
 """
 
 from __future__ import annotations
@@ -64,16 +65,21 @@ def main() -> None:
     spark = get_spark(app_name="hive_hw_bench")
 
     registry = all_queries()
+
+    def run(name: str) -> None:
+        registry[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     # Warm the JVM/scheduler so q01 doesn't pay session startup.
-    registry["q01"].fn(spark, sf_dir).collect()
+    run("q01")
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        q = registry.get(name)
-        if q is None:
+        if name not in registry:
             continue
         t0 = time.perf_counter()
-        q.fn(spark, sf_dir).collect()
+        run(name)
         timings[name] = round(time.perf_counter() - t0, 3)
 
     out = {
