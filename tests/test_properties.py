@@ -1,0 +1,131 @@
+"""Property-based tests (SURVEY §5.2 item 4): invariants that must hold
+for arbitrary inputs, not just the fixture corpus.
+
+- aggregate order/partition invariance (the DECIMAL accumulator contract
+  of queries/_util.py)
+- the hourly-boundary formula ≡ the reference's integer alarm math
+  (master.ino:670-679) across arbitrary timestamps
+- dedup idempotence + lowest-key survivor
+- the sentinel→NULL rule is exactly value==0 (master.ino:162)
+
+Example counts are small: each example runs Spark jobs.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hive_hw_spark.queries._util import dsum
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# floats with ≤6 decimal places in a telemetry-ish range, so the
+# DECIMAL(30,10) accumulator represents every input exactly
+values = st.lists(
+    st.integers(min_value=-(10**8), max_value=10**8).map(lambda n: n / 1e6),
+    min_size=1,
+    max_size=50,
+)
+
+
+@given(vs=values, nparts=st.integers(min_value=1, max_value=8))
+@settings(**SETTINGS)
+def test_decimal_sum_partition_invariant(spark, vs, nparts):
+    """dsum gives the exact same double no matter how rows are
+    partitioned — the property float SUM lacks and oracle parity needs."""
+    df = spark.createDataFrame([(v,) for v in vs], "v double").repartition(nparts)
+    got = df.agg(dsum("v").alias("s")).first().s
+    want = float(sum(Decimal(str(v)) for v in vs))
+    assert got == pytest.approx(want, abs=1e-9)
+    # and it is bit-stable across a different partitioning
+    got2 = (
+        spark.createDataFrame([(v,) for v in reversed(vs)], "v double")
+        .repartition(max(1, nparts // 2))
+        .agg(dsum("v").alias("s"))
+        .first()
+        .s
+    )
+    assert got == got2
+
+
+@given(
+    secs=st.lists(
+        st.integers(min_value=0, max_value=4 * 10**9), min_size=1, max_size=100
+    )
+)
+@settings(**SETTINGS)
+def test_hour_boundary_equals_reference_formula(spark, secs):
+    """window(ts,'1h').end == (s div 3600 + 1)*3600 for arbitrary epochs —
+    the reference's next-alarm math (A17)."""
+    df = spark.createDataFrame([(s,) for s in secs], "s long").withColumn(
+        "ts", F.timestamp_seconds("s")
+    )
+    bad = df.select(
+        F.window("ts", "1 hour").end.alias("spark_end"),
+        F.timestamp_seconds((F.expr("s div 3600") + 1) * 3600).alias("ref_end"),
+    ).filter(F.col("spark_end") != F.col("ref_end"))
+    assert bad.count() == 0
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10**6), st.text(max_size=20)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**SETTINGS)
+def test_dedup_idempotent_and_min_survivor(spark, docs):
+    """dedup(dedup(X)) == dedup(X); the survivor of each text group is
+    its lowest doc_id."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def dedup(d):
+        w = Window.partitionBy("text").orderBy("doc_id")
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    once = dedup(df)
+    twice = dedup(once)
+    assert once.exceptAll(twice).count() == 0
+    assert twice.exceptAll(once).count() == 0
+    # survivor check against a driver-side model
+    want = {}
+    for i, t in docs:
+        if t not in want or i < want[t]:
+            want[t] = i
+    got = {r.text: r.doc_id for r in once.collect()}
+    assert got == want
+
+
+@given(
+    vs=st.lists(
+        st.one_of(st.just(0.0), st.floats(-1e6, 1e6, allow_nan=False)),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(**SETTINGS)
+def test_sentinel_null_rule_is_exactly_zero(spark, vs):
+    """nullif(v,0) nulls exactly the sentinel 0.0 rows and nothing else
+    (A24): count(kept) + count(zeros) == n, and no non-zero value is lost."""
+    df = spark.createDataFrame([(v,) for v in vs], "v double")
+    out = df.select(F.nullif(F.col("v"), F.lit(0.0)).alias("n"), "v")
+    n_zero = sum(1 for v in vs if v == 0.0)
+    assert out.filter(F.col("n").isNull()).count() == n_zero
+    assert out.filter(F.col("n").isNotNull() & (F.col("n") != F.col("v"))).count() == 0
