@@ -612,14 +612,22 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
     "synthetic near-dups in tests/test_llm_ops.py.",
 )
 def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Normalize each vector ONCE (O(n) lambda work), so every pair costs a
+    # single dot product instead of three — the all-pairs stage is the
+    # O(n²) part and must touch each pair as cheaply as possible.
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding"
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(x AS DOUBLE) / sqrt("
+            + _DOT.format(a="embedding", b="embedding")
+            + "))"
+        ).alias("unit"),
     )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("unit").alias("ua"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("unit").alias("ub"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_raw", _cosine("va", "vb"))
+        .withColumn("cos_raw", F.expr(_DOT.format(a="ua", b="ub")))
         .filter(F.col("cos_raw") >= 0.4)
         .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos"))
         .orderBy("vec_a", "vec_b")
