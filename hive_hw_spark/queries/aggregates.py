@@ -237,3 +237,58 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy("n_name")
     )
+
+
+@register(
+    "q46",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="PIVOT (B-D extension): order counts by priority × status. The "
+    "explicit value list keeps the plan a single pass (no "
+    "distinct-values pre-query); missing cells coalesce to 0 to match "
+    "SQL's FILTER counts.",
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "q47",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.9), 4) AS p90
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Exact percentiles (B-D extension): linear-interpolated p50/p90 "
+    "per group — Spark percentile() ≡ DuckDB quantile_cont. Exact "
+    "percentile sorts within each group; at 100 TB use "
+    "approx_percentile (t-digest sketch, map-side combinable) unless "
+    "exactness is contractual — the same trade as Q31/Q32.",
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        )
+        .orderBy("event_type")
+    )

@@ -107,9 +107,11 @@ def _shingles() -> F.Column:
     ORDER BY doc_a, doc_b
     """,
     doc="Near-duplicate pairs (word-trigram Jaccard ≥ 0.8) via MinHash/LSH: "
-    "32 fixed-seed min-hashes per doc (computed per-row in codegen), "
-    "banded 16×2, candidates = bucket-join on (band, band_sig), then "
-    "EXACT Jaccard verification per candidate. Never all-pairs — the "
+    "one base xxhash64 per shingle, 32 fixed affine permutations "
+    "(a_j·h+b_j), min-reduced by a codegen hash aggregate (explode + 32 "
+    "MIN columns, map-side combinable — no interpreted lambda in the hot "
+    "path), banded 16×2, candidates = bucket-join on (band, band_sig), "
+    "then EXACT Jaccard verification per candidate. Never all-pairs — the "
     "oracle's brute-force O(n²) join is exactly what this avoids at "
     "scale. With 2-row bands, P(candidate | jac=0.8) = 1-(1-0.64)^16 "
     "≈ 1-8e-8, so LSH recall loss is beneath the oracle's resolution.",
@@ -121,23 +123,30 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sh", _shingles())
         .select("doc_id", "sh")
     )
-    # 32 min-hashes, seeds 0..31: hash(shingle, j) is murmur3 over both
-    # values — a fixed family of pseudo-permutations, deterministic across
-    # partitions/executors.
-    sig = d.withColumn(
-        "sig",
-        F.expr(
-            "transform(sequence(0, 31),"
-            " j -> array_min(transform(sh, s -> hash(s, j))))"
-        ),
-    )
+    # Fixed affine permutation family over one base hash: deterministic,
+    # seed-free at runtime, and the whole signature pipeline is
+    # whole-stage-codegen (explode → project → partial/final MIN agg).
+    P = 2147483647  # 2^31 - 1 (Mersenne prime; keeps a·h+b inside int64)
+    perms = [(2 * j + 1, 7919 * (j + 1)) for j in range(32)]
+    hashed = d.select(
+        "doc_id", F.explode("sh").alias("s")
+    ).select("doc_id", F.pmod(F.xxhash64("s"), F.lit(P)).alias("h"))
+    sig_cols = [
+        F.min(F.pmod(F.col("h") * a + b, F.lit(P))).alias(f"m{j}")
+        for j, (a, b) in enumerate(perms)
+    ]
+    sig = hashed.groupBy("doc_id").agg(*sig_cols)
     bands = sig.select(
         "doc_id",
         F.explode(
-            F.expr(
-                "transform(sequence(0, 15),"
-                " b -> struct(b AS band,"
-                "             xxhash64(sig[2*b], sig[2*b+1]) AS bsig))"
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(f"m{2*b}", f"m{2*b+1}").alias("bsig"),
+                    )
+                    for b in range(16)
+                ]
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bsig")
