@@ -236,3 +236,40 @@ def test_q77_stream_stream_interval_join(spark, tmp_path):
         for r in req_b.join(resp_b, cond).select("req_id", "resp_id").collect()
     )
     assert got == want == [(1, 11), (3, 13)]
+
+
+def test_q70_stream_batch_parity(spark, sf_dir, tmp_path):
+    """The tumbling-window aggregation produces identical results whether
+    the events table arrives as a stream or a batch — the incremental
+    plan computes the same windows (complete mode, no watermark)."""
+    import os
+
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # the file stream source needs a directory, not a bare file
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    (src / "events.parquet").symlink_to(os.path.join(sf_dir, "events.parquet"))
+    stream = spark.readStream.schema(raw.schema).parquet(str(src))
+
+    def windowed(df):
+        # events.ts is TIMESTAMP(NANOS) parquet → raw long nanos under the
+        # session's nanosAsLong conf; decode exactly as catalog.load_table
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return (
+            df.groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("hour"), "n")
+        )
+
+    q = (
+        windowed(stream)
+        .writeStream.format("memory")
+        .queryName("q70_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.hour: r.n for r in spark.table("q70_sink").collect()}
+    want = {r.hour: r.n for r in windowed(raw).collect()}
+    assert got == want and len(got) > 0
