@@ -104,11 +104,13 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _znorm(pdf: pd.DataFrame) -> pd.DataFrame:
+    # fsum for the reductions (exact, partition-order independent — the
+    # oracle-parity contract); vectorized numpy for the per-row map.
     mu = math.fsum(pdf["value"]) / len(pdf)
     var = math.fsum((x - mu) ** 2 for x in pdf["value"]) / len(pdf)
     sd = math.sqrt(var)
     out = pdf[["event_id", "user_id"]].copy()
-    out["z"] = [round((x - mu) / sd, 4) if sd > 0 else 0.0 for x in pdf["value"]]
+    out["z"] = ((pdf["value"] - mu) / sd).round(4) if sd > 0 else 0.0
     return out
 
 
