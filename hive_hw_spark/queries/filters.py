@@ -127,3 +127,62 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.coalesce(F.nullif(F.col("value"), F.lit(0)), F.lit(-1.0)).alias("v"),
     ).orderBy("event_id")
+
+
+@register(
+    "q48",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT 2 * avg(o_totalprice) FROM orders)
+    ORDER BY o_orderkey
+    """,
+    doc="Scalar subquery (B-B extension): orders above 2x the global "
+    "average price. The subquery computes once (one tiny aggregate) and "
+    "broadcasts as a literal into the scan filter - no per-row "
+    "re-evaluation at any scale.",
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("hive_hw_q48_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM hive_hw_q48_orders
+        WHERE o_totalprice > (SELECT 2 * avg(o_totalprice)
+                              FROM hive_hw_q48_orders)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "q49",
+    oracle="""
+    SELECT c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 200000)
+    ORDER BY c_custkey
+    """,
+    doc="Correlated EXISTS via SQL text (B-B extension): Catalyst "
+    "decorrelates the subquery into a left-semi join (SURVEY 4.2) - "
+    "verified in tests/test_plan_shapes.py - so the correlated predicate "
+    "never executes per outer row.",
+)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "hive_hw_q49_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "hive_hw_q49_orders"
+    )
+    return spark.sql(
+        """
+        SELECT c_custkey FROM hive_hw_q49_customer c
+        WHERE EXISTS (SELECT 1 FROM hive_hw_q49_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 200000)
+        ORDER BY c_custkey
+        """
+    )

@@ -333,3 +333,30 @@ def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("payload"),
     ).orderBy("event_id")
+
+
+@register(
+    "q69",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN CAST(trunc(value) AS BIGINT) % 10 = 0 THEN NULL
+                ELSE value / (CAST(trunc(value) AS BIGINT) % 10) END AS safe_div,
+           TRY_CAST(event_type AS INTEGER)  AS bad_cast,
+           TRY_CAST(props AS INTEGER)       AS bad_cast2
+    FROM events ORDER BY event_id
+    """,
+    doc="Safe/try arithmetic (B-H extension): under ANSI mode (the Spark 4 "
+    "default, and the only sane 100 TB posture - silent NULLs hide data "
+    "corruption) overflow/bad-cast/div-by-zero THROW; the try_* family is "
+    "the explicit opt-out. DuckDB mirror: TRY_CAST + a NULL-guarding CASE "
+    "for division.",
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    denom = F.col("value").cast("bigint") % 10
+    return ev.select(
+        "event_id",
+        F.try_divide(F.col("value"), denom).alias("safe_div"),
+        F.try_to_number(F.col("event_type"), F.lit("999")).cast("int").alias("bad_cast"),
+        F.try_to_number(F.col("props"), F.lit("999")).cast("int").alias("bad_cast2"),
+    ).orderBy("event_id")

@@ -111,3 +111,11 @@ def test_q25_anti_join_nonvacuous(spark, sf_dir):
     semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
     assert n_anti == c.count() - semi.count()
     assert anti.intersect(semi).count() == 0
+
+
+def test_q49_subquery_decorrelated_to_semi_join(spark, sf_dir):
+    """The correlated EXISTS rewrites to a (broadcast/sort-merge) semi
+    join — Catalyst's subquery decorrelation (SURVEY §4.2), so the inner
+    query never runs per outer row."""
+    plan = _plan(all_queries()["q49"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan or "SemiJoin" in plan, plan
