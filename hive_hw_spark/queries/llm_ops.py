@@ -641,3 +641,92 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+@register(
+    "q103",
+    oracle="""
+    SELECT doc_id,
+           unnest(range(0, (length(text) + 99) // 100))        AS chunk_id,
+           unnest(list_transform(range(0, (length(text) + 99) // 100),
+                                 i -> substr(text, i*100 + 1, 120))) AS chunk
+    FROM documents
+    ORDER BY doc_id, chunk_id
+    """,
+    doc="Document chunking (B-K extension): fixed 120-char windows on a "
+    "100-char stride (20-char overlap) with chunk ids - the standard "
+    "context-window prep for embedding/training pipelines. Per-row "
+    "transform + posexplode: chunking never shuffles; downstream ops key "
+    "on (doc_id, chunk_id).",
+)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, CAST(ceil(length(text)/100.0) AS INT) - 1),"
+                    " i -> substring(text, i*100 + 1, 120))"
+                )
+            ).alias("chunk_id", "chunk"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@register(
+    "q104",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text,
+               '[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}', '[EMAIL]', 'g'),
+             '\\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\\b', '[PHONE]', 'g')
+             AS scrubbed,
+           (regexp_matches(text, '[a-z0-9._]+@') OR
+            regexp_matches(text, '[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}'))
+             AS had_pii
+    FROM documents ORDER BY doc_id
+    """,
+    doc="PII scrub (B-K extension): email/phone redaction via chained "
+    "regexp_replace - the compliance pass before a corpus ships. This "
+    "corpus is synthetic lowercase words (had_pii is all false - the "
+    "oracle checks the plumbing); tests/test_llm_ops.py scrubs real "
+    "PII-shaped strings.",
+)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    email = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}"
+    phone = r"\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b"
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", email, "[EMAIL]"), phone, "[PHONE]"
+        ).alias("scrubbed"),
+        (
+            F.col("text").rlike(r"[a-z0-9._]+@")
+            | F.col("text").rlike(r"[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}")
+        ).alias("had_pii"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q105",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE (doc_id * 2654435761) % 100 < 10
+    ORDER BY doc_id
+    """,
+    doc="Deterministic ~10% corpus sample (B-K extension) via a "
+    "multiplicative hash of the key - reproducible across engines and "
+    "runs (unlike rand()), embarrassingly parallel, no coordination. "
+    "Stratify by adding the stratum to the modulus key.",
+)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.pmod(F.col("doc_id") * 2654435761, F.lit(100)) < 10)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

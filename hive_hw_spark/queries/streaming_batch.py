@@ -113,3 +113,39 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q78",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS hour,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1 ORDER BY hour
+    """,
+    doc="Hypertable rollup / continuous-aggregate serve path (B-I "
+    "extension): hot hours are answered from a materialized hourly "
+    "rollup table; the raw tail (here: the last day of data) is "
+    "aggregated live and unioned in - the lambda/continuous-aggregate "
+    "pattern that keeps 100 TB dashboards off the raw fact table. The "
+    "rollup halves are additive because tumbling windows partition rows; "
+    "the oracle is the direct aggregation over all raw events.",
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    split = ev.agg(
+        F.date_trunc("day", F.max("ts")).alias("s")
+    )  # tail = the newest day, rollup = everything before it
+    ev_s = ev.crossJoin(F.broadcast(split))
+    hourly = lambda df: (  # noqa: E731
+        df.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+    )
+    rollup = hourly(ev_s.filter(F.col("ts") < F.col("s")))
+    # materialize the rollup as a catalog table (what a scheduled batch or
+    # streaming foreachBatch would maintain incrementally), then serve
+    # from it
+    rollup.write.mode("overwrite").format("noop").save()  # refresh stand-in
+    tail = hourly(ev_s.filter(F.col("ts") >= F.col("s")))
+    return rollup.unionAll(tail).orderBy("hour")

@@ -180,3 +180,32 @@ def test_q96_multimodal_roundtrip(spark, sf_dir, tmp_path):
     row = decoded.orderBy("doc_id").first()
     orig = d.orderBy("doc_id").first()
     assert row.decoded_len == orig.meta.n_bytes
+
+
+def test_q104_pii_scrub_real_pii(spark):
+    """The redaction regexes catch actual PII-shaped strings (the corpus
+    oracle is vacuous on synthetic lowercase words)."""
+    import pyspark.sql.functions as F
+
+    email = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}"
+    phone = r"\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b"
+    rows = [
+        (0, "contact me at jane.doe@example.com for details"),
+        (1, "call 555-867-5309 or 555.123.4567 today"),
+        (2, "no pii in this row at all"),
+        (3, "mixed: bob@site.org and 123-456-7890 together"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.scrubbed
+        for r in df.select(
+            "doc_id",
+            F.regexp_replace(
+                F.regexp_replace("text", email, "[EMAIL]"), phone, "[PHONE]"
+            ).alias("scrubbed"),
+        ).collect()
+    }
+    assert got[0] == "contact me at [EMAIL] for details"
+    assert got[1] == "call [PHONE] or [PHONE] today"
+    assert got[2] == "no pii in this row at all"
+    assert got[3] == "mixed: [EMAIL] and [PHONE] together"
