@@ -292,3 +292,27 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q47b",
+    oracle=None,  # t-digest sketch != DuckDB's exact quantile; bound-tested in tests/test_plan_shapes.py
+    doc="Approximate percentiles (B-D extension): approx_percentile's "
+    "t-digest sketch is map-side combinable - one shuffle of fixed-size "
+    "sketches instead of q47's per-group sort. The 100 TB default; the "
+    "unit test bounds its error against exact q47.",
+)
+def q47b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(
+                F.approx_percentile("value", F.lit(0.5), F.lit(10000)), 4
+            ).alias("p50_approx"),
+            F.round(
+                F.approx_percentile("value", F.lit(0.9), F.lit(10000)), 4
+            ).alias("p90_approx"),
+        )
+        .orderBy("event_type")
+    )

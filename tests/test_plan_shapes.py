@@ -119,3 +119,20 @@ def test_q49_subquery_decorrelated_to_semi_join(spark, sf_dir):
     query never runs per outer row."""
     plan = _plan(all_queries()["q49"].fn(spark, sf_dir))
     assert "LeftSemi" in plan or "SemiJoin" in plan, plan
+
+
+def test_q47b_approx_percentile_close_to_exact(spark, sf_dir):
+    """approx_percentile (accuracy 10000) tracks the exact per-group
+    percentiles within 2% relative error on this data."""
+    exact = {
+        r.event_type: (r.p50, r.p90)
+        for r in all_queries()["q47"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r.event_type: (r.p50_approx, r.p90_approx)
+        for r in all_queries()["q47b"].fn(spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k in exact:
+        for e, a in zip(exact[k], approx[k]):
+            assert abs(a - e) <= 0.02 * max(1.0, abs(e)), (k, e, a)
