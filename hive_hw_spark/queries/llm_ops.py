@@ -438,33 +438,65 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q97",
-    oracle=None,  # xxhash64 bit pattern is Spark-specific; semantics unit-tested
-    doc="SimHash (64-bit) per document from token hashes — each bit is the "
-    "sign of the ±1 vote sum across tokens — plus Hamming distance to the "
-    "next doc_id. Near-dup texts land within a few bits (unit-tested with "
-    "injected near-dups); bucketing by simhash prefix is the scale path.",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '), w -> md5(w)) AS hs
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             array_to_string(list_transform(range(0, 64), b ->
+               CASE WHEN list_sum(list_transform(hs, h ->
+                 CASE WHEN ((strpos('0123456789abcdef',
+                                    substr(h, 1 + b // 4, 1)) - 1)
+                            >> (3 - b % 4)) & 1 = 1
+                      THEN 1 ELSE -1 END)) >= 0
+                    THEN '1' ELSE '0' END), '') AS simhash_bits
+      FROM t
+    )
+    SELECT doc_id, simhash_bits,
+           len(list_filter(range(1, 65),
+               i -> simhash_bits[i] <>
+                    (LEAD(simhash_bits) OVER (ORDER BY doc_id))[i]))
+             AS hamming_next
+    FROM s ORDER BY doc_id
+    """,
+    doc="SimHash (64-bit) per document — each bit is the sign of the ±1 "
+    "vote sum across token hashes — plus Hamming distance to the next "
+    "doc_id. Oracle-checkable form: bits derive from md5 (identical in "
+    "both engines) and the signature is a 64-char bit string (no signed "
+    "packing). Production would swap md5 for xxhash64 (cheaper, "
+    "JVM-native) — the locality unit test covers that variant. Bucketing "
+    "by simhash prefix is the near-dup scale path.",
 )
 def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
-    # bitwise OR + shiftleft (not acc*2+bit): setting bit 63 of a signed
-    # long must not trip ANSI overflow checking.
-    simhash = F.expr(
-        "aggregate(sequence(0, 63), 0L, (acc, b) -> IF("
-        " aggregate(toks, 0L,"
-        "  (vote, w) -> vote + IF(((xxhash64(w) >> b) & 1) = 1, 1L, -1L))"
-        " >= 0, acc | shiftleft(1L, b), acc))"
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "hs", F.expr("transform(split(text, ' '), w -> md5(w))")
+    )
+    bits = F.expr(
+        "concat_ws('', transform(sequence(0, 63), b -> IF("
+        " aggregate(hs, 0,"
+        "  (vote, h) -> vote + IF(((instr('0123456789abcdef',"
+        "    substring(h, 1 + (b div 4), 1)) - 1) >> (3 - b % 4)) & 1 = 1,"
+        "    1, -1))"
+        " >= 0, '1', '0')))"
     )
     w = Window.orderBy("doc_id")
     return (
-        d.select("doc_id", simhash.alias("simhash"))
+        d.select("doc_id", bits.alias("simhash_bits"))
+        .withColumn("nxt", F.lead("simhash_bits").over(w))
         .withColumn(
             "hamming_next",
-            F.bit_count(
-                F.col("simhash").bitwiseXOR(F.lead("simhash").over(w))
+            F.expr(
+                "aggregate(sequence(1, 64), 0, (a, i) -> a +"
+                " IF(substring(simhash_bits, i, 1) <> substring(nxt, i, 1),"
+                " 1, 0))"
             ),
         )
+        .select("doc_id", "simhash_bits", "hamming_next")
         .orderBy("doc_id")
     )
 
