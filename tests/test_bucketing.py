@@ -65,3 +65,51 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         assert got == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """A join against a filtered dim prunes fact partitions at runtime
+    (DPP) — at 100 TB this is the difference between scanning one
+    event_type partition and scanning all of them."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    fact_dir = str(tmp_path / "events_by_type")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("error", "/error-report/"), ("signup", "/setup-notification/"),
+         ("purchase", "/data/"), ("click", "/data/"), ("view", "/data/")],
+        "event_type string, path string",
+    )
+    q = (
+        fact.join(dim, "event_type")
+        .filter(F.col("path") == "/error-report/")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in plan.lower(), plan
+    got = {r.event_type: r.n for r in q.collect()}
+    assert got == {
+        "error": ev.filter(F.col("event_type") == "error").count()
+    }
+
+
+def test_join_strategy_hints_honored(spark, sf_dir):
+    """The hint surface steers physical join selection: merge →
+    SortMergeJoin, shuffle_hash → ShuffledHashJoin — the manual override
+    when AQE's choice is wrong for a known workload."""
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+
+    def plan_of(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    merged = c.join(o.hint("merge"), c.c_custkey == o.o_custkey)
+    assert "SortMergeJoin" in plan_of(merged)
+
+    shuffled = c.join(o.hint("shuffle_hash"), c.c_custkey == o.o_custkey)
+    assert "ShuffledHashJoin" in plan_of(shuffled)
