@@ -129,3 +129,28 @@ def test_sentinel_null_rule_is_exactly_zero(spark, vs):
     n_zero = sum(1 for v in vs if v == 0.0)
     assert out.filter(F.col("n").isNull()).count() == n_zero
     assert out.filter(F.col("n").isNotNull() & (F.col("n") != F.col("v"))).count() == 0
+
+
+@given(
+    kgs=st.lists(
+        st.floats(min_value=0.0, max_value=200.0, allow_nan=False, width=32),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(**SETTINGS)
+def test_grams_conversion_matches_c_ceil(spark, kgs):
+    """cast(ceil(w*1000) as long) reproduces the reference's C
+    `ceil(w*1000)` (master.ino:474) for arbitrary float32 readings —
+    including values whose *1000 lands exactly on an integer."""
+    import math
+
+    df = spark.createDataFrame([(v,) for v in kgs], "kg double")
+    got = [
+        r.g
+        for r in df.select(
+            F.ceil(F.col("kg") * 1000).cast("long").alias("g")
+        ).collect()
+    ]
+    want = [int(math.ceil(v * 1000)) for v in kgs]
+    assert got == want
