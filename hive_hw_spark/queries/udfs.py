@@ -74,7 +74,7 @@ def trimmed_mean_udf():
     @pandas_udf("double")
     def trimmed_mean(v: pd.Series) -> float:
         if len(v) <= 2:
-            return float("nan")
+            return None  # matches the oracle's NULL for undersized groups
         total = math.fsum(v) - v.min() - v.max()
         return total / (len(v) - 2)
 
@@ -85,8 +85,10 @@ def trimmed_mean_udf():
     "q81",
     oracle="""
     SELECT user_id,
-           (CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
-            - MIN(value) - MAX(value)) / (COUNT(*) - 2) AS tmean
+           CASE WHEN COUNT(*) > 2 THEN
+             (CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+              - MIN(value) - MAX(value)) / (COUNT(*) - 2)
+           END AS tmean
     FROM events GROUP BY user_id ORDER BY user_id
     """,
     doc="Grouped-aggregate pandas UDF: per-user trimmed mean (A13 "
