@@ -80,3 +80,47 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("o_custkey", F.col("o_totalprice").desc(), "o_orderkey")
     )
+
+
+@register(
+    "q53",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice AS price, p.p_size AS size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    ORDER BY p.p_partkey
+    """,
+    doc="2-D skyline / Pareto frontier (B-F extension; cf. 'Integration "
+    "of Skyline Queries into Spark SQL', EDBT 2023): parts not dominated "
+    "on (min price, max size). The naive formulation is an O(n^2) "
+    "dominance anti-join (the DuckDB oracle); this implementation is the "
+    "scalable sort-based rewrite - per-price-group max, one prefix-max "
+    "window over price order, one join back: O(n log n), two shuffles, "
+    "no pair expansion. A point is dominated iff a strictly cheaper "
+    "group reaches its size, or its own price group exceeds it.",
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").alias("size"),
+    )
+    grp = p.groupBy("price").agg(F.max("size").alias("grp_max"))
+    wg = Window.orderBy("price").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    grp = grp.withColumn("prefix_max", F.max("grp_max").over(wg))
+    return (
+        p.join(grp, "price")
+        .filter(
+            ~(
+                (F.coalesce(F.col("prefix_max"), F.lit(-1)) >= F.col("size"))
+                | (F.col("grp_max") > F.col("size"))
+            )
+        )
+        .select("p_partkey", "price", "size")
+        .orderBy("p_partkey")
+    )
