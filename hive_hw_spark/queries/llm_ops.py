@@ -231,9 +231,10 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # approximate by construction; recall tested in tests/test_llm_ops.py
     doc="ANN scale path: random-hyperplane LSH — 8 deterministic "
     "pseudo-hyperplanes (hash-derived weights, no RNG) give a 8-bit "
-    "bucket per vector; search touches only the query's bucket and "
-    "Hamming≤1 neighbor buckets (multiprobe), ~9/256 of the corpus "
-    "instead of all of it. Unit test asserts recall@10 vs exact q92.",
+    "bucket per vector; search probes the query's bucket plus all "
+    "Hamming≤2 neighbor buckets (multiprobe), ~37/256 of the corpus "
+    "instead of all of it — recall/cost tunes by probe radius and plane "
+    "count. Unit test asserts recall@10 vs exact q92.",
 )
 def q92b(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -253,14 +254,19 @@ def q92b(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = bucketed.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
     )
-    # multiprobe: query bucket plus all Hamming-distance-1 buckets
+    # multiprobe: query bucket plus all Hamming≤2 neighbor buckets
     probes = q.select(
         "qv",
         F.explode(
             F.expr(
-                "array_union(array(qbucket),"
-                " transform(sequence(0, 7),"
-                "           b -> CAST(qbucket ^ shiftleft(1L, b) AS BIGINT)))"
+                "array_union("
+                " array_union(array(qbucket),"
+                "  transform(sequence(0, 7),"
+                "            b -> CAST(qbucket ^ shiftleft(1L, b) AS BIGINT))),"
+                " flatten(transform(sequence(0, 7), i ->"
+                "  transform(sequence(0, 7), j ->"
+                "   CAST(qbucket ^ shiftleft(1L, i) ^ shiftleft(1L, j)"
+                "        AS BIGINT)))))"
             )
         ).alias("probe"),
     )

@@ -20,6 +20,8 @@ single-shuffle shape as the as-of join (q28).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -142,10 +144,17 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.groupBy(F.date_trunc("hour", "ts").alias("hour"))
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
     )
-    rollup = hourly(ev_s.filter(F.col("ts") < F.col("s")))
-    # materialize the rollup as a catalog table (what a scheduled batch or
-    # streaming foreachBatch would maintain incrementally), then serve
-    # from it
-    rollup.write.mode("overwrite").format("noop").save()  # refresh stand-in
+    # materialize the rollup (what a scheduled batch or streaming
+    # foreachBatch would maintain incrementally), then SERVE FROM THE
+    # MATERIALIZED TABLE — the read below hits parquet, not the raw scan.
+    import tempfile
+
+    rollup_path = os.path.join(
+        tempfile.gettempdir(), "hive_hw_rollup_hourly"
+    )
+    hourly(ev_s.filter(F.col("ts") < F.col("s"))).write.mode(
+        "overwrite"
+    ).parquet(rollup_path)
+    rollup = spark.read.parquet(rollup_path)
     tail = hourly(ev_s.filter(F.col("ts") >= F.col("s")))
     return rollup.unionAll(tail).orderBy("hour")

@@ -75,7 +75,7 @@ def test_q92b_ann_recall(spark, sf_dir):
     exact = [r.vec_id for r in all_queries()["q92"].fn(spark, sf_dir).collect()]
     approx = [r.vec_id for r in all_queries()["q92b"].fn(spark, sf_dir).collect()]
     recall = len(set(exact) & set(approx)) / len(exact)
-    assert recall >= 0.3, f"recall@10 = {recall}"
+    assert recall >= 0.6, f"recall@10 = {recall}"
 
 
 def test_q97_simhash_locality(spark):
