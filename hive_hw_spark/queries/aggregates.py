@@ -316,3 +316,105 @@ def q47b(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q54",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderpriority,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, status, n FROM (
+      SELECT o_orderpriority, 'F' AS status, n_f AS n FROM wide
+      UNION ALL SELECT o_orderpriority, 'O', n_o FROM wide
+      UNION ALL SELECT o_orderpriority, 'P', n_p FROM wide
+    ) ORDER BY o_orderpriority, status
+    """,
+    doc="UNPIVOT / melt (B-D extension, the inverse of q46): the wide "
+    "per-priority status counts back to (priority, status, n) rows via "
+    "DataFrame.unpivot - a zero-shuffle per-row expansion. DuckDB mirror "
+    "is the UNION ALL rewrite.",
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).alias("F"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("O"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("P"),
+        )
+    )
+    return (
+        wide.unpivot(
+            "o_orderpriority", ["F", "O", "P"], "status", "n"
+        )
+        .orderBy("o_orderpriority", "status")
+    )
+
+
+@register(
+    "q58",
+    oracle="""
+    WITH s AS (
+      SELECT 'l_quantity' AS col, COUNT(l_quantity) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sm,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))
+                      * CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sq,
+             MIN(l_quantity) AS mn, MAX(l_quantity) AS mx
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', COUNT(l_extendedprice),
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE),
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))
+                      * CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE),
+             MIN(l_extendedprice), MAX(l_extendedprice)
+      FROM lineitem
+    )
+    SELECT col, n, ROUND(sm / n, 4) AS mean,
+           ROUND(sqrt(sq / n - (sm / n) * (sm / n)), 4) AS stddev_pop,
+           mn, mx
+    FROM s ORDER BY col
+    """,
+    doc="Column profiling / SUMMARIZE (B-D extension): per-column count/"
+    "mean/stddev/min/max in ONE scan per column set - the df.summary() "
+    "analog every warehouse exposes. Moments use exact DECIMAL sums "
+    "(sum, sum-of-squares), so the profile is partition-order "
+    "independent; stddev = sqrt(E[x^2] - E[x]^2) on exact inputs.",
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def stats(col: str):
+        c = F.col(col).cast("decimal(30,10)")
+        return li.agg(
+            F.lit(col).alias("col"),
+            F.count(col).alias("n"),
+            F.sum(c).cast("double").alias("sm"),
+            F.sum(c * c).cast("double").alias("sq"),
+            F.min(col).alias("mn"),
+            F.max(col).alias("mx"),
+        )
+
+    s = stats("l_quantity").unionAll(stats("l_extendedprice"))
+    mean = F.col("sm") / F.col("n")
+    return (
+        s.select(
+            "col",
+            "n",
+            F.round(mean, 4).alias("mean"),
+            F.round(F.sqrt(F.col("sq") / F.col("n") - mean * mean), 4).alias(
+                "stddev_pop"
+            ),
+            "mn",
+            "mx",
+        )
+        .orderBy("col")
+    )
