@@ -479,20 +479,40 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    d = load_table(spark, sf_dir, "documents").withColumn(
-        "hs", F.expr("transform(split(text, ' '), w -> md5(w))")
+    # Explode-then-aggregate shape (same rationale as q91): md5 computed
+    # once per token row, 16 hex digits extracted once (codegen), then 64
+    # map-side-combinable vote sums — no interpreted lambda per bit×token.
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(_toks()).alias("w"))
+        .withColumn("h", F.md5("w"))
     )
-    bits = F.expr(
-        "concat_ws('', transform(sequence(0, 63), b -> IF("
-        " aggregate(hs, 0,"
-        "  (vote, h) -> vote + IF(((instr('0123456789abcdef',"
-        "    substring(h, 1 + (b div 4), 1)) - 1) >> (3 - b % 4)) & 1 = 1,"
-        "    1, -1))"
-        " >= 0, '1', '0')))"
+    for dgt in range(16):
+        tok = tok.withColumn(
+            f"d{dgt}",
+            F.instr(F.lit("0123456789abcdef"), F.substring("h", dgt + 1, 1))
+            - 1,
+        )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col(f"d{b // 4}"), 3 - b % 4).bitwiseAND(1)
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    sig = tok.groupBy("doc_id").agg(*votes)
+    bits = F.concat(
+        *[
+            F.when(F.col(f"v{b}") >= 0, "1").otherwise("0")
+            for b in range(64)
+        ]
     )
     w = Window.orderBy("doc_id")
     return (
-        d.select("doc_id", bits.alias("simhash_bits"))
+        sig.select("doc_id", bits.alias("simhash_bits"))
         .withColumn("nxt", F.lead("simhash_bits").over(w))
         .withColumn(
             "hamming_next",
