@@ -117,12 +117,24 @@ def _shingles() -> F.Column:
     "≈ 1-8e-8, so LSH recall loss is beneath the oracle's resolution.",
 )
 def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = (
+    import os as _os
+    import tempfile
+
+    # Materialize the shingle sets once: the signature build, and both
+    # sides of the verification join, would otherwise each re-tokenize
+    # every document (3× the dominant per-row work). One write, three
+    # cheap columnar reads — the standard materialize-the-intermediate
+    # pattern for fan-out DAGs.
+    sh_path = _os.path.join(tempfile.gettempdir(), "hive_hw_q91_shingles")
+    (
         load_table(spark, sf_dir, "documents")
         .withColumn("toks", _toks())
         .withColumn("sh", _shingles())
         .select("doc_id", "sh")
+        .write.mode("overwrite")
+        .parquet(sh_path)
     )
+    d = spark.read.parquet(sh_path)
     # Fixed affine permutation family over one base hash: deterministic,
     # seed-free at runtime, and the whole signature pipeline is
     # whole-stage-codegen (explode → project → partial/final MIN agg).
