@@ -800,3 +800,32 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q106",
+    oracle="""
+    SELECT doc_id AS media_id,
+           ((octet_length(CAST(text AS BLOB)) + 63) // 64 + 3) // 4
+             AS n_sampled
+    FROM documents ORDER BY media_id
+    """,
+    doc="Multimodal frame sampling through the real mapInPandas pipeline "
+    "(hive_hw_spark/multimodal.py): payloads chunked into 64-byte frames, "
+    "every 4th kept; the oracle verifies the sampler's output cardinality "
+    "arithmetically (ceil(bytes/64) frames, ceil(frames/4) sampled). The "
+    "frame bytes themselves are checked in tests/test_multimodal.py.",
+)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.multimodal import as_media_table, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "payload_src", F.col("text").cast("binary")
+    )
+    media = as_media_table(docs, "doc_id", "payload_src", "text/plain")
+    return (
+        sample_frames(media, every_k=4)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("media_id")
+    )
