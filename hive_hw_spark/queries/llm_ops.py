@@ -829,3 +829,74 @@ def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("media_id")
     )
+
+
+def cosine_neardup_bucketed(e: DataFrame, threshold: float) -> DataFrame:
+    """Bucketed embedding near-dup pairs (the scale path q102's docstring
+    promises): 8-bit random-hyperplane signature per vector, candidate
+    pairs only where the two buckets differ in <= 2 bits (left side
+    expands to its 37 probe buckets, equi-join on the right's home
+    bucket), exact cosine verification on candidates. Sound for the
+    near-dup regime (threshold >= ~0.9: tiny angle -> few differing sign
+    bits w.h.p.); NOT a substitute for q102's exhaustive low-threshold
+    scan. Input: (vec_id long, embedding array)."""
+    plane_dot = (
+        "aggregate(zip_with({v}, sequence(0, size({v})-1),"
+        " (x, i) -> CAST(x AS DOUBLE) * ((hash(i, {j}) % 1000) / 1000.0)),"
+        " 0D, (acc, t) -> acc + t)"
+    )
+    bucket_bits = F.expr(
+        "aggregate(sequence(0, 7), 0L, (acc, j) -> acc * 2 + IF("
+        + plane_dot.format(v="embedding", j="j")
+        + " >= 0, 1L, 0L))"
+    )
+    unit = F.expr(
+        "transform(embedding, x -> CAST(x AS DOUBLE) / sqrt("
+        + _DOT.format(a="embedding", b="embedding")
+        + "))"
+    )
+    b = e.select("vec_id", unit.alias("u"), bucket_bits.alias("bucket"))
+    probes = b.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("u").alias("ua"),
+        F.explode(
+            F.expr(
+                "array_union("
+                " array_union(array(bucket),"
+                "  transform(sequence(0, 7),"
+                "            i -> CAST(bucket ^ shiftleft(1L, i) AS BIGINT))),"
+                " flatten(transform(sequence(0, 7), i ->"
+                "  transform(sequence(0, 7), j ->"
+                "   CAST(bucket ^ shiftleft(1L, i) ^ shiftleft(1L, j)"
+                "        AS BIGINT)))))"
+            )
+        ).alias("probe"),
+    )
+    right = b.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("u").alias("ub"),
+        F.col("bucket").alias("probe"),
+    )
+    return (
+        probes.join(right, ["probe"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_raw", F.expr(_DOT.format(a="ua", b="ub")))
+        .filter(F.col("cos_raw") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos"))
+        .distinct()
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@register(
+    "q102b",
+    oracle=None,  # approximate-recall candidate generation; soundness unit-tested
+    doc="Embedding near-dup at scale: bucketed candidate generation "
+    "(8-bit hyperplane signature, Hamming<=2 probe join) + exact cosine "
+    "verify at threshold 0.9 - O(n x bucket_size) instead of q102's "
+    "O(n^2). This corpus has no pairs >= 0.9 (rows-only here); the unit "
+    "test plants near-dup clusters and asserts parity with brute force.",
+)
+def q102b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return cosine_neardup_bucketed(e, 0.9)

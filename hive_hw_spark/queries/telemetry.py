@@ -138,3 +138,72 @@ def gather_stream(readings_stream, fleet: dict[str, list[str]], timeout_ms: int 
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def make_gather_fn_event_time(fleet: dict[str, list[str]], budget_s: int = 60):
+    """Event-time variant of the gather: the round's budget is measured on
+    the DATA clock (first reading's event time + budget, the reference's
+    maxLoopMillis from round start, master.ino:33,130-145), and the
+    timeout fires when the WATERMARK passes the deadline. Unlike the
+    processing-time variant this is fully deterministic and replays
+    identically from a checkpoint."""
+
+    def gather(
+        key: tuple[str, int],
+        pdfs: Iterator[pd.DataFrame],
+        state,  # pyspark.sql.streaming.state.GroupState
+    ) -> Iterator[pd.DataFrame]:
+        master_code, round_id = key
+        expected = fleet.get(master_code, [])
+
+        if state.hasTimedOut:
+            readings_json, _deadline = (
+                state.get if state.exists else ("{}", 0)
+            )
+            readings = json.loads(readings_json)
+            state.remove()
+            yield _record(master_code, round_id, readings, expected, True)
+            return
+
+        readings: dict[str, float] = {}
+        deadline_ms = 0
+        if state.exists:
+            readings = json.loads(state.get[0])
+            deadline_ms = int(state.get[1])
+        for pdf in pdfs:
+            for node, w, ts in zip(
+                pdf["node_code"], pdf["weight_kg"], pdf["ts"]
+            ):
+                if deadline_ms == 0:
+                    deadline_ms = (
+                        int(pd.Timestamp(ts).value // 1_000_000)
+                        + budget_s * 1000
+                    )
+                if w is not None and w != 0.0 and node not in readings:
+                    readings[node] = float(w)
+
+        if set(expected) <= set(readings):
+            if state.exists:
+                state.remove()
+            yield _record(master_code, round_id, readings, expected, False)
+        else:
+            state.update((json.dumps(readings, sort_keys=True), deadline_ms))
+            state.setTimeoutTimestamp(deadline_ms)
+
+    return gather
+
+
+def gather_stream_event_time(
+    readings_stream, fleet: dict[str, list[str]], budget_s: int = 60
+):
+    """Event-time gather wiring: input must carry a watermarked ``ts``
+    column; rounds expire when the watermark passes first_reading+budget."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return readings_stream.groupBy("master_code", "round_id").applyInPandasWithState(
+        make_gather_fn_event_time(fleet, budget_s),
+        outputStructType=GATHER_OUTPUT_SCHEMA,
+        stateStructType="readings string, deadline long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

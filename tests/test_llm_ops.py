@@ -209,3 +209,44 @@ def test_q104_pii_scrub_real_pii(spark):
     assert got[1] == "call [PHONE] or [PHONE] today"
     assert got[2] == "no pii in this row at all"
     assert got[3] == "mixed: [EMAIL] and [PHONE] together"
+
+
+def test_q102b_bucketed_neardup_matches_bruteforce(spark):
+    """On planted near-dup clusters, the bucketed candidate path finds
+    exactly the pairs brute force finds at threshold 0.9."""
+    from hive_hw_spark.queries.llm_ops import _DOT, cosine_neardup_bucketed
+
+    rows = []
+    vid = 0
+    for c in range(5):  # 5 clusters of 3 near-identical vectors
+        base = [float(((i * 7 + c * 13) % 19) - 9) for i in range(32)]
+        for k in range(3):
+            v = list(base)
+            v[k] += 0.02  # tiny perturbation: intra-cluster cos ≈ 1
+            rows.append((vid, v))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in cosine_neardup_bucketed(df, 0.9).collect()
+    }
+
+    a = df.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    cos = (
+        F.expr(_DOT.format(a="va", b="vb"))
+        / (
+            F.sqrt(F.expr(_DOT.format(a="va", b="va")))
+            * F.sqrt(F.expr(_DOT.format(a="vb", b="vb")))
+        )
+    )
+    want = {
+        (r.vec_a, r.vec_b)
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.9)
+        .collect()
+    }
+    assert want, "clusters must produce near-dup pairs"
+    assert got == want

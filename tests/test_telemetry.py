@@ -100,3 +100,84 @@ def test_q75_gather_complete_and_timeout(spark, tmp_path):
     m2 = rows[("M0002", 1)]
     assert m2.record_type == "D"
     assert json.loads(m2.payload) == {"H0003": {"w": 9901}}
+
+
+def test_q75_event_time_gather_deterministic(spark, tmp_path):
+    """Event-time variant: a round expires when the WATERMARK passes its
+    first-reading+budget deadline — no wall-clock sleeps, deterministic
+    and replayable."""
+    import time as _time
+
+    from hive_hw_spark.queries.telemetry import gather_stream_event_time
+
+    src = str(tmp_path / "readings_et")
+    t0 = _time.time() - 1000
+
+    def w(name, rows, mt):
+        _write(src, name, rows)
+        os.utime(os.path.join(src, name), (mt, mt))
+
+    schema_et = (
+        "master_code string, round_id long, node_code string,"
+        " weight_kg double, ts timestamp"
+    )
+    # round 1: complete → D. round 2: partial, first reading 10:00:00 →
+    # deadline 10:01:00 (budget 60 s).
+    w(
+        "b1.json",
+        [
+            {"master_code": "M0001", "round_id": 1, "node_code": "H0001",
+             "weight_kg": 32.07, "ts": "2024-01-01 10:00:00"},
+            {"master_code": "M0001", "round_id": 1, "node_code": "H0002",
+             "weight_kg": 12.5, "ts": "2024-01-01 10:00:10"},
+            {"master_code": "M0001", "round_id": 2, "node_code": "H0001",
+             "weight_kg": 31.9, "ts": "2024-01-01 10:00:00"},
+        ],
+        t0,
+    )
+    # buffer batch (watermark stats lag one batch — see test_streaming.py)
+    w(
+        "b2.json",
+        [
+            {"master_code": "M0002", "round_id": 9, "node_code": "H0003",
+             "weight_kg": 9.9, "ts": "2024-01-01 10:03:00"},
+        ],
+        t0 + 10,
+    )
+    # a later event lifts the watermark past 10:01:00 → round 2 expires
+    w(
+        "b3.json",
+        [
+            {"master_code": "M0002", "round_id": 10, "node_code": "H0003",
+             "weight_kg": 9.9, "ts": "2024-01-01 10:10:00"},
+        ],
+        t0 + 20,
+    )
+
+    stream = (
+        spark.readStream.schema(schema_et)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withWatermark("ts", "30 seconds")
+    )
+    out = gather_stream_event_time(stream, FLEET, budget_s=60)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("q75_et_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = {
+        (r.master_code, r.round_id): r
+        for r in spark.table("q75_et_sink").collect()
+    }
+    assert rows[("M0001", 1)].record_type == "D"
+    expired = rows[("M0001", 2)]
+    assert expired.record_type == "E"
+    assert expired.n_received == 1 and expired.n_expected == 2
+    # M0002 rounds complete (fleet is just H0003)
+    assert rows[("M0002", 9)].record_type == "D"
+    assert rows[("M0002", 10)].record_type == "D"
