@@ -49,9 +49,11 @@ HEADLINE = [
     "q68",  # scalar: JSON rebuild
     "q70",  # tumbling-window batch equivalent
     "q90",  # exact dedup
+    "q91",  # MinHash/LSH near-dup (banded + exact verify)
     "q92",  # cosine top-k
     "q93",  # stopword word count
     "q94",  # bigram counts
+    "q97",  # SimHash signatures
 ]
 
 

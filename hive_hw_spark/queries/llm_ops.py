@@ -900,3 +900,47 @@ def cosine_neardup_bucketed(e: DataFrame, threshold: float) -> DataFrame:
 def q102b(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return cosine_neardup_bucketed(e, 0.9)
+
+
+@register(
+    "q94c",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wc  AS (SELECT doc_id, word, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+    dl  AS (SELECT doc_id, COUNT(*) AS dlen FROM tok GROUP BY 1),
+    df  AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n   AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT wc.doc_id, wc.word,
+             ROUND((wc.cnt::DOUBLE / dl.dlen) * ln(n.n_docs::DOUBLE / df.df), 4)
+               AS tfidf
+      FROM wc JOIN dl USING (doc_id) JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tfidf FROM (
+      SELECT doc_id, word, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, word) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    ORDER BY doc_id, tfidf DESC, word
+    """,
+    doc="Top-5 TF-IDF terms per document (B-K extension): q94b's scores "
+    "ranked per doc. Determinism contract: rank on the ROUNDED score "
+    "(round 4) with the word as tie-break, so both engines cut the top-5 "
+    "identically even when raw doubles differ in the last ulp.",
+)
+def q94c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    scored = q94b(spark, sf_dir)  # (doc_id, word, tfidf) already rounded
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("word")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+        .orderBy("doc_id", F.col("tfidf").desc(), "word")
+    )
