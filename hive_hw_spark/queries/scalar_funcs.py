@@ -360,3 +360,35 @@ def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_to_number(F.col("event_type"), F.lit("999")).cast("int").alias("bad_cast"),
         F.try_to_number(F.col("props"), F.lit("999")).cast("int").alias("bad_cast2"),
     ).orderBy("event_id")
+
+
+@register(
+    "q67b",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) * 2       AS doubled,
+           'k_' || k                                         AS renamed_key,
+           len(json_keys(props))                             AS n_entries
+    FROM events, unnest(json_keys(props)) AS u(k)
+    ORDER BY event_id, renamed_key
+    """,
+    doc="Map-transform family (B-H extension): transform_values / "
+    "transform_keys / map_concat-style reshaping of the parsed props map, "
+    "exploded for the oracle (DuckDB mirrors via json_keys arithmetic).",
+)
+def q67b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("m", F.from_json("props", "map<string,int>"))
+        .withColumn("m2", F.expr("transform_values(m, (k, v) -> v * 2)"))
+        .withColumn("m3", F.expr("transform_keys(m2, (k, v) -> concat('k_', k))"))
+    )
+    return (
+        ev.select(
+            "event_id",
+            F.explode("m3").alias("renamed_key", "doubled"),
+            F.size("m3").alias("n_entries"),
+        )
+        .select("event_id", "doubled", "renamed_key", "n_entries")
+        .orderBy("event_id", "renamed_key")
+    )
