@@ -181,3 +181,58 @@ def test_q75_event_time_gather_deterministic(spark, tmp_path):
     # M0002 rounds complete (fleet is just H0003)
     assert rows[("M0002", 9)].record_type == "D"
     assert rows[("M0002", 10)].record_type == "D"
+
+
+def test_q75_gather_under_rocksdb_provider(spark, tmp_path):
+    """The event-time gather runs unchanged on the RocksDB state store —
+    the production provider for bounded-heap state at scale."""
+    import time as _time
+
+    from hive_hw_spark.queries.telemetry import gather_stream_event_time
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "readings_rocks")
+        _write(
+            src,
+            "b1.json",
+            [
+                {"master_code": "M0001", "round_id": 1, "node_code": "H0001",
+                 "weight_kg": 32.07, "ts": "2024-01-01 10:00:00"},
+                {"master_code": "M0001", "round_id": 1, "node_code": "H0002",
+                 "weight_kg": 12.5, "ts": "2024-01-01 10:00:10"},
+            ],
+        )
+        stream = (
+            spark.readStream.schema(
+                "master_code string, round_id long, node_code string,"
+                " weight_kg double, ts timestamp"
+            )
+            .json(src)
+            .withWatermark("ts", "30 seconds")
+        )
+        out = gather_stream_event_time(stream, FLEET, budget_s=60)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("q75_rocks_sink")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.table("q75_rocks_sink").collect()
+        assert len(rows) == 1
+        assert rows[0].record_type == "D"
+        assert json.loads(rows[0].payload) == {
+            "H0001": {"w": 32070},
+            "H0002": {"w": 12500},
+        }
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
