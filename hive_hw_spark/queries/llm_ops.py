@@ -522,10 +522,30 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(64)
         ]
     )
-    w = Window.orderBy("doc_id")
+    # hamming-to-next WITHOUT a global single-partition window: lead()
+    # runs inside doc_id-range buckets (parallel, bounded sort per task);
+    # each bucket's last row is repaired from a boundary table holding one
+    # row per bucket (n/B rows — broadcastable at any corpus size with a
+    # large enough B; the boundary window runs over that tiny table only).
+    B = 4096  # docs per bucket; 1e9 docs -> 244k boundary rows
+    sig2 = sig.select("doc_id", bits.alias("simhash_bits")).withColumn(
+        "bkt", F.floor(F.col("doc_id") / B)
+    )
+    wb = Window.partitionBy("bkt").orderBy("doc_id")
+    led = sig2.withColumn("nxt", F.lead("simhash_bits").over(wb))
+    firsts = sig2.groupBy("bkt").agg(
+        F.min("doc_id").alias("fdoc"),
+        F.min_by("simhash_bits", "doc_id").alias("fsig"),
+    )
+    # constant-valued but non-foldable partition key (a bare literal gets
+    # optimized out of the spec): bounded input, one row per bucket
+    wf = Window.partitionBy(F.pmod(F.col("bkt"), F.lit(1))).orderBy("fdoc")
+    bounds = firsts.select(
+        "bkt", F.lead("fsig").over(wf).alias("bnd_sig")
+    )
     return (
-        sig.select("doc_id", bits.alias("simhash_bits"))
-        .withColumn("nxt", F.lead("simhash_bits").over(w))
+        led.join(F.broadcast(bounds), "bkt", "left")
+        .withColumn("nxt", F.coalesce("nxt", "bnd_sig"))
         .withColumn(
             "hamming_next",
             F.expr(

@@ -188,20 +188,78 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_orderkey
     """,
     doc="ntile quartiles of order totals + first/last orderdate per "
-    "customer (full-partition frame).",
+    "customer (full-partition frame). The quartile is NOT a global "
+    "single-partition window: rows are range-partitioned on the ntile "
+    "order key, numbered within each range, and offset by a broadcast "
+    "per-partition count table — exact NTILE semantics (first n%4 "
+    "buckets one row larger) at any scale.",
 )
 def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    wq = Window.orderBy("o_totalprice", "o_orderkey")
+    # two-pass distributed global row_number. Bucket bounds come from an
+    # exact percentile over a deterministic hash sample, so the bucket of
+    # a row is a PURE function of its values — the plan's two references
+    # to the bucketed frame (counts below, and the final join) can never
+    # disagree, unlike spark_partition_id over a sampled
+    # repartitionByRange (whose boundaries are not replay-stable).
+    qs = ", ".join(str(round((i + 1) / 32, 6)) for i in range(31))
+    bounds = (
+        o.filter(F.pmod(F.xxhash64("o_orderkey"), F.lit(1000)) < 10)
+        .agg(F.expr(f"percentile(o_totalprice, array({qs}))").alias("bs"))
+    )
+    local = (
+        o.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bkt",
+            F.expr("size(filter(coalesce(bs, array()), x -> x < o_totalprice))"),
+        )
+        .drop("bs")
+    )
+    wp = Window.partitionBy("bkt").orderBy("o_totalprice", "o_orderkey")
+    local = local.withColumn("lrn", F.row_number().over(wp))
+    counts = local.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    # constant-valued but non-foldable partition key (a bare literal gets
+    # optimized out of the spec); input is one row per bucket
+    wall = Window.partitionBy(F.pmod(F.col("bkt"), F.lit(1))).orderBy("bkt")
+    offsets = counts.select(
+        "bkt",
+        F.coalesce(
+            F.sum("cnt").over(wall.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("off"),
+        F.sum("cnt")
+        .over(
+            wall.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n_total"),
+    )
     wc = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return (
-        o.select(
+        local.join(F.broadcast(offsets), "bkt")
+        .withColumn("rn", F.col("off") + F.col("lrn"))
+        # NTILE(4): q = n div 4 and r = n mod 4; the first r buckets get
+        # q+1 rows (integer `div` — no float boundary wobble at any n)
+        .withColumn(
+            "quartile",
+            F.expr(
+                "CAST(CASE"
+                " WHEN rn <= (n_total % 4) * ((n_total div 4) + 1)"
+                " THEN (rn - 1) div ((n_total div 4) + 1) + 1"
+                " ELSE (n_total % 4)"
+                "  + (rn - (n_total % 4) * ((n_total div 4) + 1) - 1)"
+                "    div (n_total div 4) + 1"
+                " END AS INT)"
+            ),
+        )
+        .select(
             "o_orderkey",
-            F.ntile(4).over(wq).alias("quartile"),
+            "quartile",
             F.first("o_orderdate").over(wc).alias("first_date"),
             F.last("o_orderdate").over(wc).alias("last_date"),
         )
