@@ -110,31 +110,49 @@ def _shingles() -> F.Column:
     "one base xxhash64 per shingle, 32 fixed affine permutations "
     "(a_j·h+b_j), min-reduced by a codegen hash aggregate (explode + 32 "
     "MIN columns, map-side combinable — no interpreted lambda in the hot "
-    "path), banded 16×2, candidates = bucket-join on (band, band_sig), "
+    "path), banded 16×2, per-bucket skew cap (Q91_BUCKET_CAP lowest "
+    "doc_ids — bounds a hot bucket's pair expansion at cap²/2), "
+    "candidates = bucket-join on (band, band_sig), "
     "then EXACT Jaccard verification per candidate. Never all-pairs — the "
     "oracle's brute-force O(n²) join is exactly what this avoids at "
     "scale. With 2-row bands, P(candidate | jac=0.8) = 1-(1-0.64)^16 "
     "≈ 1-8e-8, so LSH recall loss is beneath the oracle's resolution.",
 )
 def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os as _os
-    import tempfile
-
-    # Materialize the shingle sets once: the signature build, and both
-    # sides of the verification join, would otherwise each re-tokenize
-    # every document (3× the dominant per-row work). One write, three
-    # cheap columnar reads — the standard materialize-the-intermediate
-    # pattern for fan-out DAGs.
-    sh_path = _os.path.join(tempfile.gettempdir(), "hive_hw_q91_shingles")
-    (
+    d = (
         load_table(spark, sf_dir, "documents")
         .withColumn("toks", _toks())
         .withColumn("sh", _shingles())
         .select("doc_id", "sh")
-        .write.mode("overwrite")
-        .parquet(sh_path)
     )
-    d = spark.read.parquet(sh_path)
+    return minhash_lsh_pairs(d).orderBy("doc_a", "doc_b")
+
+
+# Skew guard for the LSH candidate join: a pathological bucket (one band
+# signature shared by a huge near-identical cluster — boilerplate-heavy
+# corpora) would otherwise expand quadratically. Keeping the CAP
+# lowest-doc_id members per (band, bsig) bounds any bucket's pair
+# expansion at CAP²/2 while leaving healthy buckets (≪ CAP members)
+# untouched. Capped-away members of a giant duplicate cluster still pair
+# with the cluster's surviving representatives in other bands w.h.p.
+Q91_BUCKET_CAP = 256
+
+
+def minhash_lsh_pairs(
+    d: DataFrame, threshold: float = 0.8, bucket_cap: int = Q91_BUCKET_CAP
+) -> DataFrame:
+    """MinHash/LSH near-dup pairs over ``(doc_id long, sh array<string>)``:
+    32 fixed affine permutations over one xxhash64, 16×2 banding,
+    per-bucket skew cap, bucket-join candidates, exact-Jaccard verify.
+    Returns (doc_a, doc_b, jac) with jac rounded to 4."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    # Persist the shingle sets: the signature build, and both sides of
+    # the verification join, would otherwise each re-tokenize every
+    # document (3× the dominant per-row work). Executor-local persist —
+    # no shared scratch path, so concurrent sessions can't race.
+    d = d.persist(StorageLevel.MEMORY_AND_DISK)
     # Fixed affine permutation family over one base hash: deterministic,
     # seed-free at runtime, and the whole signature pipeline is
     # whole-stage-codegen (explode → project → partial/final MIN agg).
@@ -162,6 +180,14 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bsig")
+    # per-bucket skew cap (shuffles on the same key as the candidate
+    # join, so the window adds no extra exchange)
+    wB = Window.partitionBy("band", "bsig").orderBy("doc_id")
+    bands = (
+        bands.withColumn("bn", F.row_number().over(wB))
+        .filter(F.col("bn") <= bucket_cap)
+        .drop("bn")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -185,9 +211,8 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
         .withColumn("jac_raw", jac)
-        .filter(F.col("jac_raw") >= 0.8)
+        .filter(F.col("jac_raw") >= threshold)
         .select("doc_a", "doc_b", F.round("jac_raw", 4).alias("jac"))
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -242,11 +267,16 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q92b",
     oracle=None,  # approximate by construction; recall tested in tests/test_llm_ops.py
     doc="ANN scale path: random-hyperplane LSH — 8 deterministic "
-    "pseudo-hyperplanes (hash-derived weights, no RNG) give a 8-bit "
+    "pseudo-hyperplanes (hash-derived weights, no RNG) give an 8-bit "
     "bucket per vector; search probes the query's bucket plus all "
-    "Hamming≤2 neighbor buckets (multiprobe), ~37/256 of the corpus "
-    "instead of all of it — recall/cost tunes by probe radius and plane "
-    "count. Unit test asserts recall@10 vs exact q92.",
+    "Hamming≤3 neighbor buckets (multiprobe), 93/256 of the corpus "
+    "instead of all of it. Recall/cost tunes by probe radius and plane "
+    "count: this corpus is uniform-random (neighbor cosines ≈ 0.5, so "
+    "sign bits are noisy and need a wide radius for recall ≥ 0.9); a "
+    "production near-dup corpus (cosine ≥ 0.9 targets) concentrates "
+    "probability in the exact bucket, letting more planes + radius 1-2 "
+    "probe a far smaller corpus fraction. Unit test asserts recall@10 "
+    "≥ 0.9 vs exact q92.",
 )
 def q92b(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -266,19 +296,14 @@ def q92b(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = bucketed.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
     )
-    # multiprobe: query bucket plus all Hamming≤2 neighbor buckets
+    # multiprobe: every bucket within Hamming distance 3 of the query's
+    # (enumerate XOR masks by popcount — 93 of the 256 buckets)
     probes = q.select(
         "qv",
         F.explode(
             F.expr(
-                "array_union("
-                " array_union(array(qbucket),"
-                "  transform(sequence(0, 7),"
-                "            b -> CAST(qbucket ^ shiftleft(1L, b) AS BIGINT))),"
-                " flatten(transform(sequence(0, 7), i ->"
-                "  transform(sequence(0, 7), j ->"
-                "   CAST(qbucket ^ shiftleft(1L, i) ^ shiftleft(1L, j)"
-                "        AS BIGINT)))))"
+                "transform(filter(sequence(0, 255), m -> bit_count(m) <= 3),"
+                " m -> CAST(qbucket ^ m AS BIGINT))"
             )
         ).alias("probe"),
     )
@@ -751,13 +776,19 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    # empty/null text guard: sequence(0, -1) would yield the DESCENDING
+    # [0, -1] (two bogus chunks) where the oracle's range(0, 0) yields
+    # none — emit an empty array instead (posexplode then drops the row,
+    # matching the oracle's unnest of an empty list)
     return (
         d.select(
             "doc_id",
             F.posexplode(
                 F.expr(
-                    "transform(sequence(0, CAST(ceil(length(text)/100.0) AS INT) - 1),"
+                    "CASE WHEN length(text) > 0 THEN"
+                    " transform(sequence(0, CAST(ceil(length(text)/100.0) AS INT) - 1),"
                     " i -> substring(text, i*100 + 1, 120))"
+                    " ELSE CAST(array() AS array<string>) END"
                 )
             ).alias("chunk_id", "chunk"),
         )
@@ -805,18 +836,27 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q105",
     oracle="""
     SELECT doc_id, lang FROM documents
-    WHERE (doc_id * 2654435761) % 100 < 10
+    WHERE (doc_id % 2147483648) * 2654435761 % 100 < 10
     ORDER BY doc_id
     """,
     doc="Deterministic ~10% corpus sample (B-K extension) via a "
     "multiplicative hash of the key - reproducible across engines and "
     "runs (unlike rand()), embarrassingly parallel, no coordination. "
+    "The key reduces mod 2^31 BEFORE the multiply so the product stays "
+    "inside int64 at any doc_id (ANSI mode throws on overflow; DuckDB "
+    "would silently promote to HUGEINT and diverge). "
     "Stratify by adding the stratum to the modulus key.",
 )
 def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
-        d.filter(F.pmod(F.col("doc_id") * 2654435761, F.lit(100)) < 10)
+        d.filter(
+            F.pmod(
+                F.pmod(F.col("doc_id"), F.lit(2147483648)) * 2654435761,
+                F.lit(100),
+            )
+            < 10
+        )
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )

@@ -323,16 +323,22 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        F.get_json_object("props", "$.k").alias("k_str"),
-        F.from_json("props", "k INT").getField("k").alias("k_int"),
-        F.to_json(
-            F.named_struct(
-                F.lit("w"), F.ceil(F.col("value") * 1000).cast("bigint")
-            )
-        ).alias("payload"),
-    ).orderBy("event_id")
+    # parse the JSON ONCE (k as string, cast for the int view) — a
+    # get_json_object + from_json pair would run the parser twice per row
+    return (
+        ev.withColumn("j", F.from_json("props", "k STRING"))
+        .select(
+            "event_id",
+            F.col("j.k").alias("k_str"),
+            F.col("j.k").cast("int").alias("k_int"),
+            F.to_json(
+                F.named_struct(
+                    F.lit("w"), F.ceil(F.col("value") * 1000).cast("bigint")
+                )
+            ).alias("payload"),
+        )
+        .orderBy("event_id")
+    )
 
 
 @register(

@@ -79,19 +79,26 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q57",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
     EXCEPT
-    SELECT s_nationkey FROM supplier
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
     ORDER BY nationkey
     """,
-    doc="EXCEPT (distinct semantics): customer nationkeys with no supplier. "
-    "The reference's 'nodes that never reported' set (A24/A28) as a set op.",
+    doc="EXCEPT (distinct semantics): nations with a high-balance customer "
+    "but no high-balance supplier. The reference's 'nodes that never "
+    "reported' set (A24/A28) as a set op. The balance filters make the "
+    "difference non-empty on this corpus (every nation has both customers "
+    "and suppliers, so the unfiltered difference is vacuous).",
 )
 def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("nationkey"))
     )
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("nationkey"))
     )
     return c.subtract(s).orderBy("nationkey")

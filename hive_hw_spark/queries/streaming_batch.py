@@ -147,10 +147,14 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the rollup (what a scheduled batch or streaming
     # foreachBatch would maintain incrementally), then SERVE FROM THE
     # MATERIALIZED TABLE — the read below hits parquet, not the raw scan.
+    # The path is unique per invocation (a fixed shared path would let a
+    # concurrent session overwrite files under this in-flight plan); a
+    # production deployment points this at the shared warehouse /
+    # object-store prefix instead of node-local tmp.
     import tempfile
 
     rollup_path = os.path.join(
-        tempfile.gettempdir(), "hive_hw_rollup_hourly"
+        tempfile.mkdtemp(prefix="hive_hw_rollup_"), "hourly"
     )
     hourly(ev_s.filter(F.col("ts") < F.col("s"))).write.mode(
         "overwrite"

@@ -48,13 +48,16 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             )
     # Sort primarily on non-float columns: a float that rounds differently
     # across engines inside the 1e-9 compare tolerance must not reorder
-    # rows. Floats participate only as coarse (round-3) tie-breakers.
+    # rows. Floats participate as tie-breakers rounded to the SAME
+    # precision the values are compared at — a coarser sort key would let
+    # rows that tie under it but differ within the compare precision be
+    # ordered differently by the two engines' (stable) sorts.
     non_float = [c for c in df.columns if not pd.api.types.is_float_dtype(df[c])]
     floats = [c for c in df.columns if pd.api.types.is_float_dtype(df[c])]
 
     def _key(s: pd.Series) -> pd.Series:
         if pd.api.types.is_float_dtype(s):
-            return s.round(3)
+            return s.round(ROUND)
         return s.map(str)
 
     df = df.sort_values(by=non_float + floats, ignore_index=True, key=_key)

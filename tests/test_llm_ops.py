@@ -70,12 +70,45 @@ def test_q91_minhash_finds_planted_neardups(spark, sf_dir):
     assert got == want
 
 
+def test_q91_bucket_cap_bounds_hot_bucket(spark):
+    """A planted hot bucket (many identical docs sharing every band
+    signature) expands to at most cap·(cap−1)/2 pairs instead of
+    n·(n−1)/2 — and with a generous cap the full pair set comes back."""
+    from hive_hw_spark.queries.llm_ops import minhash_lsh_pairs
+
+    n, cap = 40, 10
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(i, text) for i in range(n)], "doc_id long, text string"
+    )
+    d = (
+        df.withColumn("toks", F.split("text", " "))
+        .withColumn(
+            "sh",
+            F.expr(
+                "array_distinct(transform(sequence(0, size(toks)-3),"
+                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+            ),
+        )
+        .select("doc_id", "sh")
+    )
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(d, bucket_cap=cap).collect()
+    }
+    # the cap keeps the lowest doc_ids in every (identical) bucket
+    assert capped == {(a, b) for a in range(cap) for b in range(cap) if a < b}
+    assert minhash_lsh_pairs(d, bucket_cap=n).count() == n * (n - 1) // 2
+
+
 def test_q92b_ann_recall(spark, sf_dir):
-    """LSH-bucketed ANN recovers a useful fraction of the exact top-10."""
+    """LSH-bucketed ANN recovers ≥90% of the exact top-10 (Hamming≤3
+    multiprobe over 8 planes — wide radius because this corpus's
+    neighbor cosines sit near 0.5, the noisiest regime for sign bits)."""
     exact = [r.vec_id for r in all_queries()["q92"].fn(spark, sf_dir).collect()]
     approx = [r.vec_id for r in all_queries()["q92b"].fn(spark, sf_dir).collect()]
     recall = len(set(exact) & set(approx)) / len(exact)
-    assert recall >= 0.6, f"recall@10 = {recall}"
+    assert recall >= 0.9, f"recall@10 = {recall}"
 
 
 def test_q97_simhash_locality(spark):
