@@ -553,14 +553,23 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row per bucket (n/B rows — broadcastable at any corpus size with a
     # large enough B; the boundary window runs over that tiny table only).
     B = 4096  # docs per bucket; 1e9 docs -> 244k boundary rows
+    from pyspark import StorageLevel
+
     sig2 = sig.select("doc_id", bits.alias("simhash_bits")).withColumn(
         "bkt", F.floor(F.col("doc_id") / B)
     )
     wb = Window.partitionBy("bkt").orderBy("doc_id")
-    led = sig2.withColumn("nxt", F.lead("simhash_bits").over(wb))
-    firsts = sig2.groupBy("bkt").agg(
-        F.min("doc_id").alias("fdoc"),
-        F.min_by("simhash_bits", "doc_id").alias("fsig"),
+    # one shuffle + one in-bucket sort produces BOTH the lead and the
+    # bucket-first marker; the persist makes the boundary branch below a
+    # cache read instead of a second signature build (the planner does
+    # not reuse the exchange across the two consumers)
+    led = (
+        sig2.withColumn("nxt", F.lead("simhash_bits").over(wb))
+        .withColumn("rn1", F.row_number().over(wb))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    firsts = led.filter(F.col("rn1") == 1).select(
+        "bkt", F.col("doc_id").alias("fdoc"), F.col("simhash_bits").alias("fsig")
     )
     # constant-valued but non-foldable partition key (a bare literal gets
     # optimized out of the spec): bounded input, one row per bucket
