@@ -57,6 +57,7 @@ _MODULES = (
     "streaming_batch",
     "udfs",
     "llm_ops",
+    "dml",
 )
 
 _loaded = False

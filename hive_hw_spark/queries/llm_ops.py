@@ -971,6 +971,228 @@ def q102b(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_bucketed(e, 0.9)
 
 
+def ivf_index(
+    e: DataFrame, n_centroids: int = 16, lloyd_iters: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """Build an IVF (inverted-file) coarse index over ``(vec_id,
+    embedding)``: unit-normalize, seed centroids from the lowest vec_ids
+    (deterministic — no RNG), run ``lloyd_iters`` rounds of
+    assign/recompute, and return ``(assigned, centroids)`` where
+    ``assigned`` is (vec_id, u, cid) and ``centroids`` is (cid, cv).
+
+    Scale shape: the assign step is the textbook O(n·k·d) — an explode
+    over the broadcast centroid list (k×n rows) with a codegen min_by
+    argmin, so it shuffles nothing and spills nowhere; the centroid
+    update aggregates (cid, dim) partial sums map-side. Production note:
+    the per-element zip_with dot product is an interpreted lambda — at
+    real 100 TB scale swap the assign for an Arrow-batched pandas_udf
+    (numpy matmul) with the identical plan shape."""
+    unit = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(x AS DOUBLE) / sqrt("
+            + _DOT.format(a="embedding", b="embedding")
+            + "))"
+        ).alias("u"),
+    )
+    cents = unit.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("u").alias("cv")
+    )
+    dist = F.expr(
+        "aggregate(zip_with(u, cv, (x, y) -> (x - y) * (x - y)),"
+        " 0D, (a, v) -> a + v)"
+    )
+    assigned = None
+    for _ in range(lloyd_iters):
+        assigned = (
+            unit.crossJoin(F.broadcast(cents))
+            .withColumn("d2", dist)
+            .groupBy("vec_id")
+            .agg(
+                F.min_by("cid", "d2").alias("cid"),
+                F.first("u").alias("u"),
+            )
+        )
+        # centroid update: per-(cluster, dim) mean, array rebuilt in dim
+        # order, re-normalized (spherical k-means keeps cosine geometry)
+        cents = (
+            assigned.select("cid", F.posexplode("u").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, m))),"
+                    " s -> s.m)"
+                ).alias("cv0")
+            )
+            .select(
+                "cid",
+                F.expr(
+                    "transform(cv0, x -> x / sqrt("
+                    + _DOT.format(a="cv0", b="cv0")
+                    + "))"
+                ).alias("cv"),
+            )
+        )
+    final = (
+        unit.crossJoin(F.broadcast(cents))
+        .withColumn("d2", dist)
+        .groupBy("vec_id")
+        .agg(F.min_by("cid", "d2").alias("cid"), F.first("u").alias("u"))
+    )
+    return final, cents
+
+
+@register(
+    "q92c",
+    oracle=None,  # approximate by construction; recall tested in tests/test_llm_ops.py
+    doc="ANN scale path #2 — IVF (inverted-file) index, the coarse-"
+    "quantizer alternative to q92b's hyperplane LSH: deterministic "
+    "k-means (16 centroids, 2 Lloyd rounds, lowest-vec_id seeds), "
+    "vectors partitioned into inverted lists by nearest centroid, "
+    "search probes the 8 centroids nearest the query and runs exact "
+    "cosine only inside those lists (~half this uniform-random corpus; "
+    "a real embedding corpus clusters, so fewer probes reach the same "
+    "recall — the recall/cost knob is n_probe). Unit test: recall@10 "
+    "≥ 0.9 vs exact q92.",
+)
+def q92c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_probe = 8
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, cents = ivf_index(e)
+    q = assigned.filter(F.col("vec_id") == 0).select(
+        F.col("u").alias("qv")
+    )
+    probe_cids = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "d2",
+            F.expr(
+                "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)),"
+                " 0D, (a, v) -> a + v)"
+            ),
+        )
+        .orderBy("d2")
+        .limit(n_probe)
+        .select("cid", "qv")
+    )
+    return (
+        assigned.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probe_cids), "cid")
+        .withColumn("cos_raw", F.expr(_DOT.format(a="u", b="qv")))
+        .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("cos_raw", 4).alias("cos"))
+    )
+
+
+@register(
+    "q107",
+    oracle="""
+    SELECT CAST(n_chars // 100 AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY 1 ORDER BY bucket
+    """,
+    doc="Document-length histogram (B-K extension): fixed 100-char "
+    "buckets with per-bucket extrema — the length-distribution report "
+    "that sizes chunking and truncation policies before a training run. "
+    "Single map-side-combinable hash agg; the histogram never exceeds "
+    "max_len/100 rows regardless of corpus size.",
+)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.expr("CAST(n_chars div 100 AS BIGINT)").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q108",
+    oracle="""
+    WITH wc AS (
+      SELECT word, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY word
+    ),
+    top AS (SELECT word, n FROM wc ORDER BY n DESC, word LIMIT 100),
+    r AS (
+      SELECT word, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rnk
+      FROM top
+    )
+    SELECT word, n, rnk, n * rnk AS zipf_product
+    FROM r ORDER BY rnk
+    """,
+    doc="Zipf head profile (B-K extension): the 100 most frequent words "
+    "with rank and the rank×frequency product (constant under Zipf's "
+    "law — the sanity check that a scraped corpus has natural-language "
+    "token statistics, not log spam). The global top-100 cut is "
+    "TakeOrdered (no global sort); the rank window's input is bounded "
+    "by that LIMIT, so its single partition holds exactly 100 rows.",
+)
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = wc.orderBy(F.col("n").desc(), "word").limit(100)
+    # non-foldable constant partition key; input bounded by the LIMIT
+    wr = Window.partitionBy(F.pmod(F.length("word"), F.lit(1))).orderBy(
+        F.col("n").desc(), "word"
+    )
+    return (
+        top.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .withColumn("zipf_product", F.col("n") * F.col("rnk"))
+        .select("word", "n", "rnk", "zipf_product")
+        .orderBy("rnk")
+    )
+
+
+@register(
+    "q109",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE ((doc_id % 2147483648)
+           + ascii(substr(lang, 1, 1)) * 256
+           + ascii(substr(lang, 2, 1))) * 2654435761 % 100 < 10
+    ORDER BY doc_id
+    """,
+    doc="Stratified deterministic ~10% sample (B-K extension, the "
+    "stratified variant q105's docstring promises): the language code "
+    "folds into the multiplicative-hash key, so each stratum samples "
+    "independently at the same rate — reproducible across engines and "
+    "runs, no coordination, no rand(). Same int64-overflow discipline "
+    "as q105 (key reduced mod 2^31 before the multiply).",
+)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    key = (
+        F.pmod(F.col("doc_id"), F.lit(2147483648))
+        + F.ascii(F.substring("lang", 1, 1)) * 256
+        + F.ascii(F.substring("lang", 2, 1))
+    )
+    return (
+        d.filter(F.pmod(key * F.lit(2654435761), F.lit(100)) < 10)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "q94c",
     oracle="""

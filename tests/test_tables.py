@@ -1,0 +1,61 @@
+"""MERGE INTO / upsert contract (hive_hw_spark/tables.py): update,
+insert, delete, and keep paths in one merge; staging-swap leaves the
+catalog consistent; schema mismatches are rejected."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_hw_spark.tables import merge_upsert
+
+
+def _fresh_table(spark, rows, schema):
+    name = f"t_{uuid.uuid4().hex[:12]}"
+    spark.createDataFrame(rows, schema).write.saveAsTable(name)
+    return name
+
+
+def test_merge_update_insert_delete_keep(spark):
+    name = _fresh_table(
+        spark,
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    source = spark.createDataFrame(
+        [
+            (2, "b2", 99.0),   # matched -> update
+            (3, "c", -1.0),    # matched + delete condition -> delete
+            (4, "d", 40.0),    # unmatched -> insert
+        ],
+        "k long, name string, v double",
+    )
+    out = merge_upsert(
+        spark, name, source, ["k"], delete_condition=F.col("s.v") < 0
+    )
+    got = sorted((r.k, r.name, r.v) for r in out.collect())
+    assert got == [(1, "a", 10.0), (2, "b2", 99.0), (4, "d", 40.0)]
+    # the swap left the CATALOG table in the merged state too
+    again = sorted((r.k, r.name, r.v) for r in spark.table(name).collect())
+    assert again == got
+
+
+def test_merge_is_idempotent_for_pure_upserts(spark):
+    name = _fresh_table(spark, [(1, 1.0), (2, 2.0)], "k long, v double")
+    source = spark.createDataFrame([(2, 5.0), (9, 9.0)], "k long, v double")
+    first = sorted(
+        (r.k, r.v) for r in merge_upsert(spark, name, source, ["k"]).collect()
+    )
+    second = sorted(
+        (r.k, r.v) for r in merge_upsert(spark, name, source, ["k"]).collect()
+    )
+    assert first == second == [(1, 1.0), (2, 5.0), (9, 9.0)]
+
+
+def test_merge_rejects_schema_mismatch(spark):
+    name = _fresh_table(spark, [(1, 1.0)], "k long, v double")
+    bad = spark.createDataFrame([(1, "x")], "k long, other string")
+    with pytest.raises(ValueError, match="schema"):
+        merge_upsert(spark, name, bad, ["k"])
