@@ -181,12 +181,17 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bsig")
     # per-bucket skew cap (shuffles on the same key as the candidate
-    # join, so the window adds no extra exchange)
+    # join, so the window adds no extra exchange). The capped band table
+    # (16 small rows per doc) persists because BOTH sides of the
+    # candidate self-join consume it — without the persist the whole
+    # signature build runs twice (the planner does not reliably reuse
+    # the exchange across the two consumers).
     wB = Window.partitionBy("band", "bsig").orderBy("doc_id")
     bands = (
         bands.withColumn("bn", F.row_number().over(wB))
         .filter(F.col("bn") <= bucket_cap)
         .drop("bn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
