@@ -1199,6 +1199,57 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q111",
+    oracle=None,  # sketch estimates have no SQL mirror (xxhash64 is Spark-side);
+    # over-count bound + exactness-vs-truth tested in tests/test_llm_ops.py
+    doc="Approximate heavy hitters via a count-min sketch (B-K "
+    "extension, the 'novel sketch' custom-operator family): 4 hash rows "
+    "x 1024 counters built in ONE map-side-combinable aggregation — the "
+    "shuffle carries at most 4096 counter rows no matter the corpus "
+    "size, vs q93's |vocab| rows. Estimates (min over the 4 counters) "
+    "never under-count and over-count by at most eps*N w.h.p. "
+    "(eps = e/1024). Returns the estimate next to the exact count for "
+    "the exact top-20 so the error is visible; a production pipeline "
+    "keeps only the sketch and drops the exact pass.",
+)
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    D, W = 4, 1024
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    hashes = F.expr(
+        f"transform(sequence(0, {D - 1}),"
+        f" j -> named_struct('j', j, 'b', pmod(xxhash64(word, j), {W})))"
+    )
+    sketch = (
+        tok.select(F.explode(hashes).alias("hb"))
+        .groupBy(F.col("hb.j").alias("j"), F.col("hb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "word")
+        .limit(20)
+    )
+    return (
+        top.select("word", "n_exact", F.explode(hashes).alias("hb"))
+        .join(
+            F.broadcast(sketch),
+            (F.col("hb.j") == F.col("j")) & (F.col("hb.b") == F.col("b")),
+        )
+        .groupBy("word")
+        .agg(
+            F.first("n_exact").alias("n_exact"),
+            F.min("c").alias("n_est"),
+        )
+        .orderBy(F.col("n_exact").desc(), "word")
+    )
+
+
+@register(
     "q94c",
     oracle="""
     WITH tok AS (

@@ -145,6 +145,25 @@ def test_ivf_index_partitions_corpus(spark):
     assert all(len(cids) == 1 for cids in by_cluster.values()), by_cluster
 
 
+def test_q111_cms_never_undercounts_and_bounds_error(spark, sf_dir):
+    """Count-min estimates are >= the exact counts (structural CMS
+    guarantee) and within eps*N of them (eps = e/1024) on this corpus."""
+    import math
+
+    rows = all_queries()["q111"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    total = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .count()
+    )
+    eps = math.e / 1024
+    for r in rows:
+        assert r.n_est >= r.n_exact, (r.word, r.n_est, r.n_exact)
+        assert r.n_est - r.n_exact <= eps * total, (r.word, r.n_est, r.n_exact)
+
+
 def test_q97_simhash_locality(spark):
     """Identical texts → identical simhash; a one-word edit flips only a
     few of the 64 bits; unrelated text is far."""
