@@ -58,6 +58,7 @@ _MODULES = (
     "udfs",
     "llm_ops",
     "dml",
+    "quality",
 )
 
 _loaded = False

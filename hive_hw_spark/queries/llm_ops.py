@@ -992,6 +992,11 @@ def ivf_index(
     the per-element zip_with dot product is an interpreted lambda — at
     real 100 TB scale swap the assign for an Arrow-batched pandas_udf
     (numpy matmul) with the identical plan shape."""
+    from pyspark import StorageLevel
+
+    # materialize the unit-normalized vectors once: every Lloyd round and
+    # the final assignment scan them (production IVF builds do exactly
+    # this — the normalized corpus is the index's working set)
     unit = e.select(
         "vec_id",
         F.expr(
@@ -999,7 +1004,7 @@ def ivf_index(
             + _DOT.format(a="embedding", b="embedding")
             + "))"
         ).alias("u"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cents = unit.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"), F.col("u").alias("cv")
     )
@@ -1040,13 +1045,17 @@ def ivf_index(
                 ).alias("cv"),
             )
         )
+    # the returned index is consumed by several search branches (query
+    # lookup, probe selection, list scan) — persist both sides so the
+    # build never re-runs per consumer
     final = (
         unit.crossJoin(F.broadcast(cents))
         .withColumn("d2", dist)
         .groupBy("vec_id")
         .agg(F.min_by("cid", "d2").alias("cid"), F.first("u").alias("u"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    return final, cents
+    return final, cents.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 @register(

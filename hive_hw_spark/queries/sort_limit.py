@@ -100,7 +100,10 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalable sort-based rewrite - per-price-group max, one prefix-max "
     "window over price order, one join back: O(n log n), two shuffles, "
     "no pair expansion. A point is dominated iff a strictly cheaper "
-    "group reaches its size, or its own price group exceeds it.",
+    "group reaches its size, or its own price group exceeds it. The "
+    "prefix-max window is global but runs over DISTINCT PRICES — a "
+    "bounded domain (retail prices have finite granularity), not the "
+    "part table; at 100 TB it is the q41-style pre-aggregated case.",
 )
 def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select(
