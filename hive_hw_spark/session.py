@@ -76,3 +76,39 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def get_hive_spark(
+    warehouse_dir: str,
+    metastore_dir: str,
+    app_name: str = "hive_hw_spark_hive",
+    master: str = "local[4]",
+) -> SparkSession:
+    """A metastore-BACKED session: ``enableHiveSupport`` with an embedded
+    Derby metastore at ``metastore_dir``.
+
+    This is the real Hive-catalog path (``spark.sql.catalogImplementation
+    = hive``): tables registered here survive session restarts because
+    their metadata lives in the metastore, not in session memory —
+    verified by tests/test_hive_catalog.py, which writes with one session
+    and reads with a fresh one. In production the Derby URL is replaced
+    by the shared metastore (thrift://...) and nothing else changes.
+
+    Caveats: Derby allows ONE process at a time (fine for the embedded
+    test double); a Hive-enabled session cannot share a JVM with an
+    in-memory-catalog session, so callers stop any live session first.
+    """
+    return (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .enableHiveSupport()
+        .config("spark.sql.warehouse.dir", warehouse_dir)
+        .config(
+            "javax.jdo.option.ConnectionURL",
+            f"jdbc:derby:;databaseName={metastore_dir};create=true",
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

@@ -154,3 +154,92 @@ def test_grams_conversion_matches_c_ceil(spark, kgs):
     ]
     want = [int(math.ceil(v * 1000)) for v in kgs]
     assert got == want
+
+
+# --- MERGE upsert vs a dict reference model --------------------------------
+
+_merge_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=-100, max_value=100),
+    ),
+    min_size=0,
+    max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(target=_merge_rows, source=_merge_rows)
+@settings(**SETTINGS)
+def test_merge_upsert_matches_dict_model(spark, target, source):
+    """merge_upsert ≡ dict.update: for arbitrary keyed target/source
+    sets, the merged table equals the target dict updated by the source
+    dict (no delete condition)."""
+    import uuid
+
+    from hive_hw_spark.tables import merge_upsert
+
+    name = f"prop_merge_{uuid.uuid4().hex[:12]}"
+    spark.createDataFrame(
+        [(k, float(v)) for k, v in target] or [(None, None)],
+        "k long, v double",
+    ).filter(F.col("k").isNotNull()).write.saveAsTable(name)
+    src = spark.createDataFrame(
+        [(k, float(v)) for k, v in source] or [(None, None)],
+        "k long, v double",
+    ).filter(F.col("k").isNotNull())
+
+    got = {
+        r.k: r.v for r in merge_upsert(spark, name, src, ["k"]).collect()
+    }
+    model = dict(target)
+    model.update(dict(source))
+    assert got == {k: float(v) for k, v in model.items()}
+
+
+# --- count-min sketch never undercounts ------------------------------------
+
+_words = st.lists(
+    st.sampled_from(["ant", "bee", "cow", "doe", "elk", "fox", "gnu"]),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(ws=_words)
+@settings(**SETTINGS)
+def test_count_min_never_undercounts(spark, ws):
+    """For arbitrary word multisets, every count-min estimate (min over
+    4 hash rows of 1024 counters) is >= the exact count — the structural
+    CMS guarantee q111 relies on."""
+    from collections import Counter
+
+    D, W = 4, 1024
+    tok = spark.createDataFrame([(w,) for w in ws], "word string")
+    hashes = F.expr(
+        f"transform(sequence(0, {D - 1}),"
+        f" j -> named_struct('j', j, 'b', pmod(xxhash64(word, j), {W})))"
+    )
+    sketch = (
+        tok.select(F.explode(hashes).alias("hb"))
+        .groupBy(F.col("hb.j").alias("j"), F.col("hb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    est = {
+        r.word: r.n_est
+        for r in (
+            tok.distinct()
+            .select("word", F.explode(hashes).alias("hb"))
+            .join(
+                sketch,
+                (F.col("hb.j") == F.col("j")) & (F.col("hb.b") == F.col("b")),
+            )
+            .groupBy("word")
+            .agg(F.min("c").alias("n_est"))
+            .collect()
+        )
+    }
+    exact = Counter(ws)
+    assert set(est) == set(exact)
+    for w, n in exact.items():
+        assert est[w] >= n, (w, est[w], n)
