@@ -162,3 +162,78 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup = spark.read.parquet(rollup_path)
     tail = hourly(ev_s.filter(F.col("ts") >= F.col("s")))
     return rollup.unionAll(tail).orderBy("hour")
+
+
+@register(
+    "q114",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             {sql_dsum('value')} AS sum_v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1
+      FROM events GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    )
+    SELECT s.user_id, s.hour,
+           h.sum_v IS NULL AS gap_filled,
+           LAST_VALUE(h.sum_v IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS sum_v_filled
+    FROM spine s LEFT JOIN hourly h USING (user_id, hour)
+    ORDER BY user_id, hour
+    """,
+    doc="Time-series gap fill + LOCF (B-I extension): per user, the "
+    "complete hourly spine between first and last event (sequence + "
+    "explode), left-joined to the hourly rollup, missing hours carried "
+    "forward with last_value(ignoreNulls) — the reference's missed "
+    "radio polls (60 s budget expiry leaves the sentinel 'no reading', "
+    "master.ino:151-169) reconstructed into a dense hourly series. "
+    "Everything shuffles once on user_id (spine generation is a per-row "
+    "explode; the LOCF window rides the same partitioning); the spine "
+    "never leaves the user's own time range, so output is bounded by "
+    "|users| x active-span, not calendar x users.",
+)
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(dsum("value").alias("sum_v"))
+    spine = (
+        ev.groupBy("user_id")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("h0"),
+            F.date_trunc("hour", F.max("ts")).alias("h1"),
+        )
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias(
+                "hour"
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.col("sum_v").isNull().alias("gap_filled"),
+            F.last("sum_v", ignorenulls=True).over(w).alias("sum_v_filled"),
+        )
+        .orderBy("user_id", "hour")
+    )
