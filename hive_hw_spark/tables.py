@@ -49,8 +49,13 @@ def merge_upsert(
     - source-only → source row inserted;
     - target-only → target row kept.
 
-    Source and target must share a schema. Returns the new table state
-    (read back from the catalog after the swap).
+    Source and target must share a schema, and the source must be
+    UNIQUE on ``key_cols`` — the same precondition SQL MERGE imposes
+    (a duplicate-key source makes "the matching source row" ambiguous;
+    under the join rewrite it would emit one output row per duplicate).
+    Deduplicate upstream (e.g. latest-change-wins via row_number) before
+    merging a raw CDC feed. Returns the new table state (read back from
+    the catalog after the swap).
     """
     tgt = spark.table(target_table)
     cols = tgt.columns
