@@ -53,18 +53,27 @@ from hive_hw_spark.queries import register
     "resolution, staging-table swap. The oracle mirrors the rewrite "
     "declaratively, so the driver attests the MERGE end state "
     "(update/insert/delete rows all non-vacuous at sf0.01). The target "
-    "table name is unique per invocation — concurrent sessions cannot "
-    "collide in the shared warehouse.",
+    "table name is keyed by the session's applicationId — concurrent "
+    "sessions cannot collide in the shared warehouse, and repeated "
+    "invocations in one session reuse (overwrite) one table instead of "
+    "accumulating catalog entries.",
 )
 def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
-
     from hive_hw_spark.tables import merge_upsert
 
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal"
     )
-    tname = f"q110_target_{uuid.uuid4().hex[:12]}"
+    # sf_dir folds into the name so a held result from another scale
+    # factor is never rewritten under its feet; same-sf re-runs
+    # overwrite idempotently
+    import hashlib
+
+    sid = "".join(
+        ch for ch in spark.sparkContext.applicationId if ch.isalnum()
+    )
+    sfh = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    tname = f"q110_target_{sid}_{sfh}"
     c.write.mode("overwrite").saveAsTable(tname)
     upd = c.filter(F.col("c_custkey") % 10 == 0).withColumn(
         "c_acctbal",

@@ -39,6 +39,27 @@ def _toks(col: str = "text") -> F.Column:
     return F.split(F.col(col), " ")
 
 
+_PERSIST_CACHE: dict[str, DataFrame] = {}
+
+
+def _managed_persist(key: str, df: DataFrame) -> DataFrame:
+    """Persist ``df``, releasing the PREVIOUS invocation's cache under the
+    same key — bounds executor storage (memory AND disk-store blocks) to
+    one live copy per operator across a long session sweeping many
+    queries. Unpersisting an older frame is always safe: a still-held
+    result built on it just recomputes."""
+    from pyspark import StorageLevel
+
+    old = _PERSIST_CACHE.get(key)
+    if old is not None:
+        try:
+            old.unpersist(False)
+        except Exception:
+            pass
+    _PERSIST_CACHE[key] = df.persist(StorageLevel.MEMORY_AND_DISK)
+    return df
+
+
 # --------------------------------------------------------------------------
 # Q90 exact dedup
 # --------------------------------------------------------------------------
@@ -111,7 +132,11 @@ def _shingles() -> F.Column:
     "(a_j·h+b_j), min-reduced by a codegen hash aggregate (explode + 32 "
     "MIN columns, map-side combinable — no interpreted lambda in the hot "
     "path), banded 16×2, per-bucket skew cap (Q91_BUCKET_CAP lowest "
-    "doc_ids — bounds a hot bucket's pair expansion at cap²/2), "
+    "doc_ids — bounds a hot bucket's pair expansion at cap²/2; a "
+    "bucket beyond the cap — i.e. a near-identical cluster of >256 "
+    "docs, none in this corpus — deliberately trades exact recall "
+    "among the capped-away members for bounded work, diverging from "
+    "the exhaustive oracle there), "
     "candidates = bucket-join on (band, band_sig), "
     "then EXACT Jaccard verification per candidate. Never all-pairs — the "
     "oracle's brute-force O(n²) join is exactly what this avoids at "
@@ -145,14 +170,13 @@ def minhash_lsh_pairs(
     32 fixed affine permutations over one xxhash64, 16×2 banding,
     per-bucket skew cap, bucket-join candidates, exact-Jaccard verify.
     Returns (doc_a, doc_b, jac) with jac rounded to 4."""
-    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     # Persist the shingle sets: the signature build, and both sides of
     # the verification join, would otherwise each re-tokenize every
     # document (3× the dominant per-row work). Executor-local persist —
     # no shared scratch path, so concurrent sessions can't race.
-    d = d.persist(StorageLevel.MEMORY_AND_DISK)
+    d = _managed_persist("q91_shingles", d)
     # Fixed affine permutation family over one base hash: deterministic,
     # seed-free at runtime, and the whole signature pipeline is
     # whole-stage-codegen (explode → project → partial/final MIN agg).
@@ -187,11 +211,11 @@ def minhash_lsh_pairs(
     # signature build runs twice (the planner does not reliably reuse
     # the exchange across the two consumers).
     wB = Window.partitionBy("band", "bsig").orderBy("doc_id")
-    bands = (
+    bands = _managed_persist(
+        "q91_bands",
         bands.withColumn("bn", F.row_number().over(wB))
         .filter(F.col("bn") <= bucket_cap)
-        .drop("bn")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .drop("bn"),
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -558,8 +582,6 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row per bucket (n/B rows — broadcastable at any corpus size with a
     # large enough B; the boundary window runs over that tiny table only).
     B = 4096  # docs per bucket; 1e9 docs -> 244k boundary rows
-    from pyspark import StorageLevel
-
     sig2 = sig.select("doc_id", bits.alias("simhash_bits")).withColumn(
         "bkt", F.floor(F.col("doc_id") / B)
     )
@@ -568,10 +590,10 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket-first marker; the persist makes the boundary branch below a
     # cache read instead of a second signature build (the planner does
     # not reuse the exchange across the two consumers)
-    led = (
+    led = _managed_persist(
+        "q97_led",
         sig2.withColumn("nxt", F.lead("simhash_bits").over(wb))
-        .withColumn("rn1", F.row_number().over(wb))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .withColumn("rn1", F.row_number().over(wb)),
     )
     firsts = led.filter(F.col("rn1") == 1).select(
         "bkt", F.col("doc_id").alias("fdoc"), F.col("simhash_bits").alias("fsig")
@@ -992,19 +1014,20 @@ def ivf_index(
     the per-element zip_with dot product is an interpreted lambda — at
     real 100 TB scale swap the assign for an Arrow-batched pandas_udf
     (numpy matmul) with the identical plan shape."""
-    from pyspark import StorageLevel
-
     # materialize the unit-normalized vectors once: every Lloyd round and
     # the final assignment scan them (production IVF builds do exactly
     # this — the normalized corpus is the index's working set)
-    unit = e.select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, x -> CAST(x AS DOUBLE) / sqrt("
-            + _DOT.format(a="embedding", b="embedding")
-            + "))"
-        ).alias("u"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    unit = _managed_persist(
+        "ivf_unit",
+        e.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> CAST(x AS DOUBLE) / sqrt("
+                + _DOT.format(a="embedding", b="embedding")
+                + "))"
+            ).alias("u"),
+        ),
+    )
     cents = unit.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"), F.col("u").alias("cv")
     )
@@ -1048,14 +1071,14 @@ def ivf_index(
     # the returned index is consumed by several search branches (query
     # lookup, probe selection, list scan) — persist both sides so the
     # build never re-runs per consumer
-    final = (
+    final = _managed_persist(
+        "ivf_assigned",
         unit.crossJoin(F.broadcast(cents))
         .withColumn("d2", dist)
         .groupBy("vec_id")
-        .agg(F.min_by("cid", "d2").alias("cid"), F.first("u").alias("u"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .agg(F.min_by("cid", "d2").alias("cid"), F.first("u").alias("u")),
     )
-    return final, cents.persist(StorageLevel.MEMORY_AND_DISK)
+    return final, _managed_persist("ivf_cents", cents)
 
 
 @register(

@@ -147,14 +147,25 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the rollup (what a scheduled batch or streaming
     # foreachBatch would maintain incrementally), then SERVE FROM THE
     # MATERIALIZED TABLE — the read below hits parquet, not the raw scan.
-    # The path is unique per invocation (a fixed shared path would let a
-    # concurrent session overwrite files under this in-flight plan); a
+    # The path is keyed by the session's applicationId: a fixed shared
+    # path would let a concurrent session overwrite files under this
+    # in-flight plan, while a fresh dir per invocation would accumulate
+    # forever — per-session reuse gives both isolation and a bound. A
     # production deployment points this at the shared warehouse /
     # object-store prefix instead of node-local tmp.
     import tempfile
 
+    # (sf_dir folds into the key so re-invoking against another scale
+    # factor never rewrites files under a still-held earlier result —
+    # same-sf re-runs overwrite idempotently with identical content)
+    sid = "".join(
+        ch for ch in spark.sparkContext.applicationId if ch.isalnum()
+    )
+    import hashlib
+
+    sfh = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
     rollup_path = os.path.join(
-        tempfile.mkdtemp(prefix="hive_hw_rollup_"), "hourly"
+        tempfile.gettempdir(), f"hive_hw_rollup_{sid}_{sfh}", "hourly"
     )
     hourly(ev_s.filter(F.col("ts") < F.col("s"))).write.mode(
         "overwrite"

@@ -96,8 +96,19 @@ def get_hive_spark(
 
     Caveats: Derby allows ONE process at a time (fine for the embedded
     test double); a Hive-enabled session cannot share a JVM with an
-    in-memory-catalog session, so callers stop any live session first.
+    in-memory-catalog session, so callers stop any live session first —
+    enforced below, because ``getOrCreate`` would otherwise silently
+    return the live session with every Hive config dropped.
     """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        raise RuntimeError(
+            "get_hive_spark needs a fresh JVM-wide session: an active "
+            "SparkSession exists and getOrCreate would silently reuse it, "
+            "dropping enableHiveSupport and the metastore config. Call "
+            "spark.stop() first (or run in a separate process, as "
+            "tests/test_hive_catalog.py does)."
+        )
     return (
         SparkSession.builder.appName(app_name)
         .master(master)

@@ -49,10 +49,21 @@ def open_stream(spark: SparkSession, kind: str, **opts) -> DataFrame:
         )
         try:
             return reader.load()
-        except Exception as e:  # connector jar absent in this container
-            raise RuntimeError(
-                "kafka source needs the spark-sql-kafka connector on the "
-                "classpath (not present in this container); run the same "
-                "pipeline on kind='file' for a replayable test double"
-            ) from e
+        except Exception as e:
+            # only claim "jar missing" when that is actually the failure;
+            # any other load() error (bad option, version mismatch) must
+            # surface as itself, not send the operator hunting a present jar
+            msg = str(e)
+            if (
+                "DATA_SOURCE_NOT_FOUND" in msg
+                or "Failed to find data source" in msg
+                or "ClassNotFoundException" in msg
+            ):
+                raise RuntimeError(
+                    "kafka source needs the spark-sql-kafka connector on "
+                    "the classpath (not present in this container); run "
+                    "the same pipeline on kind='file' for a replayable "
+                    "test double"
+                ) from e
+            raise
     raise ValueError(f"unknown stream kind: {kind!r}")

@@ -11,12 +11,15 @@ lakehouse MERGE compiles to anyway:
       WHEN NOT MATCHED        THEN INSERT *
 
 == full-outer join on the key + per-row resolution + table rewrite.
-The rewrite goes through a staging table then a catalog swap, so a
-reader either sees the old table or the new one — never a half-written
-location. (A lakehouse format would make the swap a metadata-only
-atomic commit and the rewrite incremental per-file; the logical plan
-below is identical, which is the point: callers migrate by swapping
-``merge_upsert`` for ``MERGE INTO`` when the format arrives.)
+The rewrite goes through a staging table then a catalog
+DROP + RENAME, so a reader never observes a half-written location —
+but the swap is NOT crash-atomic: a failure between the DROP and the
+RENAME leaves the merged data only under the staging name
+(``<target>__merge_staging`` — recover by renaming it back). That
+crash window is exactly what a lakehouse format's metadata-only atomic
+commit removes; the logical plan below is identical, which is the
+point: callers migrate by swapping ``merge_upsert`` for ``MERGE INTO``
+when the format arrives.
 
 Scale notes: the join shuffles on the merge key exactly like any equi
 join (broadcast the source side when it is small — the common CDC
@@ -87,6 +90,18 @@ def merge_upsert(
 
     staging = f"{target_table}__merge_staging"
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    # a crash in a PREVIOUS merge can leave the staging *location* on
+    # disk with no catalog entry (fresh session) — drop it too, or the
+    # saveAsTable below dies with LOCATION_ALREADY_EXISTS
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith("file:"):
+        import os
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(warehouse.removeprefix("file:"), staging.lower()),
+            ignore_errors=True,
+        )
     out.write.mode("overwrite").saveAsTable(staging)
     spark.sql(f"DROP TABLE IF EXISTS {target_table}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {target_table}")
