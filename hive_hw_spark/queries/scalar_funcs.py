@@ -159,9 +159,9 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            CAST(ceil(value * 1000) AS BIGINT)    AS grams,
-           floor(value)                          AS flr,
+           CAST(floor(value) AS BIGINT)          AS flr,
            abs(value - 100)                      AS ab,
-           sign(value - 100)                     AS sg,
+           CAST(sign(value - 100) AS DOUBLE)     AS sg,
            event_id % 7                          AS md,
            round(sqrt(value), 4)                 AS r_sqrt,
            round(pow(value, 2), 4)               AS r_pow,

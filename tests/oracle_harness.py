@@ -64,11 +64,41 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Coarse dtype class: the granularity the driver's hash is sensitive to.
+
+    The driver hashes values through their pandas repr, so BIGINT 100 vs
+    DOUBLE 100.0 mismatch (q64, round 3) while int8 vs int64 both print
+    '100' and match. Compare at kind level: int / float / bool / datetime /
+    other.
+    """
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "query") -> None:
     got = _canon(spark_df.toPandas())
     want = _canon(con.execute(sql).df())
     assert list(got.columns) == list(want.columns), (
         f"{name}: column mismatch spark={list(got.columns)} duckdb={list(want.columns)}"
+    )
+    # Dtype-kind parity BEFORE value canonicalization masks it: the driver's
+    # hash sees 100 (BIGINT) != 100.0 (DOUBLE) even when values are equal.
+    kind_diffs = [
+        (c, _dtype_kind(got[c]), _dtype_kind(want[c]))
+        for c in got.columns
+        if _dtype_kind(got[c]) != _dtype_kind(want[c])
+    ]
+    assert not kind_diffs, (
+        f"{name}: dtype-kind mismatch (driver hash WILL fail even if values "
+        f"match): {[(c, f'spark={g}', f'duckdb={w}') for c, g, w in kind_diffs]}"
     )
     assert len(got) == len(want), f"{name}: row count spark={len(got)} duckdb={len(want)}"
     for c in got.columns:
