@@ -90,12 +90,20 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # 1/5/15-min load averages from the shared host — bench numbers swing
+    # ±30% with machine load, so the reader needs this to adjudicate noise.
+    try:
+        load = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load = None
+
     out = {
         "metric": "headline_wall_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
+        "load": load,
     }
     print(json.dumps(out), flush=True)
 

@@ -63,19 +63,25 @@ _MODULES = (
 
 _loaded = False
 
-# Queries already driver-attested in CORRECTNESS_r01/r02 (the driver's
-# per-round sweep checks the FIRST 50 registry entries in iteration order,
-# then stops). Listing them lets ``all_queries`` surface the not-yet-attested
-# entries first so every component eventually gets a driver CORRECTNESS row;
-# execution semantics are unchanged — this is pure dict ordering.
+# Queries most recently driver-attested (the driver's per-round sweep checks
+# the FIRST 50 registry entries in iteration order, then stops). Listing them
+# lets ``all_queries`` surface the not-yet-recently-attested entries first so
+# every component cycles through driver CORRECTNESS rows; execution semantics
+# are unchanged — this is pure dict ordering.
+#
+# Rotated for round 5: this is the exact CORRECTNESS_r03/r04 sweep set (46
+# hash-green + the four by-design ``no_oracle`` approximates q92b/q92c/
+# q102b/q111, which have no hash to earn), so the q06–q62 block — last
+# driver-checked in r01/r02, before the dtype-sensitive-hash lesson — fills
+# the sweep's 50 slots this round.
 _ATTESTED = frozenset(
     {
-        "q01", "q02", "q06", "q10", "q11", "q12", "q13", "q14", "q15",
-        "q20", "q21", "q22", "q23", "q24", "q25", "q26", "q27", "q28",
-        "q30", "q31", "q32", "q33", "q34", "q35", "q36", "q37", "q39",
-        "q40", "q41", "q42", "q43", "q44", "q45", "q46", "q47", "q47b",
-        "q48", "q49", "q50", "q51", "q52", "q53", "q54", "q55", "q56",
-        "q57", "q58", "q60", "q61", "q62",
+        "q01", "q02", "q63", "q64", "q65", "q66", "q67", "q67b", "q68",
+        "q69", "q70", "q71", "q72", "q78", "q80", "q81", "q82", "q83",
+        "q84", "q85", "q90", "q91", "q92", "q92b", "q92c", "q93", "q94",
+        "q94b", "q94c", "q95", "q96", "q97", "q98", "q99", "q100", "q101",
+        "q102", "q102b", "q103", "q104", "q105", "q106", "q107", "q108",
+        "q109", "q110", "q111", "q112", "q113", "q114",
     }
 )
 

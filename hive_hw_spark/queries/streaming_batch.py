@@ -29,6 +29,28 @@ from hive_hw_spark.catalog import load_table
 from hive_hw_spark.queries import register
 from hive_hw_spark.queries._util import dsum, sql_dsum
 
+# Spark-conf key (checked first, settable at runtime per session) and env
+# fallback for where materialized rollups live. Production points this at
+# the shared warehouse / object-store prefix (s3a://bucket/warehouse/...);
+# the default is node-local tmp, which is only correct on a single node.
+ROLLUP_PREFIX_CONF = "spark.hive_hw.rollup.prefix"
+ROLLUP_PREFIX_ENV = "HIVE_HW_ROLLUP_PREFIX"
+
+
+def rollup_prefix(spark: SparkSession) -> str:
+    """Resolve the rollup storage prefix: Spark conf > env var > local tmp.
+
+    Any Hadoop-filesystem URI works (the write/read below go through
+    Spark's FileSystem layer, not the local OS), so a deployment swaps
+    node-local tmp for its object store with one conf line — no code
+    change at the call site."""
+    import tempfile
+
+    p = spark.conf.get(ROLLUP_PREFIX_CONF, None)
+    if not p:
+        p = os.environ.get(ROLLUP_PREFIX_ENV) or tempfile.gettempdir()
+    return p.rstrip("/")
+
 
 @register(
     "q70",
@@ -150,11 +172,7 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The path is keyed by the session's applicationId: a fixed shared
     # path would let a concurrent session overwrite files under this
     # in-flight plan, while a fresh dir per invocation would accumulate
-    # forever — per-session reuse gives both isolation and a bound. A
-    # production deployment points this at the shared warehouse /
-    # object-store prefix instead of node-local tmp.
-    import tempfile
-
+    # forever — per-session reuse gives both isolation and a bound.
     # (sf_dir folds into the key so re-invoking against another scale
     # factor never rewrites files under a still-held earlier result —
     # same-sf re-runs overwrite idempotently with identical content)
@@ -164,8 +182,8 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
     sfh = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
-    rollup_path = os.path.join(
-        tempfile.gettempdir(), f"hive_hw_rollup_{sid}_{sfh}", "hourly"
+    rollup_path = (
+        f"{rollup_prefix(spark)}/hive_hw_rollup_{sid}_{sfh}/hourly"
     )
     hourly(ev_s.filter(F.col("ts") < F.col("s"))).write.mode(
         "overwrite"

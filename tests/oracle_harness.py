@@ -69,8 +69,11 @@ def _dtype_kind(s: pd.Series) -> str:
 
     The driver hashes values through their pandas repr, so BIGINT 100 vs
     DOUBLE 100.0 mismatch (q64, round 3) while int8 vs int64 both print
-    '100' and match. Compare at kind level: int / float / bool / datetime /
-    other.
+    '100' and match. Compare at kind level: int / float / bool / datetime,
+    and object columns subdivided by their element type — Decimal('1.50')
+    reprs differently from 1.5, and date-as-object differs from str, so
+    'object' alone would hide repr-divergent pairs (round-4 brief item 6;
+    a full sweep found zero such pairs, this keeps it that way).
     """
     if pd.api.types.is_datetime64_any_dtype(s):
         return "datetime"
@@ -80,6 +83,29 @@ def _dtype_kind(s: pd.Series) -> str:
         return "int"
     if pd.api.types.is_float_dtype(s):
         return "float"
+    if s.dtype == object:
+        nn = s.dropna()
+        if len(nn) == 0:
+            return "object"  # indeterminate: all-null column carries no repr
+        v = nn.iloc[0]
+        import datetime
+        import decimal
+
+        import numpy as np
+        if isinstance(v, decimal.Decimal):
+            return "decimal"
+        if isinstance(v, datetime.datetime):
+            return "datetime"
+        if isinstance(v, datetime.date):
+            return "date"
+        if isinstance(v, str):
+            return "str"
+        if isinstance(v, (bytes, bytearray)):
+            return "bytes"
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return "seq"
+        if isinstance(v, dict):
+            return "map"
     return "object"
 
 
@@ -89,6 +115,10 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "que
     assert list(got.columns) == list(want.columns), (
         f"{name}: column mismatch spark={list(got.columns)} duckdb={list(want.columns)}"
     )
+    # Row count first: when one engine returns zero rows its columns land on
+    # default dtypes, and a kind-mismatch report would mask the clearer
+    # row-count error.
+    assert len(got) == len(want), f"{name}: row count spark={len(got)} duckdb={len(want)}"
     # Dtype-kind parity BEFORE value canonicalization masks it: the driver's
     # hash sees 100 (BIGINT) != 100.0 (DOUBLE) even when values are equal.
     kind_diffs = [
@@ -100,7 +130,6 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "que
         f"{name}: dtype-kind mismatch (driver hash WILL fail even if values "
         f"match): {[(c, f'spark={g}', f'duckdb={w}') for c, g, w in kind_diffs]}"
     )
-    assert len(got) == len(want), f"{name}: row count spark={len(got)} duckdb={len(want)}"
     for c in got.columns:
         g, w = got[c], want[c]
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):

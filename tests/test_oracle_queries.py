@@ -36,3 +36,32 @@ def test_harness_rejects_dtype_kind_mismatch(spark, oracle):
     )
     with pytest.raises(AssertionError, match="dtype-kind"):
         compare(df, oracle, mistyped, name="mistyped")
+
+
+def test_harness_rejects_decimal_vs_float_object_column(spark, oracle):
+    """Object-dtype subkinds (round-4 brief item 6): Decimal vs float.
+
+    Spark DECIMAL lands in pandas as object-of-Decimal; if the oracle emits
+    DOUBLE instead, Decimal('1.50') and 1.5 repr differently and the driver
+    hash diverges — the harness must flag the kind split, not bucket both
+    as 'object'.
+    """
+    df = spark.range(3).selectExpr("id AS k", "CAST(id AS DECIMAL(10,2)) AS x")
+    mistyped = (
+        "SELECT v AS k, CAST(v AS DOUBLE) AS x "
+        "FROM (VALUES (0),(1),(2)) t(v) ORDER BY k"
+    )
+    with pytest.raises(AssertionError, match="dtype-kind"):
+        compare(df, oracle, mistyped, name="decimal_vs_float")
+
+
+def test_harness_reports_row_count_before_dtype_kind(spark, oracle):
+    """A zero-row side must surface as a row-count error, not a confusing
+    default-dtype kind mismatch (round-4 ADVICE)."""
+    df = spark.range(3).selectExpr("id AS k", "CAST(id AS BIGINT) AS x")
+    empty_mistyped = (
+        "SELECT v AS k, CAST(v AS DOUBLE) AS x "
+        "FROM (VALUES (0),(1),(2)) t(v) WHERE v < 0"
+    )
+    with pytest.raises(AssertionError, match="row count"):
+        compare(df, oracle, empty_mistyped, name="empty_side")
