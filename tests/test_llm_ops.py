@@ -120,6 +120,46 @@ def test_q92c_ivf_recall(spark, sf_dir):
     assert recall >= 0.9, f"recall@10 = {recall}"
 
 
+def test_q92d_pq_recall(spark, sf_dir):
+    """PQ+ADC with exact top-100 re-rank recovers ≥90% of the exact
+    top-10."""
+    exact = [r.vec_id for r in all_queries()["q92"].fn(spark, sf_dir).collect()]
+    approx = [r.vec_id for r in all_queries()["q92d"].fn(spark, sf_dir).collect()]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.9, f"recall@10 = {recall}"
+
+
+def test_pq_index_packs_valid_deterministic_codes(spark, sf_dir):
+    """The Spark-side encode matches an independent numpy re-encode from
+    the returned codebooks nibble for nibble, and rebuilding the index
+    reproduces identical codebooks and codes (no RNG anywhere)."""
+    import numpy as np
+
+    from hive_hw_spark.catalog import load_table
+    from hive_hw_spark.queries.llm_ops import _PQ_MEMO, pq_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    enc1, books1 = pq_index(e)
+    rows = enc1.select("vec_id", "u", "pq").collect()
+    assert len(rows) == e.count()
+    m_sub, k_codes, ds = books1.shape
+    assert (m_sub, k_codes, ds) == (16, 16, 64 // 16)
+    for r in rows:
+        u = np.array(r.u, dtype=np.float64)
+        for m in range(m_sub):
+            sub = u[m * ds : (m + 1) * ds]
+            want = int(((books1[m] - sub) ** 2).sum(axis=1).argmin())
+            got = (r.pq >> (4 * m)) & 15
+            assert got == want, (r.vec_id, m, got, want)
+    # drop the memo so training genuinely re-runs, then compare
+    _PQ_MEMO.clear()
+    enc2, books2 = pq_index(e)
+    assert np.array_equal(books1, books2)
+    codes1 = {r.vec_id: r.pq for r in rows}
+    codes2 = {r.vec_id: r.pq for r in enc2.select("vec_id", "pq").collect()}
+    assert codes1 == codes2
+
+
 def test_ivf_index_partitions_corpus(spark):
     """The IVF index assigns every vector to exactly one of the K
     inverted lists, and near-identical vectors land in the same list."""
