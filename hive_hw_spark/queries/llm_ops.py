@@ -1532,3 +1532,173 @@ def q94c(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("doc_id", F.col("tfidf").desc(), "word")
     )
+
+
+@register(
+    "q115",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS g
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             unnest([array_to_string(ws[i:i+1], ' ')
+                     for i in generate_series(1, len(ws) - 1)]) AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    wstat AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             MAX(c) AS top_c
+      FROM (SELECT doc_id, g, COUNT(*) AS c FROM words GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    bstat AS (
+      SELECT doc_id, SUM(c) AS n_bi, MAX(c) AS top_bc
+      FROM (SELECT doc_id, g, COUNT(*) AS c FROM bigrams GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT w.doc_id, w.n_tokens,
+           ROUND(w.n_distinct::DOUBLE / w.n_tokens, 4) AS distinct_ratio,
+           ROUND(w.top_c::DOUBLE / w.n_tokens, 4) AS top_word_frac,
+           ROUND(b.top_bc::DOUBLE / b.n_bi, 4) AS top_bigram_frac
+    FROM wstat w JOIN bstat b USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="Within-document repetition metrics (B-K extension; the "
+    "Gopher/MassiveText-style repetition filters): per doc, the "
+    "type-token ratio, the most-frequent-word fraction, and the "
+    "most-frequent-bigram fraction - the signals a pretraining pipeline "
+    "thresholds to drop boilerplate and degenerate repetition. Whole "
+    "pipeline stays in codegen: NO lambda higher-order functions (those "
+    "are interpreted per element — measured 3x slower here); bigrams "
+    "come from arrays_zip(ws, shift-by-one slice), words from a plain "
+    "explode, unioned into one tagged gram stream feeding one "
+    "(doc_id, tag, gram) hash agg with map-side combine. Output is one "
+    "row per doc; ratios rounded(4) in both engines per the float "
+    "contract.",
+)
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    w_stream = d.select(
+        "doc_id", F.lit("w").alias("tag"), F.explode("ws").alias("g")
+    )
+    # arrays_zip pads the shifted slice with null at the end — that pair
+    # is the word with no successor, dropped by the isNotNull filter
+    zipped = d.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.col("ws").alias("a"),
+                F.slice("ws", 2, F.size("ws")).alias("b"),
+            )
+        ).alias("p"),
+    )
+    b_stream = zipped.filter(F.col("p.b").isNotNull()).select(
+        "doc_id",
+        F.lit("b").alias("tag"),
+        F.concat_ws(" ", "p.a", "p.b").alias("g"),
+    )
+    per_gram = w_stream.unionAll(b_stream).groupBy("doc_id", "tag", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # one conditional agg to the doc level — NOT a join of per-tag branches
+    # (two consumers of the same frame recompute its whole subtree under
+    # AQE; conditional aggregation keeps a single linear plan)
+    is_w = F.col("tag") == "w"
+    stat = per_gram.groupBy("doc_id").agg(
+        F.sum(F.when(is_w, F.col("c"))).alias("w_n"),
+        F.count(F.when(is_w, F.lit(1))).alias("w_distinct"),
+        F.max(F.when(is_w, F.col("c"))).alias("w_top"),
+        F.sum(F.when(~is_w, F.col("c"))).alias("b_n"),
+        F.max(F.when(~is_w, F.col("c"))).alias("b_top"),
+    )
+    return stat.select(
+        "doc_id",
+        F.col("w_n").cast("bigint").alias("n_tokens"),
+        F.round(F.col("w_distinct") / F.col("w_n"), 4).alias("distinct_ratio"),
+        F.round(F.col("w_top") / F.col("w_n"), 4).alias("top_word_frac"),
+        F.round(F.col("b_top") / F.col("b_n"), 4).alias("top_bigram_frac"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q116",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT source,
+             unnest([array_to_string(ws[i:i+4], ' ')
+                     for i in generate_series(1, len(ws) - 4)]) AS g
+      FROM (SELECT source, string_split(text, ' ') AS ws FROM documents)
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+    GROUP BY 1, 2
+    ORDER BY src_a, src_b
+    """,
+    doc="Cross-source n-gram contamination matrix (B-K extension; the "
+    "train/test-overlap check a pretraining pipeline runs before "
+    "holding out an eval set): for every source pair, the number of "
+    "distinct 5-word shingles present in both. NOT a self-join: distinct "
+    "(shingle, source) pairs aggregate to a sorted source-set per "
+    "shingle (one shuffle, map-side combine), pairs explode from that "
+    "set map-side (<= |sources|^2/2 per shingle, bounded by the source "
+    "vocabulary, never by corpus size), and a bounded "
+    "|sources|^2-row agg finishes. At 100 TB the shingle strings in the "
+    "shuffle key become xxhash64 8-byte keys - same counts, oracle "
+    "differs only in key width. The DuckDB oracle is the equivalent "
+    "equi-self-join.",
+)
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.split("text", " ").alias("ws")
+    )
+    # 5-gram shingles without lambda HOFs (interpreted per element):
+    # arrays_zip of the word array against its 1..4-shifted slices stays
+    # in codegen; rows whose 5th member is null (tail words with <4
+    # successors) are dropped
+    sz = F.size("ws")
+    zipped = d.select(
+        "source",
+        F.explode(
+            F.arrays_zip(
+                F.col("ws").alias("w0"),
+                F.slice("ws", 2, sz).alias("w1"),
+                F.slice("ws", 3, sz).alias("w2"),
+                F.slice("ws", 4, sz).alias("w3"),
+                F.slice("ws", 5, sz).alias("w4"),
+            )
+        ).alias("p"),
+    )
+    sh = (
+        zipped.filter(F.col("p.w4").isNotNull())
+        .select(
+            "source",
+            F.concat_ws(
+                " ", "p.w0", "p.w1", "p.w2", "p.w3", "p.w4"
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    srcs = sh.groupBy("g").agg(
+        F.array_sort(F.collect_set("source")).alias("srcs")
+    )
+    pairs = srcs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (a, i) ->"
+                " transform(slice(srcs, i + 2, size(srcs)),"
+                "   b -> struct(a AS src_a, b AS src_b))))"
+            )
+        ).alias("p")
+    ).select("p.src_a", "p.src_b")
+    return (
+        pairs.groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("src_a", "src_b")
+    )

@@ -376,3 +376,43 @@ def test_q102b_bucketed_neardup_matches_bruteforce(spark):
     }
     assert want, "clusters must produce near-dup pairs"
     assert got == want
+
+
+def test_q115_flags_repetitive_doc(spark, tmp_path):
+    """A degenerate all-one-word doc scores distinct_ratio 1/n and
+    top fractions 1.0; a all-distinct doc scores distinct_ratio 1.0 —
+    the thresholds a repetition filter would cut on."""
+    rows = [
+        (0, "spam spam spam spam spam spam spam spam spam spam", "en", "a", 49),
+        (1, "one two three four five six seven eight nine ten", "en", "a", 48),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: r
+        for r in all_queries()["q115"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got[0].n_tokens == 10
+    assert got[0].distinct_ratio == 0.1
+    assert got[0].top_word_frac == 1.0
+    assert got[0].top_bigram_frac == 1.0
+    assert got[1].distinct_ratio == 1.0
+    assert got[1].top_word_frac == 0.1
+    assert round(got[1].top_bigram_frac, 4) == round(1 / 9, 4)
+
+
+def test_q116_finds_planted_contamination(spark, tmp_path):
+    """Two sources sharing one 5-gram produce exactly one matrix cell
+    with n_shared=1; an unrelated source appears in no pair."""
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (0, f"intro words {shared} trailing bits here", "en", "a", 60),
+        (1, f"other leading {shared} and more stuff", "en", "b", 60),
+        (2, "totally unrelated text with no overlap at all present", "en", "c", 55),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = all_queries()["q116"].fn(spark, str(tmp_path)).collect()
+    assert [(r.src_a, r.src_b, r.n_shared) for r in got] == [("a", "b", 1)]
