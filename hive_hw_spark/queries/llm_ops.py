@@ -1702,3 +1702,77 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .orderBy("src_a", "src_b")
     )
+
+
+@register(
+    "q117",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, source,
+             unnest([array_to_string(ws[i:i+4], ' ')
+                     for i in generate_series(1, len(ws) - 4)]) AS g
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+            FROM documents)
+    ),
+    ev AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'),
+    bad AS (
+      SELECT DISTINCT doc_id FROM sh
+      WHERE source <> 'src0' AND g IN (SELECT g FROM ev)
+    )
+    SELECT doc_id, source FROM documents
+    WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM bad)
+    ORDER BY doc_id
+    """,
+    doc="Benchmark decontamination filter (B-K extension; q116's "
+    "actionable sibling): drop every training document sharing ANY "
+    "5-gram shingle with the held-out set (source 'src0' stands in for "
+    "the benchmark), keep the rest. Scale shape: the EVAL side's "
+    "distinct shingles are BROADCAST (eval sets are benchmark-sized, "
+    "not corpus-sized) into a semi join over the training shingle "
+    "stream, contaminated doc_ids are broadcast back into an anti join "
+    "over the doc table - the 100 TB corpus is never shuffled, only "
+    "scanned. All-codegen shingling (arrays_zip, no lambda HOFs).",
+)
+def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eval_source = "src0"
+    d = load_table(spark, sf_dir, "documents")
+    ws = d.select("doc_id", "source", F.split("text", " ").alias("ws"))
+    sz = F.size("ws")
+    sh = (
+        ws.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.arrays_zip(
+                    F.col("ws").alias("w0"),
+                    F.slice("ws", 2, sz).alias("w1"),
+                    F.slice("ws", 3, sz).alias("w2"),
+                    F.slice("ws", 4, sz).alias("w3"),
+                    F.slice("ws", 5, sz).alias("w4"),
+                )
+            ).alias("p"),
+        )
+        .filter(F.col("p.w4").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.concat_ws(" ", "p.w0", "p.w1", "p.w2", "p.w3", "p.w4").alias(
+                "g"
+            ),
+        )
+    )
+    ev = (
+        sh.filter(F.col("source") == eval_source).select("g").distinct()
+    )
+    bad = (
+        sh.filter(F.col("source") != eval_source)
+        .join(F.broadcast(ev), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        d.filter(F.col("source") != eval_source)
+        .join(F.broadcast(bad), "doc_id", "left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

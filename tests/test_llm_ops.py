@@ -416,3 +416,20 @@ def test_q116_finds_planted_contamination(spark, tmp_path):
     ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     got = all_queries()["q116"].fn(spark, str(tmp_path)).collect()
     assert [(r.src_a, r.src_b, r.n_shared) for r in got] == [("a", "b", 1)]
+
+
+def test_q117_drops_only_contaminated_docs(spark, tmp_path):
+    """A training doc sharing a 5-gram with the eval source is dropped;
+    clean training docs survive; eval docs never appear."""
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (0, f"benchmark prompt {shared} question answer", "en", "src0", 60),
+        (1, f"training doc with {shared} inside it okay", "en", "src1", 60),
+        (2, "completely clean training document nothing shared here at all", "en", "src1", 60),
+        (3, "another clean one with its own different words entirely", "en", "src2", 55),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = [(r.doc_id, r.source) for r in all_queries()["q117"].fn(spark, str(tmp_path)).collect()]
+    assert got == [(2, "src1"), (3, "src2")]

@@ -58,3 +58,17 @@ def test_q05_partitioned_write_routing(spark, sf_dir, tmp_path):
         one._jdf.queryExecution(), "formatted"
     )
     assert "PartitionFilters" in plan
+
+
+def test_q03b_orc_roundtrip(spark, sf_dir, tmp_path):
+    """ORC round-trip (native Spark datasource, columnar like parquet):
+    schema and values survive write+read exactly. Avro is NOT covered:
+    the spark-avro datasource module isn't bundled in this container and
+    no network exists to fetch it (same blocker as the Kafka connector)."""
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    out = str(tmp_path / "nation_orc")
+    nation.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == nation.schema
+    assert back.exceptAll(nation).count() == 0
+    assert nation.exceptAll(back).count() == 0
