@@ -172,3 +172,35 @@ def test_q41_global_rank_is_preaggregated(spark, sf_dir):
     agg_pos = plan.find("Aggregate")
     win_pos = plan.find("Window")
     assert 0 <= win_pos < agg_pos, "aggregate must sit below the window"
+
+
+def test_q117_both_joins_broadcast(spark, sf_dir):
+    """q117's scale contract: the eval-shingle semi join AND the
+    contaminated-id anti join both broadcast — the training corpus is
+    scanned, never shuffled for a join."""
+    plan = _plan(all_queries()["q117"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_q116_no_join_no_cartesian(spark, sf_dir):
+    """q116's pair matrix comes from per-shingle source-set explosion,
+    not a shingle self-join: the plan has NO join operator at all."""
+    plan = _plan(all_queries()["q116"].fn(spark, sf_dir))
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+               "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, op
+
+
+def test_q115_single_linear_agg_chain(spark, sf_dir):
+    """q115 computes word and bigram stats in ONE aggregation chain —
+    no join of per-tag branches (which would recompute the gram
+    subtree), and no lambda higher-order functions in the gram build
+    (transform/aggregate are interpreted per element)."""
+    plan = _plan(all_queries()["q115"].fn(spark, sf_dir))
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert op not in plan, op
+    opt = all_queries()["q115"].fn(spark, sf_dir)._jdf.queryExecution(
+    ).optimizedPlan().toString()
+    assert "lambdafunction" not in opt.lower(), opt
