@@ -85,6 +85,12 @@ _ATTESTED = frozenset(
     }
 )
 
+# Queries added this round that have NEVER had a driver CORRECTNESS row.
+# They outrank stale re-confirmations for the sweep's 50 slots: a
+# never-checked query missing the sweep is a bigger evidence gap than a
+# previously-green one waiting an extra round for re-confirmation.
+_NEVER_CHECKED = frozenset({"q92d", "q115", "q116", "q117", "q118"})
+
 
 def _load() -> None:
     global _loaded
@@ -98,10 +104,13 @@ def _load() -> None:
 def all_queries() -> dict[str, Query]:
     _load()
     items = list(_REGISTRY.items())
-    # Stable partition: unattested entries first (registration order
-    # preserved within each group), so the driver's capped sweep reaches
-    # them; previously-attested entries refill the remaining slots.
-    items.sort(key=lambda kv: kv[0] in _ATTESTED)
+    # Stable three-tier partition (registration order preserved within
+    # each tier) so the driver's capped sweep reaches what matters most:
+    # never-checked new queries, then stale re-confirmations, then
+    # recently-attested refill.
+    items.sort(
+        key=lambda kv: (kv[0] in _ATTESTED, kv[0] not in _NEVER_CHECKED)
+    )
     return dict(items)
 
 

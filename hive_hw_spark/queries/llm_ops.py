@@ -1776,3 +1776,115 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+def neardup_components(
+    docs: DataFrame, pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Connected components over a near-dup pair list: every doc gets
+    ``cluster_id`` = the minimum doc_id reachable through the pair graph
+    (its own id when unpaired). Min-label propagation: each round every
+    node takes the min of its own and its neighbors' labels; converges
+    in <= graph-diameter rounds — near-dup clusters are dense (LSH
+    emits most intra-cluster pairs), so the diameter is small. At the
+    extreme scale the same loop is what large-star/small-star
+    implementations refine; the per-round plan here is one broadcast-
+    able edge join + one hash agg, and the edge list (32-byte id pairs,
+    not documents) is the only state.
+
+    ``docs`` is (doc_id), ``pairs`` is (doc_a, doc_b); returns
+    (doc_id, cluster_id) — deterministic, no RNG."""
+    from pyspark import StorageLevel
+
+    edges = _managed_persist(
+        "components_edges",
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ).unionAll(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        ),
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("lbl"))
+    labels.persist(StorageLevel.MEMORY_AND_DISK)
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), F.col("lbl").alias("nlbl")
+                ),
+                "dst",
+            )
+            .select(F.col("src").alias("doc_id"), F.col("nlbl").alias("lbl"))
+        )
+        new_labels = (
+            labels.unionAll(nbr).groupBy("doc_id").agg(F.min("lbl").alias("lbl"))
+        )
+        new_labels.persist(StorageLevel.MEMORY_AND_DISK)
+        changed = (
+            new_labels.select("doc_id", F.col("lbl").alias("new_lbl"))
+            .join(labels, "doc_id")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .count()
+        )
+        labels.unpersist(False)
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id", F.col("lbl").cast("bigint").alias("cluster_id")
+    ).orderBy("doc_id")
+
+
+@register(
+    "q118",
+    oracle="""
+    WITH RECURSIVE
+    t AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(string_split(text,' ')) - 1),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2])) AS sh
+      FROM documents
+    ),
+    p AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    ),
+    e AS (SELECT da AS src, db AS dst FROM p
+          UNION ALL SELECT db, da FROM p),
+    reach AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+    ),
+    rep AS (SELECT src AS doc_id, MIN(dst) AS mn FROM reach GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(LEAST(r.mn, d.doc_id), d.doc_id) AS BIGINT)
+             AS cluster_id
+    FROM documents d LEFT JOIN rep r USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="Near-dup cluster assignment (B-K extension; the dedup endgame "
+    "q91 feeds): connected components over the MinHash/LSH pair graph, "
+    "cluster_id = min doc_id in the component, singletons keep their "
+    "own id - downstream keeps one representative per cluster_id. "
+    "Min-label propagation over the (tiny, id-only) edge list with a "
+    "convergence check per round; the DuckDB oracle is the recursive-"
+    "CTE transitive closure over the same brute-force pair set.",
+)
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("toks", _toks())
+        .withColumn("sh", _shingles())
+        .select("doc_id", "sh")
+    )
+    pairs = minhash_lsh_pairs(d).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return neardup_components(docs, pairs)

@@ -433,3 +433,20 @@ def test_q117_drops_only_contaminated_docs(spark, tmp_path):
     ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     got = [(r.doc_id, r.source) for r in all_queries()["q117"].fn(spark, str(tmp_path)).collect()]
     assert got == [(2, "src1"), (3, "src2")]
+
+
+def test_neardup_components_chain_and_singletons(spark):
+    """Min-label propagation resolves a 5-node chain (diameter > 1 round),
+    a 2-node component, and singletons — cluster_id = component min."""
+    from hive_hw_spark.queries.llm_ops import neardup_components
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    # chain 0-1-2-3-4 (forces multiple propagation rounds), pair 7-9;
+    # 5, 6, 8 are singletons. Edges deliberately given high-id-first.
+    pairs = spark.createDataFrame(
+        [(4, 3), (3, 2), (2, 1), (1, 0), (9, 7)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in neardup_components(docs, pairs).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6, 7: 7, 8: 8, 9: 7}
