@@ -54,6 +54,7 @@ HEADLINE = [
     "q93",  # stopword word count
     "q94",  # bigram counts
     "q97",  # SimHash signatures
+    "q118",  # near-dup connected components (runs after q91: shares its persisted shingles)
 ]
 
 

@@ -89,7 +89,9 @@ _ATTESTED = frozenset(
 # They outrank stale re-confirmations for the sweep's 50 slots: a
 # never-checked query missing the sweep is a bigger evidence gap than a
 # previously-green one waiting an extra round for re-confirmation.
-_NEVER_CHECKED = frozenset({"q92d", "q115", "q116", "q117", "q118"})
+_NEVER_CHECKED = frozenset(
+    {"q92d", "q115", "q116", "q117", "q118", "q119", "q120", "q121"}
+)
 
 
 def _load() -> None:

@@ -1888,3 +1888,151 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(d).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return neardup_components(docs, pairs)
+
+
+@register(
+    "q119",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             (doc_id % 2147483648) * 2654435761 % 1000000007 AS sk
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tok, sk % 8 AS bucket,
+             SUM(n_tok) OVER (PARTITION BY sk % 8 ORDER BY sk, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST((cum - n_tok) // 2048 AS BIGINT) AS seq_id,
+           CAST(n_tok AS BIGINT) AS n_tok
+    FROM c ORDER BY doc_id
+    """,
+    doc="Sequence packing (B-K extension): assign each doc to a training "
+    "sequence of <= 2048-token budget. Deterministic arithmetic-hash "
+    "shuffle order, independent packing buckets (bucket = shuffle key "
+    "mod 8 here - the bucket count is the parallelism knob, sized so the "
+    "sf0.01 oracle corpus actually splits bins; at 100 TB you size it to "
+    "~total_tokens/budget/seqs_per_task), greedy boundary packing per "
+    "bucket: "
+    "seq_id = floor(running-token-count-before-doc / budget). The "
+    "window is PARTITIONED by bucket — packing parallelizes across "
+    "buckets and no global window exists, so the plan survives a "
+    "billion-doc corpus (each bucket's running sum is one sorted "
+    "partition-local pass).",
+)
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(_toks()).cast("long").alias("n_tok"),
+            (
+                F.pmod(F.col("doc_id"), F.lit(2147483648))
+                * F.lit(2654435761)
+                % F.lit(1000000007)
+            ).alias("sk"),
+        )
+        .withColumn("bucket", F.col("sk") % F.lit(8))
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("sk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum", F.sum("n_tok").over(w))
+        .select(
+            "doc_id",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.expr("CAST((cum - n_tok) DIV 2048 AS BIGINT)").alias("seq_id"),
+            F.col("n_tok").cast("bigint").alias("n_tok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q120",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    m AS (SELECT MIN(cnt) AS tgt FROM c)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN c USING (lang) CROSS JOIN m
+    WHERE ((d.doc_id % 2147483648) * 2654435761 % 1000000) * c.cnt
+          < m.tgt * 1000000
+    ORDER BY d.doc_id
+    """,
+    doc="Mixture rebalancing (B-K extension): downsample every language "
+    "to the smallest language's share so the output mixture is uniform "
+    "over lang - the data-mixing step before pretraining. Per-lang keep "
+    "rate tgt/cnt applied as pure integer arithmetic on a deterministic "
+    "doc_id hash (exact cross-engine, no float rate). Plan: one "
+    "count agg (map-side combinable), its min as a 1-row broadcast, "
+    "rates broadcast-joined back onto the corpus - the corpus itself "
+    "is scanned once and never shuffled.",
+)
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    m = c.agg(F.min("cnt").alias("tgt"))
+    h = (
+        F.pmod(F.col("doc_id"), F.lit(2147483648))
+        * F.lit(2654435761)
+        % F.lit(1000000)
+    )
+    return (
+        d.join(F.broadcast(c), "lang")
+        .crossJoin(F.broadcast(m))
+        .filter(h * F.col("cnt") < F.col("tgt") * F.lit(1000000))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q121",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    q AS (SELECT lang, quantile_cont(n_tok, 0.25) AS thr FROM t GROUP BY lang)
+    SELECT t.doc_id, t.lang, CAST(t.n_tok AS BIGINT) AS n_tok
+    FROM t JOIN q USING (lang)
+    WHERE t.n_tok >= q.thr
+    ORDER BY t.doc_id
+    """,
+    doc="Per-language quality-floor filter (B-K extension): drop every "
+    "doc below its language's P25 token count - the per-stratum length "
+    "filter a pretraining pipeline applies so short-doc-heavy languages "
+    "aren't gutted by one global threshold. Cross-engine-exact boundary: "
+    "the interpolated quantile over INTEGER token counts is either "
+    "exactly an integer (frac=0: a + 0*(b-a), no arithmetic slop in "
+    "either engine) or strictly between two integers, so the >= "
+    "membership of an integer n_tok never depends on float rounding. "
+    "Plan: 5-row exact-percentile agg broadcast back onto the corpus - "
+    "one scan, one tiny shuffle; at 100 TB swap percentile() for "
+    "approx_percentile (t-digest, map-side combinable), the q47 trade.",
+)
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "lang", F.size(_toks()).cast("long").alias("n_tok")
+        )
+    )
+    thr = t.groupBy("lang").agg(
+        F.percentile("n_tok", F.lit(0.25)).alias("thr")
+    )
+    return (
+        t.join(F.broadcast(thr), "lang")
+        .filter(F.col("n_tok") >= F.col("thr"))
+        .select("doc_id", "lang", "n_tok")
+        .orderBy("doc_id")
+    )

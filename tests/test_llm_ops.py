@@ -450,3 +450,49 @@ def test_neardup_components_chain_and_singletons(spark):
         r.doc_id: r.cluster_id for r in neardup_components(docs, pairs).collect()
     }
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6, 7: 7, 8: 8, 9: 7}
+
+
+def test_q119_boundary_packing_invariant(spark, sf_dir):
+    """Every doc lands in the bin its running-token start falls in:
+    for each seq k in a bucket, floor(tokens-before-seq-k / 2048) == k;
+    no docs are lost and packing is non-vacuous (some bucket splits)."""
+    out = all_queries()["q119"].fn(spark, sf_dir).toPandas()
+    assert out.doc_id.is_unique
+    assert (out.groupby("bucket").seq_id.max() > 0).any(), "vacuous: no bucket ever split"
+    for bucket, g in out.groupby("bucket"):
+        sums = g.groupby("seq_id").n_tok.sum().sort_index()
+        before = 0
+        for k, s in sums.items():
+            assert before // 2048 == k, (
+                f"bucket {bucket} seq {k}: tokens-before {before}"
+            )
+            before += s
+
+
+def test_q120_flattens_lang_mixture(spark, sf_dir):
+    """The smallest language survives whole; larger ones downsample, so
+    the output mixture is flatter than the input."""
+    docs = all_queries()["q120"].fn(spark, sf_dir).toPandas()
+    full = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("lang").count().toPandas().set_index("lang")["count"]
+    )
+    out = docs.groupby("lang").size()
+    assert set(out.index) == set(full.index), "a language vanished"
+    smallest = full.idxmin()
+    assert out[smallest] == full[smallest], "smallest lang must be kept whole"
+    assert out[full.idxmax()] < full[full.idxmax()], "largest lang not downsampled"
+    assert out.max() / out.min() < full.max() / full.min()
+
+
+def test_q121_drops_about_a_quartile_per_lang(spark, sf_dir):
+    """Non-vacuity: each language loses roughly its bottom token-count
+    quartile (P25 threshold => ~70-80% survive), never everything."""
+    full = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("lang").count().toPandas().set_index("lang")["count"]
+    )
+    out = all_queries()["q121"].fn(spark, sf_dir).toPandas().groupby("lang").size()
+    for lang, n in full.items():
+        frac = out.get(lang, 0) / n
+        assert 0.6 <= frac < 1.0, f"{lang}: kept {frac:.2f}"
