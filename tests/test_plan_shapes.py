@@ -204,3 +204,25 @@ def test_q115_single_linear_agg_chain(spark, sf_dir):
     opt = all_queries()["q115"].fn(spark, sf_dir)._jdf.queryExecution(
     ).optimizedPlan().toString()
     assert "lambdafunction" not in opt.lower(), opt
+
+
+def test_q119_packing_window_is_bucket_partitioned(spark, sf_dir):
+    """q119's running-token cumsum must stay partitioned by the packing
+    bucket — a global packing window would serialize the whole corpus
+    through one task."""
+    df = all_queries()["q119"].fn(spark, sf_dir)
+    assert not _unpartitioned_windows(df), "packing window lost its partition spec"
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" in plan
+
+
+def test_q120_q121_corpus_joins_broadcast(spark, sf_dir):
+    """q120/q121 join tiny per-lang rate/threshold tables back onto the
+    corpus: those joins broadcast, the corpus is never shuffled for a
+    join (q120's 1-row min may plan as a broadcast nested loop — that is
+    fine; a SortMergeJoin/ShuffledHashJoin of the corpus is not)."""
+    for name in ("q120", "q121"):
+        plan = _plan(all_queries()[name].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "ShuffledHashJoin" not in plan, name
