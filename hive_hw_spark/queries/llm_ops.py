@@ -1808,6 +1808,7 @@ def neardup_components(
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("lbl"))
     labels.persist(StorageLevel.MEMORY_AND_DISK)
+    changed = -1
     for _ in range(max_iters):
         nbr = (
             edges.join(
@@ -1832,6 +1833,14 @@ def neardup_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # A silently-unconverged result would assign WRONG cluster ids;
+        # refuse instead. Diameter > max_iters means a pathological pair
+        # graph (a long chain) — raise the cap or pre-contract the graph.
+        raise RuntimeError(
+            f"neardup_components: not converged after {max_iters} rounds "
+            f"({changed} labels still changing)"
+        )
     return labels.select(
         "doc_id", F.col("lbl").cast("bigint").alias("cluster_id")
     ).orderBy("doc_id")

@@ -243,3 +243,50 @@ def test_count_min_never_undercounts(spark, ws):
     assert set(est) == set(exact)
     for w, n in exact.items():
         assert est[w] >= n, (w, est[w], n)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=12),
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ),
+        max_size=12,
+    ),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_neardup_components_matches_union_find(spark, n, edges):
+    """neardup_components ≡ a pure-Python union-find on arbitrary small
+    pair graphs (self-loops and out-of-range endpoints dropped, like a
+    filtered LSH pair list)."""
+    pairs = [(a, b) for a, b in edges if a < n and b < n and a != b]
+
+    from hive_hw_spark.queries.llm_ops import neardup_components
+
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pdf = spark.createDataFrame(
+        pairs or [(0, 0)], "doc_a long, doc_b long"
+    )
+    if not pairs:  # empty relation via a filtered non-empty frame
+        pdf = pdf.filter(F.col("doc_a") != F.col("doc_b"))
+    got = {
+        r.doc_id: r.cluster_id
+        for r in neardup_components(docs, pdf).collect()
+    }
+
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: min(j for j in range(n) if find(j) == find(i)) for i in range(n)}
+    assert got == want
