@@ -214,6 +214,9 @@ def test_q119_packing_window_is_bucket_partitioned(spark, sf_dir):
     assert not _unpartitioned_windows(df), "packing window lost its partition spec"
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" in plan
+    # column pruning reaches the scan: token counting needs text, nothing else
+    read = [ln for ln in _plan(df).splitlines() if "ReadSchema" in ln][0]
+    assert "doc_id" in read and "text" in read and "lang" not in read
 
 
 def test_q120_q121_corpus_joins_broadcast(spark, sf_dir):
