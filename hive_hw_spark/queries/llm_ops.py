@@ -1983,8 +1983,10 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rate tgt/cnt applied as pure integer arithmetic on a deterministic "
     "doc_id hash (exact cross-engine, no float rate). Plan: one "
     "count agg (map-side combinable), its min as a 1-row broadcast, "
-    "rates broadcast-joined back onto the corpus - the corpus itself "
-    "is scanned once and never shuffled.",
+    "rates broadcast-joined back onto the corpus - the corpus is never "
+    "shuffled, and the rate-computation scan reads ONLY the lang "
+    "column (ReadSchema-pruned), a fraction of one full scan at "
+    "100 TB.",
 )
 def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
@@ -2026,7 +2028,8 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
     "either engine) or strictly between two integers, so the >= "
     "membership of an integer n_tok never depends on float rounding. "
     "Plan: 5-row exact-percentile agg broadcast back onto the corpus - "
-    "one scan, one tiny shuffle; at 100 TB swap percentile() for "
+    "the corpus is never shuffled (two pruned scans, one tiny "
+    "threshold shuffle); at 100 TB swap percentile() for "
     "approx_percentile (t-digest, map-side combinable), the q47 trade.",
 )
 def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
