@@ -102,6 +102,28 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_dedup(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Incremental exact dedup for an ingest stream (the streaming twin
+    of q90): drop every incoming doc whose sha2-256 content hash already
+    exists in the ingested corpus (stream-static LEFT ANTI join), then
+    collapse duplicates WITHIN the new batch/stream to one survivor per
+    hash (dropDuplicates on the hash). Works identically on batch
+    frames.
+
+    Scale notes: the static side is a hash-only projection of the corpus
+    (32-byte column, ReadSchema-pruned) - callers should persist it,
+    since Structured Streaming re-evaluates the static side per
+    micro-batch; on an unbounded stream, bound the dropDuplicates state
+    with a watermark on the caller's event-time column
+    (dropDuplicatesWithinWatermark)."""
+    corpus_h = corpus.select(F.sha2("text", 256).alias("h")).distinct()
+    return (
+        new_docs.withColumn("h", F.sha2("text", 256))
+        .join(corpus_h, "h", "left_anti")
+        .dropDuplicates(["h"])
+    )
+
+
 # --------------------------------------------------------------------------
 # Q91 near-dup: MinHash + LSH banding, exact-Jaccard verified
 # --------------------------------------------------------------------------

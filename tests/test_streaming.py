@@ -273,3 +273,60 @@ def test_q70_stream_batch_parity(spark, sf_dir, tmp_path):
     got = {r.hour: r.n for r in spark.table("q70_sink").collect()}
     want = {r.hour: r.n for r in windowed(raw).collect()}
     assert got == want and len(got) > 0
+
+
+def test_incremental_dedup_stream_static(spark, tmp_path):
+    """Ingest-time exact dedup: docs already in the corpus are dropped by
+    the stream-static anti join; duplicates WITHIN the ingest stream
+    collapse to one survivor; genuinely new docs pass through."""
+    from hive_hw_spark.queries.llm_ops import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "existing doc one"), (2, "existing doc two")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "incoming")
+    t0 = time.time() - 1000
+    _write_batch(
+        src,
+        "b1.json",
+        [
+            {"doc_id": 10, "text": "existing doc one"},      # corpus dup
+            {"doc_id": 11, "text": "brand new doc alpha"},
+            {"doc_id": 12, "text": "brand new doc beta"},
+        ],
+        t0,
+    )
+    _write_batch(
+        src,
+        "b2.json",
+        [
+            {"doc_id": 13, "text": "brand new doc alpha"},   # intra-stream dup
+            {"doc_id": 14, "text": "brand new doc gamma"},
+        ],
+        t0 + 10,
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    deduped = incremental_dedup(stream, corpus)
+    _run_available_now(
+        deduped.writeStream.format("memory")
+        .queryName("incr_dedup_sink")
+        .outputMode("append")
+    )
+    got = sorted(r.doc_id for r in spark.table("incr_dedup_sink").collect())
+    # 10 dropped (in corpus); exactly one of 11/13 survives (same text)
+    assert 12 in got and 14 in got and 10 not in got
+    assert len({11, 13} & set(got)) == 1
+    assert len(got) == 3
+    # batch frames take the same path
+    batch_got = sorted(
+        r.doc_id
+        for r in incremental_dedup(
+            spark.read.schema("doc_id long, text string").json(src), corpus
+        ).collect()
+    )
+    assert len(batch_got) == 3 and 10 not in batch_got
