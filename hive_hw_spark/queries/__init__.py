@@ -90,7 +90,7 @@ _ATTESTED = frozenset(
 # never-checked query missing the sweep is a bigger evidence gap than a
 # previously-green one waiting an extra round for re-confirmation.
 _NEVER_CHECKED = frozenset(
-    {"q92d", "q115", "q116", "q117", "q118", "q119", "q120", "q121"}
+    {"q92d", "q115", "q116", "q117", "q118", "q119", "q120", "q121", "q122"}
 )
 
 

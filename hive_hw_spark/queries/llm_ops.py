@@ -1726,6 +1726,46 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def contaminated_ids(d: DataFrame, eval_source: str) -> DataFrame:
+    """doc_ids of non-eval docs sharing ANY 5-gram with ``eval_source``
+    (the q117 core, reusable by pipeline compositions). All-codegen
+    shingling; the eval shingle set broadcasts."""
+    ws = d.select("doc_id", "source", F.split("text", " ").alias("ws"))
+    sz = F.size("ws")
+    sh = (
+        ws.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.arrays_zip(
+                    F.col("ws").alias("w0"),
+                    F.slice("ws", 2, sz).alias("w1"),
+                    F.slice("ws", 3, sz).alias("w2"),
+                    F.slice("ws", 4, sz).alias("w3"),
+                    F.slice("ws", 5, sz).alias("w4"),
+                )
+            ).alias("p"),
+        )
+        .filter(F.col("p.w4").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.concat_ws(" ", "p.w0", "p.w1", "p.w2", "p.w3", "p.w4").alias(
+                "g"
+            ),
+        )
+    )
+    ev = (
+        sh.filter(F.col("source") == eval_source).select("g").distinct()
+    )
+    return (
+        sh.filter(F.col("source") != eval_source)
+        .join(F.broadcast(ev), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
 @register(
     "q117",
     oracle="""
@@ -1758,40 +1798,7 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_source = "src0"
     d = load_table(spark, sf_dir, "documents")
-    ws = d.select("doc_id", "source", F.split("text", " ").alias("ws"))
-    sz = F.size("ws")
-    sh = (
-        ws.select(
-            "doc_id",
-            "source",
-            F.explode(
-                F.arrays_zip(
-                    F.col("ws").alias("w0"),
-                    F.slice("ws", 2, sz).alias("w1"),
-                    F.slice("ws", 3, sz).alias("w2"),
-                    F.slice("ws", 4, sz).alias("w3"),
-                    F.slice("ws", 5, sz).alias("w4"),
-                )
-            ).alias("p"),
-        )
-        .filter(F.col("p.w4").isNotNull())
-        .select(
-            "doc_id",
-            "source",
-            F.concat_ws(" ", "p.w0", "p.w1", "p.w2", "p.w3", "p.w4").alias(
-                "g"
-            ),
-        )
-    )
-    ev = (
-        sh.filter(F.col("source") == eval_source).select("g").distinct()
-    )
-    bad = (
-        sh.filter(F.col("source") != eval_source)
-        .join(F.broadcast(ev), "g", "left_semi")
-        .select("doc_id")
-        .distinct()
-    )
+    bad = contaminated_ids(d, eval_source)
     return (
         d.filter(F.col("source") != eval_source)
         .join(F.broadcast(bad), "doc_id", "left_anti")
@@ -2068,5 +2075,175 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.join(F.broadcast(thr), "lang")
         .filter(F.col("n_tok") >= F.col("thr"))
         .select("doc_id", "lang", "n_tok")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q122",
+    oracle="""
+    WITH RECURSIVE
+    t AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(string_split(text,' ')) - 1),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2])) AS sh
+      FROM documents
+    ),
+    p AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    ),
+    e AS (SELECT da AS src, dst FROM (SELECT da, db AS dst FROM p)
+          UNION ALL SELECT db, da FROM p),
+    reach AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+    ),
+    rep AS (SELECT src AS doc_id, MIN(dst) AS mn FROM reach GROUP BY 1),
+    survivors AS (
+      SELECT d.doc_id FROM documents d LEFT JOIN rep r USING (doc_id)
+      WHERE COALESCE(LEAST(r.mn, d.doc_id), d.doc_id) = d.doc_id
+    ),
+    ws AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+           FROM documents),
+    sh5 AS (
+      SELECT DISTINCT doc_id, source,
+             unnest([array_to_string(ws[i:i+4], ' ')
+                     for i in generate_series(1, len(ws) - 4)]) AS g
+      FROM ws
+    ),
+    ev AS (SELECT DISTINCT g FROM sh5 WHERE source = 'src0'),
+    bad AS (
+      SELECT DISTINCT doc_id FROM sh5
+      WHERE source <> 'src0' AND g IN (SELECT g FROM ev)
+    ),
+    s2 AS (
+      SELECT d.doc_id, d.lang, d.source,
+             len(string_split(d.text, ' ')) AS n_tok
+      FROM documents d JOIN survivors USING (doc_id)
+      WHERE d.source <> 'src0'
+        AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+    ),
+    q AS (SELECT lang, quantile_cont(n_tok, 0.25) AS thr
+          FROM s2 GROUP BY lang),
+    s3 AS (SELECT s2.* FROM s2 JOIN q USING (lang)
+           WHERE s2.n_tok >= q.thr),
+    c AS (SELECT lang, COUNT(*) AS cnt FROM s3 GROUP BY lang),
+    m AS (SELECT MIN(cnt) AS tgt FROM c),
+    s4 AS (
+      SELECT s3.* FROM s3 JOIN c USING (lang) CROSS JOIN m
+      WHERE ((s3.doc_id % 2147483648) * 2654435761 % 1000000) * c.cnt
+            < m.tgt * 1000000
+    ),
+    k AS (
+      SELECT doc_id, lang, source, n_tok,
+             (doc_id % 2147483648) * 2654435761 % 1000000007 AS sk
+      FROM s4
+    ),
+    f AS (
+      SELECT doc_id, lang, source, n_tok, sk % 4 AS bucket,
+             SUM(n_tok) OVER (PARTITION BY sk % 4 ORDER BY sk, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM k
+    )
+    SELECT doc_id, lang, source,
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST((cum - n_tok) // 2048 AS BIGINT) AS seq_id,
+           CAST(n_tok AS BIGINT) AS n_tok
+    FROM f ORDER BY doc_id
+    """,
+    doc="End-to-end training-corpus pipeline (B-K flagship): near-dup "
+    "cluster representatives (q91 LSH pairs -> q118 components, keep "
+    "doc_id == cluster_id) -> benchmark decontamination vs source "
+    "'src0' (q117) -> per-lang P25 token floor on the survivors (q121) "
+    "-> uniform-over-lang mixture rebalance (q120) -> 2048-token "
+    "sequence packing (q119, 4 buckets - sized to the post-filter "
+    "corpus). One call takes the raw corpus to packed "
+    "training sequences; every stage is the already-attested operator, "
+    "recomposed. Scale: inherits each stage's shape - banded dedup, "
+    "broadcast decontamination/thresholds/rates, bucket-partitioned "
+    "packing window; the corpus is never joined shuffle-side.",
+)
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    # stage 1: near-dup cluster representatives
+    d3 = (
+        d.withColumn("toks", _toks())
+        .withColumn("sh", _shingles())
+        .select("doc_id", "sh")
+    )
+    pairs = minhash_lsh_pairs(d3).select("doc_a", "doc_b")
+    clusters = neardup_components(d.select("doc_id"), pairs)
+    reps = (
+        clusters.filter(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id")
+    )
+    # stage 2: decontamination (drop eval source + anything sharing a
+    # 5-gram with it)
+    bad = contaminated_ids(d, "src0")
+    s2 = (
+        d.join(reps, "doc_id", "left_semi")
+        .filter(F.col("source") != "src0")
+        .join(F.broadcast(bad), "doc_id", "left_anti")
+        .select(
+            "doc_id", "lang", "source",
+            F.size(_toks()).cast("long").alias("n_tok"),
+        )
+    )
+    # stages 3-5 all reconsume s2/s3 twice (stats + filter) — persist the
+    # small surviving frame instead of recomputing the LSH subtree
+    s2 = _managed_persist("q122_s2", s2)
+    # stage 3: per-lang P25 token floor
+    thr = s2.groupBy("lang").agg(
+        F.percentile("n_tok", F.lit(0.25)).alias("thr")
+    )
+    s3 = (
+        s2.join(F.broadcast(thr), "lang")
+        .filter(F.col("n_tok") >= F.col("thr"))
+        .drop("thr")
+    )
+    s3 = _managed_persist("q122_s3", s3)
+    # stage 4: uniform-over-lang mixture rebalance
+    c = s3.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    m = c.agg(F.min("cnt").alias("tgt"))
+    h = (
+        F.pmod(F.col("doc_id"), F.lit(2147483648))
+        * F.lit(2654435761)
+        % F.lit(1000000)
+    )
+    s4 = (
+        s3.join(F.broadcast(c), "lang")
+        .crossJoin(F.broadcast(m))
+        .filter(h * F.col("cnt") < F.col("tgt") * F.lit(1000000))
+        .select("doc_id", "lang", "source", "n_tok")
+    )
+    # stage 5: sequence packing
+    s4 = s4.withColumn(
+        "sk",
+        F.pmod(F.col("doc_id"), F.lit(2147483648))
+        * F.lit(2654435761)
+        % F.lit(1000000007),
+    ).withColumn("bucket", F.col("sk") % F.lit(4))
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("sk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        s4.withColumn("cum", F.sum("n_tok").over(w))
+        .select(
+            "doc_id", "lang", "source",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.expr("CAST((cum - n_tok) DIV 2048 AS BIGINT)").alias("seq_id"),
+            F.col("n_tok").cast("bigint").alias("n_tok"),
+        )
         .orderBy("doc_id")
     )

@@ -496,3 +496,26 @@ def test_q121_drops_about_a_quartile_per_lang(spark, sf_dir):
     for lang, n in full.items():
         frac = out.get(lang, 0) / n
         assert 0.6 <= frac < 1.0, f"{lang}: kept {frac:.2f}"
+
+
+def test_q122_pipeline_every_stage_bites(spark, sf_dir):
+    """The composed pipeline is non-vacuous end to end: eval docs are
+    gone, contaminated docs are gone, each lang lost its short-doc tail,
+    the mixture is flatter than the corpus, and packing split bins."""
+    out = all_queries()["q122"].fn(spark, sf_dir).toPandas()
+    full = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("lang").count().toPandas().set_index("lang")["count"]
+    )
+    assert "src0" not in set(out.source), "eval source must be excluded"
+    assert 0 < len(out) < int(full.sum())
+    by_lang = out.groupby("lang").size()
+    assert set(by_lang.index) == set(full.index)
+    assert by_lang.max() / by_lang.min() < full.max() / full.min()
+    assert (out.groupby("bucket").seq_id.max() > 0).any(), "no bin ever split"
+    # decontamination actually bit: q117's clean set is a strict superset
+    clean = set(
+        r.doc_id for r in all_queries()["q117"].fn(spark, sf_dir).collect()
+    )
+    assert set(out.doc_id) <= clean
+    assert len(clean) < 475  # 500 - 25 eval docs - at least one contaminated
