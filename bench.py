@@ -55,6 +55,7 @@ HEADLINE = [
     "q94",  # bigram counts
     "q97",  # SimHash signatures
     "q118",  # near-dup connected components (runs after q91: shares its persisted shingles)
+    "q122",  # end-to-end training-corpus pipeline (flagship composition)
 ]
 
 

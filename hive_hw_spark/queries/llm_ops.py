@@ -1823,8 +1823,6 @@ def neardup_components(
 
     ``docs`` is (doc_id), ``pairs`` is (doc_a, doc_b); returns
     (doc_id, cluster_id) — deterministic, no RNG."""
-    from pyspark import StorageLevel
-
     edges = _managed_persist(
         "components_edges",
         pairs.select(
@@ -1835,8 +1833,15 @@ def neardup_components(
             )
         ),
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("lbl"))
-    labels.persist(StorageLevel.MEMORY_AND_DISK)
+    # localCheckpoint (not persist) per iteration: it TRUNCATES lineage,
+    # so iteration k's plan is one join + one agg over two leaf tables.
+    # With persist alone the logical plan nests every prior iteration
+    # (cached data, but the tree itself grows geometrically) and
+    # Catalyst analysis of the final plan dominated q122's wall time.
+    # This is the standard iterative-algorithm discipline (GraphX/ALS
+    # checkpointing); at cluster scale swap localCheckpoint for a
+    # reliable checkpoint dir to keep executor-loss tolerance.
+    labels = docs.select("doc_id", F.col("doc_id").alias("lbl")).localCheckpoint()
     changed = -1
     for _ in range(max_iters):
         nbr = (
@@ -1849,9 +1854,11 @@ def neardup_components(
             .select(F.col("src").alias("doc_id"), F.col("nlbl").alias("lbl"))
         )
         new_labels = (
-            labels.unionAll(nbr).groupBy("doc_id").agg(F.min("lbl").alias("lbl"))
+            labels.unionAll(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
         )
-        new_labels.persist(StorageLevel.MEMORY_AND_DISK)
         changed = (
             new_labels.select("doc_id", F.col("lbl").alias("new_lbl"))
             .join(labels, "doc_id")
