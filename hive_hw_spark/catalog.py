@@ -41,20 +41,34 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, normalizing physical quirks.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects ([PARQUET_TYPE_ILLEGAL]); read it as raw nanos and
-    truncate to microseconds — exactly what DuckDB's reader does — so both
-    engines see identical instants. The conf is set once at session build
-    in ``get_spark`` (see session.py); the set() below is a defensive
-    fallback for vanilla driver-owned sessions and is a no-op otherwise.
+    ``events.ts`` has shipped in two physical layouts across testdata
+    generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    reader rejects, [PARQUET_TYPE_ILLEGAL], so it is read as raw long
+    nanos under ``nanosAsLong`` and truncated to microseconds — exactly
+    what DuckDB's reader does) and plain TIMESTAMP(MICROS) (which reads
+    as TIMESTAMP_NTZ directly). Branch on the dtype that actually comes
+    off the file, and land BOTH on session-tz TimestampType so every
+    downstream query sees one stable type; with the UTC session pin the
+    wall-clock values match DuckDB's naive reads either way.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return decode_event_ts(df)
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def decode_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``ts`` from either physical layout (raw long nanos under
+    ``nanosAsLong``, or native TIMESTAMP_NTZ/TIMESTAMP micros) to
+    session-tz TimestampType. Shared by batch loads and the streaming
+    tests so both decode identically."""
+    from pyspark.sql import functions as F
+
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) read as raw nanos
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def register_tables(

@@ -252,9 +252,11 @@ def test_q70_stream_batch_parity(spark, sf_dir, tmp_path):
     stream = spark.readStream.schema(raw.schema).parquet(str(src))
 
     def windowed(df):
-        # events.ts is TIMESTAMP(NANOS) parquet → raw long nanos under the
-        # session's nanosAsLong conf; decode exactly as catalog.load_table
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # decode ts exactly as catalog.load_table (handles both the
+        # nanos-as-long and native-micros testdata layouts)
+        from hive_hw_spark.catalog import decode_event_ts
+
+        df = decode_event_ts(df)
         return (
             df.groupBy(F.window("ts", "1 hour"))
             .agg(F.count(F.lit(1)).alias("n"))
