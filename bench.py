@@ -56,6 +56,7 @@ HEADLINE = [
     "q97",  # SimHash signatures
     "q118",  # near-dup connected components (runs after q91: shares its persisted shingles)
     "q122",  # end-to-end training-corpus pipeline (flagship composition)
+    "q123",  # exact k-NN join (Arrow matmul, map-only top-k)
 ]
 
 

@@ -69,19 +69,26 @@ _loaded = False
 # every component cycles through driver CORRECTNESS rows; execution semantics
 # are unchanged — this is pure dict ordering.
 #
-# Rotated for round 5: this is the exact CORRECTNESS_r03/r04 sweep set (46
-# hash-green + the four by-design ``no_oracle`` approximates q92b/q92c/
-# q102b/q111, which have no hash to earn), so the q06–q62 block — last
-# driver-checked in r01/r02, before the dtype-sensitive-hash lesson — fills
-# the sweep's 50 slots this round.
+# Rotated for round 6: union of every r03–r05 driver-green name plus the
+# by-design ``no_oracle`` approximates. Deliberately EXCLUDED (so they
+# outrank the re-confirmation pool for the sweep's 50 slots): q53, q55,
+# q56, q57, q60, q61, q62 — the tail of the q06–q62 block that did not fit
+# r05's 50 slots and is still only r01/r02-attested (pre the
+# dtype-sensitive-hash lesson).
 _ATTESTED = frozenset(
     {
-        "q01", "q02", "q63", "q64", "q65", "q66", "q67", "q67b", "q68",
-        "q69", "q70", "q71", "q72", "q78", "q80", "q81", "q82", "q83",
-        "q84", "q85", "q90", "q91", "q92", "q92b", "q92c", "q93", "q94",
-        "q94b", "q94c", "q95", "q96", "q97", "q98", "q99", "q100", "q101",
-        "q102", "q102b", "q103", "q104", "q105", "q106", "q107", "q108",
-        "q109", "q110", "q111", "q112", "q113", "q114",
+        "q01", "q02", "q06", "q10", "q11", "q12", "q13", "q14", "q15",
+        "q20", "q21", "q22", "q23", "q24", "q25", "q26", "q27", "q28",
+        "q30", "q31", "q32", "q33", "q34", "q35", "q36", "q37", "q39",
+        "q40", "q41", "q42", "q43", "q44", "q45", "q46", "q47", "q47b",
+        "q48", "q49", "q50", "q51", "q52", "q54", "q58", "q63", "q64",
+        "q65", "q66", "q67", "q67b", "q68", "q69", "q70", "q71", "q72",
+        "q78", "q80", "q81", "q82", "q83", "q84", "q85", "q90", "q91",
+        "q92", "q92b", "q92c", "q92d", "q93", "q94", "q94b", "q94c",
+        "q95", "q96", "q97", "q98", "q99", "q100", "q101", "q102",
+        "q102b", "q103", "q104", "q105", "q106", "q107", "q108", "q109",
+        "q110", "q111", "q112", "q113", "q114", "q115", "q116", "q117",
+        "q118", "q119", "q120", "q121", "q122",
     }
 )
 
@@ -89,9 +96,7 @@ _ATTESTED = frozenset(
 # They outrank stale re-confirmations for the sweep's 50 slots: a
 # never-checked query missing the sweep is a bigger evidence gap than a
 # previously-green one waiting an extra round for re-confirmation.
-_NEVER_CHECKED = frozenset(
-    {"q92d", "q115", "q116", "q117", "q118", "q119", "q120", "q121", "q122"}
-)
+_NEVER_CHECKED = frozenset({"q123", "q124", "q125", "q126"})
 
 
 def _load() -> None:

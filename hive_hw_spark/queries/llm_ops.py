@@ -2291,3 +2291,259 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q123 exact k-NN join (batch similarity search: top-k neighbors for EVERY
+# vector, not just one query point)
+# --------------------------------------------------------------------------
+@register(
+    "q123",
+    oracle="""
+    WITH p AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 4) AS cos
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+    ),
+    r AS (SELECT vec_id, nbr, cos,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY cos DESC, nbr) AS rn
+          FROM p)
+    SELECT vec_id, nbr, cos FROM r WHERE rn <= 3
+    ORDER BY vec_id, cos DESC, nbr
+    """,
+    doc="Exact k-NN JOIN (B-K extension; the batch form of q92's "
+    "single-query search — every vector gets its top-3 cosine "
+    "neighbors, the primitive under embedding-dedup and clustering "
+    "sweeps). Build side: the unit-normalized corpus gathered into one "
+    "numpy matrix and closed over (1 MB at sf0.1 — the MLlib-KMeans "
+    "centroid-collect pattern, see ivf_index). Probe side: MAP-ONLY "
+    "Arrow-batched mapInPandas — one (batch x d)@(d x n) matmul per "
+    "Arrow batch, per-row lexsort on (rounded cos DESC, nbr ASC), "
+    "top-3 emitted INSIDE the UDF, so no n^2 row blowup, no shuffle, "
+    "no window. Determinism: rank on the ROUNDED score with nbr "
+    "tie-break (q94c's contract) so both engines cut identically. At "
+    "100 TB the build side no longer fits one closure: tile it into "
+    "broadcastable chunks with a running top-k merge per probe row "
+    "(same map-only shape, one pass per tile), or switch to the ANN "
+    "index families (q92b/c/d) — this operator is the exact baseline "
+    "they are measured against.",
+)
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    k = 3
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    unit = _unit_vectors(e)
+    # reuse the memoized centroid collector: (vec_id, u) is shape-identical
+    # to a centroid table, and the memo spares re-collecting per invocation
+    ids, M = _collect_centroids(
+        unit.select(F.col("vec_id").alias("cid"), F.col("u").alias("cv"))
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("nbr", LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def knn_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            U = np.vstack(pdf["u"].to_numpy()).astype(np.float64)
+            V = pdf["vec_id"].to_numpy()
+            # unit vectors: dot == cosine; round BEFORE ranking so the
+            # tie-break cut matches the oracle bit-for-bit
+            C = np.round(U @ M.T, 4)
+            out_v: list = []
+            out_n: list = []
+            out_c: list = []
+            for i in range(len(V)):
+                row = C[i]
+                order = np.lexsort((ids, -row))
+                taken = 0
+                for j in order:
+                    if ids[j] == V[i]:
+                        continue
+                    out_v.append(V[i])
+                    out_n.append(ids[j])
+                    out_c.append(row[j])
+                    taken += 1
+                    if taken == k:
+                        break
+            yield pd.DataFrame(
+                {"vec_id": out_v, "nbr": out_n, "cos": out_c}
+            )
+
+    return (
+        unit.mapInPandas(knn_batches, schema)
+        .orderBy("vec_id", F.col("cos").desc(), "nbr")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q124 packing-efficiency audit (over q119's packed sequences)
+# --------------------------------------------------------------------------
+@register(
+    "q124",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             (doc_id % 2147483648) * 2654435761 % 1000000007 AS sk
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tok, sk % 8 AS bucket,
+             SUM(n_tok) OVER (PARTITION BY sk % 8 ORDER BY sk, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    ),
+    p AS (
+      SELECT bucket, (cum - n_tok) // 2048 AS seq_id, n_tok FROM c
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tok,
+           ROUND(SUM(n_tok)::DOUBLE / (COUNT(DISTINCT seq_id) * 2048), 4)
+             AS fill_ratio
+    FROM p GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Packing-efficiency audit (B-K extension; the QA report every "
+    "packed-pretraining run reads before launch): per packing bucket "
+    "from q119 — sequence count, doc count, token total, and fill "
+    "ratio vs the 2048-token budget (can exceed 1: a doc spanning a "
+    "boundary stays in the sequence where it starts). One hash agg "
+    "over q119's already-bucketed output; scale shape inherited "
+    "(bucket-partitioned, no global window).",
+)
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = q119(spark, sf_dir)  # (doc_id, bucket, seq_id, n_tok)
+    return (
+        packed.groupBy("bucket")
+        .agg(
+            F.countDistinct("seq_id").alias("n_seqs"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tok"),
+            F.round(
+                F.sum("n_tok").cast("double")
+                / (F.countDistinct("seq_id") * F.lit(2048)),
+                4,
+            ).alias("fill_ratio"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q125 near-dup cluster-size histogram (over q118's components)
+# --------------------------------------------------------------------------
+@register(
+    "q125",
+    oracle="""
+    WITH RECURSIVE
+    t AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(string_split(text,' ')) - 1),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2])) AS sh
+      FROM documents
+    ),
+    p AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    ),
+    e AS (SELECT da AS src, db AS dst FROM p
+          UNION ALL SELECT db, da FROM p),
+    reach AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+    ),
+    rep AS (SELECT src AS doc_id, MIN(dst) AS mn FROM reach GROUP BY 1),
+    lab AS (
+      SELECT d.doc_id,
+             COALESCE(LEAST(r.mn, d.doc_id), d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN rep r USING (doc_id)
+    ),
+    sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM lab GROUP BY 1)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY sz ORDER BY cluster_size
+    """,
+    doc="Near-dup cluster-size histogram (B-K extension; the dedup-run "
+    "health report — a heavy tail here means the corpus has template "
+    "spam): q118's components aggregated twice (cluster -> size, "
+    "size -> cluster count). Both aggs are over id-only frames; the "
+    "components result is memoized, so this reads converged labels, "
+    "not a re-run of the propagation.",
+)
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lab = q118(spark, sf_dir)  # (doc_id, cluster_id)
+    return (
+        lab.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy(F.col("sz").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q126 deterministic train/valid/test split assignment
+# --------------------------------------------------------------------------
+@register(
+    "q126",
+    oracle="""
+    SELECT doc_id, source,
+           CASE
+             WHEN (doc_id % 2147483648) * 2654435761 % 1000 < 900
+               THEN 'train'
+             WHEN (doc_id % 2147483648) * 2654435761 % 1000 < 950
+               THEN 'valid'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Deterministic train/valid/test split assignment (B-K "
+    "extension): 90/5/5 by the same overflow-safe arithmetic hash the "
+    "sampling ops use (q105/q109) — content-independent, stable across "
+    "runs and engines, and embarrassingly parallel (pure per-row "
+    "arithmetic, no shuffle, no state). Proportions hold per stratum "
+    "in expectation because the hash is independent of source/lang; an "
+    "EXACT per-stratum split would need a per-source window over "
+    "fact-sized input — the wrong trade at 100 TB.",
+)
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = (
+        F.pmod(F.col("doc_id"), F.lit(2147483648))
+        * F.lit(2654435761)
+        % F.lit(1000)
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.when(h < 900, F.lit("train"))
+            .when(h < 950, F.lit("valid"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
