@@ -131,6 +131,57 @@ def incremental_dedup(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
     )
 
 
+def incremental_decontaminate(
+    new_docs: DataFrame, eval_docs: DataFrame
+) -> DataFrame:
+    """Incremental benchmark decontamination for an ingest stream (the
+    streaming twin of q117): drop every incoming doc that shares ANY
+    word-5-gram with the held-out eval set. Works identically on batch
+    frames.
+
+    Stream-shape reasoning: the batch path (explode grams → semi join →
+    collect bad ids → anti join back on docs) needs TWO passes over the
+    incoming side, which a stream cannot do. Instead the doc rows stay
+    intact and one stream-static LEFT ANTI join against the distinct
+    eval-gram table carries the per-gram membership test in its join
+    condition (``array_contains(grams, g)``) — a doc survives iff no
+    eval gram occurs in its gram array. This plans as a broadcast
+    nested-loop anti join: per micro-batch cost is |batch| × |eval
+    grams| array probes, acceptable because eval sets are
+    benchmark-sized by definition (thousands of grams, not
+    corpus-sized); for very large eval suites swap the static side for
+    a driver-built hash-set/bloom broadcast closed over a map-only
+    filter (the q123 build-side pattern)."""
+    ev = (
+        five_gram_shingles(eval_docs)
+        .select("g")
+        .distinct()
+    )
+    # guard short docs: sequence(0, n) with n < 0 DESCENDS in Spark,
+    # which would fabricate sub-5-gram junk instead of an empty list
+    grams = F.when(
+        F.size("ws") >= 5,
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, size(ws)-5),"
+                " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3],"
+                " ws[i+4]))"
+            )
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    withg = new_docs.withColumn("ws", F.split("text", " ")).withColumn(
+        "grams", grams
+    )
+    return (
+        withg.join(
+            F.broadcast(ev),
+            F.array_contains(F.col("grams"), F.col("g")),
+            "left_anti",
+        )
+        .drop("ws", "grams")
+    )
+
+
 # --------------------------------------------------------------------------
 # Q91 near-dup: MinHash + LSH banding, exact-Jaccard verified
 # --------------------------------------------------------------------------
@@ -1733,13 +1784,13 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def contaminated_ids(d: DataFrame, eval_source: str) -> DataFrame:
-    """doc_ids of non-eval docs sharing ANY 5-gram with ``eval_source``
-    (the q117 core, reusable by pipeline compositions). All-codegen
-    shingling; the eval shingle set broadcasts."""
+def five_gram_shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, source, g): one row per word-5-gram per document.
+    All-codegen (arrays_zip over shifted slices — no lambda HOFs, which
+    are interpreted per element)."""
     ws = d.select("doc_id", "source", F.split("text", " ").alias("ws"))
     sz = F.size("ws")
-    sh = (
+    return (
         ws.select(
             "doc_id",
             "source",
@@ -1762,6 +1813,13 @@ def contaminated_ids(d: DataFrame, eval_source: str) -> DataFrame:
             ),
         )
     )
+
+
+def contaminated_ids(d: DataFrame, eval_source: str) -> DataFrame:
+    """doc_ids of non-eval docs sharing ANY 5-gram with ``eval_source``
+    (the q117 core, reusable by pipeline compositions). All-codegen
+    shingling; the eval shingle set broadcasts."""
+    sh = five_gram_shingles(d)
     ev = (
         sh.filter(F.col("source") == eval_source).select("g").distinct()
     )

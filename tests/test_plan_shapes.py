@@ -229,3 +229,28 @@ def test_q120_q121_corpus_joins_broadcast(spark, sf_dir):
         assert "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan, name
         assert "ShuffledHashJoin" not in plan, name
+
+
+def test_q123_knn_join_is_map_only(spark, sf_dir):
+    """q123's scale contract: the k-NN join is ONE Arrow map stage plus
+    the contract-required output sort — no join operator (the n x n
+    pairing lives inside the matmul), no window, no aggregate."""
+    plan = _plan(all_queries()["q123"].fn(spark, sf_dir))
+    assert "MapInPandas" in plan, plan
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+               "CartesianProduct", "BroadcastNestedLoopJoin", "Window",
+               "HashAggregate"):
+        assert op not in plan, op
+
+
+def test_q126_split_is_shuffle_free_scan(spark, sf_dir):
+    """q126's split assignment is pure per-row arithmetic: no join, no
+    aggregate, no window — the only exchange is the final contract sort,
+    and pruning reaches the scan (text is never read)."""
+    df = all_queries()["q126"].fn(spark, sf_dir)
+    plan = _plan(df)
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+               "HashAggregate", "Window"):
+        assert op not in plan, op
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "doc_id" in read and "source" in read and "text" not in read

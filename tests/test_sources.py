@@ -72,3 +72,30 @@ def test_q03b_orc_roundtrip(spark, sf_dir, tmp_path):
     assert back.schema == nation.schema
     assert back.exceptAll(nation).count() == 0
     assert nation.exceptAll(back).count() == 0
+
+
+def test_q03b_xml_roundtrip(spark, sf_dir, tmp_path):
+    """Spark 4's built-in XML source (no external package) round-trips a
+    dimension table with an explicit schema. Avro, by contrast, is NOT
+    exercisable here: spark-avro is an external data source module and
+    its jar is not in this container (only avro-core ships with
+    pyspark), so `.format("avro")` raises FAILED_TO_FIND_DATA_SOURCE —
+    the same environment-blocked class as the Kafka connector."""
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    out = str(tmp_path / "nation_xml")
+    (
+        nation.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .save(out)
+    )
+    back = (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .format("xml")
+        .option("rowTag", "nation")
+        .load(out)
+    )
+    assert back.count() == nation.count()
+    assert back.exceptAll(nation).count() == 0
+    assert nation.exceptAll(back).count() == 0

@@ -332,3 +332,58 @@ def test_incremental_dedup_stream_static(spark, tmp_path):
         ).collect()
     )
     assert len(batch_got) == 3 and 10 not in batch_got
+
+
+def test_incremental_decontaminate_stream_static(spark, tmp_path):
+    """Ingest-time benchmark decontamination: an incoming doc sharing any
+    word-5-gram with the eval set is dropped by the stream-static
+    nested-loop anti join; clean docs pass through; sub-5-word docs are
+    never spuriously matched. The batch path produces identical output."""
+    from hive_hw_spark.queries.llm_ops import incremental_decontaminate
+
+    ev = spark.createDataFrame(
+        [(100, "ev", "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, source string, text string",
+    )
+    t0 = time.time() - 1000
+    src = str(tmp_path / "incoming_decon")
+    _write_batch(
+        src,
+        "b1.json",
+        [
+            # contains eval 5-gram "quick brown fox jumps over"
+            {"doc_id": 20, "text": "a quick brown fox jumps over again"},
+            {"doc_id": 21, "text": "totally unrelated clean document text here"},
+        ],
+        t0,
+    )
+    _write_batch(
+        src,
+        "b2.json",
+        [
+            {"doc_id": 22, "text": "short doc"},  # < 5 words: no grams
+            # suffix overlap "over the lazy dog" is only 4 words: clean
+            {"doc_id": 23, "text": "hops over the lazy dog"},
+        ],
+        t0 + 10,
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    out = incremental_decontaminate(stream, ev)
+    _run_available_now(
+        out.writeStream.format("memory")
+        .queryName("incr_decon_sink")
+        .outputMode("append")
+    )
+    got = sorted(r.doc_id for r in spark.table("incr_decon_sink").collect())
+    assert got == [21, 22, 23]
+    batch_got = sorted(
+        r.doc_id
+        for r in incremental_decontaminate(
+            spark.read.schema("doc_id long, text string").json(src), ev
+        ).collect()
+    )
+    assert batch_got == got
