@@ -96,7 +96,9 @@ _ATTESTED = frozenset(
 # They outrank stale re-confirmations for the sweep's 50 slots: a
 # never-checked query missing the sweep is a bigger evidence gap than a
 # previously-green one waiting an extra round for re-confirmation.
-_NEVER_CHECKED = frozenset({"q123", "q124", "q125", "q126"})
+_NEVER_CHECKED = frozenset(
+    {"q123", "q124", "q125", "q126", "q127", "q128"}
+)
 
 
 def _load() -> None:

@@ -418,3 +418,44 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+@register(
+    "q128",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+           COUNT(*) AS n,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
+    """,
+    doc="Arbitrary GROUPING SETS (B-C extension; the general form Q33's "
+    "ROLLUP and Q34's CUBE specialize): an explicit set list — "
+    "(rf, ls), (rf), () — via Spark 4's DataFrame groupingSets API, "
+    "GROUPING() disambiguating real NULLs from set placeholders, exact "
+    "DECIMAL quantity sums. Same partial+final hash-agg shape as "
+    "ROLLUP: one scan, the expand node fans each row into its member "
+    "sets map-side.",
+)
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_rf", "g_ls", "n", "sum_qty"
+        )
+        .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
+    )

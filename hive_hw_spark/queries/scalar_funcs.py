@@ -398,3 +398,53 @@ def q67b(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "doubled", "renamed_key", "n_entries")
         .orderBy("event_id", "renamed_key")
     )
+
+
+@register(
+    "q127",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(MIN(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_min,
+           CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_max,
+           ROUND(SUM(CAST(props->>'k' AS BIGINT))::DOUBLE / COUNT(*), 4)
+             AS k_avg,
+           CAST(COUNT(*) FILTER (WHERE props->>'missing' IS NOT NULL)
+                AS BIGINT) AS n_has_missing
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Semi-structured props via Spark 4 VARIANT (B-H extension; the "
+    "modern form of q68's string-JSON family): parse_json once per row "
+    "into the binary variant encoding, then typed variant_get path "
+    "extraction feeds a plain hash agg — min/max/sum/avg of $.k per "
+    "event type, plus a path-miss probe ($.missing is NULL, never an "
+    "error). Scale shape: variant decode + extraction are per-row JVM "
+    "expressions (no Python, no shuffle beyond the agg); at 100 TB "
+    "variant beats repeated get_json_object string re-parses because "
+    "the JSON parses ONCE regardless of how many paths are read. "
+    "DuckDB oracle reads the same paths with ->> JSON extraction; "
+    "integer k keeps every aggregate exact (avg = exact-int sum / "
+    "count, rounded identically).",
+)
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.withColumn("v", F.parse_json("props")).withColumn(
+        "k", F.variant_get("v", "$.k", "long")
+    ).withColumn("miss", F.variant_get("v", "$.missing", "string"))
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.round(
+                F.sum("k").cast("double") / F.count(F.lit(1)), 4
+            ).alias("k_avg"),
+            F.count("miss").alias("n_has_missing"),
+        )
+        .orderBy("event_type")
+    )
