@@ -459,3 +459,56 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
     )
+
+
+@register(
+    "q130",
+    oracle="""
+    WITH c AS (
+      SELECT user_id,
+             date_trunc('week', MIN(ts)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    a AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT CAST(c.cohort AS VARCHAR) AS cohort_week,
+           CAST(date_diff('day', c.cohort, a.wk) // 7 AS BIGINT)
+             AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM a JOIN c USING (user_id)
+    GROUP BY c.cohort, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    doc="Weekly retention cohorts (B-C extension; the second "
+    "behavioral-analytics staple): cohort = ISO week of each user's "
+    "first event, cells = distinct users from that cohort active in "
+    "each later week. Scale shape: both the first-event agg and the "
+    "distinct (user, week) set shuffle on user_id — the SAME key, so "
+    "the cohort join is co-partitioned (no third shuffle of the fact "
+    "data); the output is |cohorts| x |weeks|, tiny by construction. "
+    "Cohort emitted as a string (DATE-typed outputs diverge between "
+    "pandas engines — contract rule).",
+)
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    c = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    a = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    return (
+        a.join(c, "user_id")
+        .select(
+            F.col("cohort").cast("date").cast("string").alias(
+                "cohort_week"
+            ),
+            (F.datediff("wk", "cohort") / 7).cast("bigint").alias(
+                "week_offset"
+            ),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -265,3 +265,83 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "q129",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, event_type, ts, event_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS seen_view
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, event_type, ts, event_id, seen_view,
+             MAX(CASE WHEN event_type = 'click'
+                       AND COALESCE(seen_view, 0) = 1
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS seen_qclick
+      FROM f
+    ),
+    u AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+             MAX(CASE WHEN event_type = 'click'
+                       AND COALESCE(seen_view, 0) = 1
+                      THEN 1 ELSE 0 END) AS vc,
+             MAX(CASE WHEN event_type = 'purchase'
+                       AND COALESCE(seen_qclick, 0) = 1
+                      THEN 1 ELSE 0 END) AS vcp
+      FROM g GROUP BY user_id
+    )
+    SELECT CAST(SUM(v) AS BIGINT) AS n_view,
+           CAST(SUM(vc) AS BIGINT) AS n_view_click,
+           CAST(SUM(vcp) AS BIGINT) AS n_view_click_purchase
+    FROM u
+    """,
+    doc="Event funnel with STRICT ordering (B-E extension; the "
+    "behavioral-analytics staple): users who viewed, then clicked "
+    "strictly after a view, then purchased strictly after such a "
+    "click — order enforced by cumulative seen-flags over a "
+    "ROWS ... 1 PRECEDING frame (deterministic: unique (ts, event_id) "
+    "sort key), NOT by mere per-type presence. Scale shape: ONE "
+    "shuffle on user_id serves both window levels and the final "
+    "per-user collapse (same partitioning reused across stages); the "
+    "3-number result then reduces map-side. No self-joins of the "
+    "event table (the naive funnel is a k-way self-join).",
+)
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_view = F.when(F.col("event_type") == "view", 1).otherwise(0)
+    f = ev.withColumn("seen_view", F.max(is_view).over(prev))
+    qclick = F.when(
+        (F.col("event_type") == "click")
+        & (F.coalesce(F.col("seen_view"), F.lit(0)) == 1),
+        1,
+    ).otherwise(0)
+    g = f.withColumn("seen_qclick", F.max(qclick).over(prev))
+    qpurchase = F.when(
+        (F.col("event_type") == "purchase")
+        & (F.coalesce(F.col("seen_qclick"), F.lit(0)) == 1),
+        1,
+    ).otherwise(0)
+    u = g.groupBy("user_id").agg(
+        F.max(is_view).alias("v"),
+        F.max(qclick).alias("vc"),
+        F.max(qpurchase).alias("vcp"),
+    )
+    return u.agg(
+        F.sum("v").alias("n_view"),
+        F.sum("vc").alias("n_view_click"),
+        F.sum("vcp").alias("n_view_click_purchase"),
+    )

@@ -254,3 +254,16 @@ def test_q126_split_is_shuffle_free_scan(spark, sf_dir):
         assert op not in plan, op
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "doc_id" in read and "source" in read and "text" not in read
+
+
+def test_q129_funnel_windows_partitioned_no_self_join(spark, sf_dir):
+    """q129's funnel: both seen-flag windows stay partitioned by
+    user_id (never a global pass over events), and the plan contains NO
+    join — the naive funnel is a k-way self-join of the event table."""
+    df = all_queries()["q129"].fn(spark, sf_dir)
+    assert not _unpartitioned_windows(df), "funnel window lost its partition"
+    plan = _plan(df)
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+               "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, op
+    assert plan.count("Window") >= 1
