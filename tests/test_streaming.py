@@ -387,3 +387,50 @@ def test_incremental_decontaminate_stream_static(spark, tmp_path):
         ).collect()
     )
     assert batch_got == got
+
+
+def test_q76b_idempotent_foreachbatch_sink(spark, tmp_path):
+    """Exactly-once delivery from an at-least-once engine: foreachBatch
+    writes each micro-batch to a batch_id-keyed directory with overwrite
+    mode, so REPLAYING a batch (what Structured Streaming does after a
+    failure between sink write and offset commit) lands on the same path
+    and replaces, never duplicates. This is the documented production
+    pattern for non-transactional sinks (the alternative being a sink
+    with native batchId-transactional commit)."""
+    src = str(tmp_path / "incoming_idem")
+    out = str(tmp_path / "idem_out")
+    t0 = time.time() - 1000
+    _write_batch(
+        src, "b1.json",
+        [{"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1, "value": 1.0},
+         {"event_id": 2, "ts": "2024-01-01 10:01:00", "user_id": 1, "value": 2.0}],
+        t0,
+    )
+    _write_batch(
+        src, "b2.json",
+        [{"event_id": 3, "ts": "2024-01-01 10:02:00", "user_id": 2, "value": 3.0}],
+        t0 + 10,
+    )
+
+    replayed = {}
+
+    def sink(batch_df, batch_id):
+        batch_df.persist()
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+        # simulate the post-crash replay of the SAME micro-batch: a second
+        # delivery must overwrite, not append
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+        replayed[batch_id] = batch_df.count()
+        batch_df.unpersist()
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    _run_available_now(stream.writeStream.foreachBatch(sink))
+
+    back = spark.read.parquet(out)
+    ids = sorted(r.event_id for r in back.collect())
+    assert ids == [1, 2, 3], f"replay duplicated or lost rows: {ids}"
+    assert sum(replayed.values()) == 3 and len(replayed) == 2
