@@ -101,9 +101,12 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window over price order, one join back: O(n log n), two shuffles, "
     "no pair expansion. A point is dominated iff a strictly cheaper "
     "group reaches its size, or its own price group exceeds it. The "
-    "prefix-max window is global but runs over DISTINCT PRICES — a "
-    "bounded domain (retail prices have finite granularity), not the "
-    "part table; at 100 TB it is the q41-style pre-aggregated case.",
+    "prefix-max is computed DISTRIBUTED even over the distinct-price "
+    "domain: q45's percentile-bucket two-phase pattern — within-bucket "
+    "prefix max (window partitioned by a pure-function-of-price bucket) "
+    "plus a strictly-earlier-bucket carry-in from the tiny per-bucket "
+    "summary — so no unbounded global window exists even if the "
+    "measure's distinct domain is fact-sized.",
 )
 def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select(
@@ -112,12 +115,54 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").alias("size"),
     )
     grp = p.groupBy("price").agg(F.max("size").alias("grp_max"))
-    wg = Window.orderBy("price").rowsBetween(
-        Window.unboundedPreceding, -1
+    # bucket bounds: exact percentiles of a deterministic hash sample —
+    # bucket is a pure function of price, so every plan branch agrees
+    # (q45's rationale; repartitionByRange boundaries are not
+    # replay-stable). Empty sample → bkt 0 everywhere → one bucket,
+    # which degrades to the single-window case, still correct.
+    qs = ", ".join(str(round((i + 1) / 8, 6)) for i in range(7))
+    bounds = (
+        p.filter(F.pmod(F.xxhash64("p_partkey"), F.lit(100)) < 10)
+        .agg(F.expr(f"percentile(price, array({qs}))").alias("bs"))
     )
-    grp = grp.withColumn("prefix_max", F.max("grp_max").over(wg))
+    loc = (
+        grp.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bkt",
+            F.expr("size(filter(coalesce(bs, array()), x -> x < price))"),
+        )
+        .drop("bs")
+    )
+    # within-bucket prefix max over strictly-lower prices (prices are
+    # unique rows here, so ROWS ... -1 == strictly lower)
+    wb = (
+        Window.partitionBy("bkt")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    loc = loc.withColumn("local_prefix", F.max("grp_max").over(wb))
+    # carry-in: max over all strictly earlier buckets (per-bucket summary
+    # is <= 8 rows; non-foldable constant partition key, q45's idiom)
+    wall = (
+        Window.partitionBy(F.pmod(F.col("bkt"), F.lit(1)))
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        loc.groupBy("bkt")
+        .agg(F.max("grp_max").alias("bmax"))
+        .withColumn("carry", F.max("bmax").over(wall))
+        .select("bkt", "carry")
+    )
+    grp2 = loc.join(F.broadcast(carry), "bkt").withColumn(
+        "prefix_max",
+        F.greatest(
+            F.coalesce(F.col("local_prefix"), F.lit(-1)),
+            F.coalesce(F.col("carry"), F.lit(-1)),
+        ),
+    )
     return (
-        p.join(grp, "price")
+        p.join(grp2, "price")
         .filter(
             ~(
                 (F.coalesce(F.col("prefix_max"), F.lit(-1)) >= F.col("size"))

@@ -7,12 +7,13 @@ gap between consecutive hourly readings of one node).
 
 Scale notes: every query here shuffles ONCE on its partition key
 (user_id / o_custkey) and sorts within partitions — the optimal physical
-shape for window functions. Q41's global rank is inherently a
-single-ordered-pass operator; at 100 TB it runs over the (tiny)
-pre-aggregated per-customer totals, not the fact table, so the global sort
-input is |customers|, not |orders|. Running sums use exact DECIMAL
-accumulators so results are independent of partition/merge order
-(queries/_util.py rationale).
+shape for window functions. Q41's rank runs over the pre-aggregated
+per-customer totals (never the fact table) AND is two-phase distributed
+(percentile-bucket local ranks + higher-bucket offsets; ties cannot span
+buckets because the bucket is a pure function of the ranked value), so no
+global single-task window exists anywhere in the family. Running sums use
+exact DECIMAL accumulators so results are independent of partition/merge
+order (queries/_util.py rationale).
 """
 
 from __future__ import annotations
@@ -57,22 +58,70 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
            DENSE_RANK() OVER (ORDER BY total DESC) AS drnk
     FROM t ORDER BY rnk, o_custkey
     """,
-    doc="rank/dense_rank of customers by total spend. The rank input is the "
-    "per-customer aggregate (150 rows at sf1e-2, ~10M at 100 TB) — the "
-    "global sort never sees the fact table.",
+    doc="rank/dense_rank of customers by total spend, computed "
+    "DISTRIBUTED: the rank input is the per-customer aggregate (~10M "
+    "rows at 100 TB — survivable globally, but not free), so the "
+    "global window is replaced by q45's percentile-bucket two-phase "
+    "pattern. Buckets are a pure function of the ranked value, so TIES "
+    "NEVER SPAN BUCKETS — within-bucket rank()/dense_rank() plus "
+    "higher-bucket row/distinct-count offsets reproduce the global "
+    "semantics exactly. Empty sample degrades to one bucket (the old "
+    "single global window), still correct.",
 )
 def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     totals = o.groupBy("o_custkey").agg(
         F.round(F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 2).alias("total")
     )
-    w = Window.orderBy(F.col("total").desc())
+    qs = ", ".join(str(round((i + 1) / 8, 6)) for i in range(7))
+    bounds = (
+        o.filter(F.pmod(F.xxhash64("o_custkey"), F.lit(100)) < 10)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 2
+            ).alias("total")
+        )
+        .agg(F.expr(f"percentile(total, array({qs}))").alias("bs"))
+    )
+    loc = (
+        totals.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bkt",
+            F.expr("size(filter(coalesce(bs, array()), x -> x < total))"),
+        )
+        .drop("bs")
+    )
+    wb = Window.partitionBy("bkt").orderBy(F.col("total").desc())
+    loc = loc.withColumn("rnk_l", F.rank().over(wb)).withColumn(
+        "drnk_l", F.dense_rank().over(wb)
+    )
+    # offsets from STRICTLY higher buckets (higher bkt = higher totals =
+    # earlier ranks); <= 8 summary rows, non-foldable constant key
+    wall = (
+        Window.partitionBy(F.pmod(F.col("bkt"), F.lit(1)))
+        .orderBy(F.col("bkt").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        loc.groupBy("bkt")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("total").alias("dcnt"),
+        )
+        .select(
+            "bkt",
+            F.coalesce(F.sum("cnt").over(wall), F.lit(0)).alias("off"),
+            F.coalesce(F.sum("dcnt").over(wall), F.lit(0)).alias("doff"),
+        )
+    )
     return (
-        totals.select(
+        loc.join(F.broadcast(offs), "bkt")
+        .select(
             "o_custkey",
             "total",
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
+            (F.col("off") + F.col("rnk_l")).alias("rnk"),
+            (F.col("doff") + F.col("drnk_l")).alias("drnk"),
         )
         .orderBy("rnk", "o_custkey")
     )

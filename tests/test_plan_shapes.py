@@ -157,21 +157,24 @@ def test_q45_q97_q108_no_unpartitioned_fact_windows(spark, sf_dir):
     partition spec — every window either partitions by a real key or by
     the non-foldable constant over an input bounded elsewhere (boundary
     tables, LIMIT 100)."""
-    for name in ("q45", "q97", "q108"):
+    for name in ("q45", "q53", "q97", "q108"):
         bad = _unpartitioned_windows(all_queries()[name].fn(spark, sf_dir))
         assert not bad, f"{name} has unpartitioned window specs: {bad}"
 
 
-def test_q41_global_rank_is_preaggregated(spark, sf_dir):
-    """q41's global rank IS an unpartitioned window by design — but its
-    input must stay the pre-aggregated per-customer totals (an
-    aggregate below the window), never the raw fact table."""
+def test_q41_rank_is_distributed_and_preaggregated(spark, sf_dir):
+    """q41's rank is two-phase distributed (round-6 hardening): every
+    window partitions (by bucket, or the non-foldable constant over the
+    tiny bucket summary) — no global unpartitioned window remains — and
+    the rank input stays the pre-aggregated per-customer totals (an
+    aggregate below every window), never the raw fact table."""
     df = all_queries()["q41"].fn(spark, sf_dir)
-    assert _unpartitioned_windows(df), "q41 should have the documented global window"
+    bad = _unpartitioned_windows(df)
+    assert not bad, f"q41 still has unpartitioned window specs: {bad}"
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    agg_pos = plan.find("Aggregate")
     win_pos = plan.find("Window")
-    assert 0 <= win_pos < agg_pos, "aggregate must sit below the window"
+    agg_pos = plan.rfind("Aggregate")
+    assert 0 <= win_pos < agg_pos, "aggregate must sit below the windows"
 
 
 def test_q117_both_joins_broadcast(spark, sf_dir):
