@@ -1519,6 +1519,30 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cms_hashes(depth: int = 4, width: int = 1024) -> F.Column:
+    """Per-word (j, b) cell coordinates for the count-min sketch."""
+    return F.expr(
+        f"transform(sequence(0, {depth - 1}),"
+        f" j -> named_struct('j', j, 'b', pmod(xxhash64(word, j), {width})))"
+    )
+
+
+def cms_counters(
+    words: DataFrame, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min counter rows (j, b, c) over a ``word`` column — ONE
+    map-side-combinable hash agg, ≤ depth×width rows shuffled regardless
+    of corpus size. MERGEABLE: counters built on disjoint corpus shards
+    SUM per (j, b) cell to exactly the whole-corpus sketch — the algebra
+    that makes the sketch a distributed/streaming summary (tested in
+    tests/test_llm_ops.py)."""
+    return (
+        words.select(F.explode(cms_hashes(depth, width)).alias("hb"))
+        .groupBy(F.col("hb.j").alias("j"), F.col("hb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 @register(
     "q111",
     oracle=None,  # sketch estimates have no SQL mirror (xxhash64 is Spark-side);
@@ -1540,15 +1564,8 @@ def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
         .filter(F.col("word") != "")
     )
-    hashes = F.expr(
-        f"transform(sequence(0, {D - 1}),"
-        f" j -> named_struct('j', j, 'b', pmod(xxhash64(word, j), {W})))"
-    )
-    sketch = (
-        tok.select(F.explode(hashes).alias("hb"))
-        .groupBy(F.col("hb.j").alias("j"), F.col("hb.b").alias("b"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    hashes = cms_hashes(D, W)
+    sketch = cms_counters(tok, D, W)
     top = (
         tok.groupBy("word")
         .agg(F.count(F.lit(1)).alias("n_exact"))

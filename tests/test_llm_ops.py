@@ -519,3 +519,33 @@ def test_q122_pipeline_every_stage_bites(spark, sf_dir):
     )
     assert set(out.doc_id) <= clean
     assert len(clean) < 475  # 500 - 25 eval docs - at least one contaminated
+
+
+def test_cms_sketch_merges_across_shards(spark, sf_dir):
+    """Count-min counters are a MERGEABLE summary: sketches built on
+    disjoint corpus shards, summed cell-wise, equal the whole-corpus
+    sketch exactly — the algebra that lets 1000 executors (or daily
+    streaming increments) each sketch locally and combine by addition."""
+    from pyspark.sql import functions as F
+
+    from hive_hw_spark.queries.llm_ops import cms_counters
+
+    tok = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    whole = cms_counters(tok.select("word"))
+    shard_a = cms_counters(tok.filter("doc_id % 2 = 0").select("word"))
+    shard_b = cms_counters(tok.filter("doc_id % 2 = 1").select("word"))
+    merged = (
+        shard_a.unionByName(shard_b)
+        .groupBy("j", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+    assert whole.count() > 0
