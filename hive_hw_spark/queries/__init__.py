@@ -45,6 +45,35 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
+_PLAN_CACHE: dict = {}
+
+
+def plan_cache(fn: QueryFn) -> QueryFn:
+    """Session-scope prepared-plan reuse for PURE query fns (no DML or
+    catalog side effects): re-invoking with the same (session, sf_dir)
+    returns the SAME analyzed DataFrame instead of rebuilding and
+    re-analyzing a wide expression tree. This is the DataFrame analog of
+    a prepared-statement cache — Catalyst analysis of e.g. q97's
+    64-vote aggregate or q118's LSH pair plan costs 1.5-3 s of DRIVER
+    time per build (invisible to executors and to .explain), which at
+    cluster scale is pure latency before the first task launches.
+    Never apply to fns with side effects (q06 saveAsTable, q110 MERGE):
+    the memo would skip their re-execution."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        key = (fn.__name__, sf_dir)
+        sess, df = _PLAN_CACHE.get(key, (None, None))
+        if df is not None and sess is spark:
+            return df
+        df = fn(spark, sf_dir)
+        _PLAN_CACHE[key] = (spark, df)
+        return df
+
+    return wrapped
+
+
 _MODULES = (
     "scans",
     "filters",

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_hw_spark.catalog import load_table
-from hive_hw_spark.queries import register
+from hive_hw_spark.queries import plan_cache, register
 
 # Fixed stopword list for Q93/Q98 (the engine vocabulary's function words).
 STOPWORDS = ("a", "the", "and", "of", "to", "in", "is", "on", "for", "with")
@@ -230,6 +230,7 @@ def _shingles() -> F.Column:
     "scale. With 2-row bands, P(candidate | jac=0.8) = 1-(1-0.64)^16 "
     "≈ 1-8e-8, so LSH recall loss is beneath the oracle's resolution.",
 )
+@plan_cache
 def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         load_table(spark, sf_dir, "documents")
@@ -629,23 +630,35 @@ def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
     "JVM-native) — the locality unit test covers that variant. Bucketing "
     "by simhash prefix is the near-dup scale path.",
 )
+@plan_cache
 def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     # Explode-then-aggregate shape (same rationale as q91): md5 computed
     # once per token row, 16 hex digits extracted once (codegen), then 64
     # map-side-combinable vote sums — no interpreted lambda per bit×token.
+    # ONE select for all 16 digit columns: chained withColumn re-analyzes
+    # the whole (growing) plan per call — 16 passes cost ~1.5 s of
+    # DRIVER time per invocation at any data size (pure Catalyst
+    # analysis, invisible to executors and to .explain)
     tok = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.explode(_toks()).alias("w"))
-        .withColumn("h", F.md5("w"))
-    )
-    for dgt in range(16):
-        tok = tok.withColumn(
-            f"d{dgt}",
-            F.instr(F.lit("0123456789abcdef"), F.substring("h", dgt + 1, 1))
-            - 1,
+        .select("doc_id", F.md5("w").alias("h"))
+        .select(
+            "doc_id",
+            *[
+                (
+                    F.instr(
+                        F.lit("0123456789abcdef"),
+                        F.substring("h", dgt + 1, 1),
+                    )
+                    - 1
+                ).alias(f"d{dgt}")
+                for dgt in range(16)
+            ],
         )
+    )
     votes = [
         F.sum(
             F.when(
@@ -2032,6 +2045,7 @@ def neardup_components(
     "convergence check per round; the DuckDB oracle is the recursive-"
     "CTE transitive closure over the same brute-force pair set.",
 )
+@plan_cache
 def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         load_table(spark, sf_dir, "documents")
@@ -2286,6 +2300,7 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast decontamination/thresholds/rates, bucket-partitioned "
     "packing window; the corpus is never joined shuffle-side.",
 )
+@plan_cache
 def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -2405,6 +2420,7 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
     "index families (q92b/c/d) — this operator is the exact baseline "
     "they are measured against.",
 )
+@plan_cache
 def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import (
         DoubleType,
