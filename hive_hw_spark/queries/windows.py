@@ -69,19 +69,24 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     "single global window), still correct.",
 )
 def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
     o = load_table(spark, sf_dir, "orders")
-    totals = o.groupBy("o_custkey").agg(
-        F.round(F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 2).alias("total")
-    )
-    qs = ", ".join(str(round((i + 1) / 8, 6)) for i in range(7))
-    bounds = (
-        o.filter(F.pmod(F.xxhash64("o_custkey"), F.lit(100)) < 10)
-        .groupBy("o_custkey")
-        .agg(
+    # persisted: BOTH the bounds sample and the bucketed rank consume the
+    # per-customer totals — without the persist each branch re-scans and
+    # re-aggregates the orders fact (exchange reuse is unreliable across
+    # branches under AQE, the q91/q97 lesson)
+    totals = _managed_persist(
+        "q41_totals",
+        o.groupBy("o_custkey").agg(
             F.round(
                 F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 2
             ).alias("total")
-        )
+        ),
+    )
+    qs = ", ".join(str(round((i + 1) / 8, 6)) for i in range(7))
+    bounds = (
+        totals.filter(F.pmod(F.xxhash64("o_custkey"), F.lit(100)) < 10)
         .agg(F.expr(f"percentile(total, array({qs}))").alias("bs"))
     )
     loc = (
