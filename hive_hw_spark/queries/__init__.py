@@ -126,7 +126,7 @@ _ATTESTED = frozenset(
 # never-checked query missing the sweep is a bigger evidence gap than a
 # previously-green one waiting an extra round for re-confirmation.
 _NEVER_CHECKED = frozenset(
-    {"q123", "q124", "q125", "q126", "q127", "q128", "q129", "q130"}
+    {"q123", "q124", "q125", "q126", "q127", "q128", "q129", "q130", "q131"}
 )
 
 

@@ -247,3 +247,51 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "signup_ts")
         .orderBy("event_id")
     )
+
+
+@register(
+    "q131",
+    oracle="""
+    WITH RECURSIVE chain(s_suppkey, ancestor, depth) AS (
+      SELECT s_suppkey, s_suppkey // 10 AS ancestor, 1 AS depth
+      FROM supplier
+      UNION ALL
+      SELECT c.s_suppkey, c.ancestor // 10, c.depth + 1
+      FROM chain c WHERE c.ancestor > 0
+    )
+    SELECT s_suppkey, CAST(ancestor AS BIGINT) AS ancestor,
+           CAST(depth AS BIGINT) AS depth
+    FROM chain ORDER BY s_suppkey, depth
+    """,
+    doc="Hierarchy traversal via Spark 4's native WITH RECURSIVE (B-B "
+    "extension; the org-chart / bill-of-materials staple): each "
+    "supplier's ancestor chain under the deterministic parent rule "
+    "parent = key DIV 10 (an acyclic tree of depth <= 5 over this "
+    "keyspace), expanded to the root with per-hop depth. Engine "
+    "constraint honored: Spark's recursive CTEs support UNION ALL "
+    "only, so this operator targets ACYCLIC hierarchies — cyclic "
+    "transitive closure (near-dup reachability) uses the "
+    "neardup_components label-propagation loop instead, which "
+    "converges on cycles (q118's docstring contrasts the two). Scale "
+    "shape: each iteration is one filter+project over the frontier "
+    "rows only (no re-join against the full table), depth-bounded; "
+    "the identical SQL text runs on the DuckDB oracle.",
+)
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "supplier_q131"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(s_suppkey, ancestor, depth) AS (
+          SELECT s_suppkey, s_suppkey DIV 10 AS ancestor, 1 AS depth
+          FROM supplier_q131
+          UNION ALL
+          SELECT c.s_suppkey, c.ancestor DIV 10, c.depth + 1
+          FROM chain c WHERE c.ancestor > 0
+        )
+        SELECT s_suppkey, CAST(ancestor AS BIGINT) AS ancestor,
+               CAST(depth AS BIGINT) AS depth
+        FROM chain ORDER BY s_suppkey, depth
+        """
+    )
