@@ -19,8 +19,13 @@ from hive_hw_spark.queries import all_queries, oracle_sqls, query_fns  # noqa: E
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return all_queries()["q30"].fn(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    q122 is the end-to-end training-corpus pipeline: MinHash/LSH
+    near-dup cluster representatives -> benchmark decontamination ->
+    per-language quality floor -> mixture rebalance -> sequence packing
+    (every stage an individually oracle-attested operator)."""
+    return all_queries()["q122"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
