@@ -52,6 +52,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     wall-clock values match DuckDB's naive reads either way.
     """
     if name == "events":
+        # The two physical layouts only agree under a UTC session tz:
+        # the nanos branch is epoch-anchored (timestamp_micros) while
+        # the micros branch preserves wall clock (NTZ→timestamp cast),
+        # and DuckDB's oracle read is naive. Pin it HERE — the driver
+        # builds its own vanilla session, so a pin that lives only in
+        # get_spark() would not exist on the session actually queried.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         return decode_event_ts(df)
@@ -81,6 +88,36 @@ def register_tables(
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def reap_stale_session_dirs(root: str, prefix: str, app_id: str) -> int:
+    """Remove sibling artifact dirs left by EARLIER sessions.
+
+    Per-session artifact dirs (q110 merge targets, q78 rollups) embed the
+    creating session's applicationId, which for local masters embeds the
+    session's start epoch (``local<epoch_ms>``). A dir whose embedded
+    epoch predates THIS session's start belongs to a finished session —
+    nothing can still hold live results over it — so it is reaped; the
+    current session's dirs (and any later/concurrent session's) are kept.
+    Without this, every pytest/drive/bench process leaves one dir behind
+    forever (15 had accumulated by round 6). Local filesystem only: on an
+    object store, lifecycle rules own artifact retention."""
+    import re
+    import shutil
+
+    m = re.search(r"(\d{10,})", app_id)
+    if m is None or not os.path.isdir(root):
+        return 0
+    cur_epoch = int(m.group(1))
+    reaped = 0
+    for entry in os.listdir(root):
+        if not entry.startswith(prefix):
+            continue
+        dm = re.search(r"(\d{10,})", entry)
+        if dm and int(dm.group(1)) < cur_epoch:
+            shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+            reaped += 1
+    return reaped
 
 
 def save_as_catalog_table(

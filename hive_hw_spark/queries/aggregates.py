@@ -211,6 +211,52 @@ def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q38",
+    oracle="""
+    WITH s AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(30,10))) AS qty
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_supp,
+           ROUND(CAST(MIN(qty) AS DOUBLE), 2) AS min_qty,
+           ROUND(CAST(MAX(qty) AS DOUBLE), 2) AS max_qty,
+           ROUND(CAST(SUM(qty) AS DOUBLE), 2) AS sum_qty,
+           ROUND(CAST(SUM(qty) / COUNT(*) AS DOUBLE), 4) AS avg_qty
+    FROM s ORDER BY n_supp
+    """,
+    doc="Aggregate-of-aggregate: per-supplier exact-decimal quantity "
+    "sums re-aggregated into corpus stats. This is the rows-checkable "
+    "twin of the q38 plan assertion (tests/test_plan_shapes.py::"
+    "test_q38_partial_final_agg): a high-cardinality inner group-by "
+    "whose partial/final combine is load-bearing — a wrong map-side "
+    "combine shifts every output value — followed by a single-row "
+    "reduction, the slave-side pre-average / master-side gather split "
+    "(A13, slave.ino:141, master.ino:151-169) as a checkable result "
+    "rather than a plan grep.",
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries._util import DEC
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("qty")
+    )
+    return (
+        s.agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.round(F.min("qty").cast("double"), 2).alias("min_qty"),
+            F.round(F.max("qty").cast("double"), 2).alias("max_qty"),
+            F.round(F.sum("qty").cast("double"), 2).alias("sum_qty"),
+            F.round(
+                (F.sum("qty") / F.count(F.lit(1))).cast("double"), 4
+            ).alias("avg_qty"),
+        )
+        .orderBy("n_supp")
+    )
+
+
+@register(
     "q39",
     oracle=f"""
     SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue

@@ -74,6 +74,18 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sfh = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
     tname = f"q110_target_{sid}_{sfh}"
+    # reap earlier sessions' target/staging locations before creating this
+    # session's: the per-session naming isolates concurrent sessions but
+    # would otherwise accumulate one orphan dir per process forever
+    from hive_hw_spark.catalog import reap_stale_session_dirs
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith("file:"):
+        reap_stale_session_dirs(
+            warehouse.removeprefix("file:"),
+            "q110_target_",
+            spark.sparkContext.applicationId,
+        )
     c.write.mode("overwrite").saveAsTable(tname)
     upd = c.filter(F.col("c_custkey") % 10 == 0).withColumn(
         "c_acctbal",

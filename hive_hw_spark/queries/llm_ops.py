@@ -41,14 +41,44 @@ def _toks(col: str = "text") -> F.Column:
     return F.split(F.col(col), " ")
 
 
-_PERSIST_CACHE: dict[str, DataFrame] = {}
+_PERSIST_CACHE: dict[str, tuple[str | None, DataFrame]] = {}
 
-# (docs_semantic_hash, pairs_semantic_hash) -> (session, labels frame).
+# (docs_plan_key, pairs_plan_key) -> (session, labels frame).
 # Connected-components results are checkpoint-backed, so the CacheManager
 # can never match them by plan; this session-scope memo is the only way a
 # re-invocation (bench min-of-2, q118-then-q122) reuses the converged
 # labels instead of re-running the whole propagation loop.
 _COMPONENT_CACHE: dict = {}
+
+
+def _plan_key(df: DataFrame) -> str | None:
+    """Collision-proof plan identity for session-scope memos: sha256 of
+    the CANONICALIZED analyzed plan string (expression ids normalized,
+    so the key is stable across rebuilds of the same logical query —
+    the same normalization ``semanticHash`` hashes, kept as the full
+    string because a 32-bit hash colliding between two different plans
+    in one session would silently serve wrong cached results) PLUS the
+    plan's input files. The files matter: the canonicalized string
+    RENDERS relations without their location (``Relation [none#0L,...]
+    parquet``), so the same query shape over sf0.001 and sf0.01 would
+    otherwise collide — exactly the drive.py sequence (entry smoke at
+    sf0.001, sweep at sf0.01), caught when the sweep's q118 was served
+    the smoke run's cluster labels. ``semanticHash`` rides along for the
+    identity the string AND the file list both miss: checkpoint-backed
+    plans (LogicalRDD) have no input files and render pathless, but
+    their RDD id reaches the hash — reuse across two different
+    checkpoints must never fire. A false cache hit now needs all three
+    components to agree. ``None`` (never cache-hit) when the plan
+    identity is unavailable."""
+    import hashlib
+
+    try:
+        s = df._jdf.queryExecution().analyzed().canonicalized().toString()
+        files = "\n".join(sorted(df.inputFiles()))
+        sh = df.semanticHash()
+        return hashlib.sha256(f"{s}\x00{files}\x00{sh}".encode()).hexdigest()
+    except Exception:
+        return None
 
 
 def _managed_persist(key: str, df: DataFrame) -> DataFrame:
@@ -62,15 +92,16 @@ def _managed_persist(key: str, df: DataFrame) -> DataFrame:
     recomputes."""
     from pyspark import StorageLevel
 
-    old = _PERSIST_CACHE.get(key)
+    new_pk = _plan_key(df)
+    old_pk, old = _PERSIST_CACHE.get(key, (None, None))
     if old is not None:
         try:
-            if old.semanticHash() == df.semanticHash():
+            if new_pk is not None and new_pk == old_pk:
                 return old
             old.unpersist(False)
         except Exception:
             pass
-    _PERSIST_CACHE[key] = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSIST_CACHE[key] = (new_pk, df.persist(StorageLevel.MEMORY_AND_DISK))
     return df
 
 
@@ -1117,18 +1148,16 @@ def _unit_vectors(e: DataFrame) -> DataFrame:
 
 
 # Driver-side memo for collected centroid matrices, keyed by the centroid
-# plan's semanticHash: the collect() inside the IVF build is an ACTION, so
-# unlike the persisted frames it would re-run its Spark jobs on every
-# re-invocation of the (deterministic) build. Same-plan → same rows, so the
-# matrix is safe to reuse; different input/params → different hash.
-_CENTROID_MEMO: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+# plan's canonicalized-plan key (_plan_key): the collect() inside the IVF
+# build is an ACTION, so unlike the persisted frames it would re-run its
+# Spark jobs on every re-invocation of the (deterministic) build.
+# Same-plan → same rows, so the matrix is safe to reuse; different
+# input/params → different key.
+_CENTROID_MEMO: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
 
 def _collect_centroids(cents_df: DataFrame) -> tuple[np.ndarray, np.ndarray]:
-    try:
-        key = cents_df.semanticHash()
-    except Exception:
-        key = None
+    key = _plan_key(cents_df)
     if key is not None and key in _CENTROID_MEMO:
         return _CENTROID_MEMO[key]
     rows = cents_df.orderBy("cid").collect()
@@ -1293,10 +1322,8 @@ def pq_index(
     from pyspark.sql.functions import pandas_udf
 
     unit = _unit_vectors(e)
-    try:
-        key = (unit.semanticHash(), m_sub, k_codes, lloyd_iters)
-    except Exception:
-        key = None
+    upk = _plan_key(unit)
+    key = (upk, m_sub, k_codes, lloyd_iters) if upk is not None else None
 
     def encode_with(books: np.ndarray) -> DataFrame:
         ds = books.shape[2]
@@ -1919,19 +1946,17 @@ def neardup_components(
     ``docs`` is (doc_id), ``pairs`` is (doc_a, doc_b); returns
     (doc_id, cluster_id) — deterministic, no RNG.
 
-    Results are memoized per (docs, pairs) semantic identity for the
-    session: the output is a lineage-truncated checkpoint, so nothing
-    downstream can warm-reuse it through the CacheManager — without the
-    memo every re-invocation (bench min-of-2, pipeline compositions
-    like q122 after q118) re-ran the whole propagation."""
-    key = None
-    try:
-        key = (docs.semanticHash(), pairs.semanticHash())
+    Results are memoized per (docs, pairs) canonicalized-plan identity
+    for the session: the output is a lineage-truncated checkpoint, so
+    nothing downstream can warm-reuse it through the CacheManager —
+    without the memo every re-invocation (bench min-of-2, pipeline
+    compositions like q122 after q118) re-ran the whole propagation."""
+    dpk, ppk = _plan_key(docs), _plan_key(pairs)
+    key = (dpk, ppk) if dpk is not None and ppk is not None else None
+    if key is not None:
         cached_sess, cached = _COMPONENT_CACHE.get(key, (None, None))
         if cached is not None and cached_sess is docs.sparkSession:
             return cached
-    except Exception:
-        pass
     # Materialize the pair list ONCE before fanning it into the two
     # union branches. The persist used to sit at the edges level, below
     # the union — so the first action computed the entire upstream

@@ -182,9 +182,16 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
     sfh = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
-    rollup_path = (
-        f"{rollup_prefix(spark)}/hive_hw_rollup_{sid}_{sfh}/hourly"
-    )
+    prefix = rollup_prefix(spark)
+    # reap earlier sessions' rollup dirs (local-FS prefixes only: on an
+    # object store, lifecycle rules own artifact retention)
+    if "://" not in prefix:
+        from hive_hw_spark.catalog import reap_stale_session_dirs
+
+        reap_stale_session_dirs(
+            prefix, "hive_hw_rollup_", spark.sparkContext.applicationId
+        )
+    rollup_path = f"{prefix}/hive_hw_rollup_{sid}_{sfh}/hourly"
     hourly(ev_s.filter(F.col("ts") < F.col("s"))).write.mode(
         "overwrite"
     ).parquet(rollup_path)

@@ -59,3 +59,37 @@ def test_merge_rejects_schema_mismatch(spark):
     bad = spark.createDataFrame([(1, "x")], "k long, other string")
     with pytest.raises(ValueError, match="schema"):
         merge_upsert(spark, name, bad, ["k"])
+
+
+def test_reap_stale_session_dirs(tmp_path):
+    """Dirs whose embedded session epoch predates the current session's
+    are removed; the current session's and later sessions' are kept, and
+    non-matching names are never touched."""
+    from hive_hw_spark.catalog import reap_stale_session_dirs
+
+    cur = "local1786700000000"
+    for name in (
+        "q110_target_local1786600000000_aa",   # older -> reaped
+        "q110_target_local1786600000001_bb",   # older -> reaped
+        f"q110_target_{cur}_cc",               # current session -> kept
+        "q110_target_local1786800000000_dd",   # later/concurrent -> kept
+        "cat_region",                          # different prefix -> kept
+    ):
+        (tmp_path / name).mkdir()
+    n = reap_stale_session_dirs(str(tmp_path), "q110_target_", cur)
+    assert n == 2
+    left = {p.name for p in tmp_path.iterdir()}
+    assert left == {
+        "cat_region",
+        "q110_target_local1786800000000_dd",
+        f"q110_target_{cur}_cc",
+    }
+
+
+def test_reap_handles_missing_root_and_odd_app_ids(tmp_path):
+    from hive_hw_spark.catalog import reap_stale_session_dirs
+
+    assert reap_stale_session_dirs(str(tmp_path / "nope"), "x_", "local123456789012") == 0
+    # app ids without an embedded epoch (e.g. yarn app names) never reap
+    (tmp_path / "x_local1786600000000_aa").mkdir()
+    assert reap_stale_session_dirs(str(tmp_path), "x_", "app-no-epoch") == 0
