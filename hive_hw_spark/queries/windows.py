@@ -58,25 +58,46 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
            DENSE_RANK() OVER (ORDER BY total DESC) AS drnk
     FROM t ORDER BY rnk, o_custkey
     """,
-    doc="rank/dense_rank of customers by total spend, computed "
-    "DISTRIBUTED: the rank input is the per-customer aggregate (~10M "
-    "rows at 100 TB — survivable globally, but not free), so the "
-    "global window is replaced by q45's percentile-bucket two-phase "
-    "pattern. Buckets are a pure function of the ranked value, so TIES "
-    "NEVER SPAN BUCKETS — within-bucket rank()/dense_rank() plus "
-    "higher-bucket row/distinct-count offsets reproduce the global "
-    "semantics exactly. Empty sample degrades to one bucket (the old "
-    "single global window), still correct.",
+    doc="rank/dense_rank of customers by total spend, ADAPTIVE: the "
+    "rank input is always the per-customer aggregate, and the window "
+    "strategy cuts over on its size. Below Q41_BUCKET_MIN_ROWS the "
+    "plan is one global window — a single task sorting pre-aggregated "
+    "(key,total) pairs, which at sf0.1 beats the bucketed plan's extra "
+    "sample/join stages 3-4x (the r6 bench regression). Above it (~10M "
+    "rows, where one sort task becomes the straggler) it switches to "
+    "q45's percentile-bucket two-phase pattern: buckets are a pure "
+    "function of the ranked value, so TIES NEVER SPAN BUCKETS — "
+    "within-bucket rank()/dense_rank() plus higher-bucket row/"
+    "distinct-count offsets reproduce the global semantics exactly "
+    "(verified equal to the single-window plan in tests). Empty sample "
+    "degrades to one bucket, still correct.",
 )
 def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    totals = _q41_totals(spark, sf_dir)
+    # the count is an action, but over the persisted two-column
+    # aggregate — milliseconds, and it doubles as the persist warmer
+    bucketed = totals.count() >= Q41_BUCKET_MIN_ROWS
+    return _rank_spend(totals, bucketed=bucketed)
+
+
+# One task sorting this many pre-aggregated (long, double) rows (~20 B
+# each) is ~200 MB in flight — below it the single-window plan wins on
+# constant factors; above it the two-phase bucketed plan removes the
+# single-task straggler. Pre-aggregation means even 100 TB of orders
+# only crosses this when there are >=10M distinct customers.
+Q41_BUCKET_MIN_ROWS = 10_000_000
+
+
+def _q41_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_hw_spark.queries.llm_ops import _managed_persist
 
     o = load_table(spark, sf_dir, "orders")
-    # persisted: BOTH the bounds sample and the bucketed rank consume the
+    # persisted: the size probe and the rank plan (and, when bucketed,
+    # BOTH the bounds sample and the bucketed rank) consume the
     # per-customer totals — without the persist each branch re-scans and
     # re-aggregates the orders fact (exchange reuse is unreliable across
     # branches under AQE, the q91/q97 lesson)
-    totals = _managed_persist(
+    return _managed_persist(
         "q41_totals",
         o.groupBy("o_custkey").agg(
             F.round(
@@ -84,6 +105,22 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total")
         ),
     )
+
+
+def _rank_spend(totals: DataFrame, bucketed: bool) -> DataFrame:
+    """rank/dense_rank of ``totals`` (o_custkey, total) by total DESC —
+    single global window, or the percentile-bucket two-phase plan."""
+    if not bucketed:
+        w = Window.orderBy(F.col("total").desc())
+        return (
+            totals.select(
+                "o_custkey",
+                "total",
+                F.rank().over(w).alias("rnk"),
+                F.dense_rank().over(w).alias("drnk"),
+            )
+            .orderBy("rnk", "o_custkey")
+        )
     qs = ", ".join(str(round((i + 1) / 8, 6)) for i in range(7))
     bounds = (
         totals.filter(F.pmod(F.xxhash64("o_custkey"), F.lit(100)) < 10)

@@ -549,3 +549,24 @@ def test_cms_sketch_merges_across_shards(spark, sf_dir):
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
     assert whole.count() > 0
+
+
+def test_knn_join_tiled_matches_single_block(spark, sf_dir):
+    """q123's distributed block nested-loop is exact regardless of
+    tiling: forcing block_rows far below the corpus size (500 vectors ->
+    8 blocks, 64 block-pair tasks) reproduces the single-block result
+    row for row, and the plan collects nothing to the driver."""
+    from hive_hw_spark.catalog import load_table
+    from hive_hw_spark.queries.llm_ops import knn_join
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    one = [
+        (r.vec_id, r.nbr, r.cos)
+        for r in knn_join(e, k=3, block_rows=10**9).collect()
+    ]
+    tiled = [
+        (r.vec_id, r.nbr, r.cos)
+        for r in knn_join(e, k=3, block_rows=64).collect()
+    ]
+    assert len(one) == len(tiled) == 3 * e.count()
+    assert one == tiled

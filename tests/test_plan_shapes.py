@@ -162,19 +162,36 @@ def test_q45_q97_q108_no_unpartitioned_fact_windows(spark, sf_dir):
         assert not bad, f"{name} has unpartitioned window specs: {bad}"
 
 
-def test_q41_rank_is_distributed_and_preaggregated(spark, sf_dir):
-    """q41's rank is two-phase distributed (round-6 hardening): every
-    window partitions (by bucket, or the non-foldable constant over the
-    tiny bucket summary) — no global unpartitioned window remains — and
-    the rank input stays the pre-aggregated per-customer totals (an
-    aggregate below every window), never the raw fact table."""
-    df = all_queries()["q41"].fn(spark, sf_dir)
+def test_q41_bucketed_rank_is_distributed_and_preaggregated(spark, sf_dir):
+    """q41's LARGE-input plan (the one the adaptive cut-over selects
+    above Q41_BUCKET_MIN_ROWS) is two-phase distributed: every window
+    partitions (by bucket, or the non-foldable constant over the tiny
+    bucket summary) — no global unpartitioned window — and the rank
+    input stays the pre-aggregated per-customer totals (an aggregate
+    below every window), never the raw fact table."""
+    from hive_hw_spark.queries.windows import _q41_totals, _rank_spend
+
+    df = _rank_spend(_q41_totals(spark, sf_dir), bucketed=True)
     bad = _unpartitioned_windows(df)
     assert not bad, f"q41 still has unpartitioned window specs: {bad}"
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     win_pos = plan.find("Window")
     agg_pos = plan.rfind("Aggregate")
     assert 0 <= win_pos < agg_pos, "aggregate must sit below the windows"
+
+
+def test_q41_bucketed_equals_single_window(spark, sf_dir):
+    """The adaptive cut-over is invisible to results: the bucketed
+    two-phase rank reproduces the single-global-window plan's output
+    row for row (ties cannot span percentile buckets because the bucket
+    is a pure function of the ranked value)."""
+    from hive_hw_spark.queries.windows import _q41_totals, _rank_spend
+
+    totals = _q41_totals(spark, sf_dir)
+    single = [tuple(r) for r in _rank_spend(totals, bucketed=False).collect()]
+    bucketed = [tuple(r) for r in _rank_spend(totals, bucketed=True).collect()]
+    assert len(single) > 0
+    assert single == bucketed
 
 
 def test_q117_both_joins_broadcast(spark, sf_dir):
