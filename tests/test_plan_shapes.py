@@ -251,16 +251,29 @@ def test_q120_q121_corpus_joins_broadcast(spark, sf_dir):
         assert "ShuffledHashJoin" not in plan, name
 
 
-def test_q123_knn_join_is_map_only(spark, sf_dir):
-    """q123's scale contract: the k-NN join is ONE Arrow map stage plus
-    the contract-required output sort — no join operator (the n x n
-    pairing lives inside the matmul), no window, no aggregate."""
-    plan = _plan(all_queries()["q123"].fn(spark, sf_dir))
+def test_q123_knn_join_block_tiled(spark, sf_dir):
+    """q123's scale contract (round-7 tiled design): the n x n ROW-level
+    pairing never appears as a shuffle join — the only join is the tiny
+    nb x nb cross of packed BLOCK rows (nested-loop/cartesian over a
+    handful of rows), the matmul is one Arrow map stage, and the
+    candidate merge is a vec_id-partitioned window. Nothing is
+    collected to the driver (the round-6 verdict's scale flaw)."""
+    from hive_hw_spark.queries.llm_ops import knn_join
+    from hive_hw_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # force multi-block so the asserted plan is the real tiled shape,
+    # not the degenerate single-block case
+    df = knn_join(e, k=3, block_rows=64)
+    plan = _plan(df)
     assert "MapInPandas" in plan, plan
-    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
-               "CartesianProduct", "BroadcastNestedLoopJoin", "Window",
-               "HashAggregate"):
+    # block pairing may plan as BroadcastNestedLoopJoin or
+    # CartesianProduct — both are fine over block rows; a row-level
+    # shuffle join is not
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
         assert op not in plan, op
+    assert "Window" in plan  # the per-probe top-k merge
+    assert not _unpartitioned_windows(df), "k-NN merge window lost vec_id spec"
 
 
 def test_q126_split_is_shuffle_free_scan(spark, sf_dir):
