@@ -558,3 +558,77 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "q133",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
+               AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,10)))
+               AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice
+               AS DECIMAL(30,10))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,10)))
+               AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 4) AS intercept,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+             AS corr_r
+    FROM s ORDER BY l_returnflag
+    """,
+    doc="Statistical aggregate family — per-group least-squares slope/"
+    "intercept and Pearson correlation (quantity vs extendedprice per "
+    "returnflag) computed from EXACT DECIMAL sufficient statistics "
+    "(n, Sx, Sy, Sxx, Syy, Sxy) rather than the built-in "
+    "regr_slope/corr: float-accumulator aggregates are partition-order-"
+    "dependent (bit instability under AQE re-plans), while decimal "
+    "sums are associative-exact and still map-side combinable — the "
+    "mergeable-statistics algebra a 1000-executor agg needs, same "
+    "discipline as dsum. Per-row products stay in IEEE double (both "
+    "engines compute the identical multiply), the six statistics "
+    "reduce in one partial+final hash agg pass over one scan, and the "
+    "closed-form derivations run on the driver-side 3-row result.",
+)
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(30,10)"
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("l_extendedprice").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(dec))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_extendedprice")).cast(dec)
+        )
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast(dec))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / var_x
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 4).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / n, 4).alias(
+            "intercept"
+        ),
+        F.round(cov_n / F.sqrt(var_x * var_y), 4).alias("corr_r"),
+    ).orderBy("l_returnflag")

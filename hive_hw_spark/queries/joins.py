@@ -295,3 +295,75 @@ def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM chain ORDER BY s_suppkey, depth
         """
     )
+
+
+@register(
+    "q134",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders o
+    WHERE s_suppkey = l1.l_suppkey
+      AND o.o_orderkey = l1.l_orderkey
+      AND o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 shape — the hardest classic subquery pattern: a "
+    "correlated EXISTS plus a correlated NOT EXISTS against the same "
+    "fact table ('suppliers whose line was the only returned line in "
+    "a multi-supplier finished order'). The oracle keeps the textbook "
+    "correlated form; the engine plans it as the AGGREGATION REWRITE "
+    "a 100 TB run needs: one partial+final agg over lineitem computes "
+    "per-order (distinct suppliers, distinct returned suppliers) — "
+    "exactly the two facts both subqueries ask — then the returned "
+    "lines join those order stats and the F-orders on l_orderkey "
+    "(every shuffle on the SAME key, co-partitioned, AQE-coalesced) "
+    "and the 100-row supplier dim broadcasts. The naive plan is two "
+    "extra shuffles of the full fact table through semi/anti self-"
+    "joins; this is one. Deterministic top-20: unique s_name "
+    "tie-break, TakeOrderedAndProject (never a global sort).",
+)
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    return (
+        l1.join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                F.col("o_orderkey").alias("l_orderkey")
+            ),
+            "l_orderkey",
+        )
+        .join(stats, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
+        .join(
+            F.broadcast(
+                supp.select(
+                    F.col("s_suppkey").alias("l_suppkey"), "s_name"
+                )
+            ),
+            "l_suppkey",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

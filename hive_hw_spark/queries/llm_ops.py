@@ -2716,3 +2716,206 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q132 exact n-gram Jaccard similarity join via PREFIX FILTERING
+# --------------------------------------------------------------------------
+@register(
+    "q132",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, len(string_split(text,' ')) - 1),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2])) AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jac
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+    doc="EXACT n-gram-Jaccard similarity join via prefix filtering "
+    "(AllPairs/PPJoin family — the fourth dedup family next to exact "
+    "q90, MinHash q91, SimHash q97, embedding q102; unlike q91 this "
+    "one is exhaustively exact, no probabilistic recall). Order every "
+    "doc's distinct word-trigram set by ascending global document "
+    "frequency (rarest first, gram string tie-break); two sets with "
+    "Jaccard >= t MUST share a gram within their first "
+    "|S| - ceil(t*|S|) + 1 grams under any common total order, so the "
+    "candidate join runs only on those PREFIX grams — which are by "
+    "construction the rarest, so per-gram fan-out stays tiny and the "
+    "boilerplate grams that would quadratically explode an inverted- "
+    "index join never enter a prefix. Size filter "
+    "min|S| >= t*max|S| prunes further before the exact "
+    "array_intersect verification. Shuffles: gram-DF agg + rank (one "
+    "per), prefix self-join on gram, two id joins for verification — "
+    "all key-partitioned, nothing all-pairs, no driver collect. The "
+    "oracle's brute-force O(n^2) join is exactly what this avoids at "
+    "scale; PPJoin's positional refinement is the documented next cut "
+    "if candidate volume ever dominates.",
+)
+@plan_cache
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("toks", _toks())
+        .withColumn("sh", _shingles())
+        .select("doc_id", "sh")
+    )
+    return prefix_filter_jaccard_pairs(d).orderBy("doc_a", "doc_b")
+
+
+def prefix_filter_jaccard_pairs(
+    d: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """All pairs with exact Jaccard >= ``threshold`` over
+    ``(doc_id long, sh array<string>)`` via prefix filtering.
+    Returns (doc_a, doc_b, jac rounded to 4). Exact and complete:
+    prefix length |S| - ceil(t*|S|) + 1 guarantees any qualifying pair
+    shares a prefix gram (AllPairs theorem)."""
+    from pyspark.sql import Window
+
+    d = _managed_persist(
+        "q132_sets", d.filter(F.size("sh") > 0).select("doc_id", "sh")
+    )
+    grams = d.select("doc_id", F.explode("sh").alias("g"))
+    gram_df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id")
+    ranked = (
+        grams.join(gram_df, "g")
+        .withColumn("sz", F.count(F.lit(1)).over(wdoc))
+        .withColumn(
+            "rn", F.row_number().over(wdoc.orderBy("df", "g"))
+        )
+    )
+    # prefix length: |S| - ceil(t*|S|) + 1
+    pref = ranked.filter(
+        F.col("rn")
+        <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("doc_id", "g", "sz")
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"), "g", F.col("sz").alias("sza")
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"), "g", F.col("sz").alias("szb")
+    )
+    cand = (
+        a.join(b, "g")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.least("sza", "szb")
+                >= F.lit(threshold) * F.greatest("sza", "szb")
+            )
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets_a = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    sets_b = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    uni = F.size("sha") + F.size("shb") - inter
+    jac = inter.cast("double") / uni
+    return (
+        cand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .withColumn("jac_raw", jac)
+        .filter(F.col("jac_raw") >= threshold)
+        .select("doc_a", "doc_b", F.round("jac_raw", 4).alias("jac"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q137 chunk-level corpus dedup + reassembly (RefinedWeb line-dedup analog)
+# --------------------------------------------------------------------------
+@register(
+    "q137",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    c AS (
+      SELECT doc_id, i,
+             array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS ctext
+      FROM w, UNNEST(range((len(ws)+7)//8)) AS t(i)
+    ),
+    r AS (
+      SELECT doc_id, i, ctext,
+             row_number() OVER (PARTITION BY ctext
+                                ORDER BY doc_id, i) AS rn
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           string_agg(CASE WHEN rn = 1 THEN ctext END, ' ' ORDER BY i)
+             AS new_text
+    FROM r GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Sub-document (chunk-level) corpus dedup with reassembly — the "
+    "RefinedWeb/CCNet line-dedup analog for a corpus whose docs are "
+    "single lines: split every doc into aligned 8-word chunks, keep "
+    "each distinct chunk's FIRST occurrence corpus-wide (min "
+    "(doc_id, position) — deterministic, no sampling), drop every "
+    "later occurrence, and reassemble each doc from its surviving "
+    "chunks in original order (NULL when nothing survives). Removes "
+    "boilerplate that document-level dedup (q90/q91) cannot see: a "
+    "doc that is 30% copied paragraphs keeps its novel 70%. Scale "
+    "shape: one explode, one chunk-text-partitioned window (shuffle "
+    "carries each chunk once — at 100 TB swap the partition key for "
+    "sha2(ctext) and rejoin text by (doc_id, i) to shuffle 32-byte "
+    "hashes instead of text), one doc_id agg for reassembly; no "
+    "driver collect, no all-pairs anything.",
+)
+@plan_cache
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cs = 8
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = (
+        docs.withColumn("ws", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, CAST(ceil(size(ws)/{cs}.0) - 1"
+                    f" AS INT)), i -> concat_ws(' ', slice(ws, i*{cs}+1, {cs})))"
+                )
+            ).alias("i", "ctext"),
+        )
+    )
+    keep = chunks.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("ctext").orderBy("doc_id", "i")
+        ),
+    )
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct("i", "ctext")
+    )
+    return (
+        keep.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.array_sort(F.collect_list(kept_struct)).alias("ks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_kept",
+            F.nullif(
+                F.concat_ws(" ", F.expr("transform(ks, x -> x.ctext)")),
+                F.lit(""),
+            ).alias("new_text"),
+        )
+        .orderBy("doc_id")
+    )

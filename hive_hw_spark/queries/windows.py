@@ -436,3 +436,150 @@ def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("vc").alias("n_view_click"),
         F.sum("vcp").alias("n_view_click_purchase"),
     )
+
+
+@register(
+    "q135",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, event_id, ts_s,
+             CASE WHEN ts_s - LAG(ts_s) OVER w > 1800
+                    OR LAG(ts_s) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+    ),
+    x AS (
+      SELECT user_id, event_id, ts_s,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM f
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts_s) AS start_s, MAX(ts_s) AS end_s,
+           MAX(ts_s) - MIN(ts_s) AS dur_s
+    FROM x GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx
+    """,
+    doc="Sessionization with materialized session IDs (B-C behavioral "
+    "staple; the batch twin of q72's session-window AGGREGATE — this "
+    "one keeps the per-event session assignment): a new session starts "
+    "when the gap to the user's previous event exceeds 1800 s "
+    "(strictly greater, q72's merge rule), session_idx = running sum "
+    "of the new-session flag. Gap rule is defined on whole epoch "
+    "seconds in both engines (the q42/q44 parity idiom). Scale shape: "
+    "ONE shuffle on user_id — the lag window, the cumulative-sum "
+    "window, and the per-session aggregate all share that partitioning "
+    "(Catalyst plans one exchange); no self-join, no global window, "
+    "events never leave their user partition.",
+)
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ts_s")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            (F.col("ts_s") - F.lag("ts_s").over(w) > 1800)
+            | F.lag("ts_s").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sessioned = flagged.withColumn(
+        "session_idx",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_s").alias("start_s"),
+            F.max("ts_s").alias("end_s"),
+            (F.max("ts_s") - F.min("ts_s")).alias("dur_s"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+@register(
+    "q136",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events
+    ),
+    o AS (
+      SELECT user_id, event_id, event_type, ts_s,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts_s, event_id) AS prev
+      FROM e
+    ),
+    ch AS (
+      SELECT * FROM o WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts_s, event_id) AS BIGINT)
+             AS version,
+           event_type AS state,
+           ts_s AS valid_from_s,
+           LEAD(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)
+             AS valid_to_s,
+           LEAD(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)
+             IS NULL AS is_current
+    FROM ch ORDER BY user_id, version
+    """,
+    doc="SCD Type-2 dimension build (B-C extension; the lakehouse "
+    "dimension-history staple q110's MERGE feeds): collapse each "
+    "user's event stream into state-change rows (consecutive "
+    "duplicate states merged via lag), then assign half-open validity "
+    "intervals [valid_from, valid_to) with lead() — NULL end marks "
+    "the current version, version numbers are per-user row_numbers. "
+    "Scale shape: one shuffle on user_id serves the change-detection "
+    "lag, the interval lead, and the version numbering (same "
+    "partition spec, one exchange); the classic alternative — a "
+    "self-join of each row to its successor — would shuffle the fact "
+    "twice and skew on hot users. Incremental maintenance at 100 TB: "
+    "re-run only users present in the new batch and MERGE (q110) the "
+    "changed intervals.",
+)
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    changes = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev").isNull()
+            | (F.col("prev") != F.col("event_type"))
+        )
+        .drop("prev")
+    )
+    return (
+        changes.withColumn(
+            "version", F.row_number().over(w).cast("bigint")
+        )
+        .withColumn("valid_to_s", F.lead("ts_s").over(w))
+        .select(
+            "user_id",
+            "version",
+            F.col("event_type").alias("state"),
+            F.col("ts_s").alias("valid_from_s"),
+            "valid_to_s",
+            F.col("valid_to_s").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )

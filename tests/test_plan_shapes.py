@@ -300,3 +300,74 @@ def test_q129_funnel_windows_partitioned_no_self_join(spark, sf_dir):
                "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert op not in plan, op
     assert plan.count("Window") >= 1
+
+
+def test_q133_single_scan_partial_final(spark, sf_dir):
+    """q133's six decimal statistics reduce in one partial+final hash
+    agg over one pruned scan — no window, no join, no second pass."""
+    df = all_queries()["q133"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan.lower() or "Partial" in plan
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+               "Window"):
+        assert op not in plan, op
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_quantity" in read and "l_extendedprice" in read
+    assert "l_shipdate" not in read and "l_orderkey" not in read
+
+
+def test_q134_broadcast_dim_no_cartesian(spark, sf_dir):
+    """q134's aggregation rewrite: the supplier dim broadcasts, every
+    fact-side join is keyed on l_orderkey (no cartesian / nested-loop
+    — the naive correlated plan's failure mode), and the top-20 is a
+    TakeOrderedAndProject, never a global sort."""
+    plan = _plan(all_queries()["q134"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    for op in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, op
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q135_q136_one_user_partition(spark, sf_dir):
+    """Sessionization and SCD2 keep every window partitioned by user_id
+    and never join: lag, cumulative sum / lead, version numbering and
+    the session aggregate all ride ONE user_id exchange."""
+    for name in ("q135", "q136"):
+        df = all_queries()[name].fn(spark, sf_dir)
+        assert not _unpartitioned_windows(df), name
+        plan = _plan(df)
+        for op in ("SortMergeJoin", "ShuffledHashJoin",
+                   "BroadcastHashJoin", "CartesianProduct",
+                   "BroadcastNestedLoopJoin"):
+            assert op not in plan, (name, op)
+        # exactly one hash-partition exchange (user_id); the only other
+        # exchange is the contract ORDER BY's range partition
+        hash_ex = [ln for ln in plan.splitlines()
+                   if "Exchange hashpartitioning" in ln]
+        assert len(hash_ex) <= 1, (name, hash_ex)
+        assert all("user_id" in ln for ln in hash_ex), (name, hash_ex)
+
+
+def test_q132_prefix_join_is_keyed(spark, sf_dir):
+    """q132's candidate generation joins on the prefix GRAM — an equi
+    join, never cartesian (the brute-force oracle's shape is exactly
+    what the prefix filter avoids); the per-doc rank windows stay
+    partitioned by doc_id."""
+    df = all_queries()["q132"].fn(spark, sf_dir)
+    assert not _unpartitioned_windows(df)
+    plan = _plan(df)
+    for op in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, op
+
+
+def test_q137_chunk_window_partitioned(spark, sf_dir):
+    """q137's keep-first window is partitioned by chunk text (each
+    chunk shuffles once); reassembly is a doc_id hash agg; no join
+    anywhere."""
+    df = all_queries()["q137"].fn(spark, sf_dir)
+    assert not _unpartitioned_windows(df)
+    plan = _plan(df)
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+               "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, op
