@@ -59,6 +59,12 @@ HEADLINE = [
     "q123",  # exact k-NN join (tiled block matmul, no driver collect)
     "q129",  # strict-order funnel (behavioral-analytics staple)
     "q130",  # weekly retention cohorts (behavioral-analytics staple)
+    "q132",  # exact n-gram-Jaccard join via prefix filtering
+    "q133",  # regression/correlation from decimal sufficient stats
+    "q134",  # TPC-H Q21 shape (aggregation rewrite)
+    "q135",  # sessionization with materialized session ids
+    "q136",  # SCD Type-2 dimension build
+    "q137",  # chunk-level corpus dedup + reassembly
 ]
 
 

@@ -336,11 +336,22 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supp = load_table(spark, sf_dir, "supplier")
-    stats = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_r_supp"),
+    # two-level agg instead of two countDistinct()s: the Expand node
+    # those plan doubles every fact row per distinct column; collapsing
+    # to (orderkey, suppkey) first is one ordinary partial+final pass
+    # and the reduced frame is orderkey-partitioned for the second agg
+    stats = (
+        li.groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("has_r")
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("has_r").alias("n_r_supp"),
+        )
     )
     l1 = li.filter(F.col("l_returnflag") == "R").select(
         "l_orderkey", "l_suppkey"
