@@ -140,7 +140,11 @@ _ATTESTED = frozenset(
 # pytest oracle parity covers a rewrite, but driver attestation should
 # re-confirm it the first round after it lands.
 _PRIORITY = frozenset(
-    {"q63", "q70", "q71", "q72", "q78", "q114", "q41", "q123", "q38"}
+    {
+        "q63", "q70", "q71", "q72", "q78", "q114", "q41", "q123", "q38",
+        # NEW in round 7 — first driver rows outrank stale re-confirmation
+        "q132", "q133", "q134", "q135", "q136", "q137",
+    }
 )
 
 # Back of the queue: ``oracle=None`` approximates whose driver check is
