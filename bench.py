@@ -65,6 +65,11 @@ HEADLINE = [
     "q135",  # sessionization with materialized session ids
     "q136",  # SCD Type-2 dimension build
     "q137",  # chunk-level corpus dedup + reassembly
+    "q138",  # TPC-H Q2 shape (decorrelated min-cost supplier)
+    "q139",  # market-basket co-occurrence pairs
+    "q141",  # bloom-filter pre-shuffle join pruning
+    "q142",  # rolling z-score anomaly detection
+    "q143",  # salted two-phase aggregation
 ]
 
 

@@ -144,6 +144,7 @@ _PRIORITY = frozenset(
         "q63", "q70", "q71", "q72", "q78", "q114", "q41", "q123", "q38",
         # NEW in round 7 — first driver rows outrank stale re-confirmation
         "q132", "q133", "q134", "q135", "q136", "q137",
+        "q138", "q139", "q141", "q142", "q143",
     }
 )
 
@@ -151,7 +152,7 @@ _PRIORITY = frozenset(
 # rows-only (the weak form) — their real evidence is the pytest error/
 # recall bounds, so a hash-checked oracle query always outranks them for
 # a sweep slot.
-_ROWS_ONLY_DEFER = frozenset({"q92b", "q92c", "q92d", "q102b", "q111"})
+_ROWS_ONLY_DEFER = frozenset({"q92b", "q92c", "q92d", "q102b", "q111", "q140"})
 
 
 def _load() -> None:

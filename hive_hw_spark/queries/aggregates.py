@@ -632,3 +632,147 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(cov_n / F.sqrt(var_x * var_y), 4).alias("corr_r"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "q139",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT d1.l_partkey AS a, d2.l_partkey AS b,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM d d1 JOIN d d2
+      ON d1.l_orderkey = d2.l_orderkey AND d1.l_partkey < d2.l_partkey
+    GROUP BY a, b HAVING COUNT(*) >= 2
+    ORDER BY support DESC, a, b
+    """,
+    doc="Market-basket co-occurrence (frequent itemset support counting, "
+    "the association-rule building block): unordered part pairs bought "
+    "in the same order, kept at support >= 2. The oracle states it as "
+    "the textbook fact self-join; the engine NEVER self-joins the fact "
+    "— one shuffle groups each order's distinct parts into a sorted "
+    "array, pairs are generated per basket with an index-aware "
+    "transform over slice() (expansion bounded by basket_size^2, ~4 "
+    "items/order here, and the lambdas touch only basket-sized arrays "
+    "— the interpreted-HOF concern applies to corpus-sized streams, "
+    "not 4-element baskets), and the pair counts reduce in a second "
+    "map-side-combinable hash agg. A self-join shuffles the fact "
+    "TWICE and replays per-order candidate pairs through the "
+    "exchange; this shape shuffles it once and ships only (pair, "
+    "partial-count) rows. Total order: support desc, then the unique "
+    "(a, b) pair.",
+)
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(items, (x, i) -> "
+                "transform(slice(items, i + 2, size(items)), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .orderBy(F.col("support").desc(), "a", "b")
+    )
+
+
+@register(
+    "q140",
+    oracle=None,  # HLL sketch internals are engine-specific; the driver
+    # records the rows-only check and the REAL evidence is the unit
+    # test: shard-merged and direct estimates each within 5% of the
+    # exact distinct count (union targets a different HLL storage
+    # type than a direct sketch, so the two estimates may differ by
+    # a few counts — both are bounded, neither is privileged).
+    doc="HyperLogLog sketch build + merge (the second mergeable-sketch "
+    "family next to q111's count-min; the algebra behind q32's "
+    "approx_count_distinct, exposed as a REUSABLE artifact instead of "
+    "a scalar): per-shard HLL sketches of o_custkey are built with "
+    "one hll_sketch_agg pass (map-side combinable, lgK=12 → 4 KB per "
+    "sketch regardless of input size), then hll_union_agg folds the "
+    "shard sketches into the corpus sketch. This is the 1000-executor "
+    "/ streaming-increment cardinality pattern: each executor (or "
+    "micro-batch, or daily partition) emits its 4 KB sketch and the "
+    "union is associative+commutative — re-aggregation without "
+    "rescanning. Output row carries shard-merged vs direct vs exact "
+    "counts; the unit test bounds BOTH estimates within 5% relative "
+    "error of the exact count (union storage-type promotion means the "
+    "merged estimate can differ from the direct one by a few counts).",
+)
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    shard_sketches = orders.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    merged = shard_sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+    )
+    direct = orders.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias(
+            "direct_est"
+        ),
+        F.countDistinct("o_custkey").alias("exact"),
+    )
+    return merged.crossJoin(direct).select(
+        "merged_est",
+        "direct_est",
+        "exact",
+        F.round(
+            F.abs(F.col("merged_est") - F.col("exact"))
+            / F.col("exact")
+            * 100,
+            2,
+        ).alias("rel_err_pct"),
+    )
+
+
+@register(
+    "q143",
+    oracle=f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('value')} AS total
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Skew-resilient salted two-phase aggregation (the low-cardinality/"
+    "hot-key agg discipline; the agg twin of tests/test_skew.py's "
+    "salted join): events has only a handful of event_type groups, so "
+    "a direct groupBy funnels every row of a hot group through ONE "
+    "reducer task. Phase 1 groups by (event_type, salt16) — salt is a "
+    "pure hash of the unique event_id, so the hot key fans across 16 "
+    "reducers; phase 2 re-reduces the 16 partials per group. Decimal "
+    "partial sums make the two-level reduction associative-EXACT, so "
+    "the result is bit-identical to the one-phase plan (the oracle "
+    "states the plain agg). Note Spark's map-side partial combine "
+    "already does this for COUNT/SUM — the explicit salt is the "
+    "pattern for the cases partial combine can't save: collect_list, "
+    "exact percentile, or any holistic agg over a hot key.",
+)
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(30,10)"
+    phase1 = (
+        ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast(dec)).alias("ps"),
+        )
+    )
+    return (
+        phase1.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum("ps").cast("double").alias("total"),
+        )
+        .orderBy("event_type")
+    )

@@ -378,3 +378,153 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "q138",
+    oracle="""
+    SELECT DISTINCT l.l_partkey AS p_partkey, s_name,
+           l.l_extendedprice AS min_price
+    FROM lineitem l JOIN supplier ON s_suppkey = l.l_suppkey
+    WHERE l.l_extendedprice = (SELECT MIN(l2.l_extendedprice)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = l.l_partkey)
+    ORDER BY p_partkey, s_name
+    """,
+    doc="TPC-H Q2 shape — min-cost supplier per part (the correlated "
+    "scalar-MIN subquery classic, reshaped for this schema's "
+    "lineitem-as-partsupp link). The oracle keeps the textbook "
+    "correlated form; the engine plans the DECORRELATED rewrite every "
+    "100 TB optimizer wants: one partial+final MIN agg per part, then "
+    "a self-join of the fact against its own group-mins ON THE SAME "
+    "KEY — both shuffles hash on l_partkey, so under AQE the join is "
+    "co-partitioned with zero extra exchanges — and the 100-row "
+    "supplier dim broadcasts. Ties (several suppliers at the min "
+    "price) are kept, deduped, and totally ordered on the unique "
+    "(part, supplier-name) pair. MIN over doubles is selection, not "
+    "accumulation, so no decimal discipline is needed for parity.",
+)
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    mins = li.groupBy("l_partkey").agg(
+        F.min("l_extendedprice").alias("min_price")
+    ).select(F.col("l_partkey").alias("mp_partkey"), "min_price")
+    return (
+        li.join(
+            mins,
+            (F.col("l_partkey") == F.col("mp_partkey"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"), "l_suppkey", "min_price"
+        )
+        .join(
+            F.broadcast(
+                supp.select(F.col("s_suppkey").alias("l_suppkey"), "s_name")
+            ),
+            "l_suppkey",
+        )
+        .select("p_partkey", "s_name", "min_price")
+        .distinct()
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+# Bloom-filter build parameters for q141: M bits as W 64-bit words, k
+# independent xxhash64 seeds. Fill factor at sf0.01 (~300 keys × 2 bits
+# over 8192) is ~7%, FPR ≈ 0.5%; both scale with dim cardinality only.
+_Q141_BITS = 8192
+_Q141_WORDS = _Q141_BITS // 64
+_Q141_SEEDS = (101, 202)
+
+
+def _q141_pos_sql(key_sql: str, seed: int) -> str:
+    """SQL text of one bloom bit position — xxhash64(key, seed) mod M."""
+    return f"pmod(xxhash64({key_sql}, {seed}), {_Q141_BITS})"
+
+
+@register(
+    "q141",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Bloom-filter pre-shuffle join pruning (the runtime-filter / "
+    "sideways-information-passing pattern, hand-rolled so the mechanism "
+    "is explicit; Spark's own spark.sql.optimizer.runtimeFilter."
+    "bloomFilter does the same transparently when enabled): the "
+    "filtered dim's keys are folded into an 8192-bit bloom — each key "
+    "sets k=2 xxhash64-seeded bits; the per-word OR is one map-side-"
+    "combinable bit_or hash agg, i.e. the sketch algebra is mergeable "
+    "across 1000 executors exactly like q111's count-min — and the "
+    "finished ONE-ROW bitset (1 KB at any scale) is gathered by the "
+    "driver and injected as a literal fact-side predicate that drops "
+    "non-members BEFORE the join shuffle — the same gather-and-"
+    "reinject mechanism Spark's runtime filter uses, and the only way "
+    "the filter provably sits BELOW the join (a crossJoin'd bitset "
+    "column is reorderable above the semi join). Membership can "
+    "false-positive but never false-negative (unit-tested), so the "
+    "exact semi join after it returns exactly the unfiltered answer — "
+    "the bloom only cuts shuffle volume, by ~the dim selectivity "
+    "(here 80%). At 100 TB this is the difference between shuffling "
+    "the whole fact table and shuffling the matching fifth.",
+)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim_keys = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    # build: explode each key's k positions, OR per-word masks in ONE agg
+    pos_array = ", ".join(
+        _q141_pos_sql("c_custkey", s) for s in _Q141_SEEDS
+    )
+    pos = dim_keys.selectExpr(
+        f"explode(array({pos_array})) AS p"
+    ).selectExpr(
+        "CAST(p DIV 64 AS INT) AS w",
+        "shiftleft(1L, CAST(p % 64 AS INT)) AS m",
+    )
+    bloom_row = pos.agg(
+        F.array(
+            *[
+                F.coalesce(
+                    F.bit_or(F.when(F.col("w") == i, F.col("m"))), F.lit(0)
+                )
+                for i in range(_Q141_WORDS)
+            ]
+        ).alias("bloom")
+    )
+    # Inject the finished bitset as a LITERAL predicate, the way Spark's
+    # own runtime filter does (subquery result gathered by the driver,
+    # re-broadcast as part of the plan): a crossJoin'd bitset column is
+    # legal but Catalyst may reorder the cross join ABOVE the semi join,
+    # which defeats the pruning. The gather is one row of 128 longs
+    # (1 KB) regardless of input scale — the build stays distributed.
+    words = bloom_row.collect()[0]["bloom"]
+    blit = F.array(*[F.lit(int(w)).cast("bigint") for w in words])
+    member = None
+    for s in _Q141_SEEDS:
+        w = F.expr(f"CAST({_q141_pos_sql('o_custkey', s)} DIV 64 AS INT)")
+        m = F.expr(
+            f"shiftleft(1L, CAST({_q141_pos_sql('o_custkey', s)} % 64 AS INT))"
+        )
+        hit = (F.element_at(blit, w + F.lit(1)).bitwiseAND(m)) != 0
+        member = hit if member is None else (member & hit)
+    pruned = orders.select("o_custkey", "o_orderpriority").filter(member)
+    return (
+        pruned.join(
+            dim_keys,
+            pruned.o_custkey == dim_keys.c_custkey,
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority")
+    )

@@ -583,3 +583,84 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "version")
     )
+
+
+@register(
+    "q142",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             COUNT(value) OVER fr AS n,
+             CAST(SUM(CAST(value AS DECIMAL(30,10))) OVER fr AS DOUBLE)
+               AS s,
+             CAST(SUM(CAST(value * value AS DECIMAL(30,10))) OVER fr
+                  AS DOUBLE) AS sxx
+      FROM events
+      WINDOW fr AS (PARTITION BY user_id
+                    ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id
+                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+      SELECT event_id, user_id, n,
+             (value - s / n)
+               / SQRT(GREATEST((sxx - s * s / n) / (n - 1), 0.0)) AS zv
+      FROM w
+      WHERE n >= 10 AND GREATEST((sxx - s * s / n) / (n - 1), 0.0) > 0
+    )
+    SELECT event_id, user_id, ROUND(zv, 4) AS z, ABS(zv) > 3 AS is_anom
+    FROM z ORDER BY event_id
+    """,
+    doc="Rolling z-score anomaly detection (B-E extension; the metric-"
+    "monitoring staple): each event's value scored against the mean/"
+    "stddev of the SAME user's previous 20 events (trailing frame "
+    "excludes the current row, so an outlier can't mask itself), "
+    "flagged at |z| > 3. Float discipline: windowed stddev_samp is "
+    "NOT cross-engine-stable (DuckDB's segment-tree frames and "
+    "Spark's running accumulators associate differently), so both "
+    "engines compute the frame's exact DECIMAL (n, S, Sxx) sufficient "
+    "statistics — q133's mergeable-moments algebra moved into a "
+    "window frame — and derive mean/variance in identical IEEE "
+    "double arithmetic; the flag compares the UNROUNDED z in both. "
+    "Scale shape: one shuffle on user_id, both window aggs share the "
+    "frame spec (one sort, one exchange); rows with fewer than 10 "
+    "trailing samples or zero variance are excluded in both engines.",
+)
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    stats = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count("value").over(fr).alias("n"),
+        F.sum(F.col("value").cast(DEC)).over(fr).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast(DEC))
+        .over(fr)
+        .cast("double")
+        .alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    var = F.greatest(
+        (F.col("sxx") - F.col("s") * F.col("s") / n) / (n - F.lit(1.0)),
+        F.lit(0.0),
+    )
+    zv = (F.col("value") - F.col("s") / n) / F.sqrt(var)
+    return (
+        stats.filter((F.col("n") >= 10) & (var > 0))
+        .select(
+            "event_id",
+            "user_id",
+            F.round(zv, 4).alias("z"),
+            (F.abs(zv) > 3).alias("is_anom"),
+        )
+        .orderBy("event_id")
+    )

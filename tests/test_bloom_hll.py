@@ -1,0 +1,71 @@
+"""Sketch contracts for q140 (HLL merge) and q141 (bloom pruning).
+
+q141's oracle row already proves end-to-end exactness (a false negative
+would change the counts); these tests pin the sketch-level guarantees
+the oracle can't see: bloom membership never false-negatives and its
+false-positive rate is small, and HLL estimates (shard-merged AND
+direct) stay within the advertised relative-error bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_hw_spark.queries import all_queries
+from hive_hw_spark.queries.joins import _Q141_SEEDS, _Q141_WORDS, _q141_pos_sql
+
+
+def _build_bloom(keys_df, key_col):
+    pos_array = ", ".join(_q141_pos_sql(key_col, s) for s in _Q141_SEEDS)
+    pos = keys_df.selectExpr(f"explode(array({pos_array})) AS p").selectExpr(
+        "CAST(p DIV 64 AS INT) AS w",
+        "shiftleft(1L, CAST(p % 64 AS INT)) AS m",
+    )
+    return pos.agg(
+        F.array(
+            *[
+                F.coalesce(
+                    F.bit_or(F.when(F.col("w") == i, F.col("m"))), F.lit(0)
+                )
+                for i in range(_Q141_WORDS)
+            ]
+        ).alias("bloom")
+    )
+
+
+def _member_expr(key_col):
+    return " AND ".join(
+        f"(element_at(bloom, CAST({_q141_pos_sql(key_col, s)} DIV 64 AS INT) + 1)"
+        f" & shiftleft(1L, CAST({_q141_pos_sql(key_col, s)} % 64 AS INT))) != 0"
+        for s in _Q141_SEEDS
+    )
+
+
+def test_q141_bloom_no_false_negatives_and_low_fpr(spark):
+    keys = spark.range(0, 300).select(F.col("id").alias("k"))
+    bloom = _build_bloom(keys, "k")
+    probes = (
+        spark.range(0, 5000)
+        .select(F.col("id").alias("k"))
+        .crossJoin(F.broadcast(bloom))
+        .withColumn("hit", F.expr(_member_expr("k")))
+    )
+    agg = probes.agg(
+        F.sum(F.when((F.col("k") < 300) & ~F.col("hit"), 1).otherwise(0)).alias(
+            "false_neg"
+        ),
+        F.sum(F.when((F.col("k") >= 300) & F.col("hit"), 1).otherwise(0)).alias(
+            "false_pos"
+        ),
+        F.sum(F.when(F.col("k") >= 300, 1).otherwise(0)).alias("non_members"),
+    ).collect()[0]
+    assert agg.false_neg == 0, "bloom must never drop a true member"
+    # 300 keys x 2 bits over 8192 -> ~7% fill, expected FPR ~0.5%
+    assert agg.false_pos / agg.non_members < 0.05
+
+
+def test_q140_hll_estimates_within_bound(spark, sf_dir):
+    row = all_queries()["q140"].fn(spark, sf_dir).collect()[0]
+    assert row.exact > 0
+    assert abs(row.merged_est - row.exact) / row.exact <= 0.05
+    assert abs(row.direct_est - row.exact) / row.exact <= 0.05

@@ -329,6 +329,15 @@ def test_q134_broadcast_dim_no_cartesian(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def _hash_exchanges(formatted_plan: str) -> list[str]:
+    """Arguments lines of hash-partition exchanges in a formatted plan."""
+    return [
+        ln
+        for ln in formatted_plan.splitlines()
+        if ln.strip().startswith("Arguments: hashpartitioning")
+    ]
+
+
 def test_q135_q136_one_user_partition(spark, sf_dir):
     """Sessionization and SCD2 keep every window partitioned by user_id
     and never join: lag, cumulative sum / lead, version numbering and
@@ -342,10 +351,12 @@ def test_q135_q136_one_user_partition(spark, sf_dir):
                    "BroadcastNestedLoopJoin"):
             assert op not in plan, (name, op)
         # exactly one hash-partition exchange (user_id); the only other
-        # exchange is the contract ORDER BY's range partition
-        hash_ex = [ln for ln in plan.splitlines()
-                   if "Exchange hashpartitioning" in ln]
-        assert len(hash_ex) <= 1, (name, hash_ex)
+        # exchange is the contract ORDER BY's range partition. Formatted
+        # explain prints the partitioning on the node's Arguments line
+        # (grepping "Exchange hashpartitioning" matches NOTHING there —
+        # the round-7 q143 test caught this as a vacuous assertion).
+        hash_ex = _hash_exchanges(plan)
+        assert len(hash_ex) == 1, (name, hash_ex)
         assert all("user_id" in ln for ln in hash_ex), (name, hash_ex)
 
 
@@ -371,3 +382,40 @@ def test_q137_chunk_window_partitioned(spark, sf_dir):
     for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
                "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert op not in plan, op
+
+
+def test_q141_bloom_filter_below_the_join(spark, sf_dir):
+    """q141's whole point: the bloom membership predicate (the xxhash64
+    probe against the literal bitset) must sit in the FACT branch BELOW
+    the semi join — pruning before the shuffle — not above it. In the
+    plan dump a parent prints before its subtree, so the join line must
+    precede the bloom-filter line; and the bloom expression must be a
+    Filter, not a join condition."""
+    df = all_queries()["q141"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    join_ln = next(i for i, ln in enumerate(lines) if "Join LeftSemi" in ln)
+    bloom_ln = next(i for i, ln in enumerate(lines) if "xxhash64" in ln)
+    assert "Filter" in lines[bloom_ln]
+    assert join_ln < bloom_ln, "bloom predicate was reordered above the join"
+
+
+def test_q139_no_fact_self_join(spark, sf_dir):
+    """q139 generates pairs from per-order basket arrays — the fact table
+    shuffles ONCE (groupBy orderkey) and is never self-joined."""
+    df = all_queries()["q139"].fn(spark, sf_dir)
+    plan = _plan(df)
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+               "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, op
+
+
+def test_q143_two_phase_salted_agg(spark, sf_dir):
+    """q143 must actually have the two-level shape: a (event_type, salt)
+    partial reduce and an event_type final reduce — two hash-partition
+    exchanges, the first carrying the salt."""
+    df = all_queries()["q143"].fn(spark, sf_dir)
+    plan = _plan(df)
+    hash_ex = _hash_exchanges(plan)
+    assert len(hash_ex) == 2, hash_ex
+    assert any("salt" in ln for ln in hash_ex), hash_ex
