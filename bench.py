@@ -70,6 +70,11 @@ HEADLINE = [
     "q141",  # bloom-filter pre-shuffle join pruning
     "q142",  # rolling z-score anomaly detection
     "q143",  # salted two-phase aggregation
+    "q144",  # TPC-H Q17 shape (decorrelated correlated-AVG)
+    "q145",  # event-type trigram sequence mining
+    "q146",  # partition-pruned date-partitioned scan
+    "q148",  # range-band lookup (join compiled away)
+    "q149",  # importance-weighted deterministic sampling
 ]
 
 

@@ -144,7 +144,8 @@ _PRIORITY = frozenset(
         "q63", "q70", "q71", "q72", "q78", "q114", "q41", "q123", "q38",
         # NEW in round 7 — first driver rows outrank stale re-confirmation
         "q132", "q133", "q134", "q135", "q136", "q137",
-        "q138", "q139", "q141", "q142", "q143",
+        "q138", "q139", "q141", "q142", "q143", "q144", "q145", "q146",
+        "q148", "q149",
     }
 )
 

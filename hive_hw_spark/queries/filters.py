@@ -194,3 +194,54 @@ def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_custkey
         """
     )
+
+
+@register(
+    "q144",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    WHERE CAST(l.l_quantity * 5 * (SELECT COUNT(*) FROM lineitem l2
+                                   WHERE l2.l_partkey = l.l_partkey)
+               AS DECIMAL(30,10))
+          < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(30,10)))
+             FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    ORDER BY n_small
+    """,
+    doc="TPC-H Q17 shape — small-quantity-order revenue: lines whose "
+    "quantity is below 1/5 of their part's average quantity (the "
+    "correlated AVG-subquery classic). The oracle keeps the textbook "
+    "correlated form; the engine plans the decorrelated rewrite: one "
+    "partial+final (count, decimal-sum) agg per part, joined back to "
+    "the fact ON THE SAME KEY — agg shuffle and join shuffle both "
+    "hash on l_partkey, co-partitioned under AQE, no second fact "
+    "scan shuffle. Float discipline: q < sum/(5n) is evaluated as the "
+    "cross-multiplied 5·q·n < Σq with the sum kept in exact DECIMAL "
+    "and the product cast to it (q48's threshold idiom) — no decimal "
+    "division, whose rounding scale differs between engines. The "
+    "5·q·n product is integer-valued and far inside double's exact "
+    "range at any corpus size.",
+)
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(30,10)"
+    stats = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("l_quantity").cast(dec)).alias("psum"),
+    )
+    return (
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(stats, "l_partkey")
+        .filter(
+            (F.col("l_quantity") * 5 * F.col("pn")).cast(dec)
+            < F.col("psum")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.sum(F.col("l_extendedprice").cast(dec))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -528,3 +528,63 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("o_orderpriority")
     )
+
+
+# Price-band dimension for q148 — the tiny range table the oracle joins
+# against and the engine compiles away. (lo inclusive, hi exclusive).
+_Q148_BANDS = (
+    (0, 50_000, "B1"),
+    (50_000, 100_000, "B2"),
+    (100_000, 200_000, "B3"),
+    (200_000, 300_000, "B4"),
+    (300_000, None, "B5"),
+)
+
+
+@register(
+    "q148",
+    oracle="""
+    WITH bands(lo, hi, band) AS (VALUES
+      (0, 50000, 'B1'), (50000, 100000, 'B2'), (100000, 200000, 'B3'),
+      (200000, 300000, 'B4'), (300000, NULL, 'B5'))
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+             AS revenue
+    FROM orders JOIN bands
+      ON o_totalprice >= lo AND (hi IS NULL OR o_totalprice < hi)
+    GROUP BY band ORDER BY band
+    """,
+    doc="Range-band dimension lookup WITHOUT the theta join (the "
+    "IP-range / price-tier / SLA-bucket lookup staple): the oracle "
+    "states the textbook BETWEEN join against a tiny range table — "
+    "which Spark can only execute as a broadcast NESTED-LOOP join, "
+    "O(rows × bands) comparisons and no codegen-friendly probe. The "
+    "engine compiles the 5-row band dim into a per-row CASE chain "
+    "(the sorted-boundary binary-search lookup, unrolled), so band "
+    "assignment is pure whole-stage-codegen scan work: zero joins, "
+    "zero extra comparisons beyond the boundary count, one "
+    "map-side-combinable agg. The compile-away is valid whenever the "
+    "range dim is small and static per run — exactly the broadcast "
+    "criterion; a 10^6-row range dim would instead bucket both sides "
+    "by range stripe (q27's minute-bucket idiom).",
+)
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    band = None
+    for lo, hi, label in reversed(_Q148_BANDS):
+        cond = F.col("o_totalprice") >= lo
+        if band is None:
+            band = F.when(cond, label)
+        else:
+            band = band.when(cond, label)
+    return (
+        orders.select(band.alias("band"), "o_totalprice")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("band")
+    )

@@ -2919,3 +2919,44 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q149",
+    oracle="""
+    SELECT doc_id,
+           CAST(FLOOR(LEAST(1.0, n_chars / 1000.0) * 10000) AS BIGINT)
+             AS weight_bp
+    FROM documents
+    WHERE (doc_id % 2147483648) * 2654435761 % 10000
+          < FLOOR(LEAST(1.0, n_chars / 1000.0) * 10000)
+    ORDER BY doc_id
+    """,
+    doc="Importance-weighted deterministic sampling (B-K extension; the "
+    "quality-weighted data-mixing primitive — sample each doc with "
+    "probability proportional to a per-doc score, here "
+    "min(1, n_chars/1000), without rand() and without a shuffle): "
+    "keep doc iff hash(doc_id) mod 10000 < floor(score*10000). The "
+    "q105 engine-independent multiplicative hash supplies the "
+    "uniform draw, the score supplies the per-row acceptance "
+    "threshold in basis points — integer comparison, so the keep "
+    "decision is bit-identical in both engines and REPRODUCIBLE "
+    "across runs/partitionings (rand() is neither). Per-row codegen "
+    "filter over one scan; composes with q120's mixture rebalancing "
+    "(uniform within-language) to implement arbitrary target "
+    "mixtures at 100 TB.",
+)
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    score_bp = F.floor(
+        F.least(F.lit(1.0), F.col("n_chars") / 1000.0) * 10000
+    )
+    draw = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761),
+        F.lit(10000),
+    )
+    return (
+        d.filter(draw < score_bp)
+        .select("doc_id", score_bp.cast("bigint").alias("weight_bp"))
+        .orderBy("doc_id")
+    )

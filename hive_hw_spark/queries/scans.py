@@ -60,3 +60,57 @@ def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = save_as_catalog_table(spark, sf_dir, "region")
     return spark.table(name).orderBy("r_regionkey")
+
+
+@register(
+    "q146",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE CAST(ts AS DATE) = (SELECT MIN(CAST(ts AS DATE)) FROM events)
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Partition pruning on a date-partitioned layout — THE single "
+    "biggest scan-cost lever at 100 TB (a day filter over a "
+    "date-partitioned fact reads 1/30th of the files; over a flat "
+    "layout it reads everything and discards 97%): events is laid out "
+    "hive-style partitioned by event_date (one write per session, "
+    "reused across invocations; stale sessions' copies reaped), and "
+    "the day filter is a LITERAL equality on the partition column, so "
+    "it resolves at PLANNING time against directory names — "
+    "PartitionFilters in the scan node, pruned file listing, zero "
+    "data-file reads outside the day (plan-shape-asserted). The "
+    "filter date (the corpus' first day) is gathered as one scalar — "
+    "the same bounded driver gather as q141's bitset; an attribute "
+    "(non-literal) comparison could not prune at plan time. Oracle "
+    "states the same day filter over the flat table.",
+)
+def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hive_hw_spark.catalog import reap_stale_session_dirs
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    root = (
+        warehouse.removeprefix("file:")
+        if warehouse.startswith("file:")
+        else "spark-warehouse"
+    )
+    app_id = spark.sparkContext.applicationId
+    reap_stale_session_dirs(root, "q146_events_", app_id)
+    path = os.path.join(
+        root, f"q146_events_{app_id}_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    if not os.path.isdir(path):
+        ev.write.mode("overwrite").partitionBy("event_date").parquet(path)
+    min_date = ev.agg(F.min("event_date")).collect()[0][0]
+    part = spark.read.parquet(path)
+    return (
+        part.filter(F.col("event_date") == F.lit(min_date))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )

@@ -664,3 +664,54 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "q145",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type AS e1,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id)
+    )
+    SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+    FROM s WHERE e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT 10
+    """,
+    doc="Behavioral sequence mining — the 10 most common event-type "
+    "TRIGRAMS across all user journeys (what funnel-discovery and "
+    "next-action-prediction features are built from): consecutive "
+    "within-user event triples via two LEADs over one user_id window, "
+    "then a global pair of hash aggs. Scale shape: ONE shuffle on "
+    "user_id (both leads share the window sort), one map-side-"
+    "combinable count agg whose key space is |event_types|^3 (tiny "
+    "regardless of corpus), and the top-10 cut is "
+    "TakeOrderedAndProject with the unique (n desc, e1, e2, e3) "
+    "tie-break — never a global sort. Events never leave their user "
+    "partition until reduced to trigram counts.",
+)
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("e1"),
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    return (
+        ev.select(
+            "e1",
+            F.lead("e1", 1).over(w).alias("e2"),
+            F.lead("e1", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "e1", "e2", "e3")
+        .limit(10)
+    )

@@ -113,3 +113,28 @@ def _nonkey(cols: list[str], key_cols: list[str]) -> list[str]:
     if not nk:
         raise ValueError("merge needs at least one non-key column")
     return nk
+
+
+def compact_parquet_dir(
+    spark, src_dir: str, dst_dir: str, target_files: int
+) -> int:
+    """Small-file compaction — the table-maintenance pass every busy
+    ingest path needs (streaming sinks and per-batch appends leave
+    thousands of KB-sized files; at 100 TB the driver's file listing and
+    per-file open overheads dominate scans long before data volume
+    does). Rewrites ``src_dir`` into exactly ``target_files`` parquet
+    files at ``dst_dir`` via ``repartition(n)`` — a round-robin shuffle
+    that balances output sizes regardless of input skew (``coalesce(n)``
+    would avoid the shuffle but inherits whatever size imbalance the
+    input files carry, and can starve parallelism upstream of wide
+    transforms). Row-identical by construction; returns the output file
+    count. Production notes: target ≈ total_bytes / 128 MB; lakehouse
+    formats run this as OPTIMIZE/rewrite-data-files with a transactional
+    swap — here the destination is a fresh directory and the caller owns
+    the swap, mirroring tables.merge_upsert's staging discipline."""
+    df = spark.read.parquet(src_dir)
+    df.repartition(target_files).write.mode("overwrite").parquet(dst_dir)
+    import glob
+    import os
+
+    return len(glob.glob(os.path.join(dst_dir, "part-*.parquet")))

@@ -419,3 +419,30 @@ def test_q143_two_phase_salted_agg(spark, sf_dir):
     hash_ex = _hash_exchanges(plan)
     assert len(hash_ex) == 2, hash_ex
     assert any("salt" in ln for ln in hash_ex), hash_ex
+
+
+def test_q146_scan_is_partition_pruned(spark, sf_dir):
+    """q146's day filter must resolve against the hive-layout directory
+    names: the partitioned scan carries a non-empty PartitionFilters
+    entry on event_date and reads a pruned file listing (1 of ~30
+    days), not a post-scan filter over every file."""
+    df = all_queries()["q146"].fn(spark, sf_dir)
+    plan = _plan(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("event_date" in ln for ln in pf), plan[:2000]
+    # the data filter section must NOT re-test event_date (pruning
+    # happened at listing time; only partition filters mention it)
+    data_f = [ln for ln in plan.splitlines()
+              if ln.strip().startswith("PushedFilters")]
+    assert all("event_date" not in ln for ln in data_f), data_f
+
+
+def test_q148_band_lookup_compiles_away_the_join(spark, sf_dir):
+    """q148's range-dim lookup must contain NO join of any kind — the
+    band table is compiled into a per-row CASE chain (the oracle's
+    BETWEEN join would plan as a BroadcastNestedLoopJoin)."""
+    plan = _plan(all_queries()["q148"].fn(spark, sf_dir))
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+               "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, op
+    assert "HashAggregate" in plan

@@ -1,0 +1,136 @@
+"""Q147 — transformWithStateInPandas threshold-crossing alerts.
+
+Two contracts:
+1. Semantics: alerts fire exactly at each newly-crossed multiple of
+   ``step`` of a user's running total, in deterministic (ts, event)
+   fold order, matching a plain-Python reference fold.
+2. State persistence: a SECOND availableNow run over the same
+   checkpoint with new input files resumes the running totals (cum
+   carries over; already-emitted levels never re-fire).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+import pytest
+
+from hive_hw_spark.stateful_v2 import ALERT_OUTPUT_SCHEMA, threshold_alert_stream
+
+SCHEMA = "user_id long, event_id long, ts_s long, value double"
+
+# transformWithState's state-server protocol needs the python protobuf
+# package, which this container does not ship (pip install is out of
+# scope) — the semantics test is ready and activates the moment the
+# dependency exists, mirroring the Kafka-adapter posture (streams.py).
+try:
+    _HAS_PROTOBUF = importlib.util.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:  # no parent 'google' package at all
+    _HAS_PROTOBUF = False
+
+
+def test_q147_plan_builds_with_declared_schema(spark):
+    """Independent of protobuf: the StatefulProcessor wiring must pass
+    Catalyst analysis and carry the declared output schema."""
+    ev = spark.range(3).selectExpr(
+        "id AS user_id", "id AS event_id", "id AS ts_s",
+        "CAST(id AS DOUBLE) AS value",
+    )
+    df = threshold_alert_stream(ev)
+    assert [f.name for f in df.schema.fields] == ["user_id", "level", "cum"]
+    assert ALERT_OUTPUT_SCHEMA.split(",")[0].strip() == "user_id bigint"
+
+
+def _write(dirpath: str, name: str, rows: list[dict]) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    with open(os.path.join(dirpath, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _run_available_now(spark, src: str, ckpt: str, sink: str) -> None:
+    stream = spark.readStream.schema(SCHEMA).json(src)
+    q = (
+        threshold_alert_stream(stream, step=100.0)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+@pytest.mark.skipif(
+    not _HAS_PROTOBUF,
+    reason="transformWithState state server needs python protobuf "
+    "(absent from this container; see module docstring)",
+)
+def test_q147_threshold_alerts_and_restart_resume(spark, tmp_path):
+    # transformWithState requires the RocksDB state store provider
+    # (the default HDFS-backed provider does not implement it)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        _drive(spark, tmp_path)
+    finally:
+        if prev:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def _drive(spark, tmp_path):
+    src = str(tmp_path / "vals")
+    ckpt = str(tmp_path / "ckpt")
+    # user 1: 60 + 60 => crosses 100 once (cum 120); then 190 => crosses
+    # 200 and 300 (cum 310, two alerts from one event).
+    # user 2: 99.5 + 0.5 => exactly 100.0 counts as crossed (100//100=1).
+    _write(
+        src,
+        "b1.json",
+        [
+            {"user_id": 1, "event_id": 1, "ts_s": 10, "value": 60.0},
+            {"user_id": 1, "event_id": 2, "ts_s": 20, "value": 60.0},
+            {"user_id": 1, "event_id": 3, "ts_s": 30, "value": 190.0},
+            {"user_id": 2, "event_id": 4, "ts_s": 10, "value": 99.5},
+            {"user_id": 2, "event_id": 5, "ts_s": 20, "value": 0.5},
+        ],
+    )
+    _run_available_now(spark, src, ckpt, "q147_sink_a")
+    got = {
+        (r.user_id, r.level): r.cum
+        for r in spark.table("q147_sink_a").collect()
+    }
+    assert got == {
+        (1, 1): 120.0,
+        (1, 2): 310.0,
+        (1, 3): 310.0,
+        (2, 1): 100.0,
+    }
+
+    # restart: user 1 resumes at cum=310/level=3 — +95 crosses 400
+    # (405), user 2 resumes at 100/level=1 — +50 crosses nothing.
+    _write(
+        src,
+        "b2.json",
+        [
+            {"user_id": 1, "event_id": 6, "ts_s": 40, "value": 95.0},
+            {"user_id": 2, "event_id": 7, "ts_s": 30, "value": 50.0},
+        ],
+    )
+    _run_available_now(spark, src, ckpt, "q147_sink_b")
+    got2 = {
+        (r.user_id, r.level): r.cum
+        for r in spark.table("q147_sink_b").collect()
+    }
+    assert got2 == {(1, 4): 405.0}, got2

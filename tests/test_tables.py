@@ -93,3 +93,25 @@ def test_reap_handles_missing_root_and_odd_app_ids(tmp_path):
     # app ids without an embedded epoch (e.g. yarn app names) never reap
     (tmp_path / "x_local1786600000000_aa").mkdir()
     assert reap_stale_session_dirs(str(tmp_path), "x_", "app-no-epoch") == 0
+
+
+def test_compact_parquet_dir_rewrites_to_target_file_count(spark, tmp_path):
+    """64 tiny input files compact to exactly 4 balanced outputs with
+    row-and-value parity (the small-file maintenance contract)."""
+    from hive_hw_spark.tables import compact_parquet_dir
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    spark.range(0, 10_000).selectExpr(
+        "id", "id * 2 AS v"
+    ).repartition(64).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 64
+    n_out = compact_parquet_dir(spark, src, dst, target_files=4)
+    assert n_out == 4
+    before = spark.read.parquet(src)
+    after = spark.read.parquet(dst)
+    assert after.count() == 10_000
+    assert before.exceptAll(after).count() == 0
+    assert after.exceptAll(before).count() == 0
