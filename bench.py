@@ -75,6 +75,12 @@ HEADLINE = [
     "q146",  # partition-pruned date-partitioned scan
     "q148",  # range-band lookup (join compiled away)
     "q149",  # importance-weighted deterministic sampling
+    "q151",  # TPC-H Q3 shape (filter->join->agg->top-k)
+    "q152",  # TPC-H Q5 shape (snowflake join, broadcast dims)
+    "q153",  # TPC-H Q9 shape (part-filtered profit rollup)
+    "q156",  # PageRank 3 unrolled supersteps
+    "q158",  # new-vs-returning daily active users
+    "q160",  # per-day OHLC downsample (min_by/max_by one-pass)
 ]
 
 

@@ -103,6 +103,7 @@ _MODULES = (
     "llm_ops",
     "dml",
     "quality",
+    "graph",
 )
 
 _loaded = False
@@ -146,6 +147,8 @@ _PRIORITY = frozenset(
         "q132", "q133", "q134", "q135", "q136", "q137",
         "q138", "q139", "q141", "q142", "q143", "q144", "q145", "q146",
         "q148", "q149",
+        "q151", "q152", "q153", "q154", "q155", "q156", "q157", "q158",
+        "q160",
     }
 )
 

@@ -16,7 +16,7 @@ see queries/_util.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_hw_spark.catalog import load_table
@@ -775,4 +775,161 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ps").cast("double").alias("total"),
         )
         .orderBy("event_type")
+    )
+
+
+@register(
+    "q155",
+    oracle="""
+    WITH lc AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, lang
+    ),
+    t AS (SELECT source, SUM(c) AS n FROM lc GROUP BY source)
+    SELECT lc.source,
+           CAST(t.n AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           ROUND(CAST(SUM(CAST(
+               -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                 * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               AS DECIMAL(30,10))) AS DOUBLE), 6) AS lang_entropy,
+           ROUND(CAST(MAX(c) AS DOUBLE) / CAST(t.n AS DOUBLE), 6)
+             AS top_lang_share
+    FROM lc JOIN t USING (source)
+    GROUP BY lc.source, t.n
+    ORDER BY lc.source
+    """,
+    doc="Corpus diversity audit — per-source language-distribution "
+    "Shannon entropy + dominance (the mixture-health metric a "
+    "training-data pipeline reads before q120 rebalances: entropy "
+    "near 0 means a source is monolingual, top_lang_share flags "
+    "collapse onto one language). Two stacked hash aggs over one "
+    "scan: (source, lang) counts, then per-source reduction — both "
+    "map-side combinable, grouped on the SAME leading key so the "
+    "second agg needs no extra exchange. The -p*ln(p) terms are "
+    "deterministic per-row double math on exact integer counts; "
+    "only the cross-term SUM takes the DECIMAL accumulator; "
+    "round(6) seals the hash parity. At 100 TB the intermediate "
+    "is |sources| x |langs| rows - nothing.",
+)
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lc = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    return (
+        lc.withColumn(
+            "n", F.sum("c").over(Window.partitionBy("source"))
+        )
+        .groupBy("source", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_langs"),
+            F.round(
+                F.sum((-p * F.log(p)).cast("decimal(30,10)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("lang_entropy"),
+            F.round(
+                F.max("c").cast("double") / F.col("n").cast("double"), 6
+            ).alias("top_lang_share"),
+        )
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            "n_langs",
+            "lang_entropy",
+            "top_lang_share",
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q157",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           CAST(COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS BIGINT)
+             AS n_months
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Multiple DISTINCT aggregates in one query (B-extension next to "
+    "q31's single count-distinct): two distinct counters over "
+    "DIFFERENT columns plus a plain count force Catalyst's Expand-"
+    "based rewrite — each input row is replicated once per distinct "
+    "group with a gid, one hash agg dedups (gid, key) pairs, a "
+    "second reassembles the per-priority row. That plan is the "
+    "scalable shape: no per-group hash-set state (which OOMs on a "
+    "hot group at 100 TB), both shuffles hash-partitioned, and the "
+    "plain COUNT(*) rides the same Expand. approx_count_distinct "
+    "(q32) is the documented swap when exactness is negotiable.",
+)
+def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.countDistinct(
+                F.date_format("o_orderdate", "yyyy-MM")
+            ).alias("n_months"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q158",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+      FROM events
+    ),
+    f AS (SELECT user_id, MIN(day) AS first_day FROM d GROUP BY user_id)
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS active_users,
+           CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN day <> first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users
+    FROM d JOIN f USING (user_id)
+    GROUP BY day
+    ORDER BY day
+    """,
+    doc="New-vs-returning daily active users (the third behavioral-"
+    "analytics staple next to q129 funnel / q130 retention): each "
+    "day's actives split by whether it is the user's FIRST day. "
+    "Scale shape: the distinct (user, day) set and the per-user "
+    "first-day agg both shuffle on user_id — the SAME key, so the "
+    "classification join is co-partitioned (no extra exchange of "
+    "the fact data; q130's cohort discipline). The day string is "
+    "derived once, UTC-pinned by the events read, and the final "
+    "per-day agg is a few hundred groups — map-side combine "
+    "collapses it. Counts are additive, so the whole query is "
+    "incrementally maintainable as a streaming rollup (q78 serve "
+    "pattern) with first_day as the only stateful piece.",
+)
+def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).distinct()
+    f = d.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        d.join(f, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            ).cast("bigint").alias("new_users"),
+            F.sum(
+                F.when(F.col("day") != F.col("first_day"), 1).otherwise(0)
+            ).cast("bigint").alias("returning_users"),
+        )
+        .orderBy("day")
     )

@@ -1,0 +1,159 @@
+"""B-extension — graph analytics over the relational schema.
+
+Grounding: the reference's device topology is a tiny fixed graph
+(master ↔ gateways ↔ sensors, SURVEY.md §1.1); the engine generalizes
+the graph surface the same way the rest of Part B generalizes its
+dataflow: q118 already covers unbounded-iteration connected components
+(label propagation with convergence detection); this module covers the
+FIXED-ITERATION family (PageRank-style link analysis), which unrolls
+into a pure dataflow plan — no driver loop, no checkpointing, and a
+straight SQL oracle.
+
+Scale notes:
+- The edge list and degree table are built once and PERSISTED: every
+  unrolled iteration joins against both, and without the persist each
+  branch would re-run the orders⋈lineitem distinct (the q118/q122
+  multi-branch recompute lesson, CLAUDE.md).
+- Each iteration is one co-partitioned join (ranks⋈edges on the node
+  key) plus one hash agg on dst — the classic Pregel superstep as plain
+  relational ops. At 100 TB, ranks and edges bucket by node id and
+  every superstep reuses that partitioning.
+- Rank mass sums use the exact DECIMAL accumulator (per-row double
+  division is deterministic; only the order-sensitive SUM needs the
+  decimal discipline) so both engines walk bit-identical rank vectors
+  through all iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_hw_spark.catalog import load_table
+from hive_hw_spark.queries import register
+
+_DAMP = 0.85
+_ITERS = 3
+_TOPK = 20
+
+
+@register(
+    "q156",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ),
+    deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS outdeg
+      FROM edges GROUP BY src
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+    r0 AS (
+      SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS r FROM deg
+    ),
+    r1 AS (
+      SELECT e.dst AS node,
+             ROUND(CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+                   + CAST(0.85 AS DOUBLE)
+                     * CAST(SUM(CAST(r.r / d.outdeg AS DECIMAL(30,10)))
+                            AS DOUBLE), 12) AS r
+      FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.node
+      GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT e.dst AS node,
+             ROUND(CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+                   + CAST(0.85 AS DOUBLE)
+                     * CAST(SUM(CAST(r.r / d.outdeg AS DECIMAL(30,10)))
+                            AS DOUBLE), 12) AS r
+      FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.node
+      GROUP BY e.dst
+    ),
+    r3 AS (
+      SELECT e.dst AS node,
+             ROUND(CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+                   + CAST(0.85 AS DOUBLE)
+                     * CAST(SUM(CAST(r.r / d.outdeg AS DECIMAL(30,10)))
+                            AS DOUBLE), 12) AS r
+      FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.node
+      GROUP BY e.dst
+    )
+    SELECT node, ROUND(r, 8) AS pagerank
+    FROM r3 ORDER BY pagerank DESC, node LIMIT {_TOPK}
+    """,
+    doc="PageRank, 3 fixed iterations unrolled (fixed-iteration graph "
+    "family next to q118's converge-until-done components; q131 covers "
+    "the acyclic recursive-CTE case). Graph = the customer↔supplier "
+    "trade network from orders⋈lineitem, symmetrized so every node "
+    "has outdegree ≥ 1 (no dangling-mass correction needed). Each "
+    "superstep is rank⋈edges (co-partitioned on the node key) + one "
+    "hash agg on dst — the Pregel step as plain relational ops, so "
+    "Catalyst/AQE handle partitioning and skew; edges+degrees are "
+    "persisted once (multi-branch recompute lesson). Per-row rank/"
+    "outdeg division is deterministic IEEE double; the cross-partition "
+    "SUM runs in exact DECIMAL; each iteration's vector rounds to "
+    "12 dp — both engines therefore walk IDENTICAL rank vectors and "
+    "the driver hash matches without tolerance. Top-20 with unique "
+    "node tie-break; N arrives via a 1-row count frame cross-joined "
+    "in (broadcast), keeping the plan fully declarative — no "
+    "driver-side count action.",
+)
+def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    e0 = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("outdeg")
+    )
+    # one persisted frame feeds every superstep's join AND the N count
+    edge_deg = _managed_persist(
+        "q156_edge_deg",
+        edges.join(deg, edges["src"] == deg["node"]).select(
+            "src", "dst", "outdeg"
+        ),
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ranks = deg.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(_ITERS):
+        ranks = (
+            edge_deg.join(ranks, edge_deg["src"] == ranks["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum((F.col("r") / F.col("outdeg")).cast("decimal(30,10)"))
+                .cast("double")
+                .alias("mass")
+            )
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                F.round(
+                    F.lit(0.15) / F.col("n") + F.lit(_DAMP) * F.col("mass"),
+                    12,
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.select("node", F.round("r", 8).alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), "node")
+        .limit(_TOPK)
+    )

@@ -588,3 +588,229 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@register(
+    "q151",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(30,10))) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-07-01'
+      AND l_shipdate  > TIMESTAMP '1998-07-01'
+    GROUP BY l_orderkey, orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape — shipping-priority top-10 (the canonical "
+    "filter→join→agg→top-k pipeline; reference analog: the hourly "
+    "round's filtered fan-in, master.ino:151-169). Scale shape: the "
+    "segment filter prunes customer BEFORE its join (predicate "
+    "pushdown reaches the parquet scan), orders⋈lineitem shuffles on "
+    "the orderkey both sides already share, and the final top-10 is "
+    "TakeOrderedAndProject — per-partition heaps, only 10 rows per "
+    "task reach the driver, never a global sort. Revenue uses the "
+    "exact DECIMAL accumulator (order-independent bit parity), and "
+    "the order-by is total via the unique orderkey tie-break. The "
+    "date cutoffs make it the 'unshipped revenue' report: ordered "
+    "before the cutoff, shipped after.",
+)
+def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < "1998-07-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > "1998-07-01"
+    )
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust.select("c_custkey")),
+                F.col("o_custkey") == F.col("c_custkey"),
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,10)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q152",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(30,10))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+                 AND s_nationkey = c_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5 shape — local-supplier volume by nation (the 6-way "
+    "snowflake join with the n1=n2 'local' residual). Scale shape: "
+    "region→nation prunes to the ASIA nations and BROADCASTS (KB-"
+    "sized dims — shuffling them at any scale is waste), supplier "
+    "broadcasts too (100 rows), so the only real shuffles are the "
+    "fact-side orders⋈customer (custkey) and lineitem⋈orders "
+    "(orderkey); the 'supplier in the customer's nation' condition "
+    "rides the broadcast join as a residual instead of a second "
+    "fact shuffle. Year filter prunes orders at the scan. Exact "
+    "DECIMAL revenue; total order by (revenue desc, unique n_name).",
+)
+def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    asia_nations = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").where(
+                    F.col("r_name") == "ASIA"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(asia_nations),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(
+            orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .select("o_orderkey", "c_nationkey", "n_name"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,10)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "q153",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(30,10))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 shape — product-line profit by supplier nation and "
+    "order year (this schema has no partsupp/supplycost, so profit is "
+    "the discounted revenue — the join/agg SHAPE is what Q9 "
+    "exercises). Scale shape: the p_name LIKE filter prunes part "
+    "before anything joins it, and the pruned part key set plus "
+    "supplier→nation both BROADCAST into the lineitem scan — the "
+    "lineitem rows surviving the part semi-filter are the only ones "
+    "that reach the single fact-fact shuffle (lineitem⋈orders on "
+    "orderkey). GROUP BY (nation, year) is two dozen groups — "
+    "partial agg collapses almost everything map-side. Exact "
+    "DECIMAL profit; total order on the (nation, year) pair.",
+)
+def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part_red = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%red%")
+    )
+    supp_nation = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("bigint").alias("o_year")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount",
+    )
+    return (
+        li.join(
+            F.broadcast(part_red.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(supp_nation),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,10)"
+                )
+            )
+            .cast("double")
+            .alias("profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )

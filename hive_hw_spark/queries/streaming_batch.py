@@ -273,3 +273,65 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "hour")
     )
+
+
+@register(
+    "q160",
+    oracle="""
+    WITH b AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, value, ts, event_id
+      FROM events
+    ),
+    oc AS (
+      SELECT day,
+             ROUND(arg_min(value, event_id), 4) AS open,
+             ROUND(arg_max(value, event_id), 4) AS close
+      FROM b GROUP BY day
+    ),
+    agg AS (
+      SELECT day,
+             ROUND(MAX(value), 4) AS high,
+             ROUND(MIN(value), 4) AS low,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS volume
+      FROM b GROUP BY day
+    )
+    SELECT day, open, high, low, close, n_events, volume
+    FROM agg JOIN oc USING (day)
+    ORDER BY day
+    """,
+    doc="Time-series downsampling to per-day OHLC bars (the resample "
+    "staple the q70-q72 window family doesn't cover: FIRST/LAST "
+    "within each bucket, not just additive stats). open/close are "
+    "min_by/max_by on the unique event_id (ingestion order — the "
+    "deterministic tie-free ordering key; the oracle's arg_min/"
+    "arg_max mirror it exactly), so the whole bar is ONE hash "
+    "aggregation: min_by/max_by partials are (key, value) pairs, "
+    "which combine associatively map-side — no window, no sort, no "
+    "second pass, and the same algebra re-aggregates daily bars "
+    "into weekly ones or folds micro-batch bars incrementally "
+    "(q78's serve pattern). high/low are order-independent "
+    "selections; volume takes the exact DECIMAL sum. At 100 TB "
+    "this is one shuffle of |days| x 7 counters.",
+)
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "value",
+        "event_id",
+    )
+    return (
+        b.groupBy("day")
+        .agg(
+            F.round(F.min_by("value", "event_id"), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", "event_id"), 4).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,10)"))
+            .cast("double")
+            .alias("volume"),
+        )
+        .orderBy("day")
+    )

@@ -715,3 +715,49 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "e1", "e2", "e3")
         .limit(10)
     )
+
+
+@register(
+    "q154",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           ROUND(percent_rank() OVER w, 6) AS pr,
+           ROUND(cume_dist()   OVER w, 6) AS cd,
+           nth_value(c_name, 3) OVER (
+             PARTITION BY c_mktsegment
+             ORDER BY c_acctbal, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS third_name
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_custkey
+    """,
+    doc="Distribution-window family — percent_rank / cume_dist / "
+    "nth_value in ONE pass (SURVEY.md §2 Part B window-breadth "
+    "extension; completes the ranking surface next to q40/q41/q45). "
+    "All three functions share one window spec, so Spark plans a "
+    "SINGLE exchange on c_mktsegment and a single sort — adding the "
+    "second and third function is free at any scale. The order-by "
+    "carries the unique c_custkey tie-break, so percent_rank/"
+    "cume_dist are tie-free deterministic pure functions of the sort "
+    "position, and nth_value's 'third customer' is well-defined; "
+    "both ratio outputs round(6) (each engine computes the same "
+    "exact small-integer ratio — rounding is belt-and-braces for "
+    "the driver's value hash). nth_value needs the explicit "
+    "unbounded-following frame in BOTH engines: the default frame "
+    "stops at CURRENT ROW, which would null the first two rows.",
+)
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("c_name", 3).over(w_full).alias("third_name"),
+    ).orderBy("c_custkey")

@@ -138,3 +138,34 @@ def compact_parquet_dir(
     import os
 
     return len(glob.glob(os.path.join(dst_dir, "part-*.parquet")))
+
+
+def sort_parquet_dir(
+    spark, src_dir: str, dst_dir: str, sort_cols: list[str], target_files: int
+) -> int:
+    """Sorted data layout for zone-map skipping (Q159) — the clustering
+    half of table maintenance next to :func:`compact_parquet_dir`'s
+    sizing half. ``repartitionByRange(n, cols)`` range-partitions rows
+    so each output file owns a DISJOINT slice of the sort-key space,
+    and ``sortWithinPartitions`` orders rows inside each file so parquet
+    row-group (zone-map) min/max stats are tight. A later point/range
+    predicate on the sort key then prunes to ~1 of ``n`` files from
+    FOOTER STATS ALONE — the same lever q146 pulls with hive partition
+    directories, but driven by data stats instead of directory layout,
+    so it works for high-cardinality keys where one-directory-per-value
+    would melt the metastore (the Z-ORDER/CLUSTER BY analog; a
+    multi-dimensional layout would interleave key bits first).
+    Returns the output file count. Range boundaries come from sampling,
+    so file sizes are approximately balanced even on skewed keys; the
+    caller owns the staging swap, as with compaction."""
+    df = spark.read.parquet(src_dir)
+    (
+        df.repartitionByRange(target_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(dst_dir)
+    )
+    import glob
+    import os
+
+    return len(glob.glob(os.path.join(dst_dir, "part-*.parquet")))

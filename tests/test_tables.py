@@ -115,3 +115,46 @@ def test_compact_parquet_dir_rewrites_to_target_file_count(spark, tmp_path):
     assert after.count() == 10_000
     assert before.exceptAll(after).count() == 0
     assert after.exceptAll(before).count() == 0
+
+
+def test_sort_parquet_dir_produces_disjoint_zone_maps(spark, tmp_path):
+    """Q159 sorted-layout contract: after the clustered rewrite each
+    output file owns a disjoint sort-key range (parquet footer min/max
+    prove it — the stats a scan's zone-map skipping reads), and a
+    point predicate prunes to ONE file's worth of row groups."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hive_hw_spark.tables import sort_parquet_dir
+
+    src = str(tmp_path / "unsorted")
+    dst = str(tmp_path / "clustered")
+    # write shuffled keys so the input layout has no accidental order
+    spark.range(0, 10_000).selectExpr(
+        "CAST(xxhash64(id) % 10000 AS BIGINT) AS k", "id AS v"
+    ).repartition(8).write.parquet(src)
+    n_out = sort_parquet_dir(spark, src, dst, ["k"], target_files=4)
+    assert n_out == 4
+    # row/value parity
+    before = spark.read.parquet(src)
+    after = spark.read.parquet(dst)
+    assert after.count() == before.count()
+    assert before.exceptAll(after).count() == 0
+    # footer stats: per-file [min,max] of k must be pairwise disjoint
+    ranges = []
+    for f in sorted(glob.glob(f"{dst}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        k_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "k"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(k_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} {(lo2, hi2)}"
