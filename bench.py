@@ -81,6 +81,9 @@ HEADLINE = [
     "q156",  # PageRank 3 unrolled supersteps
     "q158",  # new-vs-returning daily active users
     "q160",  # per-day OHLC downsample (min_by/max_by one-pass)
+    "q161",  # embedding cluster-cohesion audit (explode + co-partitioned reduce)
+    "q163",  # blocked edit-distance fuzzy join (sound length bands)
+    "q164",  # rolling 7-day active users (bounded explode)
 ]
 
 

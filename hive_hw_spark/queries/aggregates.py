@@ -933,3 +933,133 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q162",
+    oracle="""
+    WITH o AS (
+      SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS obs
+      FROM documents GROUP BY lang, source
+    ),
+    r AS (SELECT lang, SUM(obs) AS rt FROM o GROUP BY lang),
+    c AS (SELECT source, SUM(obs) AS ct FROM o GROUP BY source),
+    n AS (SELECT SUM(obs) AS nt FROM o),
+    cells AS (
+      SELECT (obs - rt * ct / nt) * (obs - rt * ct / nt)
+             / (rt * ct / nt) AS term
+      FROM o JOIN r USING (lang) JOIN c USING (source), n
+    )
+    SELECT ROUND(CAST(SUM(CAST(term AS DECIMAL(30,10))) AS DOUBLE), 4)
+             AS chi2,
+           (SELECT CAST((COUNT(DISTINCT lang) - 1) AS BIGINT)
+                   * (COUNT(DISTINCT source) - 1) FROM documents) AS dof
+    FROM cells
+    """,
+    doc="Chi-square independence test on the lang x source contingency "
+    "table (statistical-audit family next to q133's regression and "
+    "q155's entropy: does document language depend on source? — the "
+    "drift test a corpus pipeline runs when a new crawl lands). One "
+    "scan builds the observed cell counts; row totals, column totals "
+    "and N re-aggregate from those CELLS, not the fact table (three "
+    "tiny aggs over |langs|x|sources| rows); expected counts and the "
+    "(O-E)^2/E terms are deterministic double math on exact integer "
+    "counts, and the final reduction over cells takes the DECIMAL "
+    "accumulator. Output is one (chi2, dof) row — the 100 TB cost "
+    "is exactly one combinable groupBy of the fact table.",
+)
+def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("obs")
+    )
+    r = o.groupBy("lang").agg(F.sum("obs").alias("rt"))
+    c = o.groupBy("source").agg(F.sum("obs").alias("ct"))
+    n = o.agg(F.sum("obs").alias("nt"))
+    exp = F.col("rt") * F.col("ct") / F.col("nt")
+    cells = (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            ((F.col("obs") - exp) * (F.col("obs") - exp) / exp).alias(
+                "term"
+            )
+        )
+    )
+    dof = docs.agg(
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        ).cast("bigint").alias("dof")
+    )
+    return cells.agg(
+        F.round(
+            F.sum(F.col("term").cast("decimal(30,10)")).cast("double"), 4
+        ).alias("chi2")
+    ).crossJoin(F.broadcast(dof))
+
+
+@register(
+    "q164",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS day_num
+      FROM events
+    ),
+    mx AS (SELECT MAX(day_num) AS max_day FROM d),
+    expanded AS (
+      SELECT user_id, d.day_num + g.offs AS tgt
+      FROM d, (SELECT unnest(generate_series(0, 6)) AS offs) g, mx
+      WHERE d.day_num + g.offs <= mx.max_day
+    )
+    SELECT strftime(DATE '1970-01-01' + tgt * INTERVAL 1 DAY,
+                    '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_7d
+    FROM expanded
+    GROUP BY tgt ORDER BY day
+    """,
+    doc="Rolling 7-day active users (the WAU staple; completes the "
+    "behavioral set q129/q130/q158). Sliding DISTINCT cannot ride a "
+    "window frame (no distinct-in-window), so the scalable rewrite "
+    "is the bounded EXPLODE: each distinct (user, day) contributes "
+    "itself to the 7 target days it keeps the user 'active' for "
+    "(sequence + explode, fan-out exactly 7), then one "
+    "count-distinct per target day. The fan-out happens AFTER the "
+    "per-day dedup, so it is 7x the distinct pairs, not 7x the "
+    "events; the count-distinct shuffles (day, user) pairs once. "
+    "Day arithmetic runs on integer day numbers (UTC-pinned read), "
+    "converted to strings only at the edges; trailing days beyond "
+    "the data's max day are clipped via a broadcast 1-row max frame.",
+)
+def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .alias("day_num"),
+    ).distinct()
+    mx = d.agg(F.max("day_num").alias("max_day"))
+    expanded = (
+        d.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day_num"), F.col("day_num") + 6)
+            ).alias("tgt"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("tgt") <= F.col("max_day"))
+    )
+    return (
+        expanded.groupBy("tgt")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+        .select(
+            F.date_format(
+                F.date_add(F.lit("1970-01-01").cast("date"), F.col("tgt")),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            "active_7d",
+        )
+        .orderBy("day")
+    )

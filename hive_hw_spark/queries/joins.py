@@ -814,3 +814,65 @@ def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", F.col("o_year").desc())
     )
+
+
+@register(
+    "q163",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM names a JOIN names b
+      ON a.p_name < b.p_name
+     AND abs(len(a.p_name) - len(b.p_name)) <= 2
+     AND levenshtein(a.p_name, b.p_name) <= 2
+    ORDER BY name_a, name_b
+    """,
+    doc="Fuzzy string matching / entity resolution — name pairs within "
+    "edit distance 2, found WITHOUT the all-pairs cross join (the "
+    "record-linkage staple: product titles, author names, address "
+    "lines). Discipline: (1) resolve over the DISTINCT name "
+    "dictionary, never the fact table — dictionary cardinality is "
+    "what matters at 100 TB; (2) block on a SOUND key: edit distance "
+    "<= 2 implies length difference <= 2, so bucketing names by "
+    "floor(len/3) and exploding one side to its 3 adjacent buckets "
+    "is a complete cover (same band-join idiom as q27's minute "
+    "buckets / q102b's norm bands) — the join becomes an equi join "
+    "on the bucket key and Levenshtein runs only inside bands; "
+    "(3) the cheap length filter re-checks before the O(len^2) "
+    "metric. Each unordered pair survives exactly once (the "
+    "exploded side must hold the lexically smaller name). The "
+    "oracle brute-forces the same semantics O(n^2) — the blocked "
+    "plan must match it row-for-row, proving the cover loses "
+    "nothing.",
+)
+def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = (
+        load_table(spark, sf_dir, "part").select("p_name").distinct()
+    )
+    bucket = F.floor(F.length("p_name") / 3)
+    left = names.select(
+        F.col("p_name").alias("name_a"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("bk"),
+    )
+    right = names.select(
+        F.col("p_name").alias("name_b"), bucket.alias("bk")
+    )
+    return (
+        left.join(right, "bk")
+        .where(
+            (F.col("name_a") < F.col("name_b"))
+            & (
+                F.abs(F.length("name_a") - F.length("name_b")) <= 2
+            )
+        )
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
+        )
+        .where(F.col("dist") <= 2)
+        .orderBy("name_a", "name_b")
+    )

@@ -2960,3 +2960,98 @@ def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", score_bp.cast("bigint").alias("weight_bp"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q161",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label,
+             CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, pos,
+             ROUND(CAST(SUM(CAST(x AS DECIMAL(30,10)))
+                        / COUNT(*) AS DOUBLE), 8) AS c
+      FROM ex GROUP BY label, pos
+    ),
+    d2 AS (
+      SELECT ex.vec_id, ex.label,
+             CAST(SUM(CAST((x - c) * (x - c) AS DECIMAL(30,10)))
+                  AS DOUBLE) AS dist2
+      FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+      GROUP BY ex.vec_id, ex.label
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(CAST(SUM(CAST(dist2 AS DECIMAL(30,10)))
+                      / COUNT(*) AS DOUBLE), 4) AS inertia
+    FROM d2 GROUP BY label ORDER BY label
+    """,
+    doc="Embedding cluster-cohesion audit — per-label centroid + mean "
+    "squared distance to it (the k-means inertia objective, computed "
+    "as a QUERY over the labels the corpus already carries; the "
+    "quality gauge for q92c's IVF lists or any upstream clustering). "
+    "Plan: posexplode to (vec, label, pos, x) — 64 rows per vector — "
+    "then centroid = one hash agg on (label, pos); the distance pass "
+    "joins exploded coords to centroids on the same (label, pos) key "
+    "(co-partitioned, the centroid side is |labels|x64 rows → "
+    "broadcast) and reduces twice (per-vector, then per-label). "
+    "Parity discipline: centroids round(8) after an exact DECIMAL "
+    "mean, per-row (x-c)^2 is identical IEEE double in both engines, "
+    "every cross-row SUM is DECIMAL. At 100 TB the explode is the "
+    "cost — dim x rows — but it stays map-local (no shuffle of "
+    "exploded rows until the combinable agg), and the Arrow-matmul "
+    "alternative (q123's kernel) is the documented swap when dims "
+    "are large.",
+)
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dec = "decimal(30,10)"
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        # duckdb's 1-based generate_subscripts
+        (F.col("pos") + 1).alias("pos"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        F.round(
+            (F.sum(F.col("x").cast(dec)) / F.count(F.lit(1))).cast(
+                "double"
+            ),
+            8,
+        ).alias("c")
+    )
+    d2 = (
+        ex.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast(
+                    dec
+                )
+            )
+            .cast("double")
+            .alias("dist2")
+        )
+    )
+    return (
+        d2.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                (F.sum(F.col("dist2").cast(dec)) / F.count(F.lit(1))).cast(
+                    "double"
+                ),
+                4,
+            ).alias("inertia"),
+        )
+        .orderBy("label")
+    )
