@@ -84,6 +84,10 @@ HEADLINE = [
     "q161",  # embedding cluster-cohesion audit (explode + co-partitioned reduce)
     "q163",  # blocked edit-distance fuzzy join (sound length bands)
     "q164",  # rolling 7-day active users (bounded explode)
+    "q165",  # boilerplate-chunk removal (DF threshold + reassembly)
+    "q166",  # temperature-resampled language mixture
+    "q167",  # Pareto/ABC classification (distributed prefix sum)
+    "q170",  # deterministic per-stratum fixed-size sample
 ]
 
 

@@ -148,7 +148,8 @@ _PRIORITY = frozenset(
         "q138", "q139", "q141", "q142", "q143", "q144", "q145", "q146",
         "q148", "q149",
         "q151", "q152", "q153", "q154", "q155", "q156", "q157", "q158",
-        "q160", "q161", "q162", "q163", "q164",
+        "q160", "q161", "q162", "q163", "q164", "q165", "q166", "q167",
+        "q170",
     }
 )
 

@@ -1063,3 +1063,142 @@ def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q167",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,10))) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    t AS (SELECT SUM(rev) AS tot FROM pr),
+    c AS (
+      SELECT l_partkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS crev
+      FROM pr
+    ),
+    cls AS (
+      SELECT CASE
+               WHEN CAST(crev AS DOUBLE)
+                    <= CAST(0.80 AS DOUBLE) * CAST(tot AS DOUBLE) THEN 'A'
+               WHEN CAST(crev AS DOUBLE)
+                    <= CAST(0.95 AS DOUBLE) * CAST(tot AS DOUBLE) THEN 'B'
+               ELSE 'C'
+             END AS abc_class,
+             rev, tot
+      FROM c, t
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(SUM(rev) AS DOUBLE), 2) AS class_rev,
+           ROUND(CAST(SUM(rev) AS DOUBLE) / CAST(ANY_VALUE(tot) AS DOUBLE),
+                 4) AS rev_share
+    FROM cls GROUP BY abc_class ORDER BY abc_class
+    """,
+    doc="Pareto / ABC revenue classification (the inventory-analytics "
+    "staple: class A = parts covering the first 80% of cumulative "
+    "revenue, B to 95%, C the tail). The oracle states the naive "
+    "global running sum; the engine computes the SAME cumulative "
+    "ordering distributed, with the q45/q53 two-phase discipline — "
+    "no unpartitioned window over the fact: (1) per-part revenue "
+    "agg (DECIMAL), (2) exact revenue percentile bounds (one tiny "
+    "agg, broadcast) define ~8 value-range buckets as a PURE "
+    "function of revenue, (3) per-bucket totals cumulate via a "
+    "triangular self-join over 8 rows (no window at all), (4) the "
+    "within-bucket running sum windows PARTITIONED BY bucket, "
+    "offset by the bucket prefix. Classification compares doubles "
+    "cast from identical decimals — cross-engine exact; boundary "
+    "ties are impossible to split differently because the cumulative "
+    "order carries the unique partkey tie-break.",
+)
+def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(30,10)"
+    # per-part revenue feeds FOUR branches (bounds, buckets, offsets,
+    # total) — persist it so the lineitem scan+agg runs once
+    pr = _managed_persist(
+        "q167_part_rev",
+        li.groupBy("l_partkey").agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    dec
+                )
+            ).alias("rev")
+        ),
+    )
+    # exact percentile bounds -> value-range buckets (pure fn of rev)
+    bounds = pr.agg(
+        F.expr(
+            "percentile(CAST(rev AS DOUBLE), "
+            "array(0.125,0.25,0.375,0.5,0.625,0.75,0.875))"
+        ).alias("bs")
+    )
+    bucketed = pr.crossJoin(F.broadcast(bounds)).select(
+        "l_partkey",
+        "rev",
+        # bucket = #bounds strictly above rev: the top-revenue band gets
+        # bk=0, so ascending bk follows the rev-DESC cumulative order
+        F.expr(
+            "size(filter(bs, b -> b > CAST(rev AS DOUBLE)))"
+        ).alias("bk"),
+    )
+    btot = bucketed.groupBy("bk").agg(F.sum("rev").alias("brev"))
+    # cumulative revenue of all STRICTLY EARLIER buckets (triangular
+    # self-join over <= 8 rows — no window, no single-task stage)
+    b2 = btot.select(
+        F.col("bk").alias("bk2"), F.col("brev").alias("brev2")
+    )
+    offsets = (
+        btot.join(b2, F.col("bk2") < F.col("bk"), "left")
+        .groupBy("bk")
+        .agg(F.sum("brev2").alias("offset"))
+        .na.fill({"offset": 0})
+    )
+    tot = pr.agg(F.sum("rev").alias("tot"))
+    w = Window.partitionBy("bk").orderBy(
+        F.col("rev").desc(), F.col("l_partkey")
+    )
+    crev = (
+        bucketed.join(F.broadcast(offsets), "bk")
+        .withColumn("wsum", F.sum("rev").over(w))
+        .select(
+            "l_partkey",
+            "rev",
+            (F.col("wsum") + F.col("offset")).alias("crev"),
+        )
+    )
+    cls = crev.crossJoin(F.broadcast(tot)).select(
+        "rev",
+        "tot",
+        F.when(
+            F.col("crev").cast("double")
+            <= F.lit(0.80) * F.col("tot").cast("double"),
+            "A",
+        )
+        .when(
+            F.col("crev").cast("double")
+            <= F.lit(0.95) * F.col("tot").cast("double"),
+            "B",
+        )
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return (
+        cls.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("rev").cast("double"), 2).alias("class_rev"),
+            F.round(
+                F.sum("rev").cast("double")
+                / F.any_value(F.col("tot")).cast("double"),
+                4,
+            ).alias("rev_share"),
+        )
+        .orderBy("abc_class")
+    )

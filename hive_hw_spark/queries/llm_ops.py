@@ -3055,3 +3055,226 @@ def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "q165",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    c AS (
+      SELECT doc_id, i,
+             array_to_string(ws[(i*4+1):(i*4+4)], ' ') AS ctext
+      FROM w, UNNEST(range((len(ws)+3)//4)) AS t(i)
+    ),
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    bp AS (
+      SELECT ctext FROM c, nd
+      GROUP BY ctext, n
+      HAVING COUNT(DISTINCT doc_id) * 20 > n
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN bp.ctext IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_dropped,
+           string_agg(CASE WHEN bp.ctext IS NULL THEN c.ctext END,
+                      ' ' ORDER BY i) AS new_text
+    FROM c LEFT JOIN bp ON c.ctext = bp.ctext
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Boilerplate-chunk removal (the C4/RefinedWeb 'ubiquitous "
+    "paragraph' filter; complements q137, which KEEPS first "
+    "occurrences — boilerplate strips chunks from EVERY doc once "
+    "their document frequency crosses a threshold, here DF > 5% of "
+    "the corpus: nav bars, cookie banners, license headers). Plan: "
+    "one explode to aligned 4-word chunks, one (ctext → distinct-doc "
+    "count) agg — the shuffle carries each distinct chunk once — a "
+    "threshold filter against the broadcast 1-row corpus count "
+    "(cross-multiplied in integers: df*20 > n, no float ratio), "
+    "then a LEFT ANTI-style join back and per-doc reassembly in "
+    "original chunk order. At 100 TB the boilerplate set is small "
+    "by construction (high-DF chunks) → broadcast; chunk texts in "
+    "the DF shuffle swap for sha2 hashes exactly as q137 documents.",
+)
+@plan_cache
+def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cs = 4
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = docs.withColumn("ws", F.split("text", " ")).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(ws)/{cs}.0) - 1"
+                f" AS INT)), i -> concat_ws(' ', slice(ws, i*{cs}+1, {cs})))"
+            )
+        ).alias("i", "ctext"),
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("n"))
+    boiler = (
+        chunks.groupBy("ctext")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .where(F.col("df") * 20 > F.col("n"))
+        .select("ctext", F.lit(True).alias("is_bp"))
+    )
+    marked = chunks.join(F.broadcast(boiler), "ctext", "left")
+    kept_struct = F.when(F.col("is_bp").isNull(), F.struct("i", "ctext"))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("is_bp").isNotNull(), 1).otherwise(0)).alias(
+                "n_dropped"
+            ),
+            F.array_sort(F.collect_list(kept_struct)).alias("ks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dropped",
+            F.nullif(
+                F.concat_ws(" ", F.expr("transform(ks, x -> x.ctext)")),
+                F.lit(""),
+            ).alias("new_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q166",
+    oracle="""
+    WITH lc AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ),
+    w AS (
+      SELECT lang, n_docs,
+             sqrt(CAST(n_docs AS DOUBLE)) AS wl,
+             CAST(SUM(CAST(sqrt(CAST(n_docs AS DOUBLE))
+                           AS DECIMAL(30,10))) OVER ()
+                  AS DOUBLE) AS wsum,
+             CAST(SUM(n_docs) OVER () AS DOUBLE) AS total
+      FROM lc
+    ),
+    r AS (
+      SELECT lang, n_docs,
+             CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE),
+                              (wl / wsum) * (total * CAST(0.5 AS DOUBLE))
+                                / CAST(n_docs AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS ratio_ppm
+      FROM w
+    )
+    SELECT r.lang, r.n_docs, r.ratio_ppm,
+           CAST(COUNT(*) FILTER (WHERE
+                (doc_id % 2147483648) * 2654435761 % 1000000 < ratio_ppm)
+                AS BIGINT) AS n_kept
+    FROM documents d JOIN r ON d.lang = r.lang
+    GROUP BY r.lang, r.n_docs, r.ratio_ppm
+    ORDER BY r.lang
+    """,
+    doc="Temperature-resampled language mixture (the multilingual "
+    "alpha-sampling recipe: target share of language l proportional "
+    "to n_l^alpha, alpha=0.5 — upweights tail languages, downweights "
+    "the head — at half-corpus total budget). Per-lang keep ratio = "
+    "min(1, target_l / n_l), materialized in integer PPM; each doc's "
+    "keep decision is the q105/q149 engine-independent hash against "
+    "that threshold — deterministic, shuffle-free, reproducible "
+    "across partitionings, no rand(). The ratio table is |langs| "
+    "rows (one combinable agg + windows over those few rows, DECIMAL "
+    "where order could matter), broadcast back onto the corpus scan. "
+    "Output is the per-lang audit (docs, ratio, kept); the kept "
+    "corpus itself is the same filter without the final agg. "
+    "Composes with q149 (per-doc quality weights multiply into the "
+    "same threshold) for arbitrary quality x mixture policies.",
+)
+def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    lc = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    wspec = Window.partitionBy(F.pmod(F.length("lang"), F.lit(1)))
+    wl = F.sqrt(F.col("n_docs").cast("double"))
+    w = lc.select(
+        "lang",
+        "n_docs",
+        wl.alias("wl"),
+        F.sum(wl.cast("decimal(30,10)")).over(wspec).cast("double").alias(
+            "wsum"
+        ),
+        F.sum("n_docs").over(wspec).cast("double").alias("total"),
+    )
+    ratio = w.select(
+        "lang",
+        "n_docs",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                (F.col("wl") / F.col("wsum"))
+                * (F.col("total") * F.lit(0.5))
+                / F.col("n_docs").cast("double"),
+            )
+            * 1000000
+        ).cast("bigint").alias("ratio_ppm"),
+    )
+    draw = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761),
+        F.lit(1000000),
+    )
+    return (
+        docs.join(F.broadcast(ratio), "lang")
+        .groupBy("lang", "n_docs", "ratio_ppm")
+        .agg(
+            F.sum(F.when(draw < F.col("ratio_ppm"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept")
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q170",
+    oracle="""
+    SELECT doc_id, lang, rk FROM (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY (doc_id % 2147483648) * 2654435761 % 1000000000,
+                        doc_id) AS BIGINT) AS rk
+      FROM documents
+    ) WHERE rk <= 5 ORDER BY lang, rk
+    """,
+    doc="Deterministic fixed-size per-stratum sample — exactly 5 docs "
+    "per language, uniformly chosen, REPRODUCIBLE (the reservoir-"
+    "sampling equivalent for bounded data, and the eval-set/spot-"
+    "check primitive q105/q109's rate-based samples can't provide: "
+    "those keep a deterministic FRACTION, this keeps a deterministic "
+    "COUNT). Rank = row_number over the q105 engine-independent "
+    "multiplicative hash (doc_id tie-break), so the chosen set is "
+    "independent of partitioning, run order, and engine — no rand(), "
+    "no seed state. One lang-partitioned window; at 100 TB swap the "
+    "full sort for a per-partition top-5 heap (the q52 TakeOrdered-"
+    "per-group idiom) since only k rows per stratum survive.",
+)
+def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    draw = F.pmod(
+        F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761),
+        F.lit(1000000000),
+    )
+    w = Window.partitionBy("lang").orderBy(draw, "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .where(F.col("rk") <= 5)
+        .orderBy("lang", "rk")
+    )

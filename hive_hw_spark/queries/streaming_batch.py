@@ -315,23 +315,35 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
     "this is one shuffle of |days| x 7 counters.",
 )
 def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shared stream-legal definition (ohlc_bars below) + the total order
+    # the oracle hash needs; the streaming twin is Q169
     ev = load_table(spark, sf_dir, "events")
-    b = ev.select(
+    return ohlc_bars(ev).orderBy("day")
+
+
+def ohlc_bars(events: DataFrame) -> DataFrame:
+    """Q169 — per-day OHLC bars as a STREAM-LEGAL aggregation (the
+    incremental twin of q160; same definition runs batch and
+    streaming, which IS the point: one hash agg whose partials —
+    min_by/max_by (key,value) pairs, min/max, count, DECIMAL sum —
+    are all associative+commutative, so micro-batches fold into the
+    running bars exactly like map-side combines fold into the final
+    agg. Apply to a bounded batch frame for the q160 result, or to a
+    readStream frame with outputMode('complete'|'update') for live
+    bars; with a watermark on ts the same agg emits append-mode
+    closed bars. tests/test_streaming.py proves stream ≡ batch."""
+    b = events.select(
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         "value",
         "event_id",
     )
-    return (
-        b.groupBy("day")
-        .agg(
-            F.round(F.min_by("value", "event_id"), 4).alias("open"),
-            F.round(F.max("value"), 4).alias("high"),
-            F.round(F.min("value"), 4).alias("low"),
-            F.round(F.max_by("value", "event_id"), 4).alias("close"),
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(30,10)"))
-            .cast("double")
-            .alias("volume"),
-        )
-        .orderBy("day")
+    return b.groupBy("day").agg(
+        F.round(F.min_by("value", "event_id"), 4).alias("open"),
+        F.round(F.max("value"), 4).alias("high"),
+        F.round(F.min("value"), 4).alias("low"),
+        F.round(F.max_by("value", "event_id"), 4).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,10)"))
+        .cast("double")
+        .alias("volume"),
     )

@@ -169,3 +169,81 @@ def sort_parquet_dir(
     import os
 
     return len(glob.glob(os.path.join(dst_dir, "part-*.parquet")))
+
+
+def write_bucketed_table(
+    spark,
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+) -> str:
+    """Bucketed (hash-clustered) managed table — the SHUFFLE-ELIMINATION
+    layout for repeated big-big joins (Q168). ``bucketBy(n, keys)`` +
+    ``sortBy(keys)`` hash-partitions rows into ``n`` files per write
+    task and records the bucket spec in the catalog; a later join of
+    two tables bucketed the SAME way on the SAME key count plans as a
+    SortMergeJoin with ZERO Exchange on either side — the 100 TB
+    fact⋈fact join that otherwise shuffles terabytes every run pays
+    its shuffle ONCE at write time (the Hive-bucketing / Iceberg
+    bucket-transform analog; tests/test_tables.py proves the
+    exchange-free plan). Stale same-name tables and their warehouse
+    dirs are reaped first, mirroring save_as_catalog_table."""
+    import os
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith("file:"):
+        stale = os.path.join(warehouse.removeprefix("file:"), table_name)
+        shutil.rmtree(stale, ignore_errors=True)
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(table_name)
+    )
+    return table_name
+
+
+def incremental_rollup_merge(
+    spark,
+    rollup: DataFrame,
+    delta_events: DataFrame,
+    target_table: str,
+) -> DataFrame:
+    """Incrementally maintained daily rollup (Q171) — the MERGE-based
+    materialized-view pattern that turns q78's 'serve = materialized ∪
+    tail' into 'materialized += delta': aggregate ONLY the new
+    micro-batch/partition of events to per-day partials, then
+    merge_upsert them into the stored rollup with ADD semantics
+    (existing day rows get counts/sums added, new days insert). Because
+    the rollup's measures (count, DECIMAL sum) are associative and
+    commutative, rollup ⊕ agg(delta) ≡ agg(full data) — the invariant
+    tests/test_tables.py asserts. At 100 TB this is the difference
+    between rescanning the fact table per refresh and touching
+    |days-in-delta| rows; a lakehouse MERGE INTO gets the atomic swap,
+    as documented on merge_upsert."""
+    delta = delta_events.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(30,10)")).alias("total"),
+    )
+    merged = (
+        rollup.alias("t")
+        .join(delta.alias("d"), "day", "full")
+        .select(
+            F.col("day"),
+            (
+                F.coalesce(F.col("t.n"), F.lit(0))
+                + F.coalesce(F.col("d.n"), F.lit(0))
+            ).alias("n"),
+            (
+                F.coalesce(F.col("t.total"), F.lit(0).cast("decimal(30,10)"))
+                + F.coalesce(
+                    F.col("d.total"), F.lit(0).cast("decimal(30,10)")
+                )
+            ).cast("decimal(30,10)").alias("total"),
+        )
+    )
+    merged.write.mode("overwrite").saveAsTable(target_table)
+    return spark.table(target_table)

@@ -446,3 +446,38 @@ def test_q148_band_lookup_compiles_away_the_join(spark, sf_dir):
                "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert op not in plan, op
     assert "HashAggregate" in plan
+
+
+def test_q151_q152_q153_dims_broadcast_facts_shuffle_once(spark, sf_dir):
+    """The TPC-H shapes keep every dimension on the broadcast path: the
+    only shuffle joins (SortMergeJoin/ShuffledHashJoin) allowed are
+    fact-fact (orders⋈lineitem / orders⋈customer); customer/supplier/
+    nation/region/part never appear behind a shuffle join build."""
+    for name in ("q151", "q152", "q153"):
+        plan = _plan(all_queries()[name].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q163_blocked_fuzzy_join_is_equi_not_cartesian(spark, sf_dir):
+    """q163's edit-distance join must execute as an EQUI join on the
+    length-band key — never a cartesian/nested-loop pairing. The
+    levenshtein call appears only as a post-join filter/projection."""
+    plan = _plan(all_queries()["q163"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+    assert "levenshtein" in plan
+
+
+def test_q167_prefix_sum_windows_are_bucket_partitioned(spark, sf_dir):
+    """q167's cumulative revenue must come from the two-phase plan:
+    every window partitions by the value-range bucket (no global
+    unpartitioned window over the per-part revenue set)."""
+    df = all_queries()["q167"].fn(spark, sf_dir)
+    assert not _unpartitioned_windows(df), "q167 window lost its bucket spec"

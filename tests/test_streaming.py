@@ -434,3 +434,61 @@ def test_q76b_idempotent_foreachbatch_sink(spark, tmp_path):
     ids = sorted(r.event_id for r in back.collect())
     assert ids == [1, 2, 3], f"replay duplicated or lost rows: {ids}"
     assert sum(replayed.values()) == 3 and len(replayed) == 2
+
+
+def test_q169_incremental_ohlc_stream_equals_batch(spark, tmp_path):
+    """Q169: the SAME ohlc_bars definition applied to a file stream
+    (availableNow, complete mode) and to a plain batch read of the
+    identical data produces identical bars — min_by/max_by/count/
+    DECIMAL-sum partials fold across micro-batches exactly like
+    map-side combines, including an open/close flip arriving in a
+    LATER micro-batch than the bar it amends."""
+    from hive_hw_spark.queries.streaming_batch import ohlc_bars
+
+    src = str(tmp_path / "ticks")
+    t0 = time.time() - 1000
+    _write_batch(
+        src,
+        "b1.json",
+        [
+            {"event_id": 5, "ts": "2024-03-01T10:00:00Z", "value": 10.5},
+            {"event_id": 6, "ts": "2024-03-01T11:00:00Z", "value": 20.0},
+            {"event_id": 9, "ts": "2024-03-02T09:00:00Z", "value": 7.25},
+        ],
+        t0,
+    )
+    _write_batch(
+        src,
+        "b2.json",
+        [
+            # earlier event_id than anything in b1 -> flips day-1 OPEN
+            {"event_id": 1, "ts": "2024-03-01T09:00:00Z", "value": 99.0},
+            # later event_id -> flips day-1 CLOSE
+            {"event_id": 8, "ts": "2024-03-01T12:00:00Z", "value": 3.0},
+        ],
+        t0 + 10,
+    )
+    schema = "event_id long, ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    _run_available_now(
+        ohlc_bars(stream)
+        .writeStream.format("memory")
+        .queryName("ohlc_sink")
+        .outputMode("complete")
+    )
+    got = {
+        r.day: (r.open, r.high, r.low, r.close, r.n_events, r.volume)
+        for r in spark.table("ohlc_sink").collect()
+    }
+    batch = {
+        r.day: (r.open, r.high, r.low, r.close, r.n_events, r.volume)
+        for r in ohlc_bars(spark.read.schema(schema).json(src)).collect()
+    }
+    assert got == batch
+    d1 = got["2024-03-01"]
+    assert d1[0] == 99.0 and d1[3] == 3.0  # open/close from batch 2
+    assert d1[1] == 99.0 and d1[2] == 3.0 and d1[4] == 4

@@ -158,3 +158,91 @@ def test_sort_parquet_dir_produces_disjoint_zone_maps(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} {(lo2, hi2)}"
+
+
+def test_bucketed_join_plans_without_exchange(spark, sf_dir):
+    """Q168 contract: joining two tables bucketed the same way on the
+    join key produces a SortMergeJoin with NO shuffle Exchange on
+    either side — the write-once-shuffle-never-again layout. The same
+    join over the flat parquet (broadcast disabled) must show an
+    Exchange, proving the bucket spec (not data size) removed it."""
+    from hive_hw_spark.catalog import load_table
+    from hive_hw_spark.tables import write_bucketed_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed_table(spark, orders, "q168_orders_b", ["o_orderkey"], 8)
+    write_bucketed_table(spark, li, "q168_lineitem_b", ["l_orderkey"], 8)
+    ob = spark.table("q168_orders_b")
+    lb = spark.table("q168_lineitem_b")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        # force SMJ so absence of Exchange is attributable to bucketing
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        joined = ob.join(
+            lb, ob["o_orderkey"] == lb["l_orderkey"]
+        ).groupBy("o_orderkey").count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        join_section = plan.split("HashAggregate")[-1]
+        assert "Exchange hashpartitioning" not in join_section, plan
+        flat = orders.join(
+            li, orders["o_orderkey"] == li["l_orderkey"]
+        ).groupBy("o_orderkey").count()
+        flat_plan = flat._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in flat_plan
+        # row parity: bucketed join result equals flat join result
+        assert joined.count() == flat.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.sql("DROP TABLE IF EXISTS q168_orders_b")
+        spark.sql("DROP TABLE IF EXISTS q168_lineitem_b")
+
+
+def test_incremental_rollup_merge_equals_full_recompute(spark):
+    """Q171 invariant: rollup ⊕ agg(delta) ≡ agg(all data) — additive
+    measures make the MERGE-maintained rollup exact, including a delta
+    that both amends an existing day and introduces a new one."""
+    from hive_hw_spark.tables import incremental_rollup_merge
+
+    base = spark.createDataFrame(
+        [("2024-01-01", 1.5), ("2024-01-01", 2.5), ("2024-01-02", 4.0)],
+        "day string, value double",
+    )
+    delta = spark.createDataFrame(
+        [("2024-01-02", 6.0), ("2024-01-03", 9.0)],
+        "day string, value double",
+    )
+    rollup0 = base.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(30,10)")).alias("total"),
+    )
+    tbl = f"q171_rollup_{uuid.uuid4().hex[:8]}"
+    try:
+        got = incremental_rollup_merge(spark, rollup0, delta, tbl)
+        full = (
+            base.unionAll(delta)
+            .groupBy("day")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(30,10)")).alias("total"),
+            )
+        )
+        g = {(r.day, r.n, r.total) for r in got.collect()}
+        f = {(r.day, r.n, r.total) for r in full.collect()}
+        assert g == f
+        # second identical merge must NOT be idempotent-by-accident:
+        # adding the delta twice doubles its contribution (ADD semantics)
+        got2 = incremental_rollup_merge(spark, got, delta, tbl + "_2")
+        d2 = {r.day: r.n for r in got2.collect()}
+        assert d2["2024-01-03"] == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_2")
