@@ -88,6 +88,9 @@ HEADLINE = [
     "q166",  # temperature-resampled language mixture
     "q167",  # Pareto/ABC classification (distributed prefix sum)
     "q170",  # deterministic per-stratum fixed-size sample
+    "q172",  # TPC-H Q4 shape (semi join with cross-side residual)
+    "q173",  # gaps-and-islands longest streak
+    "q174",  # activity bitmap (bit_or/bit_count sketch)
 ]
 
 

@@ -1202,3 +1202,65 @@ def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@register(
+    "q174",
+    oracle="""
+    WITH mn AS (
+      SELECT MIN(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+               AS min_day
+      FROM events
+    ),
+    offs AS (
+      SELECT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               - min_day AS off
+      FROM events, mn
+      WHERE date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+            - min_day < 64
+    )
+    SELECT user_id,
+           CAST(bit_or(CAST(1 AS BIGINT) << CAST(off AS INT)) AS BIGINT)
+             AS activity_mask,
+           CAST(bit_count(bit_or(CAST(1 AS BIGINT) << CAST(off AS INT)))
+                AS BIGINT) AS active_days
+    FROM offs GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Per-user activity BITMAP over the corpus's first 64 days — the "
+    "third mergeable-sketch family (bitmaps, next to q111 count-min "
+    "and q140 HLL): day-presence packs into one BIGINT via "
+    "bit_or(1<<offset), a commutative+associative agg whose partials "
+    "combine map-side, fold across micro-batches, and AND/OR across "
+    "periods (retention = popcount(week1_mask & week2_mask) with NO "
+    "distinct or join — the roaring-bitmap idea at word size). "
+    "active_days = bit_count(mask). The q97 ANSI lesson applies: "
+    "1<<off on a 64-bit lane, never the multiply-accumulate form. "
+    "A real deployment shards (user, epoch-week) masks — this keeps "
+    "the 64-day cohort window so one BIGINT is the whole sketch; "
+    "the global min-day arrives via a broadcast 1-row frame.",
+)
+def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day_num"),
+    )
+    mn = ev.agg(F.min("day_num").alias("min_day"))
+    offs = (
+        ev.crossJoin(F.broadcast(mn))
+        .select(
+            "user_id", (F.col("day_num") - F.col("min_day")).alias("off")
+        )
+        .where(F.col("off") < 64)
+    )
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(off AS INT))")
+    return (
+        offs.groupBy("user_id")
+        .agg(
+            F.bit_or(bit).cast("bigint").alias("activity_mask"),
+            F.bit_count(F.bit_or(bit)).cast("bigint").alias("active_days"),
+        )
+        .orderBy("user_id")
+    )

@@ -876,3 +876,48 @@ def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist") <= 2)
         .orderBy("name_a", "name_b")
     )
+
+
+@register(
+    "q172",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape — priority counts of orders with a late-shipped "
+    "line (EXISTS with a CROSS-side residual: the subquery predicate "
+    "compares l_shipdate to the OUTER row's o_orderdate, this "
+    "schema's stand-in for Q4's commit/receipt lag). The engine "
+    "plans the decorrelation every optimizer wants: LEFT SEMI join "
+    "on orderkey with the cross-side comparison as a join residual "
+    "— the fact-fact shuffle hashes on the key both tables already "
+    "share, the date filter prunes orders at the scan, and the semi "
+    "join short-circuits per order (no row multiplication, no "
+    "distinct). One quarter of data, five output rows, all partial-"
+    "agg combinable.",
+)
+def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    return (
+        orders.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )

@@ -761,3 +761,96 @@ def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cd"),
         F.nth_value("c_name", 3).over(w_full).alias("third_name"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "q173",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS day_num
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, day_num,
+             day_num - row_number() OVER (PARTITION BY user_id
+                                          ORDER BY day_num) AS grp
+      FROM d
+    ),
+    streaks AS (
+      SELECT user_id, grp,
+             CAST(COUNT(*) AS BIGINT) AS len,
+             MIN(day_num) AS start_day
+      FROM isl GROUP BY user_id, grp
+    ),
+    ranked AS (
+      SELECT user_id, len, start_day,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+               AS n_streaks,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, start_day) AS rn
+      FROM streaks
+    )
+    SELECT user_id, len AS longest_streak,
+           strftime(DATE '1970-01-01' + start_day * INTERVAL 1 DAY,
+                    '%Y-%m-%d') AS streak_start,
+           n_streaks
+    FROM ranked WHERE rn = 1 ORDER BY user_id
+    """,
+    doc="Longest consecutive-day activity streak per user — the gaps-"
+    "and-islands classic (the calendar-adjacency sibling of q135's "
+    "time-gap sessionization): island id = day_num − row_number over "
+    "the per-user day sequence, constant exactly while days are "
+    "consecutive. Scale shape: ONE exchange on user_id serves the "
+    "distinct, the island window, the streak agg, and both ranking "
+    "windows — five operators, one shuffle key, zero re-partitioning "
+    "(the q130 co-partitioning discipline). Integer day arithmetic "
+    "end to end (UTC-pinned read), date strings only at the output "
+    "edge; ties on streak length break to the EARLIEST streak via "
+    "the (len DESC, start_day) order — fully deterministic.",
+)
+def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("day_num"),
+    ).distinct()
+    w_seq = Window.partitionBy("user_id").orderBy("day_num")
+    isl = d.select(
+        "user_id",
+        "day_num",
+        (F.col("day_num") - F.row_number().over(w_seq)).alias("grp"),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("day_num").alias("start_day"),
+    )
+    w_user = Window.partitionBy("user_id")
+    w_rank = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), "start_day"
+    )
+    return (
+        streaks.select(
+            "user_id",
+            "len",
+            "start_day",
+            F.count(F.lit(1)).over(w_user).alias("n_streaks"),
+            F.row_number().over(w_rank).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").alias("longest_streak"),
+            F.date_format(
+                F.date_add(
+                    F.lit("1970-01-01").cast("date"), F.col("start_day")
+                ),
+                "yyyy-MM-dd",
+            ).alias("streak_start"),
+            "n_streaks",
+        )
+        .orderBy("user_id")
+    )
