@@ -91,6 +91,9 @@ HEADLINE = [
     "q172",  # TPC-H Q4 shape (semi join with cross-side residual)
     "q173",  # gaps-and-islands longest streak
     "q174",  # activity bitmap (bit_or/bit_count sketch)
+    "q175",  # mergeable histogram quantiles
+    "q176",  # TPC-H Q16 shape (exclusion + distinct count)
+    "q177",  # TPC-H Q22 shape (scalar threshold + anti join)
 ]
 
 

@@ -1264,3 +1264,91 @@ def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q175",
+    oracle="""
+    WITH mm AS (
+      SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+    ),
+    b AS (
+      SELECT event_type,
+             LEAST(CAST(127 AS BIGINT), CAST(FLOOR(
+               (value - lo) / ((hi - lo) / CAST(128 AS DOUBLE))
+             ) AS BIGINT)) AS bin
+      FROM events, mm
+    ),
+    h AS (
+      SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS c
+      FROM b GROUP BY event_type, bin
+    ),
+    cum AS (
+      SELECT event_type, bin, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cc,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM h
+    )
+    SELECT event_type,
+           CAST(MIN(CASE WHEN cc * 2 >= n THEN bin END) AS BIGINT)
+             AS p50_bin,
+           CAST(MIN(CASE WHEN cc * 20 >= n * 19 THEN bin END) AS BIGINT)
+             AS p95_bin,
+           CAST(MIN(CASE WHEN cc * 100 >= n * 99 THEN bin END) AS BIGINT)
+             AS p99_bin,
+           CAST(SUM(c) AS BIGINT) AS n_events
+    FROM cum GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Mergeable equi-width histogram quantiles — the FOURTH sketch "
+    "family (fixed-bin histograms, next to q111 count-min / q140 HLL "
+    "/ q174 bitmaps): 128 equal-width bins over the global [min,max] "
+    "(one tiny agg, broadcast), per-(group,bin) counts — partials "
+    "combine map-side, fold across shards/micro-batches by plain "
+    "addition, and the quantile is read off the cumulative histogram "
+    "with INTEGER cross-multiplied thresholds (cc*2 ≥ n for p50 — no "
+    "float division anywhere, so the bin choice is engine-exact and "
+    "the whole result oracle-checkable, unlike t-digest/GK sketches "
+    "whose internals are engine-specific). Error is bounded by the "
+    "bin width — (hi−lo)/128 — the documented trade; q47 is the "
+    "exact-percentile swap, q47b the GK-sketch swap. The cumulative "
+    "window runs over ≤128 rows per group — nothing at any scale.",
+)
+def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    mm = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(128.0)
+    b = ev.crossJoin(F.broadcast(mm)).select(
+        "event_type",
+        F.least(
+            F.lit(127).cast("bigint"),
+            F.floor((F.col("value") - F.col("lo")) / width).cast("bigint"),
+        ).alias("bin"),
+    )
+    h = b.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = h.select(
+        "event_type",
+        "bin",
+        "c",
+        F.sum("c").over(w_cum).alias("cc"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    pick = lambda mul, cmp_mul: F.min(  # noqa: E731
+        F.when(F.col("cc") * mul >= F.col("n") * cmp_mul, F.col("bin"))
+    ).cast("bigint")
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            pick(2, 1).alias("p50_bin"),
+            pick(20, 19).alias("p95_bin"),
+            pick(100, 99).alias("p99_bin"),
+            F.sum("c").cast("bigint").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

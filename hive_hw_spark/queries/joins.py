@@ -921,3 +921,112 @@ def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q176",
+    oracle="""
+    SELECT p_brand,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_size IN (1, 2, 3, 4, 5)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand
+    ORDER BY supplier_cnt DESC, p_brand
+    """,
+    doc="TPC-H Q16 shape — distinct supplier count per brand over a "
+    "part-attribute slice, with an EXCLUSION subquery (suppliers in "
+    "deficit stand in for Q16's complaint list; lineitem is this "
+    "schema's partsupp link). Plan discipline: the p_size IN slice "
+    "prunes part BEFORE its broadcast into lineitem; the NOT IN "
+    "subquery — the classic null-trap — is safe here (s_suppkey is "
+    "non-null) and the engine states it as a LEFT ANTI join against "
+    "the broadcast deficit list, which is how a 100 TB plan should "
+    "always spell NOT IN; the count-distinct expands to the "
+    "dedup-then-count two-phase (q31/q157 shape), both shuffles on "
+    "the same grouping key. Total order on (count DESC, unique "
+    "brand).",
+)
+def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part_slice = load_table(spark, sf_dir, "part").where(
+        F.col("p_size").isin(1, 2, 3, 4, 5)
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    return (
+        li.join(
+            F.broadcast(part_slice.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(bad_supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand")
+    )
+
+
+@register(
+    "q177",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10)))
+                  / COUNT(*) AS DOUBLE) AS thresh
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE)
+             AS totacctbal
+    FROM customer, t
+    WHERE c_acctbal > thresh
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    doc="TPC-H Q22 shape — 'global sales opportunity': wealthy-but-"
+    "inactive customers per nation (balance above the positive-"
+    "balance average, zero orders). Three classic pieces composed: "
+    "an uncorrelated scalar aggregate (exact-DECIMAL mean cast to "
+    "one double, broadcast as a 1-row frame — the q48 discipline), "
+    "a NOT EXISTS stated as a LEFT ANTI join on custkey (q25), and "
+    "the final nation rollup with the DECIMAL balance sum. The anti "
+    "join is the only fact-fact shuffle; the threshold compare is "
+    "identical IEEE on both engines because the mean derives from "
+    "exact decimal sums.",
+)
+def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    thresh = cust.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(30,10)"))
+            / F.count(F.lit(1))
+        )
+        .cast("double")
+        .alias("thresh")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .where(F.col("c_acctbal") > F.col("thresh"))
+        .join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(30,10)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -290,3 +290,58 @@ def test_neardup_components_matches_union_find(spark, n, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {i: min(j for j in range(n) if find(j) == find(i)) for i in range(n)}
     assert got == want
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=12),
+        min_size=2,
+        max_size=30,
+        unique=True,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_q163_length_band_blocking_is_a_complete_cover(names):
+    """q163's soundness claim, property-tested WITHOUT Spark: for ANY
+    pair within edit distance 2, the floor(len/3)±1 band probe finds
+    it — because lev ≤ 2 bounds the length gap by 2, and a gap ≤ 2
+    moves floor(len/3) by at most 1. Brute-force DP Levenshtein is the
+    ground truth; the blocked candidate set must contain every true
+    pair (it may contain more — the verify step filters those)."""
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[-1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    true_pairs = {
+        (a, b)
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+        if lev(a, b) <= 2
+    }
+    true_pairs = {tuple(sorted(p)) for p in true_pairs}
+
+    # the engine's blocking: left side explodes to buckets {b-1,b,b+1},
+    # right side keyed on its own bucket, pair kept iff name_a < name_b
+    def bucket(s: str) -> int:
+        return len(s) // 3
+
+    candidates = set()
+    for a in names:
+        for bk in (bucket(a) - 1, bucket(a), bucket(a) + 1):
+            for b in names:
+                if bucket(b) == bk and a < b and abs(len(a) - len(b)) <= 2:
+                    candidates.add((a, b))
+    missed = true_pairs - candidates
+    assert not missed, f"blocking dropped true pairs: {missed}"
