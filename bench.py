@@ -94,6 +94,7 @@ HEADLINE = [
     "q175",  # mergeable histogram quantiles
     "q176",  # TPC-H Q16 shape (exclusion + distinct count)
     "q177",  # TPC-H Q22 shape (scalar threshold + anti join)
+    "q178",  # batch logistic scoring over embeddings
 ]
 
 

@@ -3278,3 +3278,65 @@ def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 5)
         .orderBy("lang", "rk")
     )
+
+
+@register(
+    "q178",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id,
+             CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    z AS (
+      SELECT vec_id,
+             CAST(SUM(CAST(x * ((CAST((pos * 2654435761) % 997 AS DOUBLE)
+                                 / 997.0) - 0.5)
+                           AS DECIMAL(30,10))) AS DOUBLE) AS z
+      FROM ex GROUP BY vec_id
+    )
+    SELECT vec_id,
+           ROUND(1.0 / (1.0 + exp(-z)), 6) AS score,
+           CAST(1.0 / (1.0 + exp(-z)) >= 0.5 AS BOOLEAN) AS predicted
+    FROM z ORDER BY vec_id
+    """,
+    doc="Batch model scoring — a logistic-regression head applied to "
+    "the embedding column as a pure QUERY (the inference step of "
+    "every quality-classifier / reward-filter pipeline: fastText-"
+    "style quality scores, toxicity gates, domain routers). Weights "
+    "are a deterministic function of the dimension index (the q105 "
+    "multiplicative-hash family), so both engines hold bit-identical "
+    "models with no side-channel weight file; the dot product runs "
+    "as posexplode → per-element product (deterministic IEEE) → "
+    "EXACT DECIMAL reduction per vector (order-independent under "
+    "any partitioning), sigmoid on the driver-free result column, "
+    "round(6) seals parity. At 100 TB this is one map-side-"
+    "combinable agg over dim x rows exploded coords; the q123 Arrow "
+    "matmul kernel is the documented swap when the model has many "
+    "heads (score a weight MATRIX per batch instead of one vector).",
+)
+def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("p0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("p0") + 1).alias("pos"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    w = (
+        F.pmod(F.col("pos") * F.lit(2654435761), F.lit(997)).cast("double")
+        / F.lit(997.0)
+    ) - F.lit(0.5)
+    z = ex.groupBy("vec_id").agg(
+        F.sum((F.col("x") * w).cast("decimal(30,10)"))
+        .cast("double")
+        .alias("z")
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))
+    return z.select(
+        "vec_id",
+        F.round(score, 6).alias("score"),
+        (score >= 0.5).alias("predicted"),
+    ).orderBy("vec_id")
