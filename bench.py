@@ -95,6 +95,8 @@ HEADLINE = [
     "q176",  # TPC-H Q16 shape (exclusion + distinct count)
     "q177",  # TPC-H Q22 shape (scalar threshold + anti join)
     "q178",  # batch logistic scoring over embeddings
+    "q180",  # time-bounded conversion funnel
+    "q181",  # fulfillment latency bands
 ]
 
 

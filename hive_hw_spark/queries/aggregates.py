@@ -914,10 +914,17 @@ def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pattern) with first_day as the only stateful piece.",
 )
 def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
     ev = load_table(spark, sf_dir, "events")
-    d = ev.select(
-        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
-    ).distinct()
+    # the distinct (user, day) set feeds BOTH the classification join
+    # and the first-day agg — persist it so events is scanned once
+    d = _managed_persist(
+        "q158_user_days",
+        ev.select(
+            "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        ).distinct(),
+    )
     f = d.groupBy("user_id").agg(F.min("day").alias("first_day"))
     return (
         d.join(f, "user_id")
@@ -1034,12 +1041,20 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the data's max day are clipped via a broadcast 1-row max frame.",
 )
 def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
     ev = load_table(spark, sf_dir, "events")
-    d = ev.select(
-        "user_id",
-        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
-        .alias("day_num"),
-    ).distinct()
+    # persisted: the explode AND the max-day broadcast both read it —
+    # without the persist each branch re-scans and re-dedups events
+    d = _managed_persist(
+        "q164_user_days",
+        ev.select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("day_num"),
+        ).distinct(),
+    )
     mx = d.agg(F.max("day_num").alias("max_day"))
     expanded = (
         d.select(
@@ -1351,4 +1366,67 @@ def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("bigint").alias("n_events"),
         )
         .orderBy("event_type")
+    )
+
+
+@register(
+    "q181",
+    oracle="""
+    WITH lat AS (
+      SELECT o_orderkey,
+             date_diff('day', o_orderdate, MAX(l_shipdate)) AS lat_days
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey, o_orderdate
+    )
+    SELECT CASE WHEN lat_days <= 7 THEN 'a_week'
+                WHEN lat_days <= 30 THEN 'b_month'
+                WHEN lat_days <= 90 THEN 'c_quarter'
+                ELSE 'd_longer' END AS latency_band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(lat_days) AS BIGINT) AS min_days,
+           CAST(MAX(lat_days) AS BIGINT) AS max_days
+    FROM lat GROUP BY latency_band ORDER BY latency_band
+    """,
+    doc="Order-fulfillment latency distribution — days from order to "
+    "LAST shipment, banded (the operational-SLA report; the lag "
+    "metric every fulfillment dashboard leads with). One "
+    "co-partitioned fact-fact join on orderkey feeding a per-order "
+    "MAX (partial-agg combinable — the shuffle carries one row per "
+    "order, not per line), then integer day arithmetic into a "
+    "codegen CASE band and a 4-row rollup. Bands are prefixed "
+    "(a_/b_/…) so the lexical ORDER BY is also the semantic order "
+    "— no separate sort-key column to keep in parity.",
+)
+def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    lat = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.datediff(
+                F.col("last_ship").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).alias("lat_days")
+        )
+    )
+    band = (
+        F.when(F.col("lat_days") <= 7, "a_week")
+        .when(F.col("lat_days") <= 30, "b_month")
+        .when(F.col("lat_days") <= 90, "c_quarter")
+        .otherwise("d_longer")
+    )
+    return (
+        lat.groupBy(band.alias("latency_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("lat_days").cast("bigint").alias("min_days"),
+            F.max("lat_days").cast("bigint").alias("max_days"),
+        )
+        .orderBy("latency_band")
     )

@@ -854,3 +854,84 @@ def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q180",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT DISTINCT s.user_id
+      FROM s JOIN events p
+        ON p.user_id = s.user_id
+       AND p.event_type = 'purchase'
+       AND p.ts >= s.signup_ts
+       AND p.ts < s.signup_ts + INTERVAL 7 DAY
+    )
+    SELECT CAST(CAST(date_trunc('week', signup_ts) AS DATE) AS VARCHAR)
+             AS cohort_week,
+           CAST(COUNT(*) AS BIGINT) AS n_signups,
+           CAST(COUNT(conv.user_id) AS BIGINT) AS n_converted,
+           ROUND(CAST(COUNT(conv.user_id) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS conv_rate
+    FROM s LEFT JOIN conv ON s.user_id = conv.user_id
+    GROUP BY cohort_week ORDER BY cohort_week
+    """,
+    doc="Time-bounded conversion funnel — signup→purchase within 7 days, "
+    "rated per weekly signup cohort (the product-analytics KPI that "
+    "composes q129's ordered funnel with a DEADLINE: strict order "
+    "alone is not conversion; the window is). Scale shape: the "
+    "first-signup agg, the purchase window join, and the converted-"
+    "user distinct all key on user_id — ONE fact exchange serves the "
+    "chain (q130/q173 discipline), and the purchase join carries the "
+    "time bound as a residual on the co-partitioned key, bounding "
+    "work per user instead of exploding event pairs. The cohort "
+    "rollup is |weeks| rows. Conversion ratio divides exact integer "
+    "counts in IEEE double — engine-identical — and rounds(4).",
+)
+def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        s.join(
+            p,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") >= F.col("signup_ts"))
+            & (
+                F.col("p_ts")
+                < F.col("signup_ts") + F.expr("INTERVAL 7 DAYS")
+            ),
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    return (
+        s.join(conv, "user_id", "left")
+        .groupBy(
+            F.date_trunc("week", "signup_ts")
+            .cast("date")
+            .cast("string")
+            .alias("cohort_week")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_signups"),
+            F.count("converted").alias("n_converted"),
+            F.round(
+                F.count("converted").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("conv_rate"),
+        )
+        .orderBy("cohort_week")
+    )
