@@ -97,6 +97,8 @@ HEADLINE = [
     "q178",  # batch logistic scoring over embeddings
     "q180",  # time-bounded conversion funnel
     "q181",  # fulfillment latency bands
+    "q182",  # weighted reservoir sample (A-ES)
+    "q184",  # session entry->exit path pairs
 ]
 
 

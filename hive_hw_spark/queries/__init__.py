@@ -150,7 +150,7 @@ _PRIORITY = frozenset(
         "q151", "q152", "q153", "q154", "q155", "q156", "q157", "q158",
         "q160", "q161", "q162", "q163", "q164", "q165", "q166", "q167",
         "q170", "q172", "q173", "q174", "q175", "q176", "q177", "q178",
-        "q180", "q181",
+        "q180", "q181", "q182", "q184",
     }
 )
 

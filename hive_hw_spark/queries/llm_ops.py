@@ -3340,3 +3340,65 @@ def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 6).alias("score"),
         (score >= 0.5).alias("predicted"),
     ).orderBy("vec_id")
+
+
+@register(
+    "q182",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, lang,
+             -ln((CAST((doc_id % 2147483648) * 2654435761 % 1000000000
+                       AS DOUBLE) + 1.0) / 1000000000.0)
+               / LEAST(CAST(1.0 AS DOUBLE), n_chars / 1000.0) AS es_key
+      FROM documents
+    )
+    SELECT lang, rk, doc_id, ROUND(es_key, 8) AS es_key
+    FROM (
+      SELECT lang, doc_id, es_key,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY es_key, doc_id)
+                  AS BIGINT) AS rk
+      FROM k
+    ) WHERE rk <= 5 ORDER BY lang, rk
+    """,
+    doc="Weighted sampling WITHOUT replacement, exactly k per stratum — "
+    "the Efraimidis-Spirakis reservoir (A-ES) as a pure query: each "
+    "doc draws u ∈ (0,1] from the engine-independent hash, its key "
+    "is -ln(u)/w with w = the q149 quality weight, and the k "
+    "SMALLEST keys per language are the sample — provably the "
+    "weighted-without-replacement distribution, fully deterministic "
+    "(no rand(), reproducible across engines/partitionings, every "
+    "float op per-row IEEE so both engines rank identically). "
+    "Completes the sampling matrix: q105 uniform rate, q149 "
+    "weighted rate, q170 uniform count, q182 weighted count. Same "
+    "100 TB note as q170: swap the full window for a per-partition "
+    "top-k heap merge.",
+)
+def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.pmod(
+            F.pmod(F.col("doc_id"), F.lit(2147483648))
+            * F.lit(2654435761),
+            F.lit(1000000000),
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(1000000000.0)
+    w = F.least(F.lit(1.0), F.col("n_chars") / F.lit(1000.0))
+    k = docs.select(
+        "doc_id", "lang", (-F.log(u) / w).alias("es_key")
+    )
+    win = Window.partitionBy("lang").orderBy("es_key", "doc_id")
+    return (
+        k.select(
+            "lang",
+            "doc_id",
+            "es_key",
+            F.row_number().over(win).cast("bigint").alias("rk"),
+        )
+        .where(F.col("rk") <= 5)
+        .select("lang", "rk", "doc_id", F.round("es_key", 8).alias("es_key"))
+        .orderBy("lang", "rk")
+    )

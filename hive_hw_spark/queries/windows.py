@@ -935,3 +935,82 @@ def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week")
     )
+
+
+@register(
+    "q184",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, event_id, event_type, ts_s,
+             CASE WHEN ts_s - LAG(ts_s) OVER w > 1800
+                    OR LAG(ts_s) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+    ),
+    x AS (
+      SELECT user_id, event_type,
+             ts_s * 10000000 + event_id AS ord_key,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM f
+    ),
+    paths AS (
+      SELECT user_id, session_idx,
+             arg_min(event_type, ord_key) AS entry_type,
+             arg_max(event_type, ord_key) AS exit_type
+      FROM x GROUP BY user_id, session_idx
+    )
+    SELECT entry_type, exit_type, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY entry_type, exit_type
+    ORDER BY n_sessions DESC, entry_type, exit_type
+    LIMIT 10
+    """,
+    doc="Session path analysis — top entry→exit event-type pairs (the "
+    "'how do visits start and end' report; composes q135's "
+    "sessionization with q160's min_by/max_by selection). The "
+    "session chain reuses q135's one-exchange discipline (lag "
+    "window, cumulative flag, session agg all on user_id); entry/"
+    "exit come from min_by/max_by on a composite integer order key "
+    "(ts_s·10^7 + event_id — unique, engine-identical, no second "
+    "window pass), the pair rollup is tiny, and the top-10 is "
+    "TakeOrderedAndProject with a full tie-break.",
+)
+def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("ts_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    f = ev.withColumn(
+        "new_s",
+        F.when(
+            (F.col("ts_s") - F.lag("ts_s").over(w) > 1800)
+            | F.lag("ts_s").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    x = f.select(
+        "user_id",
+        "event_type",
+        (F.col("ts_s") * 10000000 + F.col("event_id")).alias("ord_key"),
+        F.sum("new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_idx"),
+    )
+    paths = x.groupBy("user_id", "session_idx").agg(
+        F.min_by("event_type", "ord_key").alias("entry_type"),
+        F.max_by("event_type", "ord_key").alias("exit_type"),
+    )
+    return (
+        paths.groupBy("entry_type", "exit_type")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "entry_type", "exit_type")
+        .limit(10)
+    )

@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from datetime import datetime, timezone
 
 from pyspark.sql import functions as F
 
@@ -492,3 +493,75 @@ def test_q169_incremental_ohlc_stream_equals_batch(spark, tmp_path):
     d1 = got["2024-03-01"]
     assert d1[0] == 99.0 and d1[3] == 3.0  # open/close from batch 2
     assert d1[1] == 99.0 and d1[2] == 3.0 and d1[4] == 4
+
+
+def test_q185_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """Q185: dropDuplicatesWithinWatermark — q74's dedup with BOUNDED
+    state (the 100 TB streaming-dedup form: q74's plain dropDuplicates
+    keeps every key forever; the watermark variant expires keys once
+    the watermark passes them). Contract shown: (a) duplicates arriving
+    while the key is in state collapse to one row; (b) after the
+    watermark advances past the key's expiry, the SAME key is accepted
+    again — state was provably dropped, not just deduped."""
+    src = str(tmp_path / "dupsrc")
+    t0 = time.time() - 100000
+    iso = lambda s: datetime.fromtimestamp(s, tz=timezone.utc).strftime(  # noqa: E731
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
+    base = 1700000000
+    _write_batch(
+        src,
+        "b1.json",
+        [
+            {"k": "A", "ts": iso(base)},
+            {"k": "A", "ts": iso(base + 5)},   # in-batch duplicate
+            {"k": "B", "ts": iso(base + 10)},
+        ],
+        t0,
+    )
+    _write_batch(
+        src,
+        "b2.json",
+        [{"k": "C", "ts": iso(base + 7200)}],  # advances the watermark
+        t0 + 10,
+    )
+    _write_batch(
+        src,
+        "b3.json",
+        # spacer: watermark APPLICATION lags one batch behind the
+        # event-time stats in availableNow runs (CLAUDE.md / q73), so
+        # b2's watermark-lifting max only takes effect from the batch
+        # AFTER the next one
+        [{"k": "D", "ts": iso(base + 7250)}],
+        t0 + 20,
+    )
+    _write_batch(
+        src,
+        "b4.json",
+        # same key A, but its old state expired (watermark = 7200-600s
+        # past base by now): must be ACCEPTED as a fresh row
+        [{"k": "A", "ts": iso(base + 7300)}],
+        t0 + 30,
+    )
+    stream = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["k"]
+    )
+    _run_available_now(
+        deduped.writeStream.format("memory")
+        .queryName("q185_sink")
+        .outputMode("append")
+    )
+    rows = spark.table("q185_sink").collect()
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r.k, 0)
+        per_key[r.k] += 1
+    assert per_key["B"] == 1 and per_key["C"] == 1 and per_key["D"] == 1
+    # A: once from b1 (in-batch dup collapsed) + once from b4 (state
+    # expired by the advanced watermark) = exactly 2
+    assert per_key["A"] == 2, per_key
