@@ -140,9 +140,16 @@ _ATTESTED = frozenset(
 # is NEW this round (q38, the rows-checkable partial/final-agg twin):
 # pytest oracle parity covers a rewrite, but driver attestation should
 # re-confirm it the first round after it lands.
+# Round-7 window pressure: ~56 candidates for 50 sweep slots. Demoted
+# back to the stale pool (never-checked outranks stale re-confirmation):
+# q71/q72 — same events-ts decode path as q70, which stays as the
+# representative; q41 — its r6 rewrite carries the strongest local
+# evidence of the stale set (bucketed≡single-window equality test +
+# plan-shape assertions). The three slots go to q156/q178/q182, which
+# have NO driver row of any kind yet.
 _PRIORITY = frozenset(
     {
-        "q63", "q70", "q71", "q72", "q78", "q114", "q41", "q123", "q38",
+        "q63", "q70", "q78", "q114", "q123", "q38",
         # NEW in round 7 — first driver rows outrank stale re-confirmation
         "q132", "q133", "q134", "q135", "q136", "q137",
         "q138", "q139", "q141", "q142", "q143", "q144", "q145", "q146",

@@ -69,3 +69,45 @@ def test_q140_hll_estimates_within_bound(spark, sf_dir):
     assert row.exact > 0
     assert abs(row.merged_est - row.exact) / row.exact <= 0.05
     assert abs(row.direct_est - row.exact) / row.exact <= 0.05
+
+
+def test_q175_histogram_sketch_merges_across_shards(spark, sf_dir):
+    """q175's mergeability claim, proven like q111b/q140: per-(group,bin)
+    counts built on two disjoint shards SUM cell-wise to the
+    whole-corpus histogram — the algebra that lets 1000 executors (or
+    daily partitions, or micro-batches) each emit a 128-cell sketch
+    and fold by plain addition, with the quantile read from the merged
+    cells only."""
+    from hive_hw_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    mm = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(128.0)
+    binned = ev.crossJoin(F.broadcast(mm)).select(
+        "event_id",
+        "event_type",
+        F.least(
+            F.lit(127).cast("bigint"),
+            F.floor((F.col("value") - F.col("lo")) / width).cast("bigint"),
+        ).alias("bin"),
+    )
+    whole = {
+        (r.event_type, r.bin): r.c
+        for r in binned.groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    shard_a = binned.where(F.col("event_id") % 2 == 0)
+    shard_b = binned.where(F.col("event_id") % 2 == 1)
+    merged: dict = {}
+    for shard in (shard_a, shard_b):
+        for r in (
+            shard.groupBy("event_type", "bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ):
+            k = (r.event_type, r.bin)
+            merged[k] = merged.get(k, 0) + r.c
+    assert merged == whole
