@@ -99,6 +99,8 @@ HEADLINE = [
     "q181",  # fulfillment latency bands
     "q182",  # weighted reservoir sample (A-ES)
     "q184",  # session entry->exit path pairs
+    "q186",  # cogrouped-pandas as-of merge
+    "q187",  # keyset pagination
 ]
 
 

@@ -172,3 +172,59 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "price", "size")
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "q187",
+    oracle="""
+    WITH anchor AS (
+      SELECT o_totalprice AS ap, o_orderkey AS ak
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 1 OFFSET 39
+    )
+    SELECT o_orderkey, o_totalprice
+    FROM orders, anchor
+    WHERE o_totalprice < ap
+       OR (o_totalprice = ap AND o_orderkey > ak)
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    doc="Keyset (seek) pagination — page 3 of the price-ranked order "
+    "list WITHOUT OFFSET (the deep-pagination discipline: OFFSET n "
+    "scans and sorts n rows to throw them away, so page depth costs "
+    "grow linearly and a 100 TB 'page 10000' is a cluster-sized "
+    "sort; the keyset form seeks PAST the last row of the previous "
+    "page with a composite (price, key) predicate, so every page "
+    "costs one pushed-down filter + TakeOrderedAndProject top-20, "
+    "independent of depth). The anchor (last row of page 2) arrives "
+    "via a broadcast 1-row frame here so the whole query is "
+    "self-contained; a real pager passes it as literals, which "
+    "reach the parquet scan as PushedFilters. Strict total order on "
+    "(price DESC, unique orderkey) makes pages gap- and overlap-"
+    "free under ties.",
+)
+def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    anchor = (
+        orders.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(40)
+        .orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").desc())
+        .limit(1)
+        .select(
+            F.col("o_totalprice").alias("ap"), F.col("o_orderkey").alias("ak")
+        )
+    )
+    return (
+        orders.crossJoin(F.broadcast(anchor))
+        .where(
+            (F.col("o_totalprice") < F.col("ap"))
+            | (
+                (F.col("o_totalprice") == F.col("ap"))
+                & (F.col("o_orderkey") > F.col("ak"))
+            )
+        )
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )

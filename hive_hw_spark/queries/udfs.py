@@ -234,3 +234,58 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
         " FROM hive_hw_q85_docs d, LATERAL hive_hw_split_words(d.text) t"
         " ORDER BY d.doc_id, t.pos"
     )
+
+
+@register(
+    "q186",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         s AS (SELECT * FROM events WHERE event_type = 'signup')
+    SELECT p.event_id AS event_id, s.ts AS signup_ts
+    FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+    ORDER BY event_id
+    """,
+    doc="Cogrouped-pandas as-of merge — the LAST pandas API surface "
+    "(groupBy().cogroup().applyInPandas): purchases and signups are "
+    "cogrouped on user_id, each Arrow-batched pair of per-user "
+    "frames runs pandas.merge_asof (backward, exact matches "
+    "allowed), reproducing q28's as-of semantics with the SAME "
+    "DuckDB ASOF oracle. This is the escape hatch for per-key "
+    "logic that needs BOTH sides as real dataframes (interval "
+    "algebra, custom interpolation, model scoring against a per-key "
+    "reference curve) — one shuffle on the cogroup key, Arrow both "
+    "directions, no driver involvement. q28's union+window form "
+    "remains the pure-JVM plan when the semantics fit built-ins; "
+    "this one exists for when they don't.",
+)
+def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    s = ev.where(F.col("event_type") == "signup").select("user_id", "ts")
+
+    def asof_merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values("ts")
+        if right.empty:
+            out = left[["event_id"]].copy()
+            out["signup_ts"] = pd.NaT
+            return out
+        right = right.sort_values("ts").rename(columns={"ts": "signup_ts"})
+        merged = pd.merge_asof(
+            left,
+            right[["signup_ts"]].assign(ts=right["signup_ts"]),
+            on="ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return merged[["event_id", "signup_ts"]]
+
+    return (
+        p.groupBy("user_id")
+        .cogroup(s.groupBy("user_id"))
+        .applyInPandas(asof_merge, schema="event_id long, signup_ts timestamp")
+        .orderBy("event_id")
+    )

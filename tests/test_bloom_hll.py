@@ -111,3 +111,34 @@ def test_q175_histogram_sketch_merges_across_shards(spark, sf_dir):
             k = (r.event_type, r.bin)
             merged[k] = merged.get(k, 0) + r.c
     assert merged == whole
+
+
+def test_q175_quantile_bins_contain_exact_quantiles(spark, sf_dir):
+    """q175's error claim: the reported bin CONTAINS the exact quantile
+    — i.e. the histogram estimate is off by at most one bin width."""
+    from hive_hw_spark.catalog import load_table
+
+    out = {r.event_type: r for r in all_queries()["q175"].fn(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    width = (hi - lo) / 128.0
+    exact = {
+        r.event_type: (r.p50, r.p95, r.p99)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile_approx(value, 0.5, 100000)").alias("p50"),
+            F.expr("percentile_approx(value, 0.95, 100000)").alias("p95"),
+            F.expr("percentile_approx(value, 0.99, 100000)").alias("p99"),
+        )
+        .collect()
+    }
+    for et, row in out.items():
+        for bin_attr, ex in zip(
+            ("p50_bin", "p95_bin", "p99_bin"), exact[et]
+        ):
+            b = getattr(row, bin_attr)
+            lo_edge = lo + b * width
+            hi_edge = lo + (b + 1) * width
+            assert lo_edge - width <= ex <= hi_edge + width, (
+                et, bin_attr, b, ex, lo_edge, hi_edge,
+            )
