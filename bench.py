@@ -101,6 +101,7 @@ HEADLINE = [
     "q184",  # session entry->exit path pairs
     "q186",  # cogrouped-pandas as-of merge
     "q187",  # keyset pagination
+    "q188",  # mapInArrow columnar transform
 ]
 
 

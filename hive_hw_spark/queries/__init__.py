@@ -147,11 +147,12 @@ _ATTESTED = frozenset(
 # evidence of the stale set (bucketed≡single-window equality test +
 # plan-shape assertions). The three slots go to q156/q178/q182, which
 # have NO driver row of any kind yet. Second pass (waves 14+ added
-# q186/q187): q78/q114 also step back — q63/q70 stay as the
-# events-decode representatives — so every never-checked entry fits.
+# q186/q187/q188): q63/q78/q114 also step back — q70 stays as THE
+# events-decode representative (same decode_event_ts branch) — so
+# every never-checked entry fits.
 _PRIORITY = frozenset(
     {
-        "q63", "q70", "q123", "q38",
+        "q70", "q123", "q38",
         # NEW in round 7 — first driver rows outrank stale re-confirmation
         "q132", "q133", "q134", "q135", "q136", "q137",
         "q138", "q139", "q141", "q142", "q143", "q144", "q145", "q146",
@@ -159,7 +160,7 @@ _PRIORITY = frozenset(
         "q151", "q152", "q153", "q154", "q155", "q156", "q157", "q158",
         "q160", "q161", "q162", "q163", "q164", "q165", "q166", "q167",
         "q170", "q172", "q173", "q174", "q175", "q176", "q177", "q178",
-        "q180", "q181", "q182", "q184", "q186", "q187",
+        "q180", "q181", "q182", "q184", "q186", "q187", "q188",
     }
 )
 

@@ -289,3 +289,50 @@ def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(asof_merge, schema="event_id long, signup_ts timestamp")
         .orderBy("event_id")
     )
+
+
+@register(
+    "q188",
+    oracle="""
+    SELECT doc_id, upper(source) AS source_uc,
+           CAST(length(text) AS BIGINT) AS text_len
+    FROM documents ORDER BY doc_id
+    """,
+    doc="mapInArrow columnar transform — the zero-pandas Arrow surface "
+    "(Spark 4's third Python batch API next to mapInPandas/"
+    "applyInPandas): the UDF receives raw pyarrow.RecordBatch "
+    "objects and answers with pyarrow compute kernels "
+    "(utf8_upper, utf8_length) — no pandas materialization, no "
+    "object-dtype boxing, which for byte-dominant work (binary "
+    "payloads, long strings) removes the biggest Python-side cost "
+    "left after Arrow transfer. Semantics here are deliberately "
+    "builtin-expressible so the DuckDB oracle can hash-check the "
+    "Arrow path end to end; the real use is kernels Spark lacks "
+    "(custom tokenizers over large utf8 columns, bit-twiddling on "
+    "binary). Plan: map-only, no shuffle, streams batch-by-batch.",
+)
+def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+
+    def arrow_transform(batches):
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.utf8_upper(batch.column("source")),
+                    pc.cast(
+                        pc.utf8_length(batch.column("text")), pa.int64()
+                    ),
+                ],
+                names=["doc_id", "source_uc", "text_len"],
+            )
+
+    return docs.mapInArrow(
+        arrow_transform,
+        schema="doc_id long, source_uc string, text_len long",
+    ).orderBy("doc_id")

@@ -565,3 +565,78 @@ def test_q185_dedup_within_watermark_bounds_state(spark, tmp_path):
     # A: once from b1 (in-batch dup collapsed) + once from b4 (state
     # expired by the advanced watermark) = exactly 2
     assert per_key["A"] == 2, per_key
+
+
+def test_q190_streaming_materialized_view_maintenance(spark, tmp_path):
+    """Q190: the q171 rollup maintained FROM A STREAM — each micro-batch
+    flows through foreachBatch into incremental_rollup_merge, and after
+    the availableNow run the stored rollup equals the full batch
+    recompute. This is the streaming-materialized-view loop: agg the
+    delta, ADD-merge, never rescan history."""
+    import uuid as _uuid
+
+    from hive_hw_spark.tables import incremental_rollup_merge
+
+    src = str(tmp_path / "mv_src")
+    t0 = time.time() - 1000
+    _write_batch(
+        src,
+        "b1.json",
+        [
+            {"day": "2024-01-01", "value": 1.5},
+            {"day": "2024-01-01", "value": 2.5},
+            {"day": "2024-01-02", "value": 4.0},
+        ],
+        t0,
+    )
+    _write_batch(
+        src,
+        "b2.json",
+        [
+            {"day": "2024-01-02", "value": 6.0},
+            {"day": "2024-01-03", "value": 9.0},
+        ],
+        t0 + 10,
+    )
+    tbl = f"q190_mv_{_uuid.uuid4().hex[:8]}"
+    schema = "day string, value double"
+    empty_rollup = spark.createDataFrame(
+        [], "day string, n bigint, total decimal(30,10)"
+    )
+
+    def refresh(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        current = (
+            sess.table(tbl)
+            if sess.catalog.tableExists(tbl)
+            else empty_rollup
+        )
+        # merge writes saveAsTable(overwrite) — read the CURRENT rollup
+        # eagerly first so the overwrite doesn't read-after-truncate
+        frozen = sess.createDataFrame(
+            current.collect(), "day string, n bigint, total decimal(30,10)"
+        )
+        incremental_rollup_merge(sess, frozen, batch_df, tbl)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    try:
+        _run_available_now(stream.writeStream.foreachBatch(refresh))
+        got = {(r.day, r.n, r.total) for r in spark.table(tbl).collect()}
+        full = {
+            (r.day, r.n, r.total)
+            for r in spark.read.schema(schema)
+            .json(src)
+            .groupBy("day")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(30,10)")).alias("total"),
+            )
+            .collect()
+        }
+        assert got == full
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

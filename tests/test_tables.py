@@ -246,3 +246,31 @@ def test_incremental_rollup_merge_equals_full_recompute(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}_2")
+
+
+def test_q191_parquet_compression_codecs_roundtrip_and_size(spark, tmp_path):
+    """Q191: storage-tuning contract — the same data written with zstd
+    and snappy both round-trip exactly, and zstd compresses the highly
+    compressible column tighter (at 100 TB the codec choice is a
+    double-digit-percent storage/scan-cost lever; zstd is the modern
+    default, snappy the legacy-compatible one)."""
+    import glob
+    import os
+
+    df = spark.range(0, 200_000).selectExpr(
+        "id",
+        "repeat('compressible-', 8) AS filler",
+        "CAST(id % 97 AS DOUBLE) AS v",
+    )
+    sizes = {}
+    for codec in ("zstd", "snappy"):
+        dst = str(tmp_path / codec)
+        df.coalesce(1).write.option("compression", codec).parquet(dst)
+        back = spark.read.parquet(dst)
+        assert back.count() == 200_000
+        assert back.exceptAll(df).count() == 0
+        sizes[codec] = sum(
+            os.path.getsize(f)
+            for f in glob.glob(f"{dst}/part-*.parquet")
+        )
+    assert sizes["zstd"] < sizes["snappy"], sizes
