@@ -102,6 +102,16 @@ HEADLINE = [
     "q186",  # cogrouped-pandas as-of merge
     "q187",  # keyset pagination
     "q188",  # mapInArrow columnar transform
+    "q192",  # TPC-H Q7 shape (volume shipping)
+    "q193",  # TPC-H Q8 shape (market share)
+    "q194",  # TPC-H Q10 shape (returned items)
+    "q195",  # TPC-H Q13 shape (customer distribution)
+    "q196",  # TPC-H Q14 shape (promo effect)
+    "q197",  # TPC-H Q15 shape (top supplier)
+    "q198",  # TPC-H Q18 shape (large-volume customers)
+    "q199",  # TPC-H Q19 shape (disjunctive predicate)
+    "q200",  # INTERSECT ALL / EXCEPT ALL (bag semantics)
+    "q204",  # interval sweep line (peak concurrency)
 ]
 
 

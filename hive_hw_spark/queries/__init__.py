@@ -104,6 +104,7 @@ _MODULES = (
     "dml",
     "quality",
     "graph",
+    "tpch",
 )
 
 _loaded = False
@@ -161,6 +162,8 @@ _PRIORITY = frozenset(
         "q160", "q161", "q162", "q163", "q164", "q165", "q166", "q167",
         "q170", "q172", "q173", "q174", "q175", "q176", "q177", "q178",
         "q180", "q181", "q182", "q184", "q186", "q187", "q188",
+        "q192", "q193", "q194", "q195", "q196", "q197", "q198", "q199",
+        "q200", "q201", "q202", "q203", "q204",
     }
 )
 

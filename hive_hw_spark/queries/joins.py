@@ -1030,3 +1030,91 @@ def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "q202",
+    oracle="""
+    WITH c AS (
+      SELECT NULLIF(c_nationkey % 5, 0) AS grp,
+             CAST(COUNT(*) AS BIGINT) AS c_cnt
+      FROM customer GROUP BY grp
+    ), s AS (
+      SELECT NULLIF(s_nationkey % 5, 0) AS grp,
+             CAST(COUNT(*) AS BIGINT) AS s_cnt
+      FROM supplier GROUP BY grp
+    )
+    SELECT c.grp AS grp, c_cnt, s_cnt, c_cnt * s_cnt AS pairs
+    FROM c JOIN s ON c.grp IS NOT DISTINCT FROM s.grp
+    ORDER BY grp NULLS LAST
+    """,
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM) — B-B "
+    "extension: both sides derive a NULLable group key (the A24 "
+    "sentinel rule: bucket 0 means 'missing' and becomes NULL), and "
+    "the join must MATCH the NULL groups to each other — plain "
+    "equality silently drops every sentinel row because NULL = NULL "
+    "is NULL. Scale shape: both sides pre-aggregate to one row per "
+    "group BEFORE the join (agg-then-join — the shuffle carries "
+    "distinct groups, not raw rows); Spark plans <=> as a normal "
+    "hash join on a null-safe key, not a nested loop. Explicit "
+    "NULLS LAST because the engines' default null order differs "
+    "(Spark NULLS FIRST asc, DuckDB NULLS LAST asc).",
+)
+def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("grp"))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("c_cnt"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.nullif(F.col("s_nationkey") % 5, F.lit(0)).alias("sgrp"))
+        .groupBy("sgrp")
+        .agg(F.count(F.lit(1)).alias("s_cnt"))
+    )
+    return (
+        c.join(s, F.col("grp").eqNullSafe(F.col("sgrp")))
+        .select(
+            "grp",
+            "c_cnt",
+            "s_cnt",
+            (F.col("c_cnt") * F.col("s_cnt")).alias("pairs"),
+        )
+        .orderBy(F.col("grp").asc_nulls_last())
+    )
+
+
+_Q203_SQL = """
+    SELECT r_name, t.n_name, t.n_cust
+    FROM region, LATERAL (
+      SELECT n_name, CAST(COUNT(c_custkey) AS BIGINT) AS n_cust
+      FROM nation JOIN customer ON c_nationkey = n_nationkey
+      WHERE n_regionkey = r_regionkey
+      GROUP BY n_name
+      ORDER BY n_cust DESC, n_name
+      LIMIT 2
+    ) t
+    ORDER BY r_name, n_cust DESC, n_name
+"""
+
+
+@register(
+    "q203",
+    oracle=_Q203_SQL,
+    doc="LATERAL correlated subquery join (B-B completion; Spark 3.2+ "
+    "surface): for each region, the top-2 nations by customer count — "
+    "the per-outer-row parameterized subquery SQL users reach for "
+    "when a window rewrite is non-obvious. The SAME SQL text runs on "
+    "both engines. Catalyst DECORRELATES the lateral into a "
+    "join + per-group window rank (DomainJoin rewrite) rather than "
+    "executing the subquery once per outer row — so the plan scales "
+    "like q52's top-k-per-group (one shuffle on the correlation "
+    "key), not like a nested loop. The 5-row outer side keeps the "
+    "decorrelation overhead trivial; a fact-sized outer side would "
+    "make the window rewrite (q52) the explicit choice.",
+)
+def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("region", "nation", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q203_SQL)

@@ -102,3 +102,91 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_nationkey").alias("nationkey"))
     )
     return c.subtract(s).orderBy("nationkey")
+
+
+@register(
+    "q200",
+    oracle="""
+    WITH f AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'),
+         o AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'),
+         i AS (SELECT custkey FROM f INTERSECT ALL SELECT custkey FROM o),
+         e AS (SELECT custkey FROM f EXCEPT ALL SELECT custkey FROM o)
+    SELECT 'intersect_all' AS variant, custkey, CAST(COUNT(*) AS BIGINT) AS n
+    FROM i GROUP BY custkey
+    UNION ALL
+    SELECT 'except_all' AS variant, custkey, CAST(COUNT(*) AS BIGINT) AS n
+    FROM e GROUP BY custkey
+    ORDER BY variant, custkey
+    """,
+    doc="INTERSECT ALL / EXCEPT ALL — the BAG-semantics set ops (B-G "
+    "completion next to q55-q57's distinct forms): the multiset of "
+    "custkeys with finished ('F') orders intersected with / minus the "
+    "multiset with open ('O') orders. Multiplicity rules (min(a,b) "
+    "for intersect, max(0, a-b) for except) are what distinct set ops "
+    "silently lose — e.g. 'how many REPEAT finished-order customers "
+    "also have that many open orders'. Scale shape: Spark plans both "
+    "as a per-side count aggregate + join on the value (the Expand-"
+    "free rewrite), so the shuffle carries one (key, count) row per "
+    "distinct key and side — never the raw bags. The result is "
+    "re-counted per key so the oracle compare is order-free.",
+)
+def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    o = orders.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    inter = (
+        f.intersectAll(o)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("variant"), "custkey", "n")
+    )
+    exc = (
+        f.exceptAll(o)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("variant"), "custkey", "n")
+    )
+    return inter.unionAll(exc).orderBy("variant", "custkey")
+
+
+@register(
+    "q201",
+    oracle="""
+    SELECT 'c' AS entity, c_custkey AS key, c_acctbal AS acctbal,
+           CAST(NULL AS VARCHAR) AS name
+    FROM customer
+    UNION ALL
+    SELECT 's' AS entity, s_suppkey AS key, CAST(NULL AS DOUBLE) AS acctbal,
+           s_name AS name
+    FROM supplier
+    ORDER BY entity, key
+    """,
+    doc="Schema-evolving union — unionByName(allowMissingColumns=True) "
+    "(B-G extension): customer rows carry acctbal but no name, "
+    "supplier rows the reverse; the union aligns columns BY NAME and "
+    "null-fills each side's missing column. This is the schema-drift "
+    "staple of long-lived ingest pipelines (a field added in v2 must "
+    "not break the union with v1 history); positional unionAll would "
+    "silently cross-wire the columns instead. Zero-shuffle "
+    "concatenation, same as UNION ALL.",
+)
+def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.lit("c").alias("entity"),
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.lit("s").alias("entity"),
+        F.col("s_suppkey").alias("key"),
+        F.col("s_name").alias("name"),
+    )
+    return (
+        c.unionByName(s, allowMissingColumns=True)
+        .select("entity", "key", "acctbal", "name")
+        .orderBy("entity", "key")
+    )

@@ -1014,3 +1014,112 @@ def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "entry_type", "exit_type")
         .limit(10)
     )
+
+
+@register(
+    "q204",
+    oracle="""
+    WITH spans AS (
+      SELECT o_orderkey,
+             CAST(o_orderdate AS DATE) AS sd,
+             CAST(MAX(l_shipdate) AS DATE) + 1 AS ed
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey, sd
+    ), deltas AS (
+      SELECT sd AS day, 1 AS d FROM spans
+      UNION ALL
+      SELECT ed AS day, -1 AS d FROM spans
+    ), daily AS (
+      SELECT day, CAST(SUM(d) AS BIGINT) AS d FROM deltas GROUP BY day
+    ), series AS (
+      SELECT day,
+             CAST(SUM(d) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS conc
+      FROM daily
+    ), peaks AS (
+      SELECT CAST(year(day) AS INTEGER) AS y, MAX(conc) AS peak
+      FROM series GROUP BY y
+    )
+    SELECT p.y, p.peak, strftime(MIN(s.day), '%Y-%m-%d') AS peak_day
+    FROM peaks p
+    JOIN series s ON CAST(year(s.day) AS INTEGER) = p.y AND s.conc = p.peak
+    GROUP BY p.y, p.peak
+    ORDER BY p.y
+    """,
+    doc="Interval sweep line — peak concurrent open orders per year, "
+    "with the first day the peak is reached (B-E extension; the "
+    "max-concurrency / room-occupancy classic over [orderdate, "
+    "last shipment] intervals; reference analog: 'how many slaves "
+    "mid-round at once', master.ino:151-169). Scale shape: intervals "
+    "collapse to ±1 boundary deltas, deltas aggregate to ONE row per "
+    "day (the whole prefix-sum input is |distinct days| — ~2.5k rows "
+    "regardless of fact size, the sweep-line point), so the fact "
+    "tables are touched exactly once by a co-partitioned orderkey "
+    "agg-join. The running concurrency is the distributed prefix-sum "
+    "discipline (q167): a per-YEAR partitioned window plus per-year "
+    "offsets from a triangular self-join over the ≤10-row year "
+    "totals — never an unpartitioned window. The day series is "
+    "persisted once for its two consumers (peak agg + first-day "
+    "lookup; CLAUDE.md multi-branch rule).",
+)
+def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    li_end = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("max_ship"))
+    )
+    spans = (
+        load_table(spark, sf_dir, "orders")
+        .join(li_end, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.to_date("o_orderdate").alias("sd"),
+            F.date_add(F.to_date("max_ship"), 1).alias("ed"),
+        )
+    )
+    deltas = spans.select(F.col("sd").alias("day"), F.lit(1).alias("d")).unionAll(
+        spans.select(F.col("ed").alias("day"), F.lit(-1).alias("d"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("d").alias("d"))
+    # per-year offset: sum of all PRIOR years' deltas (triangular join
+    # over the tiny year-total frame — structural, never a global window)
+    yearly = daily.groupBy(F.year("day").alias("y")).agg(
+        F.sum("d").alias("ytot")
+    )
+    offsets = (
+        yearly.alias("a")
+        .join(
+            yearly.select(
+                F.col("y").alias("py"), F.col("ytot").alias("ptot")
+            ),
+            F.col("py") < F.col("a.y"),
+            "left",
+        )
+        .groupBy(F.col("a.y").alias("oy"))
+        .agg(F.coalesce(F.sum("ptot"), F.lit(0)).alias("off"))
+    )
+    within = Window.partitionBy(F.year("day")).orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    series = (
+        daily.withColumn("cum", F.sum("d").over(within))
+        .join(F.broadcast(offsets), F.year("day") == F.col("oy"))
+        .select(
+            "day",
+            F.year("day").alias("y"),
+            (F.col("off") + F.col("cum")).alias("conc"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    peaks = series.groupBy("y").agg(F.max("conc").alias("peak"))
+    return (
+        series.join(
+            F.broadcast(peaks.select(F.col("y").alias("py"), "peak")),
+            (F.col("y") == F.col("py")) & (F.col("conc") == F.col("peak")),
+        )
+        .groupBy("y", "peak")
+        .agg(F.date_format(F.min("day"), "yyyy-MM-dd").alias("peak_day"))
+        .orderBy("y")
+    )
