@@ -112,6 +112,8 @@ HEADLINE = [
     "q199",  # TPC-H Q19 shape (disjunctive predicate)
     "q200",  # INTERSECT ALL / EXCEPT ALL (bag semantics)
     "q204",  # interval sweep line (peak concurrency)
+    "q205",  # sparse TF-IDF cosine similarity join
+    "q206",  # bigram LM scoring
 ]
 
 

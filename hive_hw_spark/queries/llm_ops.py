@@ -3402,3 +3402,212 @@ def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "rk", "doc_id", F.round("es_key", 8).alias("es_key"))
         .orderBy("lang", "rk")
     )
+
+
+@register(
+    "q205",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wc  AS (SELECT doc_id, word, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+    dl  AS (SELECT doc_id, COUNT(*) AS dlen FROM tok GROUP BY 1),
+    df  AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n   AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+      SELECT wc.doc_id, wc.word,
+             CAST(ROUND((wc.cnt::DOUBLE / dl.dlen)
+                        * ln(n.n_docs::DOUBLE / df.df) * 1e6) AS BIGINT) AS wq
+      FROM wc JOIN dl USING (doc_id) JOIN df USING (word) CROSS JOIN n
+      WHERE df.df <= 50
+    ),
+    nrm AS (
+      SELECT doc_id, sqrt(CAST(SUM(wq * wq) AS DOUBLE)) AS nrm
+      FROM w GROUP BY doc_id
+    ),
+    dot AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+             CAST(SUM(a.wq * b.wq) AS BIGINT) AS dot
+      FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc1, doc2, ROUND(dot / (n1.nrm * n2.nrm), 4) AS cosine
+    FROM dot
+    JOIN nrm n1 ON n1.doc_id = doc1
+    JOIN nrm n2 ON n2.doc_id = doc2
+    WHERE dot / (n1.nrm * n2.nrm) >= 0.2
+    ORDER BY doc1, doc2
+    """,
+    doc="Sparse TF-IDF cosine similarity JOIN via an inverted index "
+    "(B-K extension; the bag-of-words sibling of q102's dense-"
+    "embedding near-dup and q132's set-Jaccard join). Candidates come "
+    "from POSTING-LIST self-intersection — docs pair only through "
+    "shared discriminative terms — with the stopword-class terms "
+    "(df > 50, i.e. >10% of the corpus) dropped from the vocabulary: "
+    "that is both the IR-standard weighting choice and the scale "
+    "bound (a term in f fraction of N docs alone expands to (fN)²/2 "
+    "pairs; capping df caps every posting list's pair fan-out, the "
+    "AllPairs/DAAT discipline). Determinism: weights are QUANTIZED "
+    "to integer micro-units (round(tf·idf·1e6) → BIGINT, one float "
+    "op per (doc,term) — q94b's proven-stable round class), so dot "
+    "products and norm² are EXACT integer sums in any partial-agg "
+    "order; the final cosine is 3 IEEE ops on identical inputs. At "
+    "100 TB the norm side joins co-partitioned on doc_id instead of "
+    "broadcasting (norms are |docs| rows); the w frame is persisted "
+    "once for its three consumers (norms + both join sides).",
+)
+def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_toks()).alias("word"))
+    wc = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    dfreq = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        wc.join(dl, "doc_id")
+        .join(F.broadcast(dfreq.where(F.col("df") <= 50)), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                (F.col("cnt").cast("double") / F.col("dlen"))
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("wq"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wq") * F.col("wq")).cast("double")).alias("nrm")
+    )
+    a = w.select(F.col("doc_id").alias("doc1"), "word", F.col("wq").alias("w1"))
+    b = w.select(F.col("doc_id").alias("doc2"), "word", F.col("wq").alias("w2"))
+    dot = (
+        a.join(b, ["word"])
+        .where(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.sum(F.col("w1") * F.col("w2")).alias("dot"))
+    )
+    cos = F.col("dot") / (F.col("n1") * F.col("n2"))
+    return (
+        dot.join(
+            F.broadcast(nrm.select(F.col("doc_id").alias("doc1"),
+                                   F.col("nrm").alias("n1"))), "doc1")
+        .join(
+            F.broadcast(nrm.select(F.col("doc_id").alias("doc2"),
+                                   F.col("nrm").alias("n2"))), "doc2")
+        .where(cos >= 0.2)
+        .select("doc1", "doc2", F.round(cos, 4).alias("cosine"))
+        .orderBy("doc1", "doc2")
+    )
+
+
+@register(
+    "q206",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)),
+               i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      FROM tok
+    ),
+    dbc AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
+    c12 AS (SELECT bigram, COUNT(*) AS c12 FROM bg GROUP BY 1),
+    c1  AS (SELECT string_split(bigram, ' ')[1] AS w1, CAST(SUM(c12) AS BIGINT) AS c1
+            FROM c12 GROUP BY 1),
+    v   AS (
+      SELECT COUNT(DISTINCT word) AS v FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      )
+    ),
+    lp AS (
+      SELECT bigram,
+             CAST(ROUND(ln((c12 + 1)::DOUBLE / (c1 + v)) * 1e6) AS BIGINT)
+               AS lpq
+      FROM c12 JOIN c1 ON string_split(bigram, ' ')[1] = c1.w1 CROSS JOIN v
+    )
+    SELECT dbc.doc_id,
+           CAST(SUM(dbc.cnt) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(lp.lpq * dbc.cnt) AS DOUBLE)
+                 / (1e6 * SUM(dbc.cnt)), 4) AS avg_lp
+    FROM dbc JOIN lp USING (bigram)
+    GROUP BY dbc.doc_id
+    ORDER BY dbc.doc_id
+    """,
+    doc="Bigram language-model scoring (B-K extension; the KenLM-style "
+    "fluency/quality signal next to q98's surface heuristics and "
+    "q178's learned head): an add-one-smoothed bigram model is "
+    "TRAINED on the corpus itself — P(w2|w1) = (c(w1w2)+1)/(c(w1)+V) "
+    "— and every document is scored by its mean log-probability. Low "
+    "scores flag disfluent/boilerplate/outlier text; this is the "
+    "perplexity filter of the C4/Gopher pipelines with the LM as a "
+    "pure query. Scale shape: the model is |distinct bigrams| rows "
+    "(vocab-scale, broadcastable — NOT corpus-scale), built with two "
+    "hash aggs; scoring is one broadcast join against per-doc bigram "
+    "counts. Determinism: one ln() per bigram TYPE quantized to "
+    "integer micro-units (the q205 discipline), so every per-doc sum "
+    "is exact integer arithmetic; the mean is 2 IEEE ops; docs with "
+    "<2 tokens drop on both engines by construction.",
+)
+def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").withColumn("toks", _toks())
+    bg = (
+        d.where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks)-2),"
+                    " i -> concat_ws(' ', toks[i], toks[i+1]))"
+                )
+            ).alias("bigram"),
+        )
+    )
+    dbc = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    c12 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = (
+        c12.groupBy(F.split(F.col("bigram"), " ").getItem(0).alias("w1"))
+        .agg(F.sum("c12").alias("c1"))
+    )
+    v = (
+        d.select(F.explode(_toks()).alias("word"))
+        .agg(F.countDistinct("word").alias("v"))
+    )
+    lp = (
+        c12.join(
+            F.broadcast(c1),
+            F.split(F.col("bigram"), " ").getItem(0) == F.col("w1"),
+        )
+        .crossJoin(F.broadcast(v))
+        .select(
+            "bigram",
+            F.round(
+                F.log((F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v")))
+                * F.lit(1e6)
+            )
+            .cast("bigint")
+            .alias("lpq"),
+        )
+    )
+    return (
+        dbc.join(F.broadcast(lp), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("lpq") * F.col("cnt")).cast("double")
+                / (F.lit(1e6) * F.sum("cnt")),
+                4,
+            ).alias("avg_lp"),
+        )
+        .orderBy("doc_id")
+    )

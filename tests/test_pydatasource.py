@@ -1,0 +1,97 @@
+"""Q207/Q208 — custom Python DataSource (Spark 4 pyspark.sql.datasource).
+
+Contract: the batch source plans ONE partition per round (distributed
+ingest, no driver loop) and yields the deterministic reading function;
+the streaming source replays the same rows through the offset protocol
+in bounded micro-batches, and batch ≡ stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_hw_spark.pydatasource import TelemetryDataSource, reading
+
+
+def _register(spark):
+    # re-registering the same name is fine — latest wins per session
+    spark.dataSource.register(TelemetryDataSource)
+
+
+def test_q207_batch_python_datasource_rows_and_partitioning(spark):
+    _register(spark)
+    df = (
+        spark.read.format("hw_telemetry")
+        .option("rounds", 6)
+        .option("slaves", 4)
+        .load()
+    )
+    assert df.schema.simpleString() == (
+        "struct<round_id:bigint,slave_id:int,ts:bigint,value:double>"
+    )
+    rows = df.collect()
+    assert len(rows) == 6 * 4
+    # every (round, slave) cell present exactly once, value = reading()
+    seen = {(r.round_id, r.slave_id): r.value for r in rows}
+    assert len(seen) == 24
+    assert seen[(3, 2)] == reading(3, 2)
+    # one input partition per round: the fan-out contract
+    nparts = (
+        df.select(F.spark_partition_id().alias("p"), "round_id")
+        .groupBy("p")
+        .agg(F.countDistinct("round_id").alias("r"))
+        .collect()
+    )
+    assert len(nparts) == 6
+    assert all(row.r == 1 for row in nparts)
+
+
+def test_q207_batch_source_filters_and_aggregates(spark):
+    _register(spark)
+    df = (
+        spark.read.format("hw_telemetry")
+        .option("rounds", 10)
+        .option("slaves", 3)
+        .load()
+    )
+    agg = (
+        df.where(F.col("round_id") >= 5)
+        .groupBy("slave_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("slave_id")
+        .collect()
+    )
+    assert [(r.slave_id, r.n) for r in agg] == [(0, 5), (1, 5), (2, 5)]
+
+
+def test_q208_stream_python_datasource_equals_batch(spark, tmp_path):
+    _register(spark)
+    out = []
+
+    def sink(batch_df, batch_id):
+        out.extend(batch_df.collect())
+
+    q = (
+        spark.readStream.format("hw_telemetry")
+        .option("maxRounds", 5)
+        .option("roundsPerBatch", 2)
+        .option("slaves", 3)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    batch = (
+        spark.read.format("hw_telemetry")
+        .option("rounds", 5)
+        .option("slaves", 3)
+        .load()
+        .collect()
+    )
+    key = lambda r: (r.round_id, r.slave_id)  # noqa: E731
+    assert sorted((key(r), r.value) for r in out) == sorted(
+        (key(r), r.value) for r in batch
+    )
