@@ -114,6 +114,7 @@ HEADLINE = [
     "q204",  # interval sweep line (peak concurrency)
     "q205",  # sparse TF-IDF cosine similarity join
     "q206",  # bigram LM scoring
+    "q209",  # point-in-time SCD2 join
 ]
 
 

@@ -108,11 +108,35 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _znorm(pdf: pd.DataFrame) -> pd.DataFrame:
     # fsum for the reductions (exact, partition-order independent — the
     # oracle-parity contract); vectorized numpy for the per-row map.
-    mu = math.fsum(pdf["value"]) / len(pdf)
-    var = math.fsum((x - mu) ** 2 for x in pdf["value"]) / len(pdf)
+    # numpy computes the per-element terms vectorized; fsum then reduces
+    # the C-double array exactly (a Python generator here tripled the
+    # whole query's cost at sf0.1)
+    vals = pdf["value"].to_numpy()
+    mu = math.fsum(vals) / len(pdf)
+    var = math.fsum((vals - mu) ** 2) / len(pdf)
     sd = math.sqrt(var)
     out = pdf[["event_id", "user_id"]].copy()
     out["z"] = ((pdf["value"] - mu) / sd).round(4) if sd > 0 else 0.0
+    return out
+
+
+def _znorm_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    # one Arrow batch = one hash bucket of users; per-user math stays
+    # _znorm's exactly (fsum reductions), but results land in ONE
+    # preallocated array via groupby indices — concat-ing thousands of
+    # per-user frames cost more than the math itself
+    import numpy as np
+
+    vals = pdf["value"].to_numpy()
+    z = np.zeros(len(pdf))
+    for idx in pdf.groupby("user_id", sort=False).indices.values():
+        v = vals[idx]
+        mu = math.fsum(v) / len(v)
+        sd = math.sqrt(math.fsum((v - mu) ** 2) / len(v))
+        if sd > 0:
+            z[idx] = np.round((v - mu) / sd, 4)
+    out = pdf[["event_id", "user_id"]].copy()
+    out["z"] = z
     return out
 
 
@@ -136,14 +160,26 @@ def _znorm(pdf: pd.DataFrame) -> pd.DataFrame:
     """,
     doc="Grouped-map applyInPandas: z-normalize value per user — the "
     "whole group arrives as one pandas frame (Arrow), the canonical "
-    "custom-per-group transform. Population std, exact sums, round(4).",
+    "custom-per-group transform. Population std, exact sums, round(4). "
+    "Grouping key is a hash BUCKET of the user (the q186 many-small-"
+    "groups discipline: applyInPandas invokes Python once per key, and "
+    "~10k per-user calls cost 7 s at sf0.1 in overhead alone — 64 "
+    "buckets amortize it to ~1 s); the per-user frames are recovered "
+    "INSIDE the call with pandas groupby, so the math is unchanged.",
 )
 def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.select("event_id", "user_id", "value")
-        .groupBy("user_id")
-        .applyInPandas(_znorm, schema="event_id long, user_id long, z double")
+        ev.select(
+            F.pmod(F.xxhash64("user_id"), F.lit(64)).alias("bucket"),
+            "event_id",
+            "user_id",
+            "value",
+        )
+        .groupBy("bucket")
+        .applyInPandas(
+            _znorm_bucket, schema="event_id long, user_id long, z double"
+        )
         .orderBy("event_id")
     )
 
@@ -247,45 +283,59 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Cogrouped-pandas as-of merge — the LAST pandas API surface "
     "(groupBy().cogroup().applyInPandas): purchases and signups are "
-    "cogrouped on user_id, each Arrow-batched pair of per-user "
-    "frames runs pandas.merge_asof (backward, exact matches "
-    "allowed), reproducing q28's as-of semantics with the SAME "
-    "DuckDB ASOF oracle. This is the escape hatch for per-key "
-    "logic that needs BOTH sides as real dataframes (interval "
-    "algebra, custom interpolation, model scoring against a per-key "
-    "reference curve) — one shuffle on the cogroup key, Arrow both "
-    "directions, no driver involvement. q28's union+window form "
-    "remains the pure-JVM plan when the semantics fit built-ins; "
-    "this one exists for when they don't.",
+    "cogrouped, each Arrow-batched pair of frames runs "
+    "pandas.merge_asof (backward, exact matches allowed, by=user), "
+    "reproducing q28's as-of semantics with the SAME DuckDB ASOF "
+    "oracle. This is the escape hatch for per-key logic that needs "
+    "BOTH sides as real dataframes (interval algebra, custom "
+    "interpolation, model scoring against a per-key reference curve) "
+    "— one shuffle on the cogroup key, Arrow both directions, no "
+    "driver involvement. The cogroup key is a hash BUCKET of the "
+    "user, not the user itself: applyInPandas invokes Python once "
+    "per KEY, and with ~10k users the per-call overhead alone cost "
+    "17 s at sf0.1 (measured round 7); 64 buckets amortize it to "
+    "~1 s, with merge_asof(by='user_id') doing the per-user "
+    "grouping VECTORIZED inside each call — the many-small-groups "
+    "discipline every cogrouped UDF at 100 TB needs (bucket count "
+    "scales with cores, never with keys). q28's union+window form "
+    "remains the pure-JVM plan when the semantics fit built-ins.",
 )
 def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events")
+    bucket = F.pmod(F.xxhash64("user_id"), F.lit(64)).alias("bucket")
     p = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts"
+        bucket, "user_id", "event_id", "ts"
     )
-    s = ev.where(F.col("event_type") == "signup").select("user_id", "ts")
+    s = ev.where(F.col("event_type") == "signup").select(
+        bucket, "user_id", "ts"
+    )
 
     def asof_merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        left = left.sort_values("ts")
         if right.empty:
             out = left[["event_id"]].copy()
             out["signup_ts"] = pd.NaT
             return out
-        right = right.sort_values("ts").rename(columns={"ts": "signup_ts"})
+        left = left.sort_values("ts", kind="mergesort")
+        right = (
+            right.sort_values("ts", kind="mergesort")
+            .rename(columns={"ts": "signup_ts"})
+            .assign(ts=lambda r: r["signup_ts"])
+        )
         merged = pd.merge_asof(
             left,
-            right[["signup_ts"]].assign(ts=right["signup_ts"]),
+            right[["user_id", "signup_ts", "ts"]],
             on="ts",
+            by="user_id",
             direction="backward",
             allow_exact_matches=True,
         )
         return merged[["event_id", "signup_ts"]]
 
     return (
-        p.groupBy("user_id")
-        .cogroup(s.groupBy("user_id"))
+        p.groupBy("bucket")
+        .cogroup(s.groupBy("bucket"))
         .applyInPandas(asof_merge, schema="event_id long, signup_ts timestamp")
         .orderBy("event_id")
     )

@@ -1123,3 +1123,107 @@ def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.date_format(F.min("day"), "yyyy-MM-dd").alias("peak_day"))
         .orderBy("y")
     )
+
+
+@register(
+    "q209",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events
+    ),
+    o AS (
+      SELECT user_id, event_id, event_type, ts_s,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts_s, event_id) AS prev
+      FROM e
+    ),
+    ch AS (
+      SELECT * FROM o WHERE prev IS NULL OR prev <> event_type
+    ),
+    dim AS (
+      SELECT user_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts_s, event_id) AS BIGINT)
+               AS version,
+             event_type AS state,
+             ts_s AS vf,
+             LEAD(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)
+               AS vt
+      FROM ch
+    ),
+    p AS (
+      SELECT user_id, event_id, ts_s FROM e WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts_s, d.version, d.state
+    FROM p JOIN dim d
+      ON d.user_id = p.user_id
+     AND d.vf <= p.ts_s
+     AND (d.vt IS NULL OR p.ts_s < d.vt)
+    ORDER BY p.event_id
+    """,
+    doc="Point-in-time (temporal) join against the SCD2 dimension "
+    "(B-C extension; the 'which dimension version was valid WHEN the "
+    "fact happened' lakehouse staple — q136 builds the history, this "
+    "queries it correctly; a naive join to the CURRENT version "
+    "silently rewrites history). The oracle states it as the range "
+    "join (vf <= t < vt); the engine executes the as-of discipline "
+    "instead: dimension versions and probes UNION into one stream, "
+    "ONE user_id exchange, and last(non-null state) over (ts, "
+    "dim-before-probe, version) picks each probe's governing version "
+    "— at equal timestamps the dim row sorts first (inclusive start) "
+    "and the highest same-second version wins, which exactly "
+    "reproduces half-open interval semantics including zero-width "
+    "versions. Scale: the range join would be a per-user nested "
+    "loop; the union-window is one shuffle and one sort, q28's "
+    "proven shape.",
+)
+def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    dim = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .withColumn("version", F.row_number().over(w).cast("bigint"))
+        .select(
+            "user_id",
+            F.col("ts_s").alias("t"),
+            F.lit(0).alias("kind"),
+            "version",
+            F.col("event_type").alias("state"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    probes = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts_s").alias("t"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("bigint").alias("version"),
+        F.lit(None).cast("string").alias("state"),
+        "event_id",
+    )
+    merged = dim.unionAll(probes)
+    asof = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind", F.col("version").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn("cur_state", F.last("state", ignorenulls=True).over(asof))
+        .withColumn("cur_version", F.last("version", ignorenulls=True).over(asof))
+        .where(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("t").alias("ts_s"),
+            F.col("cur_version").alias("version"),
+            F.col("cur_state").alias("state"),
+        )
+        .orderBy("event_id")
+    )

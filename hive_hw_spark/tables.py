@@ -247,3 +247,99 @@ def incremental_rollup_merge(
     )
     merged.write.mode("overwrite").saveAsTable(target_table)
     return spark.table(target_table)
+
+
+def zorder_parquet_dir(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    zcols: list[str],
+    target_files: int,
+    bits: int = 12,
+) -> int:
+    """Z-order (Morton-curve) MULTI-dimensional clustering layout (Q210)
+    — the two-column answer to :func:`sort_parquet_dir`'s one-column
+    limit. A lexicographic sort gives tight file min/max stats on the
+    FIRST key only; a predicate on the second key still touches every
+    file. Interleaving the bits of both keys' rank positions makes
+    file boundaries approximate axis-aligned squares in (k1, k2)
+    space, so footer-stats pruning works on EITHER column — the
+    Delta/Iceberg ``ZORDER BY`` analog, done as a pure column
+    expression.
+
+    Each column is affinely mapped to a ``bits``-bit integer using its
+    own global min/max (one tiny agg — at 100 TB these stats come from
+    table metadata instead), and the z-key interleaves those bits with
+    shifts and ORs — whole-stage-codegen arithmetic, no UDF. Rows then
+    ``repartitionByRange`` on the z-key (disjoint z-ranges per file)
+    and sort within partitions so row-group stats stay tight. Returns
+    the output file count; caller owns the staging swap."""
+    df = spark.read.parquet(src_dir)
+    stats = df.agg(
+        *[F.min(c).alias(f"min_{c}") for c in zcols],
+        *[F.max(c).alias(f"max_{c}") for c in zcols],
+    ).collect()[0]
+    scaled = []
+    top = (1 << bits) - 1
+    for c in zcols:
+        lo, hi = float(stats[f"min_{c}"]), float(stats[f"max_{c}"])
+        span = (hi - lo) or 1.0
+        scaled.append(
+            F.least(
+                F.lit(top),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(lo))
+                    / F.lit(span)
+                    * F.lit(top + 1)
+                ).cast("bigint"),
+            )
+        )
+    zkey = F.lit(0).cast("bigint")
+    nd = len(zcols)
+    for b in range(bits):
+        for d, s in enumerate(scaled):
+            bit = F.shiftright(s, b).bitwiseAND(F.lit(1))
+            zkey = zkey.bitwiseOR(
+                F.shiftleft(bit.cast("bigint"), b * nd + d)
+            )
+    (
+        df.withColumn("__z", zkey)
+        .repartitionByRange(target_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(dst_dir)
+    )
+    import glob
+    import os
+
+    return len(glob.glob(os.path.join(dst_dir, "part-*.parquet")))
+
+
+def write_parquet_with_bloom(
+    df: DataFrame, path: str, bloom_cols: list[str], ndv: int
+) -> None:
+    """Parquet BLOOM FILTER write contract (Q212) — the point-lookup
+    complement to zone maps: min/max stats (Q159/Q210) prune range
+    predicates, but a high-cardinality equality probe (`key = X`) on an
+    UNSORTED layout matches every file's [min,max]. A per-column bloom
+    filter answers 'is X definitely absent from this row group' in one
+    footer read — the row-group-skipping lever for needle-in-haystack
+    lookups at 100 TB (the parquet-format BloomFilter header; Spark
+    wires it through `parquet.bloom.filter.enabled#<col>`).
+
+    `ndv` sizes the bitset (expected distinct values — undersizing
+    inflates the false-positive rate, oversizing wastes footer bytes).
+    Verification in this container is indirect: the filter's presence
+    is proven by the deterministic file-size delta vs a filterless
+    write (the serialized bitset), and read parity is asserted — the
+    installed pyarrow (no `bloom_filter_offset` accessor) and DuckDB
+    1.0 (no `parquet_bloom_probe`) cannot introspect the header
+    directly; the skip-count observability swap-in is documented for
+    when a newer reader lands."""
+    w = df.write.mode("overwrite")
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(ndv)
+        )
+    w.parquet(path)

@@ -640,3 +640,84 @@ def test_q190_streaming_materialized_view_maintenance(spark, tmp_path):
         assert got == full
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_q211_stream_stream_left_outer_join_emits_null_after_watermark(
+    spark, tmp_path
+):
+    """Q211: stream-stream LEFT OUTER interval join — the reference's
+    'request with NO confirm' report (A27/A28, master.ino:552-574) as
+    streaming semantics. Inner results emit as matches arrive (q77);
+    the UNMATCHED left rows can only emit once the watermark proves no
+    future right row could still join — so the NULL row for a dead
+    request appears exactly after the watermark passes its join window
+    (plus the one-batch application lag, CLAUDE.md/q73). State for the
+    closed window is dropped — this is the bounded-state form of the
+    'which requests died' audit, not a forever-buffered outer join."""
+    req_dir = str(tmp_path / "req")
+    resp_dir = str(tmp_path / "resp")
+    t0 = time.time() - 1000
+    reqs = [
+        {"req_id": 1, "node": "H0001", "req_ts": "2024-01-01 10:00:00"},
+        # never answered — must surface as (2, NULL) after the watermark
+        {"req_id": 2, "node": "H0002", "req_ts": "2024-01-01 10:00:05"},
+    ]
+    resps = [
+        {"resp_id": 11, "node": "H0001", "resp_ts": "2024-01-01 10:00:04"},
+    ]
+    _write_batch(req_dir, "b1.json", reqs, t0)
+    _write_batch(resp_dir, "b1.json", resps, t0)
+    # watermark lift on BOTH streams (global watermark is the min), then
+    # a spacer batch for the one-batch application lag
+    _write_batch(
+        req_dir, "b2.json",
+        [{"req_id": 90, "node": "H0009", "req_ts": "2024-01-01 12:00:00"}],
+        t0 + 10,
+    )
+    _write_batch(
+        resp_dir, "b2.json",
+        [{"resp_id": 91, "node": "H0009", "resp_ts": "2024-01-01 12:00:01"}],
+        t0 + 10,
+    )
+    _write_batch(
+        req_dir, "b3.json",
+        [{"req_id": 92, "node": "H0009", "req_ts": "2024-01-01 12:05:00"}],
+        t0 + 20,
+    )
+    _write_batch(
+        resp_dir, "b3.json",
+        [{"resp_id": 93, "node": "H0009", "resp_ts": "2024-01-01 12:05:01"}],
+        t0 + 20,
+    )
+
+    req_s = (
+        spark.readStream.schema("req_id long, node string, req_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(req_dir)
+        .withWatermark("req_ts", "5 minutes")
+    )
+    resp_s = (
+        spark.readStream.schema("resp_id long, node string, resp_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(resp_dir)
+        .withWatermark("resp_ts", "5 minutes")
+        .withColumnRenamed("node", "r_node")
+    )
+    cond = (
+        (F.col("node") == F.col("r_node"))
+        & (F.col("resp_ts") >= F.col("req_ts"))
+        & (F.col("resp_ts") <= F.col("req_ts") + F.expr("INTERVAL 60 SECONDS"))
+    )
+    joined = req_s.join(resp_s, cond, "left_outer").select("req_id", "resp_id")
+    _run_available_now(
+        joined.writeStream.format("memory")
+        .queryName("q211_sink")
+        .outputMode("append")
+    )
+    got = {(r.req_id, r.resp_id) for r in spark.table("q211_sink").collect()}
+    # matched pair emitted; dead request surfaced with NULL once its
+    # window provably closed
+    assert (1, 11) in got
+    assert (2, None) in got
+    # the watermark-lifting rows matched each other inner-style
+    assert (90, 91) in got

@@ -274,3 +274,103 @@ def test_q191_parquet_compression_codecs_roundtrip_and_size(spark, tmp_path):
             for f in glob.glob(f"{dst}/part-*.parquet")
         )
     assert sizes["zstd"] < sizes["snappy"], sizes
+
+
+def test_q210_zorder_layout_prunes_on_both_dimensions(spark, tmp_path, sf_dir):
+    """Q210 Z-order contract: a lexicographic sort on k1 gives file-level
+    pruning on k1 but NONE on k2; the Morton-interleaved layout prunes
+    on BOTH columns from footer stats alone — strictly better than the
+    1-D sort on the secondary dimension, while keeping real (if
+    coarser) pruning on the first."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hive_hw_spark.tables import sort_parquet_dir, zorder_parquet_dir
+
+    src = str(tmp_path / "src")
+    sorted_dst = str(tmp_path / "sorted1d")
+    z_dst = str(tmp_path / "zorder")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).repartition(8).write.parquet(src)
+
+    n_files = 16
+    assert sort_parquet_dir(spark, src, sorted_dst, ["o_custkey"], n_files) == n_files
+    assert (
+        zorder_parquet_dir(
+            spark, src, z_dst, ["o_custkey", "o_totalprice"], n_files
+        )
+        == n_files
+    )
+    # value parity for the z-ordered rewrite
+    before = spark.read.parquet(src)
+    after = spark.read.parquet(z_dst)
+    assert before.exceptAll(after).count() == 0
+    assert after.exceptAll(before).count() == 0
+
+    def files_touched(dst, col, lo, hi):
+        touched = 0
+        for f in glob.glob(f"{dst}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = next(
+                i
+                for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            fmin = min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            if fmax >= lo and fmin <= hi:
+                touched += 1
+        return touched
+
+    # narrow band on the SECONDARY dimension: the 1-D layout reads every
+    # file; z-order skips most
+    price_sorted = files_touched(sorted_dst, "o_totalprice", 50_000.0, 55_000.0)
+    price_z = files_touched(z_dst, "o_totalprice", 50_000.0, 55_000.0)
+    assert price_sorted == n_files
+    assert price_z < n_files
+    # narrow band on the PRIMARY dimension: the 1-D sort is optimal (~1
+    # file); z-order stays a real pruner (strictly better than scan-all)
+    cust_z = files_touched(z_dst, "o_custkey", 100, 110)
+    assert cust_z < n_files
+
+
+def test_q212_parquet_bloom_filter_write_contract(spark, tmp_path):
+    """Q212: the bloom-enabled file carries the serialized bitset (a
+    deterministic size delta vs the same data written without it) and
+    round-trips exactly — including through a point-equality filter,
+    the predicate class the filter exists to accelerate."""
+    import glob
+    import os
+
+    from hive_hw_spark.tables import write_parquet_with_bloom
+
+    df = spark.range(200_000).selectExpr(
+        "CAST(xxhash64(id) AS BIGINT) AS k", "id AS v"
+    ).coalesce(1)
+    plain = str(tmp_path / "plain")
+    bloomed = str(tmp_path / "bloom")
+    df.write.mode("overwrite").parquet(plain)
+    write_parquet_with_bloom(df, bloomed, ["k"], ndv=200_000)
+
+    size = lambda d: sum(  # noqa: E731
+        os.path.getsize(f) for f in glob.glob(f"{d}/part-*.parquet")
+    )
+    # the bitset for 200k NDV is ~100 KiB+; well above codec jitter
+    assert size(bloomed) > size(plain) + 50_000
+
+    a = spark.read.parquet(plain)
+    b = spark.read.parquet(bloomed)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    probe = a.limit(1).collect()[0].k
+    assert (
+        b.where(F.col("k") == probe).count()
+        == a.where(F.col("k") == probe).count()
+    )
