@@ -115,6 +115,11 @@ HEADLINE = [
     "q205",  # sparse TF-IDF cosine similarity join
     "q206",  # bigram LM scoring
     "q209",  # point-in-time SCD2 join
+    "q213",  # TPC-H Q6 shape (pushdown microbenchmark)
+    "q214",  # association rules (confidence + lift)
+    "q215",  # triangle count (degree-ordered)
+    "q216",  # last-touch attribution
+    "q218",  # discrete percentiles
 ]
 
 

@@ -151,28 +151,35 @@ _ATTESTED = frozenset(
 # q186/q187/q188): q63/q78/q114 also step back — q70 stays as THE
 # events-decode representative (same decode_event_ts branch) — so
 # every never-checked entry fits.
-# Third pass (waves 16-18 added q192-q206, 15 more never-checked
-# entries): the set stays at EXACTLY 50 — over-filling hands slot
-# choice to registration order instead of this comment. 15 wave-5/6
-# analytics shapes step back to the r8 pool (q133/q139/q145/q146/
-# q148/q149/q154/q155/q157/q158/q160/q161/q162/q164/q170/q173): they are
-# single-family agg/window shapes whose pytest parity evidence is the
-# same class as what the driver would add, while the kept entries
-# carry novel machinery (multi-join TPC-H plans, DML, sketches,
-# iterative graph ops, pandas/Arrow surfaces) where a vanilla-session
-# driver row genuinely adds assurance.
+# Third pass (waves 16-20 added q192-q218, 22 more never-checked
+# entries, and q82/q186 were REWRITTEN — bucketed pandas kernels —
+# so they re-enter the queue): the set stays at EXACTLY 50 —
+# over-filling hands slot choice to registration order instead of
+# this comment. Stepping back to the r8 pool: q133/q139/q141/q142/
+# q145/q146/q148/q149/q154/q155/q157/q158/q160/q161/q162/q164/q165/
+# q166/q170/q173/q174/q182/q184 — single-family agg/window/sampling
+# shapes whose pytest parity evidence is the same class as what the
+# driver would add (several carry property/unit tests on top), while
+# the kept entries carry novel machinery (multi-join TPC-H plans,
+# DML, sketches, iterative graph ops, pandas/Arrow surfaces) or a
+# fresh rewrite, where a vanilla-session driver row genuinely adds
+# assurance.
 _PRIORITY = frozenset(
     {
         "q70", "q123", "q38",
         # NEW in round 7 — first driver rows outrank stale re-confirmation
         "q132", "q134", "q135", "q136", "q137",
-        "q138", "q141", "q142", "q143", "q144",
+        "q138", "q143", "q144",
         "q151", "q152", "q153", "q156",
-        "q163", "q165", "q166", "q167",
-        "q172", "q174", "q175", "q176", "q177", "q178",
-        "q180", "q181", "q182", "q184", "q186", "q187", "q188",
+        "q163", "q167",
+        "q172", "q175", "q176", "q177", "q178",
+        "q180", "q181", "q186", "q187", "q188",
         "q192", "q193", "q194", "q195", "q196", "q197", "q198", "q199",
         "q200", "q201", "q202", "q203", "q204", "q205", "q206", "q209",
+        # rewritten round 7 (bucketed pandas kernel) — driver must re-attest
+        "q82",
+        # wave 20
+        "q213", "q214", "q215", "q216", "q217", "q218",
     }
 )
 

@@ -1430,3 +1430,185 @@ def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("latency_band")
     )
+
+
+@register(
+    "q214",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    s1 AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS s
+           FROM d GROUP BY 1),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nb
+          FROM lineitem),
+    p AS (
+      SELECT d1.l_partkey AS a, d2.l_partkey AS b,
+             CAST(COUNT(*) AS BIGINT) AS supp
+      FROM d d1 JOIN d d2
+        ON d1.l_orderkey = d2.l_orderkey AND d1.l_partkey < d2.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    )
+    SELECT a, b, supp,
+           ROUND(CAST(supp AS DOUBLE) / sa.s, 4) AS conf_ab,
+           ROUND(CAST(supp AS DOUBLE) / sb.s, 4) AS conf_ba,
+           ROUND(CAST(supp * n.nb AS DOUBLE) / (sa.s * sb.s), 4) AS lift
+    FROM p JOIN s1 sa ON sa.k = a JOIN s1 sb ON sb.k = b CROSS JOIN n
+    ORDER BY a, b
+    """,
+    doc="Association rules — confidence and lift on the frequent pairs "
+    "(q139's actionable sibling; the recommender/affinity staple): "
+    "for every part pair co-ordered >= 3 times, conf(a→b) = "
+    "supp(ab)/supp(a), conf(b→a), and lift = N·supp(ab)/"
+    "(supp(a)·supp(b)) — lift > 1 means the pair co-occurs more than "
+    "independence predicts. Scale shape: pairs come from q139's "
+    "per-basket array expansion (fact shuffled ONCE, never "
+    "self-joined); single-item supports are |parts| rows and "
+    "broadcast onto the pair frame twice; the basket count is a "
+    "1-row broadcast. Every metric is a ratio of exact integer "
+    "counts — one IEEE divide + round(4), no accumulation.",
+)
+def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    baskets = d.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, (x, i) -> "
+                    "transform(slice(items, i + 2, size(items)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= 3)
+    )
+    s1 = d.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    nb = d.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    return (
+        pairs.join(
+            F.broadcast(s1.select(F.col("k").alias("ka"), F.col("s").alias("sa"))),
+            F.col("a") == F.col("ka"),
+        )
+        .join(
+            F.broadcast(s1.select(F.col("k").alias("kb"), F.col("s").alias("sb"))),
+            F.col("b") == F.col("kb"),
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "a",
+            "b",
+            "supp",
+            F.round(F.col("supp").cast("double") / F.col("sa"), 4).alias(
+                "conf_ab"
+            ),
+            F.round(F.col("supp").cast("double") / F.col("sb"), 4).alias(
+                "conf_ba"
+            ),
+            F.round(
+                (F.col("supp") * F.col("nb")).cast("double")
+                / (F.col("sa") * F.col("sb")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+@register(
+    "q217",
+    oracle="""
+    SELECT c_nationkey AS nationkey,
+           bool_and(c_acctbal > 0) AS all_positive,
+           bool_or(c_acctbal > 9000) AS any_high,
+           CAST(COUNT(*) FILTER (WHERE c_acctbal < 0) AS BIGINT)
+             AS n_negative,
+           MIN(c_name) AS first_name
+    FROM customer GROUP BY 1 ORDER BY 1
+    """,
+    doc="Boolean/conditional aggregate family (B-C completion): "
+    "bool_and (every), bool_or (some), count_if-style filtered "
+    "count, and a DETERMINISTIC representative row via MIN — the "
+    "any_value() replacement that survives engine comparison "
+    "(any_value is explicitly order-dependent and would "
+    "hash-mismatch by design). All four are map-side-combinable "
+    "single-pass aggregates sharing one shuffle; bool_and/bool_or "
+    "partials are single bits — the cheapest mergeable state there "
+    "is (A25's ALL()-completeness reduction, master.ino:158-168, "
+    "as first-class aggregates).",
+)
+def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.bool_and(F.col("c_acctbal") > 0).alias("all_positive"),
+            F.bool_or(F.col("c_acctbal") > 9000).alias("any_high"),
+            F.count(F.when(F.col("c_acctbal") < 0, 1)).alias("n_negative"),
+            F.min("c_name").alias("first_name"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "q218",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_disc(o_totalprice, 0.25) AS p25,
+           quantile_disc(o_totalprice, 0.50) AS p50,
+           quantile_disc(o_totalprice, 0.90) AS p90
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Discrete percentiles (percentile_disc / quantile_disc) per "
+    "group — the REAL-ROW quantile next to q47's interpolated "
+    "percentile_cont: p-th value is the element at rank ceil(p·n), "
+    "an actual order row (SLA reporting wants an order you can point "
+    "at, not an interpolated price that never happened). The index "
+    "is computed in INTEGER arithmetic ((a·n + b − 1) DIV b for "
+    "p = a/b) — floating ceil(p·n) misfires when p·n lands on an "
+    "integer with an inexact p (0.9·10 = 9.000…2 → ceil 10; DuckDB's "
+    "native quantile_disc resolves exactly, probed round 7). Scale "
+    "shape: one shuffle on the group key; row_number + count ride "
+    "the SAME window partition, then one conditional agg collapses "
+    "each group — no second exchange, no sort beyond the per-group "
+    "one every exact quantile needs.",
+)
+def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(a: int, b: int, name: str):
+        k = F.expr(f"div({a} * n + {b} - 1, {b})")
+        return F.max(
+            F.when(F.col("rn") == k, F.col("o_totalprice"))
+        ).alias(name)
+
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n"),
+            pick(1, 4, "p25"),
+            pick(1, 2, "p50"),
+            pick(9, 10, "p90"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -518,3 +518,45 @@ def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("revenue")
     )
+
+
+@register(
+    "q213",
+    oracle="""
+    SELECT {rev} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    ORDER BY revenue
+    """.format(rev=sql_dsum("l_extendedprice * l_discount")),
+    doc="TPC-H Q6 shape — the forecast-revenue-change scan: pure "
+    "predicate + aggregate, zero joins. This is the PUSHDOWN "
+    "microbenchmark of the suite: all three filters are scan-level "
+    "parquet predicates (shipdate range prunes row groups on a "
+    "date-sorted layout, q159; discount/quantity prune via min/max "
+    "stats), the projection reads exactly 4 of 11 columns, and the "
+    "whole query is one map-side-combinable agg emitting one partial "
+    "row per task. On 100 TB this query's cost IS its scan "
+    "efficiency — any engine overhead beyond the I/O shows "
+    "immediately. Exact DECIMAL revenue.",
+)
+@plan_cache
+def q213(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return (
+        li.agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("revenue")
+    )

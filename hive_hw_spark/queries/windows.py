@@ -1227,3 +1227,98 @@ def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "q216",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+             MAX(event_id) AS touch_id,
+             arg_max(event_type, event_id) AS touch_type
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY user_id, ts_s
+    ),
+    p AS (
+      SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts_s,
+           CASE WHEN t.ts_s IS NULL OR p.ts_s - t.ts_s > 604800
+                THEN 'organic' ELSE t.touch_type END AS attributed,
+           CASE WHEN t.ts_s IS NULL OR p.ts_s - t.ts_s > 604800
+                THEN NULL ELSE t.touch_id END AS touch_id
+    FROM p ASOF LEFT JOIN t
+      ON p.user_id = t.user_id AND p.ts_s >= t.ts_s
+    ORDER BY p.event_id
+    """,
+    doc="Last-touch marketing attribution with a 7-day window (B-E "
+    "extension; the funnel family's revenue-credit sibling): every "
+    "purchase is credited to the user's most recent click/view "
+    "within 604800 s, else 'organic'. Same-second touches dedup to "
+    "the max event_id FIRST (arg_max) so the choice is total-order "
+    "deterministic in both engines. The oracle is an ASOF join + "
+    "deadline CASE; the engine runs the as-of union-window "
+    "discipline (q28/q209): touches and purchases share ONE user_id "
+    "exchange, last(non-null) over (ts, touch-before-purchase, "
+    "event_id) carries the latest touch forward, and the deadline "
+    "check nulls credits older than the window — no range join, no "
+    "per-user nested loop, state is one carried struct per row.",
+)
+def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    touches = (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .select(
+            "user_id",
+            F.unix_timestamp("ts").alias("t"),
+            "event_id",
+            "event_type",
+        )
+        .groupBy("user_id", "t")
+        .agg(
+            F.max("event_id").alias("touch_id"),
+            F.max_by("event_type", "event_id").alias("touch_type"),
+        )
+        .select(
+            "user_id",
+            "t",
+            F.lit(0).alias("kind"),
+            "touch_id",
+            "touch_type",
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("touch_id"),
+        F.lit(None).cast("string").alias("touch_type"),
+        "event_id",
+    )
+    asof = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_window = F.col("last_t").isNotNull() & (
+        F.col("t") - F.col("last_t") <= 604800
+    )
+    return (
+        touches.unionAll(purchases)
+        .withColumn("last_t", F.last(F.when(F.col("kind") == 0, F.col("t")), ignorenulls=True).over(asof))
+        .withColumn("last_id", F.last("touch_id", ignorenulls=True).over(asof))
+        .withColumn("last_type", F.last("touch_type", ignorenulls=True).over(asof))
+        .where(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("t").alias("ts_s"),
+            F.when(in_window, F.col("last_type"))
+            .otherwise(F.lit("organic"))
+            .alias("attributed"),
+            F.when(in_window, F.col("last_id")).alias("touch_id"),
+        )
+        .orderBy("event_id")
+    )
