@@ -120,6 +120,8 @@ HEADLINE = [
     "q215",  # triangle count (degree-ordered)
     "q216",  # last-touch attribution
     "q218",  # discrete percentiles
+    "q220",  # BFS hop distances
+    "q222",  # period-over-period report
 ]
 
 

@@ -1612,3 +1612,173 @@ def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q221",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey FROM orders
+      WHERE (o_orderkey % 2147483648) * 2654435761 % 100 < 10
+    ),
+    os AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders FROM o),
+    ls AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+             {rev} AS revenue
+      FROM lineitem
+      WHERE (l_orderkey % 2147483648) * 2654435761 % 100 < 10
+    )
+    SELECT n_orders, n_lines, revenue,
+           ROUND(CAST(n_lines AS DOUBLE) / n_orders, 4) AS avg_lines
+    FROM os CROSS JOIN ls
+    ORDER BY n_orders
+    """.format(rev=sql_dsum("l_extendedprice * (1 - l_discount)")),
+    doc="Cluster (block) sampling — sample whole ORDERS and keep every "
+    "one of their lineitems (completing the sampling matrix next to "
+    "q105 row-rate / q109 stratified / q149 weighted / q170 "
+    "fixed-count / q182 reservoir): row-level sampling of correlated "
+    "data destroys within-group structure (a basket analysis on "
+    "row-sampled lines sees phantom small baskets); cluster sampling "
+    "preserves it. The decisive scale property: membership is a PURE "
+    "FUNCTION of the cluster key (q105's multiplicative hash), so "
+    "the lineitem side filters on hash(l_orderkey) AT THE SCAN — "
+    "zero joins, zero shuffles, no sampled-key list to distribute; "
+    "the two sides agree by arithmetic, not coordination. Exact "
+    "DECIMAL revenue; ratio-of-counts round(4).",
+)
+def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keep = (
+        lambda c: (F.col(c) % F.lit(2147483648)) * 2654435761 % 100 < 10
+    )
+    n_orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(keep("o_orderkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    lines = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(keep("l_orderkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )
+    return (
+        n_orders.crossJoin(F.broadcast(lines))
+        .select(
+            "n_orders",
+            "n_lines",
+            "revenue",
+            F.round(
+                F.col("n_lines").cast("double") / F.col("n_orders"), 4
+            ).alias("avg_lines"),
+        )
+        .orderBy("n_orders")
+    )
+
+
+@register(
+    "q222",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+               AS month_key,
+             {rev} AS revenue
+      FROM orders
+      GROUP BY month_key
+    )
+    SELECT cur.month_key, cur.revenue,
+           ROUND((cur.revenue - pm.revenue) / pm.revenue * 100, 4)
+             AS mom_pct,
+           ROUND((cur.revenue - py.revenue) / py.revenue * 100, 4)
+             AS yoy_pct
+    FROM m cur
+    LEFT JOIN m pm ON pm.month_key =
+      CASE WHEN cur.month_key % 100 = 1
+           THEN cur.month_key - 89 ELSE cur.month_key - 1 END
+    LEFT JOIN m py ON py.month_key = cur.month_key - 100
+    ORDER BY cur.month_key
+    """.format(rev=sql_dsum("o_totalprice")),
+    doc="Period-over-period report — monthly revenue with MoM and "
+    "YoY percent deltas (the executive-dashboard staple). The textbook "
+    "spelling is lag(1)/lag(12) over the month series — an "
+    "UNPARTITIONED window, the global-sort class this engine bans "
+    "(test_plan_lint) — so the engine states period adjacency "
+    "STRUCTURALLY instead: the month keys are arithmetic "
+    "(prev-month = key−1, or −89 across the January boundary; "
+    "prev-year = key−100), and two self-joins of the tiny "
+    "aggregated frame resolve them — embarrassingly parallel at "
+    "any scale, no sort, no single partition. Month frame is "
+    "|months| rows, so the joins broadcast. Deltas are one "
+    "subtract + divide on exact-DECIMAL-derived doubles, round(4); "
+    "first month / first year emit NULL by the left joins.",
+)
+def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("month_key")
+        )
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    pm_key = F.when(
+        F.col("month_key") % 100 == 1, F.col("month_key") - 89
+    ).otherwise(F.col("month_key") - 1)
+    pm = m.select(
+        F.col("month_key").alias("pm_key"), F.col("revenue").alias("pm_rev")
+    )
+    py = m.select(
+        F.col("month_key").alias("py_key"), F.col("revenue").alias("py_rev")
+    )
+    return (
+        m.join(F.broadcast(pm), pm_key == F.col("pm_key"), "left")
+        .join(
+            F.broadcast(py),
+            F.col("month_key") - 100 == F.col("py_key"),
+            "left",
+        )
+        .select(
+            "month_key",
+            "revenue",
+            F.round(
+                (F.col("revenue") - F.col("pm_rev")) / F.col("pm_rev") * 100, 4
+            ).alias("mom_pct"),
+            F.round(
+                (F.col("revenue") - F.col("py_rev")) / F.col("py_rev") * 100, 4
+            ).alias("yoy_pct"),
+        )
+        .orderBy("month_key")
+    )
+
+
+_Q224_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@register(
+    "q224",
+    oracle=_Q224_SQL,
+    doc="Modern SQL sugar — GROUP BY ALL / ORDER BY ALL (Spark 4 ∩ "
+    "DuckDB; the exact SAME SQL text runs on both engines, like "
+    "q203's LATERAL): every non-aggregate select column groups, the "
+    "full column list orders — the ad-hoc exploration spelling that "
+    "eliminates the stale-GROUP-BY-list bug when columns are added. "
+    "Resolves at PARSE time to the explicit form, so the plan (one "
+    "map-side-combinable agg) is identical to q30's hand-written "
+    "spelling — sugar, not semantics. ORDER BY ALL on the two group "
+    "keys is a total order; exact DECIMAL revenue.",
+)
+def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q224_SQL)

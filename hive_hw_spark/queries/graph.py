@@ -323,3 +323,118 @@ def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_edges")
     )
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase graph construction shared by q215/q220: undirected
+    edges (a < b) between parts co-ordered >= 2 times, built with
+    q139's per-basket expansion (fact shuffled once, never
+    self-joined)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+    )
+    return (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, (x, i) -> "
+                    "transform(slice(items, i + 2, size(items)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= 2)
+        .select("a", "b")
+    )
+
+
+_Q220_EDGE_SQL = """
+    d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT d1.l_partkey AS a, d2.l_partkey AS b
+      FROM d d1 JOIN d d2
+        ON d1.l_orderkey = d2.l_orderkey AND d1.l_partkey < d2.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+"""
+
+
+@register(
+    "q220",
+    oracle="""
+    WITH
+    """
+    + _Q220_EDGE_SQL
+    + """,
+    und AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e),
+    src AS (SELECT MIN(a) AS v FROM e),
+    l0 AS (SELECT v, 0 AS d FROM src),
+    l1 AS (SELECT DISTINCT t AS v, 1 AS d FROM und JOIN l0 ON und.s = l0.v),
+    l2 AS (SELECT DISTINCT t AS v, 2 AS d FROM und JOIN l1 ON und.s = l1.v),
+    l3 AS (SELECT DISTINCT t AS v, 3 AS d FROM und JOIN l2 ON und.s = l2.v),
+    allv AS (
+      SELECT v, CAST(MIN(d) AS INTEGER) AS hop FROM (
+        SELECT * FROM l0 UNION ALL SELECT * FROM l1
+        UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3
+      ) GROUP BY v
+    )
+    SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM allv GROUP BY hop ORDER BY hop
+    """,
+    doc="BFS hop distances (bounded, 3 supersteps) from the smallest "
+    "part id over the co-purchase graph — the fourth graph family "
+    "(q118 converging components, q156 fixed-iteration PageRank, "
+    "q215 triangles, and now traversal): per-hop reachable-set "
+    "sizes, i.e. 'how fast does the catalog connect'. The engine "
+    "runs real frontier BFS — each superstep joins ONLY the newly "
+    "reached frontier against the undirected edge list, min-dist "
+    "agg dedups, localCheckpoint truncates lineage (the q118/q156 "
+    "iterative discipline) — so work per step is O(frontier "
+    "degree), not O(paths). The oracle unrolls the same 3 levels "
+    "as DISTINCT-per-level CTEs (path-count explosion is the "
+    "textbook hazard; DISTINCT caps it at sf-test sizes, and the "
+    "MIN over levels recovers true hop distance). At 100 TB the "
+    "edge list buckets by vertex and every superstep reuses that "
+    "partitioning.",
+)
+def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    edges = _copurchase_edges(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    und = edges.select(F.col("a").alias("s"), F.col("b").alias("t")).unionAll(
+        edges.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    src = edges.agg(F.min("a").alias("v")).select(
+        "v", F.lit(0).alias("d")
+    )
+    dist = src.localCheckpoint(eager=True)
+    frontier = dist
+    for step in (1, 2, 3):
+        nxt = (
+            und.join(
+                F.broadcast(frontier.select(F.col("v").alias("fv"))),
+                F.col("s") == F.col("fv"),
+            )
+            .select(F.col("t").alias("v"), F.lit(step).alias("d"))
+        )
+        dist = (
+            dist.unionAll(nxt)
+            .groupBy("v")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = dist.where(F.col("d") == step)
+    return (
+        dist.groupBy(F.col("d").alias("hop"))
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("hop")
+    )

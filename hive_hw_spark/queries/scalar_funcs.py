@@ -448,3 +448,61 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q219",
+    oracle="""
+    WITH v AS (
+      SELECT CASE c_custkey % 3
+               WHEN 0 THEN lower(c_mktsegment)
+               WHEN 1 THEN upper(c_mktsegment)
+               ELSE concat(upper(substr(c_mktsegment, 1, 1)),
+                           lower(substr(c_mktsegment, 2)))
+             END AS seg
+      FROM customer
+    )
+    SELECT lower(seg) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_spellings
+    FROM v GROUP BY lower(seg) ORDER BY segment
+    """,
+    doc="Case-insensitive semantics via Spark 4 COLLATIONS (B-H "
+    "extension; the first-class form of the lower()-everywhere "
+    "workaround): a mixed-case segment column (three deterministic "
+    "spellings per value) is grouped under the UTF8_LCASE collation — "
+    "equality, GROUP BY, and DISTINCT all fold case at the COMPARISON "
+    "level, so the data keeps its original spelling (n_spellings "
+    "proves 2-3 variants per group survive). The oracle mirrors with "
+    "lower() grouping, which is semantically identical for ASCII — "
+    "the output key is canonicalized through lower() because a "
+    "collated group's REPRESENTATIVE is whichever spelling a "
+    "partition saw first (order-dependent; never emit it raw in an "
+    "engine-compared result). Scale: collation comparisons run in "
+    "codegen like any string compare; the group count is unchanged, "
+    "so the shuffle is the same size as the naive lower() plan.",
+)
+def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    seg = (
+        F.when(F.col("c_custkey") % 3 == 0, F.lower("c_mktsegment"))
+        .when(F.col("c_custkey") % 3 == 1, F.upper("c_mktsegment"))
+        .otherwise(F.initcap(F.lower("c_mktsegment")))
+        .alias("seg")
+    )
+    return (
+        c.select(seg)
+        .groupBy(F.collate("seg", "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(F.collate("seg", "UTF8_BINARY")).alias(
+                "n_spellings"
+            ),
+        )
+        .select(
+            F.lower("k").alias("segment"),
+            "n_rows",
+            "n_spellings",
+        )
+        .orderBy("segment")
+    )

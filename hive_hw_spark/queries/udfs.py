@@ -386,3 +386,74 @@ def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
         arrow_transform,
         schema="doc_id long, source_uc string, text_len long",
     ).orderBy("doc_id")
+
+
+@register(
+    "q223",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_tokens,
+           CAST(COUNT(DISTINCT word) AS INTEGER) AS n_unique
+    FROM tok GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="POLYMORPHIC Python UDTF (Spark 4 analyze() API — the dynamic "
+    "successor to q85's fixed-schema UDTF): the same table function "
+    "returns a DIFFERENT schema per call site, resolved at plan time "
+    "from the literal mode argument ('stats' → one (n_tokens, "
+    "n_unique) row per doc; 'words' → a (word) row per token — "
+    "tests/test_udfs.py asserts both shapes). This is the surface "
+    "for tokenizer-style libraries whose output columns depend on "
+    "configuration. The oracle checks the 'stats' mode end to end. "
+    "Plan: lateral join, Python-batched per input row — fine for "
+    "per-DOC work (one eval per doc, vectorized inside); per-TOKEN "
+    "hot paths stay on explode+codegen (q93-q94's rule).",
+)
+def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class DocTok:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, mode: AnalyzeArgument) -> AnalyzeResult:
+            if mode.value == "stats":
+                return AnalyzeResult(
+                    StructType(
+                        [
+                            StructField("n_tokens", IntegerType()),
+                            StructField("n_unique", IntegerType()),
+                        ]
+                    )
+                )
+            return AnalyzeResult(
+                StructType([StructField("word", StringType())])
+            )
+
+        def eval(self, text, mode):
+            words = text.split(" ")
+            if mode == "stats":
+                yield (len(words), len(set(words)))
+            else:
+                for w in words:
+                    yield (w,)
+
+    spark.udtf.register("q223_doctok", DocTok)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "q223_documents"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.n_tokens, t.n_unique
+        FROM q223_documents d, LATERAL q223_doctok(d.text, 'stats') t
+        ORDER BY d.doc_id
+        """
+    )

@@ -343,3 +343,74 @@ def write_parquet_with_bloom(
             f"parquet.bloom.filter.expected.ndv#{c}", str(ndv)
         )
     w.parquet(path)
+
+
+def scd2_apply_batch(
+    spark, dim_dir: str, batch_df: DataFrame, gap_ok: bool = True
+) -> None:
+    """Streaming SCD Type-2 dimension MAINTENANCE (Q226) — the
+    incremental form of Q136's batch history build, meant to run inside
+    ``foreachBatch``: each micro-batch of state-change candidate events
+    (user_id, event_id, state, ts_s) updates the stored dimension so
+    that after any prefix of batches the table equals the batch SCD2
+    over all events seen so far (the stream ≡ batch contract
+    tests/test_streaming.py proves).
+
+    Discipline (q136's own docstring, now implemented): re-derive ONLY
+    the users present in the batch — their stored change rows ARE the
+    collapsed event sequence, so (prior changes ∪ new events) re-runs
+    the lag-collapse on just that slice; untouched users' rows are
+    carried over with an anti join. At 100 TB the affected slice is
+    the micro-batch's key set, not the dimension. The rewrite lands in
+    a staging dir then swaps (the merge_upsert pattern) so readers
+    never see a half-written table; a lakehouse format would replace
+    the swap with an atomic MERGE commit."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    cols = ["user_id", "event_id", "state", "ts_s"]
+    batch_df = batch_df.select(*cols)
+    if os.path.isdir(dim_dir):
+        existing = spark.read.parquet(dim_dir)
+        affected = batch_df.select("user_id").distinct()
+        keep = existing.join(affected, "user_id", "left_anti")
+        prior = (
+            existing.join(affected, "user_id")
+            .select(
+                "user_id",
+                "event_id",
+                F.col("state").alias("state"),
+                F.col("valid_from_s").alias("ts_s"),
+            )
+        )
+        events = prior.unionByName(batch_df)
+    else:
+        keep = None
+        events = batch_df
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    changes = (
+        events.withColumn("prev", F.lag("state").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("state")))
+        .drop("prev")
+    )
+    rebuilt = (
+        changes.withColumn("version", F.row_number().over(w).cast("bigint"))
+        .withColumn("valid_to_s", F.lead("ts_s").over(w))
+        .select(
+            "user_id",
+            "event_id",
+            "version",
+            "state",
+            F.col("ts_s").alias("valid_from_s"),
+            "valid_to_s",
+            F.col("valid_to_s").isNull().alias("is_current"),
+        )
+    )
+    out = rebuilt if keep is None else keep.unionByName(rebuilt)
+    stage = dim_dir.rstrip("/") + "__stage"
+    out.write.mode("overwrite").parquet(stage)
+    if os.path.isdir(dim_dir):
+        shutil.rmtree(dim_dir)
+    os.rename(stage, dim_dir)

@@ -43,6 +43,8 @@ UNIT_ONLY = {
     "Q210": "Z-order multi-dimensional clustering layout — hive_hw_spark/tables.py::zorder_parquet_dir + tests/test_tables.py::test_q210_zorder_layout_prunes_on_both_dimensions",
     "Q211": "stream-stream LEFT OUTER interval join (watermarked NULL emission) — tests/test_streaming.py::test_q211_stream_stream_left_outer_join_emits_null_after_watermark",
     "Q212": "parquet bloom-filter write contract — hive_hw_spark/tables.py::write_parquet_with_bloom + tests/test_tables.py::test_q212_parquet_bloom_filter_write_contract",
+    "Q225": "streaming session windows (cross-batch merge + exactly-once close) — tests/test_streaming.py::test_q225_streaming_session_window",
+    "Q226": "streaming SCD2 dimension maintenance (stream ≡ batch) — hive_hw_spark/tables.py::scd2_apply_batch + tests/test_streaming.py::test_q226_streaming_scd2_maintenance",
     "Q191": "parquet compression tuning (zstd/snappy round-trip + size ordering) — tests/test_tables.py::test_q191_parquet_compression_codecs_roundtrip_and_size",
 }
 

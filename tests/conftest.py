@@ -29,3 +29,8 @@ def oracle(sf_dir):
     con = duckdb_conn(sf_dir)
     yield con
     con.close()
+
+
+@pytest.fixture(scope="session")
+def tiny_sf_dir():
+    return os.environ.get("SPARK_GRAFT_TINY_SF_DIR", "/root/testdata/sf0.001")

@@ -721,3 +721,115 @@ def test_q211_stream_stream_left_outer_join_emits_null_after_watermark(
     assert (2, None) in got
     # the watermark-lifting rows matched each other inner-style
     assert (90, 91) in got
+
+
+def test_q225_streaming_session_window(spark, tmp_path):
+    """Q225: session_window aggregation as a STREAM (q72's batch gap rule
+    run incrementally): sessions merge WITHIN and ACROSS micro-batches,
+    and a closed session emits exactly once after the watermark passes
+    its end + gap. Two sessions for one user (110-minute gap >> the
+    30-minute timeout) must surface as two rows with the right counts."""
+    src = str(tmp_path / "sess")
+    t0 = time.time() - 1000
+    _write_batch(
+        src, "b1.json",
+        [
+            {"user_id": 1, "ts": "2024-01-01 10:00:00"},
+            {"user_id": 1, "ts": "2024-01-01 10:10:00"},
+        ],
+        t0,
+    )
+    # same session, arrives a batch later (cross-batch merge), then a
+    # second session 110 min after
+    _write_batch(
+        src, "b2.json",
+        [
+            {"user_id": 1, "ts": "2024-01-01 10:20:00"},
+            {"user_id": 1, "ts": "2024-01-01 12:10:00"},
+        ],
+        t0 + 10,
+    )
+    # watermark lift + the one-batch application lag spacer
+    _write_batch(
+        src, "b3.json", [{"user_id": 9, "ts": "2024-01-01 20:00:00"}], t0 + 20
+    )
+    _write_batch(
+        src, "b4.json", [{"user_id": 9, "ts": "2024-01-01 20:05:00"}], t0 + 30
+    )
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.col("user_id"),
+            F.session_window("ts", "30 minutes").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").cast("string").alias("start"), "n")
+    )
+    _run_available_now(
+        stream.writeStream.format("memory")
+        .queryName("q225_sink")
+        .outputMode("append")
+    )
+    got = {
+        (r.user_id, r.start, r.n)
+        for r in spark.table("q225_sink").collect()
+    }
+    assert (1, "2024-01-01 10:00:00", 3) in got, got  # cross-batch merge
+    assert (1, "2024-01-01 12:10:00", 1) in got, got  # second session
+
+
+def test_q226_streaming_scd2_maintenance(spark, tmp_path):
+    """Q226: SCD2 dimension MAINTAINED BY A STREAM (foreachBatch →
+    tables.scd2_apply_batch): after an availableNow run over three
+    micro-batches of state events, the stored dimension must equal the
+    batch SCD2 (q136's collapse) computed over ALL events at once —
+    including consecutive-duplicate collapse ACROSS batch boundaries
+    and version renumbering when a user's history grows."""
+    from hive_hw_spark.tables import scd2_apply_batch
+
+    src = str(tmp_path / "events")
+    dim = str(tmp_path / "dim")
+    t0 = time.time() - 1000
+    rows = [
+        # b1: user 1 active->idle; user 2 active
+        [{"user_id": 1, "event_id": 1, "state": "active", "ts_s": 100},
+         {"user_id": 1, "event_id": 2, "state": "idle", "ts_s": 200},
+         {"user_id": 2, "event_id": 3, "state": "active", "ts_s": 150}],
+        # b2: user 1 idle AGAIN (must collapse across the batch
+        # boundary), user 2 flips to error
+        [{"user_id": 1, "event_id": 4, "state": "idle", "ts_s": 300},
+         {"user_id": 2, "event_id": 5, "state": "error", "ts_s": 400}],
+        # b3: user 1 back to active (third version)
+        [{"user_id": 1, "event_id": 6, "state": "active", "ts_s": 500}],
+    ]
+    for i, batch in enumerate(rows):
+        _write_batch(src, f"b{i}.json", batch, t0 + 10 * i)
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, state string, ts_s long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    _run_available_now(
+        stream.writeStream.foreachBatch(
+            lambda df, _bid: scd2_apply_batch(spark, dim, df)
+        )
+    )
+    got = sorted(
+        (r.user_id, r.version, r.state, r.valid_from_s, r.valid_to_s,
+         r.is_current)
+        for r in spark.read.parquet(dim).collect()
+    )
+    want = [
+        (1, 1, "active", 100, 200, False),
+        (1, 2, "idle", 200, 500, False),   # b2's duplicate idle collapsed
+        (1, 3, "active", 500, None, True),
+        (2, 1, "active", 150, 400, False),
+        (2, 2, "error", 400, None, True),
+    ]
+    assert got == want, got

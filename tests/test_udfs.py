@@ -49,3 +49,25 @@ def test_q85_udtf_equals_posexplode(spark, sf_dir):
     ).select("doc_id", "word", "pos")
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_q223_udtf_schema_is_polymorphic(spark):
+    """Q223's analyze() must resolve DIFFERENT schemas per call site from
+    the literal mode argument — the property that distinguishes it from
+    q85's fixed-schema UDTF."""
+    from hive_hw_spark.queries import all_queries
+
+    # registering the UDTF happens inside the query fn; invoke it once
+    all_queries()["q223"].fn(spark, "/root/testdata/sf0.001")
+    stats = spark.sql(
+        "SELECT t.* FROM VALUES ('a b a') AS v(s), "
+        "LATERAL q223_doctok(s, 'stats') t"
+    )
+    words = spark.sql(
+        "SELECT t.* FROM VALUES ('a b a') AS v(s), "
+        "LATERAL q223_doctok(s, 'words') t"
+    )
+    assert [f.name for f in stats.schema.fields] == ["n_tokens", "n_unique"]
+    assert [f.name for f in words.schema.fields] == ["word"]
+    assert stats.collect() == [(3, 2)]
+    assert [r.word for r in words.collect()] == ["a", "b", "a"]
