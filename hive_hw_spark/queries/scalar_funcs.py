@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from hive_hw_spark.catalog import load_table
 from hive_hw_spark.queries import register
+from hive_hw_spark.queries._util import sql_dsum
 
 
 @register(
@@ -505,4 +506,65 @@ def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_spellings",
         )
         .orderBy("segment")
+    )
+
+
+@register(
+    "q227",
+    oracle="""
+    WITH per AS (
+      SELECT l_orderkey AS o_orderkey,
+             CAST(COUNT(*) AS INTEGER) AS n_lines,
+             {rev} AS revenue,
+             CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o_orderkey, n_lines, revenue, max_qty
+    FROM per
+    WHERE max_qty >= 49
+    ORDER BY o_orderkey
+    """.format(rev=sql_dsum("l_extendedprice * (1 - l_discount)")),
+    doc="Nested-data processing (B-H capstone): lineitems NEST into an "
+    "array<struct> per order (one shuffle — the Dremel/Parquet "
+    "repeated-group model), and every later computation runs INSIDE "
+    "the row with higher-order functions: exists() filters orders by "
+    "a nested predicate (array-level predicate pushdown — "
+    "non-matching orders drop before any further work), aggregate() "
+    "folds revenue over the struct array with a DECIMAL accumulator "
+    "lambda, size()/array_max over transform() give per-order stats "
+    "— ZERO additional shuffles after the nest. This is the "
+    "denormalized-document shape (order + items as one record) that "
+    "at 100 TB replaces a fact-fact join per query with a one-time "
+    "nest; the oracle states the flat GROUP BY equivalent. "
+    "Array lambdas are interpreted per ELEMENT (CLAUDE.md HOF note) "
+    "— fine at ~4 items/order; corpus-sized arrays would explode+"
+    "re-agg instead.",
+)
+def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+            )
+        ).alias("items")
+    )
+    return (
+        nested
+        # array-level predicate: keep orders with any near-max-qty line
+        .where(F.expr("exists(items, it -> it.l_quantity >= 49)"))
+        .select(
+            "o_orderkey",
+            F.size("items").alias("n_lines"),
+            F.expr(
+                "CAST(aggregate(items, CAST(0 AS DECIMAL(30,10)), "
+                "(acc, it) -> CAST(acc + CAST(it.l_extendedprice * "
+                "(1 - it.l_discount) AS DECIMAL(30,10)) "
+                "AS DECIMAL(30,10))) AS DOUBLE)"
+            ).alias("revenue"),
+            F.expr(
+                "array_max(transform(items, it -> it.l_quantity))"
+            ).alias("max_qty"),
+        )
+        .orderBy("o_orderkey")
     )

@@ -45,6 +45,8 @@ UNIT_ONLY = {
     "Q212": "parquet bloom-filter write contract — hive_hw_spark/tables.py::write_parquet_with_bloom + tests/test_tables.py::test_q212_parquet_bloom_filter_write_contract",
     "Q225": "streaming session windows (cross-batch merge + exactly-once close) — tests/test_streaming.py::test_q225_streaming_session_window",
     "Q226": "streaming SCD2 dimension maintenance (stream ≡ batch) — hive_hw_spark/tables.py::scd2_apply_batch + tests/test_streaming.py::test_q226_streaming_scd2_maintenance",
+    "Q228": "parquet schema evolution via mergeSchema (NULL-fill across writer generations) — tests/test_sources.py::test_q228_parquet_schema_evolution_merge",
+    "Q229": "corrupt-record quarantine (PERMISSIVE/_corrupt_record, DROPMALFORMED, FAILFAST) — tests/test_sources.py::test_q229_json_corrupt_record_quarantine",
     "Q191": "parquet compression tuning (zstd/snappy round-trip + size ordering) — tests/test_tables.py::test_q191_parquet_compression_codecs_roundtrip_and_size",
 }
 

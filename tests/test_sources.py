@@ -132,3 +132,66 @@ def test_q179_file_provenance_metadata_column(spark, tmp_path):
         .collect()
     }
     assert sum(per_file.values()) == 1000 and len(per_file) == 4
+
+
+def test_q228_parquet_schema_evolution_merge(spark, tmp_path):
+    """Q228: schema-on-read evolution — a v2 writer added a column; the
+    directory holds BOTH generations. mergeSchema=True reconciles to
+    the union schema with NULLs for the old files (the long-lived-table
+    ingest contract); the default read must also keep working (it
+    serves whichever schema it samples — asserting the merged read is
+    the point here)."""
+    d = str(tmp_path / "evolving")
+    spark.range(0, 5).selectExpr("id AS k", "id * 2 AS v").write.parquet(
+        d + "/gen=1"
+    )
+    spark.range(5, 10).selectExpr(
+        "id AS k", "id * 2 AS v", "CAST(id AS STRING) AS note"
+    ).write.parquet(d + "/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(merged.columns) == {"k", "v", "note", "gen"}
+    rows = {r.k: (r.v, r.note) for r in merged.collect()}
+    assert len(rows) == 10
+    assert rows[2] == (4, None)       # old generation null-fills
+    assert rows[7] == (14, "7")       # new generation carries the column
+
+
+def test_q229_json_corrupt_record_quarantine(spark, tmp_path):
+    """Q229: malformed-input handling — PERMISSIVE mode parses what it
+    can and routes the raw text of broken rows to _corrupt_record
+    (the quarantine column), so one bad producer can't fail a 100 TB
+    ingest; DROPMALFORMED silently discards them; FAILFAST raises.
+    All three policies asserted on the same file."""
+    import pytest
+
+    p = tmp_path / "mixed.json"
+    p.write_text(
+        '{"k": 1, "v": "ok"}\n'
+        "THIS IS NOT JSON\n"
+        '{"k": 2, "v": "also ok"}\n'
+        '{"k": "NaN-ish", "v": 3}\n'
+    )
+    schema = "k long, v string, _corrupt_record string"
+    permissive = (
+        spark.read.schema(schema).option("mode", "PERMISSIVE").json(str(p))
+    )
+    rows = permissive.collect()
+    good = {r.k for r in rows if r._corrupt_record is None}
+    bad = [r._corrupt_record for r in rows if r._corrupt_record is not None]
+    assert good == {1, 2}
+    assert len(bad) == 2 and "THIS IS NOT JSON" in bad[0]
+
+    dropped = (
+        spark.read.schema("k long, v string")
+        .option("mode", "DROPMALFORMED")
+        .json(str(p))
+    )
+    assert {r.k for r in dropped.collect()} == {1, 2}
+
+    with pytest.raises(Exception, match="Malformed|FAILFAST"):
+        (
+            spark.read.schema("k long, v string")
+            .option("mode", "FAILFAST")
+            .json(str(p))
+            .collect()
+        )
