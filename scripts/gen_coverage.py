@@ -47,6 +47,9 @@ UNIT_ONLY = {
     "Q226": "streaming SCD2 dimension maintenance (stream ≡ batch) — hive_hw_spark/tables.py::scd2_apply_batch + tests/test_streaming.py::test_q226_streaming_scd2_maintenance",
     "Q228": "parquet schema evolution via mergeSchema (NULL-fill across writer generations) — tests/test_sources.py::test_q228_parquet_schema_evolution_merge",
     "Q229": "corrupt-record quarantine (PERMISSIVE/_corrupt_record, DROPMALFORMED, FAILFAST) — tests/test_sources.py::test_q229_json_corrupt_record_quarantine",
+    "Q230": "cost-based statistics (ANALYZE TABLE, table+column stats queryable) — tests/test_optimizer_features.py::test_q230_cbo_statistics_recorded_and_queryable",
+    "Q231": "dynamic partition pruning (runtime file skipping from the dim filter) — tests/test_optimizer_features.py::test_q231_dynamic_partition_pruning_in_plan",
+    "Q232": "runtime bloom-filter injection (built-in pre-shuffle runtime filter) — tests/test_optimizer_features.py::test_q232_runtime_bloom_filter_injected",
     "Q191": "parquet compression tuning (zstd/snappy round-trip + size ordering) — tests/test_tables.py::test_q191_parquet_compression_codecs_roundtrip_and_size",
 }
 
