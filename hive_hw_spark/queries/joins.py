@@ -1118,3 +1118,106 @@ def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("region", "nation", "customer"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q203_SQL)
+
+
+_Q233_COORD_SQL = """
+      SELECT c_custkey,
+             45.0 + ((c_custkey % 2147483648) * 2654435761 % 2000) / 1000.0
+               AS lat,
+             7.0 + ((c_custkey % 2147483648) * 1103515245 % 2000) / 1000.0
+               AS lon
+      FROM customer
+"""
+
+
+@register(
+    "q233",
+    oracle="""
+    WITH pts AS (
+    """
+    + _Q233_COORD_SQL
+    + """
+    )
+    SELECT a.c_custkey AS k1, b.c_custkey AS k2,
+           ROUND(2 * 6371.0 * asin(sqrt(
+             pow(sin(radians(b.lat - a.lat) / 2), 2)
+             + cos(radians(a.lat)) * cos(radians(b.lat))
+               * pow(sin(radians(b.lon - a.lon) / 2), 2))), 4) AS dist_km
+    FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+    WHERE 2 * 6371.0 * asin(sqrt(
+            pow(sin(radians(b.lat - a.lat) / 2), 2)
+            + cos(radians(a.lat)) * cos(radians(b.lat))
+              * pow(sin(radians(b.lon - a.lon) / 2), 2))) <= 2.0
+    ORDER BY k1, k2
+    """,
+    doc="Spatial distance join via GRID BUCKETING (B-F extension; the "
+    "geo sibling of q27's time-range self-join): customer pairs "
+    "within 2 km, coordinates derived deterministically from the key "
+    "(q105's hash) into a 2°×2° region. The oracle states the "
+    "textbook all-pairs haversine cross join — O(n²) distance "
+    "evals; the engine snaps each point to a grid cell sized >= the "
+    "search radius in BOTH axes (0.02° lat, 0.03° lon at 46°N), "
+    "explodes each LEFT point to its 3×3 cell neighborhood, and "
+    "hash-joins on the cell key — every qualifying pair appears "
+    "exactly once (the right point's home cell is one of the left's "
+    "nine), candidates shrink from n²/2 to local-density × n, and "
+    "the exact haversine verifies per candidate only. This is the "
+    "uniform-grid spatial join every engine (PostGIS, Sedona, H3 "
+    "bucketing) builds on; skewed cities → finer cells + the q91 "
+    "per-bucket cap. Same IEEE formula both engines; threshold on "
+    "the unrounded distance, output round(4).",
+)
+def q233(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    h = (F.col("c_custkey") % F.lit(2147483648)).cast("bigint")
+    pts = cust.select(
+        "c_custkey",
+        (F.lit(45.0) + (h * 2654435761 % 2000) / 1000.0).alias("lat"),
+        (F.lit(7.0) + (h * 1103515245 % 2000) / 1000.0).alias("lon"),
+    )
+    s_lat, s_lon = 0.02, 0.03
+    with_cell = pts.select(
+        "*",
+        F.floor(F.col("lat") / s_lat).cast("int").alias("cx"),
+        F.floor(F.col("lon") / s_lon).cast("int").alias("cy"),
+    )
+    left = with_cell.select(
+        F.col("c_custkey").alias("k1"),
+        F.col("lat").alias("lat1"),
+        F.col("lon").alias("lon1"),
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dx -> "
+                "transform(sequence(-1, 1), dy -> "
+                "struct(cx + dx AS x, cy + dy AS y))))"
+            )
+        ).alias("cell"),
+    ).select("k1", "lat1", "lon1", "cell.x", "cell.y")
+    right = with_cell.select(
+        F.col("c_custkey").alias("k2"),
+        F.col("lat").alias("lat2"),
+        F.col("lon").alias("lon2"),
+        F.col("cx").alias("x"),
+        F.col("cy").alias("y"),
+    )
+    dist = (
+        F.lit(2.0)
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("lat2") - F.col("lat1")) / 2), 2)
+                + F.cos(F.radians("lat1"))
+                * F.cos(F.radians("lat2"))
+                * F.pow(
+                    F.sin(F.radians(F.col("lon2") - F.col("lon1")) / 2), 2
+                )
+            )
+        )
+    )
+    return (
+        left.join(right, ["x", "y"])
+        .where(F.col("k1") < F.col("k2"))
+        .where(dist <= 2.0)
+        .select("k1", "k2", F.round(dist, 4).alias("dist_km"))
+        .orderBy("k1", "k2")
+    )

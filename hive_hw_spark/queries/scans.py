@@ -114,3 +114,53 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q234",
+    oracle="""
+    SELECT c_custkey,
+           concat(substr(c_name, 1, 9), '****') AS name_masked,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS balance_band,
+           c_mktsegment
+    FROM customer
+    WHERE c_nationkey % 5 = 2
+    ORDER BY c_custkey
+    """,
+    doc="Data governance surface — ROW-LEVEL SECURITY + COLUMN MASKING "
+    "as a view (B-A extension; the warehouse's compliance staple): "
+    "an analyst-facing TEMP VIEW exposes only the tenant's rows (the "
+    "RLS predicate — here a nation slice standing in for the "
+    "session-principal filter) with PII masked at the COLUMN level "
+    "(name truncated + padded, exact balances coarsened to bands) — "
+    "consumers query the view like a table and can never select the "
+    "raw column. Scale notes: both the RLS predicate and the masks "
+    "inline into every consumer plan (the view is a named subquery, "
+    "not a copy), so the row filter pushes down to the parquet scan "
+    "like any WHERE — governance costs nothing at read time. A "
+    "metastore deployment swaps TEMP VIEW for a permanent view + "
+    "GRANTs; Unity/ Ranger-style policies compile to exactly this "
+    "shape.",
+)
+def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "q234_customer_raw"
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW q234_customer_secured AS
+        SELECT c_custkey,
+               concat(substr(c_name, 1, 9), '****') AS name_masked,
+               CASE WHEN c_acctbal < 0 THEN 'negative'
+                    WHEN c_acctbal < 5000 THEN 'low'
+                    ELSE 'high' END AS balance_band,
+               c_mktsegment
+        FROM q234_customer_raw
+        WHERE c_nationkey % 5 = 2
+        """
+    )
+    return spark.sql(
+        "SELECT * FROM q234_customer_secured ORDER BY c_custkey"
+    )
