@@ -122,6 +122,8 @@ HEADLINE = [
     "q218",  # discrete percentiles
     "q220",  # BFS hop distances
     "q222",  # period-over-period report
+    "q227",  # nested array<struct> HOF processing
+    "q233",  # grid-bucketed spatial distance join
 ]
 
 
