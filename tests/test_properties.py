@@ -345,3 +345,134 @@ def test_q163_length_band_blocking_is_a_complete_cover(names):
                     candidates.add((a, b))
     missed = true_pairs - candidates
     assert not missed, f"blocking dropped true pairs: {missed}"
+
+
+@given(
+    n=st.integers(min_value=3, max_value=12),
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+@settings(**SETTINGS)
+def test_q215_degree_ordered_triangles_match_brute_force(spark, n, edges):
+    """q215's degree-ordered edge-iterator must count EXACTLY the
+    triangles a brute-force enumeration finds, on arbitrary graphs —
+    orientation changes the wedge generation, never the triangle set."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    es = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b and a < n and b < n})
+    if not es:
+        return
+    adj = set(es)
+    want = sum(
+        1
+        for x, y, z in combinations(sorted({v for e in es for v in e}), 3)
+        if (x, y) in adj and (y, z) in adj and (x, z) in adj
+    )
+    edf = spark.createDataFrame(es, "a int, b int")
+    deg = (
+        edf.select(F.col("a").alias("v"))
+        .unionAll(edf.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    oriented = (
+        edf.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+            )
+            .otherwise(F.struct(F.col("b").alias("src"), F.col("a").alias("dst")))
+            .alias("o")
+        )
+        .select("o.src", "o.dst")
+    )
+    w1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v1"))
+    w2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v2"))
+    wedges = w1.join(w2, "u").where(F.col("v1") < F.col("v2"))
+    closer = oriented.select(
+        F.least("src", "dst").alias("v1"), F.greatest("src", "dst").alias("v2")
+    )
+    got = wedges.join(closer, ["v1", "v2"], "left_semi").count()
+    assert got == want
+
+
+@given(
+    spans=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(1, 15)),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@settings(**SETTINGS)
+def test_q204_sweep_line_matches_naive_overlap_count(spark, spans):
+    """q204's delta/prefix-sum concurrency must equal the naive 'count
+    intervals covering each day' on arbitrary half-open [s, s+len)
+    interval sets."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    naive = Counter()
+    for s, ln in spans:
+        for d in range(s, s + ln):
+            naive[d] += 1
+    want_peak = max(naive.values())
+
+    df = spark.createDataFrame(spans, "s int, len int")
+    deltas = df.select(F.col("s").alias("day"), F.lit(1).alias("d")).unionAll(
+        df.select((F.col("s") + F.col("len")).alias("day"), F.lit(-1).alias("d"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("d").alias("d"))
+    from pyspark.sql import Window
+
+    # bounded domain (days 0..55) → single partition key is structural
+    w = (
+        Window.partitionBy(F.pmod(F.col("day"), F.lit(1)))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got_peak = (
+        daily.withColumn("conc", F.sum("d").over(w))
+        .agg(F.max("conc").alias("m"))
+        .first()
+        .m
+    )
+    assert got_peak == want_peak
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=1000), min_size=1, max_size=60
+    ),
+)
+@settings(**SETTINGS)
+def test_q218_integer_rank_matches_duckdb_quantile_disc(spark, vals):
+    """q218's ceil(p·n) integer-rank formula must select exactly the
+    element DuckDB's native quantile_disc selects, for arbitrary
+    multisets and the three shipped percentiles."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        want = con.execute(
+            "SELECT quantile_disc(x, 0.25), quantile_disc(x, 0.5), "
+            "quantile_disc(x, 0.9) FROM (SELECT unnest(?) x)",
+            [vals],
+        ).fetchone()
+    finally:
+        con.close()
+    s = sorted(vals)
+    n = len(s)
+
+    def pick(a, b):
+        return s[(a * n + b - 1) // b - 1]
+
+    assert (pick(1, 4), pick(1, 2), pick(9, 10)) == want

@@ -95,3 +95,40 @@ def test_q208_stream_python_datasource_equals_batch(spark, tmp_path):
     assert sorted((key(r), r.value) for r in out) == sorted(
         (key(r), r.value) for r in batch
     )
+
+
+def test_q208_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Exactly-once across restart: a second run against the SAME
+    checkpoint must resume from the committed round offset — no round
+    re-emitted, no round skipped — proving initialOffset is only used
+    once and progress rides the checkpoint (the offset-protocol
+    contract a real connector replay depends on)."""
+    _register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = []
+
+    def sink(df, _bid):
+        out.extend(df.collect())
+
+    def run(max_rounds):
+        q = (
+            spark.readStream.format("hw_telemetry")
+            .option("maxRounds", max_rounds)
+            .option("roundsPerBatch", 2)
+            .option("slaves", 2)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run(4)
+    first = sorted((r.round_id, r.slave_id) for r in out)
+    assert first == [(r, s) for r in range(4) for s in range(2)]
+    # restart with a higher high-water mark: only rounds 4..7 may emit
+    run(8)
+    full = sorted((r.round_id, r.slave_id) for r in out)
+    assert full == [(r, s) for r in range(8) for s in range(2)], full
