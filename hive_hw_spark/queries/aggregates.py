@@ -1782,3 +1782,80 @@ _Q224_SQL = """
 def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_Q224_SQL)
+
+
+@register(
+    "q235",
+    oracle="""
+    WITH nat AS (
+      SELECT r_name, n_name, n_nationkey,
+             {rev} AS revenue
+      FROM customer
+      JOIN orders ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name, n_nationkey
+    ),
+    reg AS (
+      SELECT r_name, CAST(SUM(CAST(revenue AS DECIMAL(30,10))) AS DOUBLE)
+               AS reg_rev
+      FROM nat GROUP BY r_name
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(revenue AS DECIMAL(30,10))) AS DOUBLE) AS tot_rev
+      FROM nat
+    )
+    SELECT nat.r_name, nat.n_name, nat.revenue,
+           ROUND(nat.revenue / reg.reg_rev * 100, 4) AS pct_of_region,
+           ROUND(nat.revenue / tot.tot_rev * 100, 4) AS pct_of_total
+    FROM nat JOIN reg ON nat.r_name = reg.r_name CROSS JOIN tot
+    ORDER BY nat.r_name, nat.n_name
+    """.format(rev=sql_dsum("o_totalprice")),
+    doc="Share-of-parent / share-of-total report (B-C extension; the "
+    "ratio_to_report reporting staple): each nation's revenue as a "
+    "percent of its region and of the corpus — the hierarchical "
+    "share metric every drill-down dashboard shows. The textbook "
+    "spelling is SUM() OVER (PARTITION BY region) — a second, "
+    "wide-row window pass over the detail; the engine re-aggregates "
+    "the TINY nation-level frame to region and grand totals and "
+    "broadcast-joins them back (q222's structural discipline: the "
+    "parent levels are |regions| and 1 rows — re-agg + join beats "
+    "windowing the detail at any scale, and the fact table is "
+    "touched ONCE). Ratios: exact-DECIMAL-derived doubles, one "
+    "divide each, round(4).",
+)
+def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nat = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name", "n_nationkey")
+        .agg(dsum("o_totalprice").alias("revenue"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    reg = nat.groupBy(F.col("r_name").alias("rr")).agg(
+        dsum("revenue").alias("reg_rev")
+    )
+    tot = nat.agg(dsum("revenue").alias("tot_rev"))
+    return (
+        nat.join(F.broadcast(reg), F.col("r_name") == F.col("rr"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r_name",
+            "n_name",
+            "revenue",
+            F.round(F.col("revenue") / F.col("reg_rev") * 100, 4).alias(
+                "pct_of_region"
+            ),
+            F.round(F.col("revenue") / F.col("tot_rev") * 100, 4).alias(
+                "pct_of_total"
+            ),
+        )
+        .orderBy("r_name", "n_name")
+    )

@@ -50,6 +50,8 @@ UNIT_ONLY = {
     "Q230": "cost-based statistics (ANALYZE TABLE, table+column stats queryable) — tests/test_optimizer_features.py::test_q230_cbo_statistics_recorded_and_queryable",
     "Q231": "dynamic partition pruning (runtime file skipping from the dim filter) — tests/test_optimizer_features.py::test_q231_dynamic_partition_pruning_in_plan",
     "Q232": "runtime bloom-filter injection (built-in pre-shuffle runtime filter) — tests/test_optimizer_features.py::test_q232_runtime_bloom_filter_injected",
+    "Q236": "join strategy hints honored (BHJ/SMJ/SHJ) — tests/test_plan_shapes.py::test_q236_join_strategy_hints_are_honored",
+    "Q237": "multi-format federated union (parquet+CSV+JSONL one query) — tests/test_plan_shapes.py::test_q237_multi_format_federated_union",
     "Q191": "parquet compression tuning (zstd/snappy round-trip + size ordering) — tests/test_tables.py::test_q191_parquet_compression_codecs_roundtrip_and_size",
 }
 

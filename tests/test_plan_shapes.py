@@ -481,3 +481,61 @@ def test_q167_prefix_sum_windows_are_bucket_partitioned(spark, sf_dir):
     unpartitioned window over the per-part revenue set)."""
     df = all_queries()["q167"].fn(spark, sf_dir)
     assert not _unpartitioned_windows(df), "q167 window lost its bucket spec"
+
+
+def test_q236_join_strategy_hints_are_honored(spark, sf_dir):
+    """Q236: the join-hint surface — the physical strategy is a USER
+    lever, not just an optimizer outcome. The same logical join must
+    plan as BroadcastHashJoin / SortMergeJoin / ShuffledHashJoin under
+    the respective hints (at 100 TB, forcing SHUFFLE_HASH on a
+    medium-sized build side skips the sort a default SMJ pays, and
+    MERGE protects against an OOM-prone broadcast misestimate)."""
+    import pyspark.sql.functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    def physical(hint):
+        j = orders.join(
+            cust.hint(hint), orders.o_custkey == cust.c_custkey
+        ).groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n"))
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    assert "BroadcastHashJoin" in physical("broadcast")
+    assert "SortMergeJoin" in physical("merge")
+    assert "ShuffledHashJoin" in physical("shuffle_hash")
+
+
+def test_q237_multi_format_federated_union(spark, sf_dir, tmp_path):
+    """Q237: one query over THREE formats of the same entity (the
+    federation staple: history in parquet, a partner feed in CSV, an
+    API dump in JSONL) — unionByName over per-format readers, one
+    aggregate; totals must equal 3× the single-format source."""
+    import pyspark.sql.functions as F
+
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    pdir, cdir, jdir = (
+        str(tmp_path / "p"), str(tmp_path / "c"), str(tmp_path / "j")
+    )
+    src.write.parquet(pdir)
+    src.write.option("header", True).csv(cdir)
+    src.write.json(jdir)
+    p = spark.read.parquet(pdir)
+    c = spark.read.option("header", True).schema(src.schema).csv(cdir)
+    j = spark.read.schema(src.schema).json(jdir)
+    fed = p.unionByName(c).unionByName(j)
+    got = (
+        fed.groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("n_regionkey")
+        .collect()
+    )
+    want = (
+        src.groupBy("n_regionkey")
+        .agg((F.count(F.lit(1)) * 3).alias("n"))
+        .orderBy("n_regionkey")
+        .collect()
+    )
+    assert [(r.n_regionkey, r.n) for r in got] == [
+        (r.n_regionkey, r.n) for r in want
+    ]
