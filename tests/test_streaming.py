@@ -833,3 +833,35 @@ def test_q226_streaming_scd2_maintenance(spark, tmp_path):
         (2, 2, "error", 400, None, True),
     ]
     assert got == want, got
+
+
+def test_q226_scd2_batch_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch re-delivers a batch after a sink failure; the SCD2
+    maintenance must absorb the replay without duplicating versions —
+    re-applied change rows collapse against the stored history exactly
+    like consecutive duplicate states (the exactly-once half of the
+    q226 contract)."""
+    from hive_hw_spark.tables import scd2_apply_batch
+
+    dim = str(tmp_path / "dim")
+    b1 = spark.createDataFrame(
+        [(1, 1, "active", 100), (1, 2, "idle", 200)],
+        "user_id long, event_id long, state string, ts_s long",
+    )
+    b2 = spark.createDataFrame(
+        [(1, 3, "active", 300)],
+        "user_id long, event_id long, state string, ts_s long",
+    )
+    scd2_apply_batch(spark, dim, b1)
+    scd2_apply_batch(spark, dim, b1)  # retry of the SAME batch
+    scd2_apply_batch(spark, dim, b2)
+    scd2_apply_batch(spark, dim, b2)  # and again
+    got = sorted(
+        (r.user_id, r.version, r.state, r.valid_from_s, r.valid_to_s)
+        for r in spark.read.parquet(dim).collect()
+    )
+    assert got == [
+        (1, 1, "active", 100, 200),
+        (1, 2, "idle", 200, 300),
+        (1, 3, "active", 300, None),
+    ], got
