@@ -570,3 +570,23 @@ def test_knn_join_tiled_matches_single_block(spark, sf_dir):
     ]
     assert len(one) == len(tiled) == 3 * e.count()
     assert one == tiled
+
+
+def test_q102_threshold_pairs_multiblock_equals_singleblock(spark, sf_dir):
+    """q102's block nested-loop must find the IDENTICAL pair set when
+    forced to split the corpus across many blocks (the 100 TB path) as
+    when one block holds everything — block boundaries may not lose or
+    duplicate pairs (same-block half-mask vs cross-block min/max emit)."""
+    from hive_hw_spark.catalog import load_table
+    from hive_hw_spark.queries.llm_ops import threshold_pairs
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    multi = set(
+        map(tuple, threshold_pairs(e, 0.4, block_rows=100)
+            .select("vec_a", "vec_b").collect())
+    )
+    single = set(
+        map(tuple, threshold_pairs(e, 0.4)
+            .select("vec_a", "vec_b").collect())
+    )
+    assert multi == single and len(single) > 0
