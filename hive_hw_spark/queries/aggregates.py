@@ -1859,3 +1859,83 @@ def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name", "n_name")
     )
+
+
+@register(
+    "q238",
+    oracle="""
+    WITH grp AS (
+      SELECT c_custkey % 500 AS gid, c_custkey, c_name, c_acctbal,
+             c_mktsegment
+      FROM customer
+    ),
+    seg AS (
+      SELECT gid, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM grp GROUP BY gid, c_mktsegment
+    ),
+    best_seg AS (
+      SELECT gid,
+             arg_max(c_mktsegment,
+                     printf('%010d|%s', cnt, c_mktsegment)) AS seg
+      FROM seg GROUP BY gid
+    ),
+    golden AS (
+      SELECT gid,
+             MIN(c_custkey) AS surviving_id,
+             CAST(COUNT(*) AS BIGINT) AS n_merged,
+             MAX(c_acctbal) AS best_acctbal,
+             arg_max(c_name, c_custkey) AS latest_name
+      FROM grp GROUP BY gid
+    )
+    SELECT g.gid, surviving_id, n_merged, best_acctbal, latest_name,
+           b.seg AS seg
+    FROM golden g JOIN best_seg b ON g.gid = b.gid
+    ORDER BY g.gid
+    """,
+    doc="Survivorship merge / golden-record construction (B-C "
+    "extension; the MDM endgame after q163's duplicate MATCHING): "
+    "each duplicate cluster collapses to one record under per-FIELD "
+    "rules — smallest key survives as the id, balance takes the max "
+    "across duplicates, name comes from the most recent record "
+    "(arg_max by key), segment by majority vote with a "
+    "deterministic (count, value) tie-break. Every rule is a "
+    "mergeable aggregate (min/max/max_by), so survivorship is one "
+    "shuffle on the cluster id — never a per-cluster sort or "
+    "collect; the majority-vote field needs its own count agg first "
+    "(two-level, both map-side combinable). Determinism note: raw "
+    "any_value/first survivorship is partition-order-dependent and "
+    "would fail engine comparison by design — every rule here has a "
+    "total-order tie-break.",
+)
+def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 500).alias("gid"),
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    best_seg = (
+        c.groupBy("gid", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("gid")
+        .agg(
+            F.max_by(
+                "c_mktsegment", F.struct("cnt", "c_mktsegment")
+            ).alias("seg")
+        )
+    )
+    golden = c.groupBy("gid").agg(
+        F.min("c_custkey").alias("surviving_id"),
+        F.count(F.lit(1)).alias("n_merged"),
+        F.max("c_acctbal").alias("best_acctbal"),
+        F.max_by("c_name", "c_custkey").alias("latest_name"),
+    )
+    return (
+        golden.join(best_seg, "gid")
+        .select(
+            "gid", "surviving_id", "n_merged", "best_acctbal",
+            "latest_name", "seg",
+        )
+        .orderBy("gid")
+    )
