@@ -241,28 +241,7 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
-    li = load_table(spark, sf_dir, "lineitem")
-    d = li.select("l_orderkey", "l_partkey").distinct()
-    baskets = d.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("items")
-    )
-    edges = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(items, (x, i) -> "
-                    "transform(slice(items, i + 2, size(items)), "
-                    "y -> struct(x AS a, y AS b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.a", "p.b")
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("supp"))
-        .filter(F.col("supp") >= 2)
-        .select("a", "b")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("a").alias("v"))
         .unionAll(edges.select(F.col("b").alias("v")))
@@ -329,7 +308,11 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-purchase graph construction shared by q215/q220: undirected
     edges (a < b) between parts co-ordered >= 2 times, built with
     q139's per-basket expansion (fact shuffled once, never
-    self-joined)."""
+    self-joined). Managed-persisted: q215 (triangles) and q220 (BFS)
+    — and any future graph op — share ONE materialization per
+    session+input instead of each re-running the basket expansion."""
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
     li = load_table(spark, sf_dir, "lineitem")
     baskets = (
         li.select("l_orderkey", "l_partkey")
@@ -337,7 +320,8 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
     )
-    return (
+    return _managed_persist(
+        "copurchase_edges",
         baskets.select(
             F.explode(
                 F.expr(
@@ -351,7 +335,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("supp"))
         .filter(F.col("supp") >= 2)
-        .select("a", "b")
+        .select("a", "b"),
     )
 
 
@@ -405,11 +389,7 @@ _Q220_EDGE_SQL = """
     "partitioning.",
 )
 def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
-
-    edges = _copurchase_edges(spark, sf_dir).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     und = edges.select(F.col("a").alias("s"), F.col("b").alias("t")).unionAll(
         edges.select(F.col("b").alias("s"), F.col("a").alias("t"))
     )
