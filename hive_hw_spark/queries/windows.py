@@ -1322,3 +1322,70 @@ def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "q239",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+      SELECT user_id,
+             ts_s - LAG(ts_s) OVER (PARTITION BY user_id
+                                    ORDER BY ts_s, event_id) AS gap_s
+      FROM p
+    )
+    SELECT CASE WHEN gap_s < 86400 THEN 'lt_1d'
+                WHEN gap_s < 604800 THEN '1d_7d'
+                WHEN gap_s < 2592000 THEN '7d_30d'
+                ELSE 'ge_30d' END AS band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY band ORDER BY band
+    """,
+    doc="Repeat-purchase latency distribution (B-E completion; the "
+    "purchase-cycle report next to q130's retention and q180's "
+    "conversion deadline): per-user gaps between CONSECUTIVE "
+    "purchases (lag over one user_id exchange, deterministic "
+    "(ts, event_id) tie-break), banded into the day buckets a "
+    "lifecycle-marketing team actions on (<1d impulse, 1-7d weekly, "
+    "7-30d monthly, 30d+ at-risk). First purchases drop (NULL lag) "
+    "by definition. Scale shape: one shuffle on user_id, integer "
+    "second arithmetic end to end (no float), codegen CASE bands, "
+    "map-side-combinable band agg — the whole report is q42's gap "
+    "machinery plus one aggregate.",
+)
+def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_timestamp("ts").alias("ts_s"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    gaps = p.select(
+        (F.col("ts_s") - F.lag("ts_s").over(w)).alias("gap_s")
+    ).where(F.col("gap_s").isNotNull())
+    band = (
+        F.when(F.col("gap_s") < 86400, "lt_1d")
+        .when(F.col("gap_s") < 604800, "1d_7d")
+        .when(F.col("gap_s") < 2592000, "7d_30d")
+        .otherwise("ge_30d")
+    )
+    return (
+        gaps.groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("gap_s").alias("min_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+        .orderBy("band")
+    )
