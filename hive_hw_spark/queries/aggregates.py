@@ -1939,3 +1939,75 @@ def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid")
     )
+
+
+@register(
+    "q240",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    p AS (
+      SELECT user_id, date_trunc('week', ts) AS wk, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cell AS (
+      SELECT CAST(c.cohort AS VARCHAR) AS cohort_week,
+             CAST(date_diff('day', c.cohort, p.wk) // 7 AS BIGINT)
+               AS week_offset,
+             {rev} AS revenue
+      FROM p JOIN c USING (user_id)
+      GROUP BY c.cohort, week_offset
+    )
+    SELECT cohort_week, week_offset, revenue,
+           CAST(SUM(CAST(revenue AS DECIMAL(30,10)))
+                OVER (PARTITION BY cohort_week ORDER BY week_offset
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS cum_revenue
+    FROM cell ORDER BY cohort_week, week_offset
+    """.format(rev=sql_dsum("value")),
+    doc="Cohort LTV curve (B-C completion; the revenue twin of q130's "
+    "retention matrix): weekly purchase revenue per signup cohort by "
+    "weeks-since-first-event, with the cumulative-LTV running sum "
+    "every payback-period analysis reads. Scale shape: cohort "
+    "assignment and per-user purchases shuffle on the SAME user_id "
+    "key (co-partitioned join, q130's discipline); the running sum "
+    "windows over the |cohorts|×|weeks| CELL frame — tiny by "
+    "construction — partitioned by cohort (never the raw fact). "
+    "Exact DECIMAL weekly revenue AND exact DECIMAL re-accumulation "
+    "in the cumulative window (float cumsum would drift per "
+    "partition order).",
+)
+def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.date_trunc("week", "ts").alias("wk"), "value"
+    )
+    cell = (
+        p.join(c, "user_id")
+        .groupBy(
+            F.col("cohort").cast("date").cast("string").alias("cohort_week"),
+            (F.datediff("wk", "cohort") / 7).cast("bigint").alias(
+                "week_offset"
+            ),
+        )
+        .agg(dsum("value").alias("revenue"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cell.withColumn(
+            "cum_revenue",
+            F.sum(F.col("revenue").cast("decimal(30,10)")).over(w).cast(
+                "double"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
