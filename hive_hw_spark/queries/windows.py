@@ -1389,3 +1389,96 @@ def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@register(
+    "q241",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s, ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ts_s, ts,
+             CASE WHEN ts_s - LAG(ts_s) OVER (PARTITION BY user_id
+                                              ORDER BY ts_s, event_id)
+                       > 1800
+                  OR LAG(ts_s) OVER (PARTITION BY user_id
+                                     ORDER BY ts_s, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(new_s) OVER (PARTITION BY user_id
+                              ORDER BY ts_s, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sid,
+             ts_s, ts
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, sid,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(date_trunc('week', MIN(ts)) AS VARCHAR) AS week
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT week,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) FILTER (WHERE n_events = 1) AS BIGINT)
+             AS n_bounces,
+           ROUND(CAST(COUNT(*) FILTER (WHERE n_events = 1) AS DOUBLE)
+                 / COUNT(*), 4) AS bounce_rate
+    FROM per_session GROUP BY week ORDER BY week
+    """,
+    doc="Sessionized bounce rate per week (B-E completion; the "
+    "engagement-quality staple on q135's session machinery): a "
+    "bounce is a session with exactly ONE event; the weekly rate is "
+    "the single most-watched content metric. Scale shape: the gap "
+    "flag (lag), session index (running sum), and per-session "
+    "collapse all ride ONE user_id exchange (q135's discipline); "
+    "the weekly rollup input is one row per SESSION — already "
+    "thousands× smaller than the fact. Bounce rate = integer-count "
+    "ratio, one divide, round(4).",
+)
+def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "ts",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        ev.withColumn(
+            "new_s",
+            F.when(
+                F.lag("ts_s").over(w).isNull()
+                | ((F.col("ts_s") - F.lag("ts_s").over(w)) > 1800),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(run))
+    )
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_trunc("week", F.min("ts"))
+        .cast("date")
+        .cast("string")
+        .alias("week"),
+    )
+    return (
+        per_session.groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.count(F.when(F.col("n_events") == 1, 1)).alias("n_bounces"),
+            F.round(
+                F.count(F.when(F.col("n_events") == 1, 1)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("bounce_rate"),
+        )
+        .orderBy("week")
+    )
