@@ -2011,3 +2011,104 @@ def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "q242",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN (user_id % 2147483648) * 2654435761 % 100 < 50
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    conv AS (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id HAVING COUNT(*) >= 14
+    ),
+    arms AS (
+      SELECT arm,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(COUNT(conv.user_id) AS BIGINT) AS n_converted
+      FROM assign LEFT JOIN conv USING (user_id)
+      GROUP BY arm
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 'A' THEN n_users END) AS na,
+        MAX(CASE WHEN arm = 'A' THEN n_converted END) AS ca,
+        MAX(CASE WHEN arm = 'B' THEN n_users END) AS nb,
+        MAX(CASE WHEN arm = 'B' THEN n_converted END) AS cb
+      FROM arms
+    )
+    SELECT na, ca, nb, cb,
+           ROUND(CAST(ca AS DOUBLE) / na, 4) AS rate_a,
+           ROUND(CAST(cb AS DOUBLE) / nb, 4) AS rate_b,
+           ROUND((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+                 / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                        * (1 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                        * (1.0 / na + 1.0 / nb)), 4) AS z_score
+    FROM wide ORDER BY na
+    """,
+    doc="A/B-experiment conversion lift + two-proportion z-test (B-D "
+    "completion; the experimentation staple next to q162's chi-square "
+    "— z for the 2×2 case, with direction): users split 50/50 by the "
+    "q105/q126 deterministic hash (reproducible assignment, no "
+    "rand()), conversion = an ENGAGED user (>= 14 purchases — the corpus has universal light purchasing, so any-purchase saturates at rate 1.0 and the pooled variance degenerates), z = (p̂a − p̂b) / "
+    "sqrt(p̂(1−p̂)(1/na + 1/nb)) with the pooled rate. Scale shape: "
+    "assignment is a pure key function (zero-coordination, the same "
+    "property q126's split relies on), both counts come from one "
+    "distinct-user frame + one left semi-style join on user_id, and "
+    "the test statistic is computed from FOUR integers in a 1-row "
+    "frame — all float ops happen once, identically, in both "
+    "engines; round(4).",
+)
+def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    arm = F.when(
+        (F.col("user_id") % F.lit(2147483648)) * 2654435761 % 100 < 50, "A"
+    ).otherwise("B")
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("np"))
+        .where(F.col("np") >= 14)
+        .select("user_id", F.lit(1).alias("converted"))
+    )
+    arms = (
+        users.join(conv, "user_id", "left")
+        .groupBy(arm.alias("arm"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count("converted").alias("n_converted"),
+        )
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_converted"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_converted"))).alias("cb"),
+    )
+    pa = F.col("ca").cast("double") / F.col("na")
+    pb = F.col("cb").cast("double") / F.col("nb")
+    pooled = (F.col("ca") + F.col("cb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    )
+    return wide.select(
+        "na",
+        "ca",
+        "nb",
+        "cb",
+        F.round(pa, 4).alias("rate_a"),
+        F.round(pb, 4).alias("rate_b"),
+        F.round(
+            (pa - pb)
+            / F.sqrt(
+                pooled
+                * (1 - pooled)
+                * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+            ),
+            4,
+        ).alias("z_score"),
+    ).orderBy("na")
