@@ -568,3 +568,60 @@ def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "q243",
+    oracle="""
+    WITH spine AS (
+      SELECT CAST(d AS DATE) AS d
+      FROM generate_series(DATE '1995-01-01', DATE '2001-12-31',
+                           INTERVAL 1 DAY) t(d)
+    )
+    SELECT strftime(date_trunc('month', d), '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(COUNT(*) FILTER (WHERE dayofweek(d) NOT IN (0, 6))
+                AS BIGINT) AS n_business_days,
+           strftime(MIN(d) FILTER (WHERE dayofweek(d) NOT IN (0, 6)),
+                    '%Y-%m-%d') AS first_bday,
+           strftime(MAX(d) FILTER (WHERE dayofweek(d) NOT IN (0, 6)),
+                    '%Y-%m-%d') AS last_bday
+    FROM spine GROUP BY month ORDER BY month
+    """,
+    doc="Calendar (date) dimension GENERATED in-engine (B-A extension; "
+    "the warehouse date-spine staple q114's gap fill uses implicitly, "
+    "here as a first-class dimension build): sequence() + explode "
+    "materializes every day of the corpus range, derives business-day "
+    "flags (weekday conventions DIFFER per engine — Spark dayofweek "
+    "is 1=Sun..7=Sat, DuckDB 0=Sun..6=Sat — each side spells its own "
+    "constant, the classic cross-engine calendar trap), and rolls up "
+    "per-month day counts and first/last business days. Scale: the "
+    "spine is |days| rows (~2.5k for 7 years) generated from ONE row "
+    "— broadcastable to any fact join; a 100 TB deployment persists "
+    "it once as a bucketed dim. Dates emitted as strings (contract "
+    "rule).",
+)
+def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(DATE'1995-01-01', DATE'2001-12-31',"
+                " interval 1 day)"
+            )
+        ).alias("d")
+    )
+    bday = ~F.dayofweek("d").isin(1, 7)  # Spark: 1=Sunday, 7=Saturday
+    return (
+        spine.groupBy(F.date_format("d", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.count(F.when(bday, 1)).alias("n_business_days"),
+            F.date_format(F.min(F.when(bday, F.col("d"))), "yyyy-MM-dd").alias(
+                "first_bday"
+            ),
+            F.date_format(F.max(F.when(bday, F.col("d"))), "yyyy-MM-dd").alias(
+                "last_bday"
+            ),
+        )
+        .orderBy("month")
+    )
