@@ -1482,3 +1482,93 @@ def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+@register(
+    "q244",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) - 300 AS s,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) + 300 AS e
+      FROM events WHERE event_type = 'error'
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > MAX(e) OVER (PARTITION BY user_id
+                                        ORDER BY s, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING)
+                  OR MAX(e) OVER (PARTITION BY user_id
+                                  ORDER BY s, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) IS NULL
+                  THEN 1 ELSE 0 END AS new_iv,
+             event_id
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_iv) OVER (PARTITION BY user_id ORDER BY s, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island,
+             MAX(e) - MIN(s) AS covered
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(covered) AS BIGINT) AS covered_s
+    FROM merged GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Interval merging / coverage (B-E completion; the continuous "
+    "sibling of q173's day-islands and q204's concurrency sweep): "
+    "each error event opens a ±300 s incident window; overlapping "
+    "windows per user MERGE, and the report is merged-incident count "
+    "+ total covered seconds — the uptime/billing/incident-dedup "
+    "classic (naive per-event coverage double-counts bursts). "
+    "Machinery: running MAX(end) over rows-to-1-preceding detects "
+    "island starts (a start past every prior end), a running sum "
+    "assigns island ids, two aggregates collapse — all FOUR window "
+    "ops and both aggs share ONE user_id exchange; integer seconds "
+    "end to end.",
+)
+def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            "event_id",
+            (F.unix_timestamp("ts") - 300).alias("s"),
+            (F.unix_timestamp("ts") + 300).alias("e"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = (
+        iv.withColumn(
+            "new_iv",
+            F.when(
+                prev_max_e.isNull() | (F.col("s") > prev_max_e), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_iv").over(run))
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("covered")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("covered").alias("covered_s"),
+        )
+        .orderBy("user_id")
+    )
