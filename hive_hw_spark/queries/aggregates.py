@@ -2112,3 +2112,135 @@ def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_score"),
     ).orderBy("na")
+
+
+@register(
+    "q245",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             date_part('dow', o_orderdate) + 1 AS dow,
+             {rev} AS revenue
+      FROM orders GROUP BY d, dow
+    ),
+    per_dow AS (
+      SELECT dow,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(CAST(revenue AS DECIMAL(30,10))) AS DOUBLE)
+               AS dow_rev
+      FROM daily GROUP BY dow
+    ),
+    overall AS (
+      SELECT CAST(SUM(CAST(revenue AS DECIMAL(30,10))) AS DOUBLE) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS nd
+      FROM daily
+    )
+    SELECT CAST(dow AS BIGINT) AS dow, n_days,
+           ROUND(dow_rev / n_days, 4) AS avg_daily_rev,
+           ROUND((dow_rev / n_days) / (tot / nd), 4) AS seasonality_idx
+    FROM per_dow CROSS JOIN overall
+    ORDER BY dow
+    """.format(rev=sql_dsum("o_totalprice")),
+    doc="Day-of-week seasonality index (B-C completion; the retail "
+    "seasonality profile): average daily revenue per weekday divided "
+    "by the overall daily average — index > 1 marks the heavy days a "
+    "staffing/inventory plan keys on. Two-level structure: daily "
+    "totals first (so a weekday with more calendar days isn't "
+    "over-weighted — the classic dow-profile mistake of averaging "
+    "raw rows), then the 7-row weekday rollup and a 1-row overall "
+    "frame broadcast back. All ratios from exact-DECIMAL sums and "
+    "integer day counts, two divides, round(4). Spark dayofweek ≡ "
+    "DuckDB dow+1 (q62's convention note).",
+)
+def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.to_date("o_orderdate").alias("d"),
+            F.dayofweek("o_orderdate").alias("dow"),
+        )
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    per_dow = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        dsum("revenue").alias("dow_rev"),
+    )
+    overall = daily.agg(
+        dsum("revenue").alias("tot"), F.count(F.lit(1)).alias("nd")
+    )
+    return (
+        per_dow.crossJoin(F.broadcast(overall))
+        .select(
+            F.col("dow").cast("bigint").alias("dow"),
+            "n_days",
+            F.round(F.col("dow_rev") / F.col("n_days"), 4).alias(
+                "avg_daily_rev"
+            ),
+            F.round(
+                (F.col("dow_rev") / F.col("n_days"))
+                / (F.col("tot") / F.col("nd")),
+                4,
+            ).alias("seasonality_idx"),
+        )
+        .orderBy("dow")
+    )
+
+
+@register(
+    "q246",
+    oracle="""
+    WITH med AS (
+      SELECT user_id, median(value) AS m FROM events GROUP BY user_id
+    ),
+    mad AS (
+      SELECT e.user_id, median(abs(e.value - med.m)) AS mad
+      FROM events e JOIN med USING (user_id) GROUP BY e.user_id
+    )
+    SELECT e.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (
+             WHERE abs(e.value - med.m) > 3 * 1.4826 * mad.mad
+           ) AS BIGINT) AS n_outliers
+    FROM events e JOIN med USING (user_id) JOIN mad USING (user_id)
+    GROUP BY e.user_id ORDER BY e.user_id
+    """,
+    doc="MAD-based robust outlier detection (B-D completion; the "
+    "robust sibling of q142's rolling z-score — mean/stddev are "
+    "themselves dragged by the outliers they hunt, median/MAD are "
+    "not): per user, events beyond 3 × 1.4826 × MAD of the median "
+    "(1.4826 scales MAD to σ under normality). Scale shape: three "
+    "passes over the SAME user_id partitioning (median, MAD's "
+    "median-of-deviations — an inherently two-pass statistic — then "
+    "the flag count); medians are exact interpolated percentiles "
+    "(per-group sort, q47's family; approx_percentile is the "
+    "documented 100 TB swap). Both engines define even-n median as "
+    "the middle-pair mean — one identical IEEE op chain, so the "
+    "threshold compare is bit-stable.",
+)
+def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    med = ev.groupBy("user_id").agg(F.median("value").alias("m"))
+    mad = (
+        ev.join(med, "user_id")
+        .groupBy("user_id")
+        .agg(F.median(F.abs(F.col("value") - F.col("m"))).alias("mad"))
+    )
+    flagged = (
+        ev.join(med, "user_id")
+        .join(mad, "user_id")
+        .select(
+            "user_id",
+            (
+                F.abs(F.col("value") - F.col("m"))
+                > F.lit(3) * F.lit(1.4826) * F.col("mad")
+            ).alias("is_out"),
+        )
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("is_out"), 1)).alias("n_outliers"),
+        )
+        .orderBy("user_id")
+    )
