@@ -52,6 +52,8 @@ UNIT_ONLY = {
     "Q232": "runtime bloom-filter injection (built-in pre-shuffle runtime filter) — tests/test_optimizer_features.py::test_q232_runtime_bloom_filter_injected",
     "Q236": "join strategy hints honored (BHJ/SMJ/SHJ) — tests/test_plan_shapes.py::test_q236_join_strategy_hints_are_honored",
     "Q237": "multi-format federated union (parquet+CSV+JSONL one query) — tests/test_plan_shapes.py::test_q237_multi_format_federated_union",
+    "Q247": "plan digest / runtime explain audit — hive_hw_spark/observability.py::explain_digest + tests/test_observability.py",
+    "Q248": "per-query metrics listener (py4j QueryExecutionListener) — hive_hw_spark/observability.py::MetricsListener + tests/test_observability.py",
     "Q191": "parquet compression tuning (zstd/snappy round-trip + size ordering) — tests/test_tables.py::test_q191_parquet_compression_codecs_roundtrip_and_size",
 }
 
