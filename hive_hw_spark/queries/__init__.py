@@ -158,7 +158,7 @@ _ATTESTED = frozenset(
 # this comment. Stepping back to the r8 pool: q132/q133/q134/q135/
 # q136/q137/q138/q139/q141/q142/q143/q144/q145/q146/q148/q149/q153/
 # q154/q155/q157/q158/q160/q161/q162/q164/q165/q166/q170/q173/q174/
-# q151/q152/q156/q163/q167/q172/q175-q178/q182/q184 — single-family agg/window/sampling and TPC-H
+# q151/q152/q156/q163/q167/q172/q175-q178/q180/q182/q184 — single-family agg/window/sampling and TPC-H
 # shapes whose pytest parity evidence is the same class as what the
 # driver would add (several carry property/unit tests on top), while
 # the kept entries carry novel machinery (multi-join TPC-H plans,
@@ -169,7 +169,7 @@ _PRIORITY = frozenset(
     {
         "q70", "q123", "q38",
         # NEW in round 7 — first driver rows outrank stale re-confirmation
-                "q180", "q181", "q186", "q187", "q188",
+                "q181", "q186", "q187", "q188",
         "q192", "q193", "q194", "q195", "q196", "q197", "q198", "q199",
         "q200", "q201", "q202", "q203", "q204", "q205", "q206", "q209",
         # rewritten round 7 (bucketed pandas kernel) — driver must re-attest
@@ -178,7 +178,7 @@ _PRIORITY = frozenset(
         "q213", "q214", "q215", "q216", "q217", "q218", "q219",
         # wave 21-25
         "q220", "q221", "q222", "q223", "q224", "q227", "q233", "q234",
-        "q235", "q238", "q239", "q240", "q241", "q242", "q243", "q244", "q245", "q246",
+        "q235", "q238", "q239", "q240", "q241", "q242", "q243", "q244", "q245", "q246", "q249",
     }
 )
 

@@ -560,3 +560,61 @@ def q213(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("revenue")
     )
+
+
+@register(
+    "q249",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey,
+             {val} AS v
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE s_nationkey = 0
+      GROUP BY l_partkey
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(v AS DECIMAL(30,10))) AS DOUBLE) AS t FROM ps
+    )
+    SELECT l_partkey, v
+    FROM ps CROSS JOIN tot
+    WHERE v > t * 0.002
+    ORDER BY v DESC, l_partkey
+    """.format(val=sql_dsum("l_extendedprice * l_quantity")),
+    doc="TPC-H Q11 shape — 'important stock': parts whose shipped-value "
+    "from one nation's suppliers exceeds a FRACTION of that nation's "
+    "total (the group-vs-global-share HAVING pattern; this schema has "
+    "no partsupp, so shipped value = extendedprice × quantity stands "
+    "in for availqty × supplycost, preserving the plan shape "
+    "exactly). Scale shape: the nation filter rides the 100-row "
+    "broadcast supplier join; per-part values are ONE "
+    "map-side-combinable agg; the global total re-aggregates THAT "
+    "tiny frame (never a second fact scan) and broadcasts back as a "
+    "1-row cross join; the fraction compare is one IEEE multiply on "
+    "exact-DECIMAL-derived doubles. The per-part frame is persisted "
+    "for its two consumers (total + filter — CLAUDE.md multi-branch "
+    "rule). Total order: value desc, unique partkey.",
+)
+def q249(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    sup0 = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") == 0)
+        .select("s_suppkey")
+    )
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(sup0), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_quantity")).alias("v")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = ps.agg(dsum("v").alias("t"))
+    return (
+        ps.crossJoin(F.broadcast(tot))
+        .where(F.col("v") > F.col("t") * 0.002)
+        .select("l_partkey", "v")
+        .orderBy(F.col("v").desc(), "l_partkey")
+    )
