@@ -124,6 +124,9 @@ HEADLINE = [
     "q222",  # period-over-period report
     "q227",  # nested array<struct> HOF processing
     "q233",  # grid-bucketed spatial distance join
+    "q240",  # cohort LTV curve
+    "q244",  # interval merging / coverage
+    "q246",  # MAD robust outliers
 ]
 
 
