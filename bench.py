@@ -127,6 +127,8 @@ HEADLINE = [
     "q240",  # cohort LTV curve
     "q244",  # interval merging / coverage
     "q246",  # MAD robust outliers
+    "q250",  # TPC-H Q12 shape (late-shipment conditional counts)
+    "q251",  # TPC-H Q20 shape (dominant-supplier nested IN)
 ]
 
 

@@ -618,3 +618,161 @@ def q249(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", "v")
         .orderBy(F.col("v").desc(), "l_partkey")
     )
+
+
+@register(
+    "q250",
+    oracle="""
+    SELECT l_returnflag AS shipmode,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag IN ('A', 'R')
+      AND l_shipdate >= o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY shipmode
+    ORDER BY shipmode
+    """,
+    doc="TPC-H Q12 shape — shipping-mode service audit: for each mode, "
+    "how many critical vs non-critical orders shipped LATE (this "
+    "schema has no l_shipmode/l_commitdate/l_receiptdate, so the mode "
+    "is l_returnflag restricted to two values and 'late' is shipped "
+    ">=30 days after o_orderdate — same join + cross-table date "
+    "predicate + two conditional counts signature). Scale shape: the "
+    "mode/date filters push into the lineitem scan, orders is "
+    "projected to 3 columns before its one orderkey shuffle, the "
+    "cross-table date predicate rides the joined row (no extra pass), "
+    "and the final 2-group conditional agg is map-side combinable. "
+    "Reference analog: master.ino:552-599 per-class fan-in counters.",
+)
+@plan_cache
+def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            F.col("l_returnflag").isin("A", "R")
+            & (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            F.col("l_shipdate")
+            >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+        .groupBy(F.col("l_returnflag").alias("shipmode"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("shipmode")
+    )
+
+
+@register(
+    "q251",
+    oracle="""
+    SELECT s_name FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND s_suppkey IN (
+        SELECT f.l_suppkey FROM (
+          SELECT l_suppkey, l_partkey,
+                 SUM(CAST(l_quantity AS DECIMAL(30,10))) AS qty
+          FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE 'small%')
+            AND l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate <  TIMESTAMP '1998-01-01'
+          GROUP BY l_suppkey, l_partkey) f
+        WHERE 2 * f.qty > (
+          SELECT SUM(CAST(l2.l_quantity AS DECIMAL(30,10)))
+          FROM lineitem l2
+          WHERE l2.l_partkey = f.l_partkey
+            AND l2.l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l2.l_shipdate <  TIMESTAMP '1998-01-01'))
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 shape — dominant suppliers of a part family in one "
+    "region: suppliers who shipped the MAJORITY of a 'small%' part's "
+    "1997 volume (this schema has no partsupp, so the supplier-part "
+    "link and the availqty>half-demand correlated threshold both "
+    "derive from lineitem — same nested-IN + correlated scalar-SUM "
+    "signature). The oracle keeps the textbook correlated form; the "
+    "engine plans the decorrelated rewrite a 100 TB optimizer wants: "
+    "the part filter broadcasts into the scan, ONE partial+final "
+    "decimal agg builds per-(supplier,part) volumes, per-part totals "
+    "re-aggregate THAT small frame (exact decimal partials are "
+    "associative, so re-agg == direct sum bit-for-bit — no second "
+    "fact-table pass, unlike the correlated subquery's letter), and "
+    "the threshold compare stays in exact DECIMAL (2*qty > total, "
+    "never 0.5*float). The pair frame feeds two branches (totals + "
+    "the compare join) so it is persisted, not recomputed. Supplier "
+    "dim + nation/region broadcast; unique s_name is the total order.",
+)
+@plan_cache
+def q251(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from ._util import DEC
+
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    flt = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = flt.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    cand = (
+        flt.join(tot, "l_partkey")
+        .where(F.col("qty") * 2 > F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nat = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").where(
+                    F.col("r_name") == "EUROPE"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(cand), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_name")
+        .orderBy("s_name")
+    )
