@@ -129,6 +129,10 @@ HEADLINE = [
     "q246",  # MAD robust outliers
     "q250",  # TPC-H Q12 shape (late-shipment conditional counts)
     "q251",  # TPC-H Q20 shape (dominant-supplier nested IN)
+    "q252",  # daily-revenue autocorrelation (ACF lags 1-3)
+    "q254",  # two-sample Kolmogorov-Smirnov test
+    "q255",  # Gini coefficient (bucketed global rank)
+    "q257",  # Markov transition matrix
 ]
 
 

@@ -105,6 +105,7 @@ _MODULES = (
     "quality",
     "graph",
     "tpch",
+    "stats",
 )
 
 _loaded = False
