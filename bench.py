@@ -133,6 +133,9 @@ HEADLINE = [
     "q254",  # two-sample Kolmogorov-Smirnov test
     "q255",  # Gini coefficient (bucketed global rank)
     "q257",  # Markov transition matrix
+    "q259",  # RFM quintile segmentation
+    "q260",  # truncated-EMA revenue smoothing
+    "q261",  # HHI market concentration
 ]
 
 

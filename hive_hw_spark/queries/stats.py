@@ -612,3 +612,265 @@ def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(F.col("c").cast(DEC)).cast("double"), 4).alias("credit"))
         .orderBy("channel")
     )
+
+
+@register(
+    "q259",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey AS custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS last_day,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS mon_d
+      FROM orders GROUP BY 1
+    ),
+    m AS (
+      SELECT custkey,
+             CAST(date_diff('day', last_day,
+                            (SELECT MAX(last_day) FROM per)) AS BIGINT)
+               AS rec_days,
+             freq, CAST(mon_d AS DOUBLE) AS mon, mon_d
+      FROM per
+    ),
+    th AS (
+      SELECT ROUND(quantile_cont(CAST(rec_days AS DOUBLE), 0.2), 4) AS r1,
+             ROUND(quantile_cont(CAST(rec_days AS DOUBLE), 0.4), 4) AS r2,
+             ROUND(quantile_cont(CAST(rec_days AS DOUBLE), 0.6), 4) AS r3,
+             ROUND(quantile_cont(CAST(rec_days AS DOUBLE), 0.8), 4) AS r4,
+             ROUND(quantile_cont(CAST(freq AS DOUBLE), 0.2), 4) AS f1,
+             ROUND(quantile_cont(CAST(freq AS DOUBLE), 0.4), 4) AS f2,
+             ROUND(quantile_cont(CAST(freq AS DOUBLE), 0.6), 4) AS f3,
+             ROUND(quantile_cont(CAST(freq AS DOUBLE), 0.8), 4) AS f4,
+             ROUND(quantile_cont(mon, 0.2), 4) AS m1,
+             ROUND(quantile_cont(mon, 0.4), 4) AS m2,
+             ROUND(quantile_cont(mon, 0.6), 4) AS m3,
+             ROUND(quantile_cont(mon, 0.8), 4) AS m4
+      FROM m
+    ),
+    scored AS (
+      SELECT CAST(6 - (1 + CAST(rec_days > r1 AS INT)
+                         + CAST(rec_days > r2 AS INT)
+                         + CAST(rec_days > r3 AS INT)
+                         + CAST(rec_days > r4 AS INT)) AS INT) AS r_score,
+             CAST(1 + CAST(freq > f1 AS INT) + CAST(freq > f2 AS INT)
+                    + CAST(freq > f3 AS INT) + CAST(freq > f4 AS INT)
+                  AS INT) AS f_score,
+             CAST(1 + CAST(mon > m1 AS INT) + CAST(mon > m2 AS INT)
+                    + CAST(mon > m3 AS INT) + CAST(mon > m4 AS INT)
+                  AS INT) AS m_score,
+             mon_d
+      FROM m CROSS JOIN th
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(mon_d) AS DOUBLE) / COUNT(*), 4) AS avg_monetary
+    FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    doc="RFM (recency/frequency/monetary) quintile segmentation — the "
+    "CRM/marketing staple: each customer scored 1-5 on how recently, "
+    "how often, and how much they bought, reported as segment "
+    "counts + average spend. Scale shape: the fact table folds to "
+    "ONE per-customer agg (single shuffle); quintile boundaries come "
+    "from Spark's exact percentile() over that frame (map-side-"
+    "combinable partial state — approx_percentile is the documented "
+    "100 TB swap, same trade as q47) and are ROUNDED to 4 dp in both "
+    "engines before the strict-> threshold compare, so the score is "
+    "a pure broadcast function of the row (no rank, no global "
+    "window, ntile would be an unpartitioned sort). Monetary sums "
+    "stay in exact DECIMAL end to end.",
+)
+@plan_cache
+def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("mon_d"),
+    )
+    anchor = per.agg(F.max("last_day").alias("anchor"))
+    m = per.crossJoin(F.broadcast(anchor)).select(
+        "custkey",
+        F.datediff("anchor", "last_day").cast("bigint").alias("rec_days"),
+        "freq",
+        F.col("mon_d").cast("double").alias("mon"),
+        "mon_d",
+    )
+    th = m.agg(
+        F.expr(
+            "transform(percentile(CAST(rec_days AS DOUBLE), "
+            "array(0.2D,0.4D,0.6D,0.8D)), t -> round(t, 4))"
+        ).alias("rt"),
+        F.expr(
+            "transform(percentile(CAST(freq AS DOUBLE), "
+            "array(0.2D,0.4D,0.6D,0.8D)), t -> round(t, 4))"
+        ).alias("ft"),
+        F.expr(
+            "transform(percentile(mon, array(0.2D,0.4D,0.6D,0.8D)), "
+            "t -> round(t, 4))"
+        ).alias("mt"),
+    )
+
+    def raw(v, t):
+        c = F.lit(1)
+        for i in (1, 2, 3, 4):
+            c = c + (F.col(v) > F.element_at(F.col(t), i)).cast("int")
+        return c
+
+    scored = m.crossJoin(F.broadcast(th)).select(
+        (F.lit(6) - raw("rec_days", "rt")).cast("int").alias("r_score"),
+        raw("freq", "ft").cast("int").alias("f_score"),
+        raw("mon", "mt").cast("int").alias("m_score"),
+        "mon_d",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum("mon_d").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@register(
+    "q260",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+               AS rev
+      FROM orders GROUP BY day
+    )
+    SELECT CAST(d.day AS VARCHAR) AS day, ROUND(MAX(d.rev), 4) AS rev,
+           ROUND(CAST(SUM(CAST(d2.rev * POWER(0.5,
+                        date_diff('day', d2.day, d.day))
+                      AS DECIMAL(30,10))) AS DOUBLE)
+                 / CAST(SUM(CAST(POWER(0.5,
+                        date_diff('day', d2.day, d.day))
+                      AS DECIMAL(30,10))) AS DOUBLE), 4) AS ema
+    FROM daily d JOIN daily d2
+      ON d2.day BETWEEN d.day - 19 AND d.day
+    GROUP BY d.day ORDER BY day
+    """,
+    doc="Truncated exponentially-weighted moving average of daily "
+    "revenue (alpha = 1/2, 20-day support) — the smoothing/"
+    "forecast-baseline primitive next to q44's flat moving average "
+    "and q142's rolling z-score. Determinism: the recursive EMA "
+    "definition is order-dependent and unimplementable as a "
+    "mergeable aggregate, so the operator states the CLOSED FORM "
+    "with an explicit 20-term support (weights below 2^-19 dropped "
+    "identically in both engines, renormalized over the available "
+    "window so the series start is unbiased); 0.5^k is EXACT in "
+    "IEEE double for every k, per-term products are identical in "
+    "both engines, and the weighted sums accumulate in exact "
+    "DECIMAL. Scale shape: the fact table folds to <=|calendar| "
+    "daily rows in one partial+final agg; the 20-term support is a "
+    "BROADCAST band self-join over that tiny frame (no window, no "
+    "sort) — at 100 TB the same plan holds because the banded join "
+    "size is calendar x 20, independent of the corpus.",
+)
+@plan_cache
+def q260(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("rev"))
+    )
+    d2 = daily.select(F.col("day").alias("day2"), F.col("rev").alias("rev2"))
+    w = F.pow(F.lit(0.5), F.datediff("day", "day2"))
+    return (
+        daily.join(
+            F.broadcast(d2),
+            (F.col("day2") >= F.date_sub(F.col("day"), 19))
+            & (F.col("day2") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(
+            F.round(F.max("rev"), 4).alias("rev"),
+            F.round(
+                F.sum((F.col("rev2") * w).cast(DEC)).cast("double")
+                / F.sum(w.cast(DEC)).cast("double"),
+                4,
+            ).alias("ema"),
+        )
+        .select(F.col("day").cast("string").alias("day"), "rev", "ema")
+        .orderBy("day")
+    )
+
+
+@register(
+    "q261",
+    oracle="""
+    WITH sr AS (
+      SELECT s_nationkey AS nk, l_suppkey AS sk,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(30,10))) AS DOUBLE) AS rev
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             SUM(CAST(rev AS DECIMAL(30,10))) AS tot,
+             CAST(SUM(CAST(rev * rev AS DECIMAL(30,10)))
+                  AS DOUBLE) AS sqq
+      FROM sr GROUP BY 1
+    )
+    SELECT n_name AS nation, n_suppliers,
+           ROUND(CAST(tot AS DOUBLE), 4) AS total_rev,
+           ROUND(10000 * sqq
+                 / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 4) AS hhi
+    FROM agg JOIN nation ON nk = n_nationkey
+    ORDER BY nation
+    """,
+    doc="Herfindahl-Hirschman market-concentration index of supplier "
+    "revenue share per nation (the antitrust/market-structure "
+    "metric; 10000 = monopoly, ->0 = atomistic) — completes the "
+    "concentration family next to q255's Gini and q167's Pareto/ABC "
+    "bands. Scale shape: ONE broadcast dim join (supplier) + one "
+    "partial+final agg on the supplier key folds the fact table to "
+    "|suppliers| rows; the per-nation reduction is a second agg "
+    "over that tiny frame; HHI's closed form needs only sum(rev) "
+    "and sum(rev^2) — both exact-DECIMAL mergeable partials "
+    "(per-supplier squares in IEEE double, identical in both "
+    "engines) — so no shares are materialized and no second pass "
+    "over the detail happens (the naive form divides every row by "
+    "its group total via a window).",
+)
+@plan_cache
+def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sr = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nk"), F.col("l_suppkey").alias("sk"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+            )
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    agg = sr.groupBy("nk").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("rev").cast(DEC)).alias("tot"),
+        F.sum((F.col("rev") * F.col("rev")).cast(DEC)).cast("double").alias("sqq"),
+    )
+    return (
+        agg.join(F.broadcast(n), F.col("nk") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_suppliers",
+            F.round(F.col("tot").cast("double"), 4).alias("total_rev"),
+            F.round(
+                F.lit(10000)
+                * F.col("sqq")
+                / (F.col("tot").cast("double") * F.col("tot").cast("double")),
+                4,
+            ).alias("hhi"),
+        )
+        .orderBy("nation")
+    )
