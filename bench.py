@@ -136,6 +136,22 @@ HEADLINE = [
     "q259",  # RFM quintile segmentation
     "q260",  # truncated-EMA revenue smoothing
     "q261",  # HHI market concentration
+    "q262",  # duplicate-payment detection
+    "q263",  # join-key skew diagnosis
+    "q264",  # event-bigram PMI
+    "q265",  # Kaplan-Meier survival curve
+    "q266",  # lexical-diversity audit (TTR/hapax)
+    "q267",  # containment near-dup pairs
+    "q268",  # time-decay attribution
+    "q269",  # ingestion-freshness audit
+    "q270",  # Theil-Sen robust trend
+    "q271",  # winsorized/trimmed mean
+    "q272",  # local-peak detection
+    "q274",  # monthly growth accounting
+    "q276",  # price/volume/mix revenue bridge
+    "q277",  # model-calibration deciles
+    "q278",  # seasonal decomposition
+    "q279",  # VaR + expected shortfall
 ]
 
 

@@ -3689,3 +3689,143 @@ def threshold_pairs(
                     )
 
     return pairs.mapInPandas(emit, schema)
+
+
+@register(
+    "q266",
+    oracle="""
+    WITH w AS (
+      SELECT lang, source, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT lang, source, word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM w WHERE word <> '' GROUP BY 1, 2, 3
+    )
+    SELECT lang, source,
+           CAST(SUM(cnt) AS BIGINT) AS tokens,
+           CAST(COUNT(*) AS BIGINT) AS types,
+           CAST(COUNT(*) FILTER (WHERE cnt = 1) AS BIGINT) AS hapax,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(SUM(cnt) AS DOUBLE), 4) AS ttr,
+           ROUND(CAST(COUNT(*) FILTER (WHERE cnt = 1) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS hapax_share
+    FROM wc GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Lexical-diversity audit per lang x source — type-token ratio "
+    "and hapax-legomenon share (vocabulary breadth vs boilerplate "
+    "repetition: scraped spam shows low TTR, OCR noise shows "
+    "hapax inflation; the corpus-health signal q95's length stats "
+    "and q115's repetition metrics don't capture). Scale shape: "
+    "explode to words, ONE partial+final agg on (lang, source, "
+    "word) — map-side combine collapses repeated words before the "
+    "shuffle, so shuffle volume is bounded by vocabulary x groups, "
+    "not token count — then a second tiny agg per group; exact "
+    "integer counts, ratios round(4).",
+)
+@plan_cache
+def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select("lang", "source", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("lang", "source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        wc.groupBy("lang", "source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("tokens"),
+            F.count(F.lit(1)).alias("types"),
+            F.count(F.when(F.col("cnt") == 1, 1)).alias("hapax"),
+            F.round(
+                F.count(F.lit(1)).cast("double")
+                / F.sum("cnt").cast("double"),
+                4,
+            ).alias("ttr"),
+            F.round(
+                F.count(F.when(F.col("cnt") == 1, 1)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("hapax_share"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "q267",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([array_to_string(ws[i:i+4], ' ')
+                     for i in generate_series(1, len(ws) - 4)]) AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    df AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS dfreq FROM sh GROUP BY 1),
+    kept AS (
+      SELECT doc_id, sh.g FROM sh JOIN df ON sh.g = df.g
+      WHERE dfreq <= 32
+    ),
+    na AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS a_shingles
+           FROM kept GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, a_shingles, inter,
+           ROUND(CAST(inter AS DOUBLE) / a_shingles, 4) AS containment
+    FROM pairs JOIN na ON na.doc_id = a_id
+    WHERE inter * 10 >= a_shingles * 8
+    ORDER BY a_id, b_id
+    """,
+    doc="Asymmetric containment near-dup detection — directed pairs "
+    "where >= 80% of doc A's discriminative 5-gram shingles appear "
+    "in doc B (catches QUOTED/SUBSET duplication that symmetric "
+    "Jaccard misses: a short doc embedded in a long one scores low "
+    "Jaccard but high containment — the complement to q91's "
+    "MinHash). Discriminative = document frequency <= 32: the df "
+    "cap is part of the DECLARED semantics (stopword-shingles carry "
+    "no identity signal) and is ALSO the scale bound — per-gram "
+    "fan-out is capped, so candidate pairs are bounded by "
+    "sum(min(df,32)^2) like q205's posting intersection, never "
+    "all-pairs. Scale shape: one shuffle on the gram builds "
+    "postings (map-side distinct), the pair agg shuffles only id "
+    "pairs, the threshold is an exact integer cross-multiply.",
+)
+def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = _managed_persist(
+        "q267_shingles",
+        five_gram_shingles(d).select("doc_id", "g").distinct(),
+    )
+    df = sh.groupBy("g").agg(F.count(F.lit(1)).alias("dfreq"))
+    kept = _managed_persist(
+        "q267_kept",
+        sh.join(df.where(F.col("dfreq") <= 32), "g").select("doc_id", "g"),
+    )
+    na = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("a_shingles"))
+    b = kept.select(F.col("doc_id").alias("b_id"), "g")
+    pairs = (
+        kept.select(F.col("doc_id").alias("a_id"), "g")
+        .join(b, "g")
+        .where(F.col("a_id") != F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(na, pairs.a_id == na.doc_id)
+        .where(F.col("inter") * 10 >= F.col("a_shingles") * 8)
+        .select(
+            "a_id",
+            "b_id",
+            "a_shingles",
+            "inter",
+            F.round(
+                F.col("inter").cast("double") / F.col("a_shingles"), 4
+            ).alias("containment"),
+        )
+        .orderBy("a_id", "b_id")
+    )

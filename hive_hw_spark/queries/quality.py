@@ -113,3 +113,70 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("relation")
     )
+
+
+@register(
+    "q263",
+    oracle="""
+    WITH kc AS (
+      SELECT l_suppkey AS suppkey, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS total_rows FROM kc
+    )
+    SELECT CAST(suppkey AS BIGINT) AS suppkey, cnt,
+           n_keys, total_rows,
+           ROUND(CAST(cnt AS DOUBLE) * n_keys / total_rows, 4)
+             AS skew_factor,
+           ROUND(CAST(cnt AS DOUBLE) / total_rows, 4) AS share
+    FROM kc CROSS JOIN s
+    ORDER BY cnt DESC, suppkey LIMIT 5
+    """,
+    doc="Join-key skew diagnosis — per-key row counts of a shuffle key "
+    "(l_suppkey) reduced to the top-5 heavy hitters with their "
+    "skew factor (count / mean-per-key) and share of the table: the "
+    "pre-flight report that decides whether a planned join needs "
+    "salting (q143) or AQE skew splitting BEFORE the 100 TB shuffle "
+    "runs, completing the ops-diagnostic surface next to q247's "
+    "plan digest and q112's quality audit. Scale shape: one "
+    "partial+final count on the key folds the fact table to "
+    "|keys| rows; the two global scalars reduce from THAT frame "
+    "(no second fact scan) and broadcast back; top-5 is a "
+    "TakeOrdered, never a global sort.",
+)
+def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    li = load_table(spark, sf_dir, "lineitem")
+    kc = _managed_persist(
+        "q263_keycounts",
+        li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        ),
+    )
+    s = kc.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+    )
+    return (
+        kc.crossJoin(F.broadcast(s))
+        .select(
+            F.col("suppkey").cast("bigint").alias("suppkey"),
+            "cnt",
+            "n_keys",
+            "total_rows",
+            F.round(
+                F.col("cnt").cast("double")
+                * F.col("n_keys")
+                / F.col("total_rows"),
+                4,
+            ).alias("skew_factor"),
+            F.round(
+                F.col("cnt").cast("double") / F.col("total_rows"), 4
+            ).alias("share"),
+        )
+        .orderBy(F.col("cnt").desc(), "suppkey")
+        .limit(5)
+    )

@@ -874,3 +874,1169 @@ def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "q262",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey,
+             CAST(ROUND(o_totalprice / 1000) AS BIGINT) AS amount_band,
+             o_totalprice,
+             CAST(o_orderdate AS DATE) AS day, o_orderkey,
+             LAG(CAST(o_orderdate AS DATE)) OVER w AS prev_day,
+             LAG(o_orderkey) OVER w AS prev_key
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey,
+                     CAST(ROUND(o_totalprice / 1000) AS BIGINT)
+                   ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+    )
+    SELECT CAST(o_custkey AS BIGINT) AS custkey,
+           amount_band,
+           o_totalprice AS amount,
+           CAST(prev_day AS VARCHAR) AS first_day,
+           CAST(day AS VARCHAR) AS second_day,
+           CAST(prev_key AS BIGINT) AS first_orderkey,
+           CAST(o_orderkey AS BIGINT) AS second_orderkey,
+           CAST(date_diff('day', prev_day, day) AS BIGINT) AS gap_days
+    FROM s
+    WHERE prev_day IS NOT NULL
+      AND date_diff('day', prev_day, day) <= 30
+    ORDER BY custkey, second_orderkey
+    """,
+    doc="Duplicate-payment detection — consecutive orders by the SAME "
+    "customer in the SAME rounded $1000 amount band within 30 days "
+    "(the accounts-payable fraud/error audit; banding catches "
+    "near-identical amounts, and adjacency after the in-group date "
+    "sort reports a k-order chain as k-1 suspect pairs, not the "
+    "quadratic pair set). Scale shape: ONE exchange on (custkey, "
+    "band) carries the whole query — the lag window sorts only "
+    "within each tiny group, the ≤30-day filter is row-local, and "
+    "no self-join over the fact table exists (the naive form is an "
+    "O(n²)-per-group banded self-join). The band is "
+    "round(amount/1000) — identical HALF_UP-for-positive rounding "
+    "in both engines; dates emit as strings, gaps in exact "
+    "integer days.",
+)
+@plan_cache
+def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") / 1000).cast("bigint").alias(
+            "amount_band"
+        ),
+        "o_totalprice",
+        F.to_date("o_orderdate").alias("day"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey", "amount_band").orderBy(
+        "day", "o_orderkey"
+    )
+    s = o.select(
+        "o_custkey",
+        "amount_band",
+        "o_totalprice",
+        "day",
+        "o_orderkey",
+        F.lag("day").over(w).alias("prev_day"),
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+    )
+    return (
+        s.where(
+            F.col("prev_day").isNotNull()
+            & (F.datediff("day", "prev_day") <= 30)
+        )
+        .select(
+            F.col("o_custkey").cast("bigint").alias("custkey"),
+            "amount_band",
+            F.col("o_totalprice").alias("amount"),
+            F.col("prev_day").cast("string").alias("first_day"),
+            F.col("day").cast("string").alias("second_day"),
+            F.col("prev_key").cast("bigint").alias("first_orderkey"),
+            F.col("o_orderkey").cast("bigint").alias("second_orderkey"),
+            F.datediff("day", "prev_day").cast("bigint").alias("gap_days"),
+        )
+        .orderBy("custkey", "second_orderkey")
+    )
+
+
+@register(
+    "q264",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS x,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS y
+      FROM events
+    ),
+    big AS (
+      SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c_xy
+      FROM seq WHERE y IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n FROM big),
+    xm AS (SELECT x, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM big GROUP BY 1),
+    ym AS (SELECT y, CAST(SUM(c_xy) AS BIGINT) AS c_y FROM big GROUP BY 1)
+    SELECT b.x, b.y, b.c_xy,
+           ROUND(LN(CAST(b.c_xy AS DOUBLE) * n / (c_x * c_y)), 4) AS pmi
+    FROM big b JOIN xm USING (x) JOIN ym USING (y) CROSS JOIN tot
+    ORDER BY x, y
+    """,
+    doc="Pointwise mutual information of adjacent event-type bigrams "
+    "per user session stream — the information-theoretic lift "
+    "behind collocation mining and next-action suggestion (PMI > 0: "
+    "the transition happens more than independence predicts; "
+    "completes the sequence family next to q257's Markov matrix and "
+    "q145's trigram mining). Scale shape: ONE user_id exchange "
+    "builds adjacent pairs (lead window, per-user sort only), one "
+    "partial+final agg folds them to a <=|types|² frame, and ALL "
+    "marginals (row, column, grand total) re-aggregate from that "
+    "tiny PERSISTED frame — the fact table is scanned exactly once "
+    "(the multi-branch recompute rule) and every join below the "
+    "fold is a broadcast. One ln per bigram TYPE, round(4).",
+)
+def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("x"),
+        F.lead("event_type").over(w).alias("y"),
+    )
+    big = _managed_persist(
+        "q264_bigrams",
+        seq.where(F.col("y").isNotNull())
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy")),
+    )
+    tot = big.agg(F.sum("c_xy").alias("n"))
+    xm = big.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    ym = big.groupBy("y").agg(F.sum("c_xy").alias("c_y"))
+    return (
+        big.join(F.broadcast(xm), "x")
+        .join(F.broadcast(ym), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            F.round(
+                F.log(
+                    F.col("c_xy").cast("double")
+                    * F.col("n")
+                    / (F.col("c_x") * F.col("c_y"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy("x", "y")
+    )
+
+
+@register(
+    "q265",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             MIN(CAST(o_orderdate AS DATE)) AS f,
+             MAX(CAST(o_orderdate AS DATE)) AS l
+      FROM orders GROUP BY 1
+    ),
+    cu AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', f, l) // 7 AS BIGINT) AS wk,
+             CASE WHEN date_diff('day', l, (SELECT MAX(l) FROM per)) > 90
+                  THEN 1 ELSE 0 END AS churn
+      FROM per
+    ),
+    weekly AS (
+      SELECT wk, CAST(SUM(churn) AS BIGINT) AS d,
+             CAST(SUM(1 - churn) AS BIGINT) AS c
+      FROM cu GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cust FROM cu),
+    risk AS (
+      SELECT w.wk, w.d, w.c,
+             CAST(n_cust - COALESCE(SUM(p.d + p.c), 0) AS BIGINT)
+               AS n_at_risk
+      FROM weekly w CROSS JOIN tot
+      LEFT JOIN weekly p ON p.wk < w.wk
+      GROUP BY w.wk, w.d, w.c, n_cust
+    ),
+    km AS (
+      SELECT t.wk, t.d, t.c, t.n_at_risk,
+             CAST(MIN(u.n_at_risk - u.d) AS BIGINT) AS min_open,
+             SUM(CAST(CASE WHEN u.d < u.n_at_risk
+                      THEN LN(1.0 - CAST(u.d AS DOUBLE) / u.n_at_risk)
+                      ELSE 0.0 END AS DECIMAL(30,10))) AS lnsum
+      FROM risk t JOIN risk u ON u.wk <= t.wk
+      GROUP BY t.wk, t.d, t.c, t.n_at_risk
+    )
+    SELECT wk AS week, n_at_risk, d AS d_churned, c AS c_censored,
+           ROUND(CASE WHEN min_open = 0 THEN 0.0
+                 ELSE EXP(CAST(lnsum AS DOUBLE)) END, 4) AS survival
+    FROM km ORDER BY week
+    """,
+    doc="Kaplan-Meier survival curve of customer lifetime (weeks from "
+    "first to last order; churn event = inactive for the trailing 90 "
+    "days of the dataset, later lifetimes right-CENSORED — the "
+    "estimator the naive 'avg customer lifetime' gets wrong by "
+    "treating still-active customers as churned). Scale shape: the "
+    "fact table folds to one per-customer row, then to <=|weeks| "
+    "event rows; at-risk counts AND the KM product both come from "
+    "triangular broadcast self-joins over that calendar-bounded "
+    "frame (the oracle's window form restated without a global "
+    "sort), with the product computed as exp(sum ln(1 - d/n)) — "
+    "per-week terms identical in IEEE double in both engines, "
+    "summed in exact DECIMAL, with the n=d absorbing state handled "
+    "explicitly (Spark ln(0) is NULL, DuckDB -inf — the CASE keeps "
+    "both engines on the 0.0 branch).",
+)
+def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("f"),
+        F.max(F.to_date("o_orderdate")).alias("l"),
+    )
+    anchor = per.agg(F.max("l").alias("anchor"))
+    cu = per.crossJoin(F.broadcast(anchor)).select(
+        F.expr("CAST(datediff(l, f) DIV 7 AS BIGINT)").alias("wk"),
+        F.when(F.datediff("anchor", "l") > 90, 1).otherwise(0).alias("churn"),
+    )
+    weekly = _managed_persist(
+        "q265_weekly",
+        cu.groupBy("wk").agg(
+            F.sum("churn").cast("bigint").alias("d"),
+            F.sum(1 - F.col("churn")).cast("bigint").alias("c"),
+        ),
+    )
+    tot = weekly.agg(F.sum(F.col("d") + F.col("c")).alias("n_cust"))
+    p = weekly.select(
+        F.col("wk").alias("pwk"), (F.col("d") + F.col("c")).alias("pdc")
+    )
+    risk = _managed_persist(
+        "q265_risk",
+        weekly.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(p), F.col("pwk") < F.col("wk"), "left")
+        .groupBy("wk", "d", "c", "n_cust")
+        .agg(F.coalesce(F.sum("pdc"), F.lit(0)).alias("seen"))
+        .select(
+            "wk",
+            "d",
+            "c",
+            (F.col("n_cust") - F.col("seen")).cast("bigint").alias("n_at_risk"),
+        ),
+    )
+    u = risk.select(
+        F.col("wk").alias("uwk"),
+        F.col("d").alias("ud"),
+        F.col("n_at_risk").alias("un"),
+    )
+    term = F.when(
+        F.col("ud") < F.col("un"),
+        F.log(1.0 - F.col("ud").cast("double") / F.col("un")),
+    ).otherwise(F.lit(0.0))
+    km = (
+        risk.join(F.broadcast(u), F.col("uwk") <= F.col("wk"))
+        .groupBy("wk", "d", "c", "n_at_risk")
+        .agg(
+            F.min(F.col("un") - F.col("ud")).cast("bigint").alias("min_open"),
+            F.sum(term.cast(DEC)).alias("lnsum"),
+        )
+    )
+    return km.select(
+        F.col("wk").alias("week"),
+        "n_at_risk",
+        F.col("d").alias("d_churned"),
+        F.col("c").alias("c_censored"),
+        F.round(
+            F.when(F.col("min_open") == 0, F.lit(0.0)).otherwise(
+                F.exp(F.col("lnsum").cast("double"))
+            ),
+            4,
+        ).alias("survival"),
+    ).orderBy("week")
+
+
+@register(
+    "q268",
+    oracle="""
+    WITH fp AS (
+      SELECT user_id, MIN(ts) AS fp_ts FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    touches AS (
+      SELECT e.user_id, e.event_type AS channel,
+             POWER(0.5, date_diff('day', CAST(e.ts AS DATE),
+                                  CAST(fp.fp_ts AS DATE)) // 7)
+               AS raw
+      FROM events e JOIN fp ON e.user_id = fp.user_id
+      WHERE e.ts < fp.fp_ts AND e.event_type <> 'purchase'
+    ),
+    norm AS (
+      SELECT user_id,
+             CAST(SUM(CAST(raw AS DECIMAL(30,10))) AS DOUBLE) AS tot
+      FROM touches GROUP BY 1
+    )
+    SELECT channel,
+           ROUND(CAST(SUM(CAST(raw / tot AS DECIMAL(30,10)))
+                 AS DOUBLE), 4) AS credit
+    FROM touches JOIN norm USING (user_id)
+    GROUP BY channel ORDER BY channel
+    """,
+    doc="Time-decay multi-touch attribution — each converting user's "
+    "pre-purchase touchpoints share 1.0 credit weighted by "
+    "0.5^(weeks-before-conversion), completing the attribution "
+    "family (q216 last-touch, q258 U-shaped): recent touches earn "
+    "more, nothing earns zero. Determinism: the decay exponent is "
+    "an INTEGER week count (0.5^k is exact in IEEE double for every "
+    "k; a fractional-day exponent would hit pow()'s 1-ulp libm "
+    "slack), per-user normalizers and per-channel totals accumulate "
+    "in exact DECIMAL. Scale shape: conversion times reduce per "
+    "user and join back co-partitioned on user_id (one exchange "
+    "shared by the join, the normalizer agg, and the share join); "
+    "the channel rollup is a second tiny agg.",
+)
+def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp_ts"))
+    )
+    touches = _managed_persist(
+        "q268_touches",
+        ev.join(fp, "user_id")
+        .where((F.col("ts") < F.col("fp_ts")) & (F.col("event_type") != "purchase"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("channel"),
+            F.pow(
+                F.lit(0.5),
+                F.expr(
+                    "CAST(datediff(CAST(fp_ts AS DATE), CAST(ts AS DATE)) "
+                    "DIV 7 AS INT)"
+                ),
+            ).alias("raw"),
+        ),
+    )
+    norm = touches.groupBy("user_id").agg(
+        F.sum(F.col("raw").cast(DEC)).cast("double").alias("tot")
+    )
+    return (
+        touches.join(norm, "user_id")
+        .groupBy("channel")
+        .agg(
+            F.round(
+                F.sum((F.col("raw") / F.col("tot")).cast(DEC)).cast("double"),
+                4,
+            ).alias("credit")
+        )
+        .orderBy("channel")
+    )
+
+
+@register(
+    "q269",
+    oracle="""
+    WITH td AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c, MAX(ts) AS mx
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (SELECT MAX(day) AS gmax FROM td)
+    SELECT event_type,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           strftime(MAX(mx), '%Y-%m-%d %H:%M:%S') AS last_seen,
+           CAST(date_diff('day', MAX(day), gmax) AS BIGINT)
+             AS staleness_days,
+           ROUND(CAST(SUM(c) FILTER (WHERE day >= gmax - 6) AS DOUBLE)
+                 / CAST(SUM(c) AS DOUBLE), 4) AS share_last_7d
+    FROM td CROSS JOIN g
+    GROUP BY event_type, gmax ORDER BY event_type
+    """,
+    doc="Ingestion-freshness / data-staleness audit per event type — "
+    "last-seen timestamp, staleness vs the feed's global high-water "
+    "mark, and the share of volume in the trailing 7 days (a "
+    "collapsing share flags a dying upstream before a hard gap "
+    "appears; the ops guardrail next to q112's value-quality audit "
+    "and q263's skew report). Reference analog: the master's "
+    "missing-node error report (master.ino:552-574) generalized to "
+    "per-source feed health. Scale shape: ONE partial+final agg "
+    "folds the stream to |types| x |days| rows; the high-water mark "
+    "and every derived metric reduce from THAT frame (no second "
+    "fact scan), the global max broadcasts back as a 1-row cross "
+    "join.",
+)
+def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    td = _managed_persist(
+        "q269_type_day",
+        ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+            F.count(F.lit(1)).alias("c"), F.max("ts").alias("mx")
+        ),
+    )
+    g = td.agg(F.max("day").alias("gmax"))
+    return (
+        td.crossJoin(F.broadcast(g))
+        .groupBy("event_type", "gmax")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_events"),
+            F.date_format(F.max("mx"), "yyyy-MM-dd HH:mm:ss").alias(
+                "last_seen"
+            ),
+            F.datediff(F.first("gmax"), F.max("day"))
+            .cast("bigint")
+            .alias("staleness_days"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("day") >= F.date_sub(F.col("gmax"), 6),
+                        F.col("c"),
+                    ).otherwise(0)
+                ).cast("double")
+                / F.sum("c").cast("double"),
+                4,
+            ).alias("share_last_7d"),
+        )
+        .drop("gmax")
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q270",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10)))
+                        / COUNT(value) AS DOUBLE), 4) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (SELECT MIN(day) AS gmin FROM daily),
+    pts AS (
+      SELECT event_type,
+             CAST(date_diff('day', gmin, day) AS BIGINT) AS x, y
+      FROM daily CROSS JOIN g
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             (b.y - a.y) / (b.x - a.x) AS slope
+      FROM pts a JOIN pts b
+        ON a.event_type = b.event_type AND b.x > a.x
+    ),
+    ranked AS (
+      SELECT event_type, slope,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY slope) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM slopes
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_pairs,
+           ROUND(MAX(CASE WHEN rn = (n + 1) // 2 THEN slope END), 4)
+             AS ts_slope
+    FROM ranked GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Theil-Sen robust trend estimation per event type — the slope "
+    "is the MEDIAN of all pairwise daily-mean slopes (29% breakdown "
+    "point: a month of corrupted telemetry barely moves it, where "
+    "q133's OLS line chases it; completes the robust family with "
+    "q246 MAD and q255 Gini). Determinism: daily means round(4) "
+    "through the exact-DECIMAL accumulator BEFORE sloping, so every "
+    "pairwise slope is an identical IEEE division in both engines; "
+    "the median is the DISCRETE lower median (rank (n+1) DIV 2 in "
+    "exact integer arithmetic, q218's discipline — interpolated "
+    "medians of near-equal doubles would reopen the last-ulp gap). "
+    "Scale shape: the fact table folds to |types| x |days| daily "
+    "means in one agg; the O(days²) pair set builds per type from "
+    "that tiny frame (calendar-bounded, never corpus-bounded) and "
+    "the rank window partitions by type — no global sort.",
+)
+@plan_cache
+def q270(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.round(
+            (F.sum(F.col("value").cast(DEC)) / F.count("value")).cast(
+                "double"
+            ),
+            4,
+        ).alias("y")
+    )
+    g = daily.agg(F.min("day").alias("gmin"))
+    pts = daily.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        F.datediff("day", "gmin").cast("bigint").alias("x"),
+        "y",
+    )
+    b = pts.select(
+        F.col("event_type").alias("et2"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+    slopes = pts.join(
+        F.broadcast(b),
+        (F.col("event_type") == F.col("et2")) & (F.col("x2") > F.col("x")),
+    ).select(
+        "event_type",
+        ((F.col("y2") - F.col("y")) / (F.col("x2") - F.col("x"))).alias(
+            "slope"
+        ),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope")
+    wn = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_pairs"),
+            F.round(
+                F.max(
+                    F.when(
+                        F.col("rn") == F.expr("div(n + 1, 2)"), F.col("slope")
+                    )
+                ),
+                4,
+            ).alias("ts_slope"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q271",
+    oracle="""
+    WITH th AS (
+      SELECT event_type,
+             ROUND(quantile_cont(value, 0.05), 4) AS lo,
+             ROUND(quantile_cont(value, 0.95), 4) AS hi
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_used,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10)))
+                      / COUNT(value) AS DOUBLE), 4) AS trimmed_avg,
+           ROUND(MAX(lo), 4) AS p05, ROUND(MAX(hi), 4) AS p95
+    FROM events e JOIN th ON e.event_type = th.event_type
+    WHERE value >= lo AND value <= hi
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    doc="Trimmed (5%-winsor-band) mean per event type — the robust "
+    "location estimate that survives fat-tailed telemetry (one "
+    "sensor stuck at 1e9 shifts the plain mean arbitrarily, moves "
+    "this not at all; completes the robust family with q246 MAD and "
+    "q270 Theil-Sen). Determinism: the P05/P95 fences come from "
+    "Spark's exact percentile() ≡ DuckDB quantile_cont (q47's "
+    "proven pairing) and are ROUNDED to 4 dp in both engines before "
+    "the inclusive band filter, so membership is engine-exact; the "
+    "trimmed mean runs through the exact-DECIMAL accumulator. Scale "
+    "shape: pass 1 reduces to |types| fence rows (approx_percentile "
+    "is the documented 100 TB swap), which BROADCAST back into a "
+    "pass-2 filtered partial+final agg — two scans, zero fact-table "
+    "shuffles beyond the group key.",
+)
+@plan_cache
+def q271(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    th = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.05D)"), 4).alias("lo"),
+        F.round(F.expr("percentile(value, 0.95D)"), 4).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(th), "event_type")
+        .where((F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi")))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_used"),
+            F.round(
+                (F.sum(F.col("value").cast(DEC)) / F.count("value")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("trimmed_avg"),
+            F.round(F.max("lo"), 4).alias("p05"),
+            F.round(F.max("hi"), 4).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q272",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+               AS rev
+      FROM orders GROUP BY day
+    ),
+    band AS (
+      SELECT d.day, MAX(d.rev) AS rev,
+             MAX(CASE WHEN d2.day <> d.day THEN d2.rev END)
+               AS best_other,
+             MIN(d2.rev) AS band_min,
+             CAST(COUNT(*) AS BIGINT) AS band_n
+      FROM daily d JOIN daily d2
+        ON d2.day BETWEEN d.day - 3 AND d.day + 3
+      GROUP BY d.day
+    )
+    SELECT CAST(day AS VARCHAR) AS day, ROUND(rev, 4) AS rev,
+           ROUND(rev - band_min, 4) AS prominence
+    FROM band
+    WHERE band_n = 7 AND rev > best_other
+    ORDER BY day
+    """,
+    doc="Local-peak detection on the daily-revenue series — days whose "
+    "revenue STRICTLY exceeds every other day in the centered 7-day "
+    "band (edge days with truncated bands excluded), reported with "
+    "their prominence over the band minimum: the spike-mining "
+    "primitive behind alert review and promotion analysis "
+    "(completes the series family: q142 rolling z-score flags "
+    "global outliers, q253 CUSUM finds level shifts, this finds "
+    "LOCAL extrema). Determinism: strict-> comparison against the "
+    "band's best OTHER day — the tie of two equal adjacent maxima "
+    "yields NO peak in both engines by construction, no rank "
+    "tie-break needed. Scale shape: the fact table folds to "
+    "<=|calendar| daily rows in one partial+final agg; the centered "
+    "band is a BROADCAST self-join over that tiny frame (q260's "
+    "discipline — no window, no sort, size = calendar x 7 "
+    "regardless of corpus scale).",
+)
+@plan_cache
+def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("rev"))
+    )
+    d2 = daily.select(F.col("day").alias("day2"), F.col("rev").alias("rev2"))
+    band = (
+        daily.join(
+            F.broadcast(d2),
+            (F.col("day2") >= F.date_sub(F.col("day"), 3))
+            & (F.col("day2") <= F.date_add(F.col("day"), 3)),
+        )
+        .groupBy("day")
+        .agg(
+            F.max("rev").alias("rev"),
+            F.max(
+                F.when(F.col("day2") != F.col("day"), F.col("rev2"))
+            ).alias("best_other"),
+            F.min("rev2").alias("band_min"),
+            F.count(F.lit(1)).alias("band_n"),
+        )
+    )
+    return (
+        band.where((F.col("band_n") == 7) & (F.col("rev") > F.col("best_other")))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.round("rev", 4).alias("rev"),
+            F.round(F.col("rev") - F.col("band_min"), 4).alias("prominence"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "q274",
+    oracle="""
+    WITH cm AS (
+      SELECT DISTINCT o_custkey AS ck,
+             CAST(year(CAST(o_orderdate AS DATE)) * 12
+                  + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS mk
+      FROM orders
+    ),
+    seq AS (
+      SELECT ck, mk,
+             LAG(mk) OVER (PARTITION BY ck ORDER BY mk) AS pmk,
+             LEAD(mk) OVER (PARTITION BY ck ORDER BY mk) AS nmk
+      FROM cm
+    ),
+    mx AS (SELECT MAX(mk) AS maxmk FROM cm),
+    status AS (
+      SELECT mk,
+             CAST(COUNT(*) AS BIGINT) AS n_active,
+             CAST(COUNT(*) FILTER (WHERE pmk IS NULL) AS BIGINT) AS n_new,
+             CAST(COUNT(*) FILTER (WHERE pmk = mk - 1) AS BIGINT)
+               AS n_retained,
+             CAST(COUNT(*) FILTER (WHERE pmk IS NOT NULL
+                                   AND pmk < mk - 1) AS BIGINT)
+               AS n_resurrected
+      FROM seq GROUP BY 1
+    ),
+    churn AS (
+      SELECT mk + 1 AS cmk, CAST(COUNT(*) AS BIGINT) AS n_churned
+      FROM seq CROSS JOIN mx
+      WHERE (nmk IS NULL OR nmk > mk + 1) AND mk + 1 <= maxmk
+      GROUP BY 1
+    )
+    SELECT printf('%04d-%02d', s.mk // 12, s.mk % 12 + 1) AS month,
+           n_active, n_new, n_retained, n_resurrected,
+           COALESCE(n_churned, 0) AS n_churned
+    FROM status s LEFT JOIN churn c ON s.mk = c.cmk
+    ORDER BY month
+    """,
+    doc="Monthly growth accounting — every active customer classified "
+    "as NEW (first month), RETAINED (active last month) or "
+    "RESURRECTED (returning after a gap), plus the CHURNED count "
+    "attributed to the month after last activity (capped at the "
+    "dataset horizon): the startup-metrics decomposition where "
+    "active(m) = new + retained + resurrected and "
+    "churned(m) = active(m-1) - retained(m) — the identity the "
+    "naive 'MoM active delta' hides. Scale shape: the fact table "
+    "folds to DISTINCT (customer, month) rows in one agg; lag/lead "
+    "ride ONE customer-partitioned window over that PERSISTED "
+    "frame (status and churn both read it — the multi-branch "
+    "recompute rule); monthly rollups and the horizon scalar are "
+    "tiny-frame reductions.",
+)
+def q274(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    o = load_table(spark, sf_dir, "orders")
+    cm = o.select(
+        F.col("o_custkey").alias("ck"),
+        (
+            F.year(F.to_date("o_orderdate")) * 12
+            + F.month(F.to_date("o_orderdate"))
+            - 1
+        )
+        .cast("bigint")
+        .alias("mk"),
+    ).distinct()
+    w = Window.partitionBy("ck").orderBy("mk")
+    seq = _managed_persist(
+        "q274_seq",
+        cm.select(
+            "ck",
+            "mk",
+            F.lag("mk").over(w).alias("pmk"),
+            F.lead("mk").over(w).alias("nmk"),
+        ),
+    )
+    mx = seq.agg(F.max("mk").alias("maxmk"))
+    status = seq.groupBy("mk").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.count(F.when(F.col("pmk").isNull(), 1)).alias("n_new"),
+        F.count(F.when(F.col("pmk") == F.col("mk") - 1, 1)).alias(
+            "n_retained"
+        ),
+        F.count(
+            F.when(
+                F.col("pmk").isNotNull() & (F.col("pmk") < F.col("mk") - 1), 1
+            )
+        ).alias("n_resurrected"),
+    )
+    churn = (
+        seq.crossJoin(F.broadcast(mx))
+        .where(
+            (F.col("nmk").isNull() | (F.col("nmk") > F.col("mk") + 1))
+            & (F.col("mk") + 1 <= F.col("maxmk"))
+        )
+        .groupBy((F.col("mk") + 1).alias("cmk"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return (
+        status.join(F.broadcast(churn), status.mk == churn.cmk, "left")
+        .select(
+            F.format_string(
+                "%04d-%02d",
+                F.expr("CAST(div(mk, 12) AS INT)"),
+                F.expr("CAST(pmod(mk, 12) + 1 AS INT)"),
+            ).alias("month"),
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce(F.col("n_churned"), F.lit(0)).cast("bigint").alias(
+                "n_churned"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "q276",
+    oracle="""
+    WITH y AS (
+      SELECT p_brand,
+             CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS yr,
+             SUM(CAST(l_quantity AS DECIMAL(30,10))) AS qty,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,10))) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE year(CAST(l_shipdate AS DATE)) IN (1999, 2000)
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.p_brand,
+             CAST(a.qty AS DOUBLE) AS q1, CAST(a.rev AS DOUBLE) AS r1,
+             CAST(b.qty AS DOUBLE) AS q2, CAST(b.rev AS DOUBLE) AS r2
+      FROM y a JOIN y b ON a.p_brand = b.p_brand
+       AND a.yr = 1999 AND b.yr = 2000
+      WHERE a.qty > 0 AND b.qty > 0
+    )
+    SELECT p_brand AS brand,
+           ROUND(r2 - r1, 4) AS delta_rev,
+           ROUND((r2 / q2 - r1 / q1) * q1, 4) AS price_effect,
+           ROUND((q2 - q1) * (r1 / q1), 4) AS volume_effect,
+           ROUND((r2 / q2 - r1 / q1) * (q2 - q1), 4) AS mix_effect
+    FROM p ORDER BY brand
+    """,
+    doc="Price/volume/mix revenue-bridge decomposition per brand "
+    "(1999 -> 2000) — the FP&A waterfall: delta_rev = price_effect "
+    "+ volume_effect + mix_effect EXACTLY (algebraic identity on "
+    "(p2-p1, q2-q1), no residual bucket), answering 'did we sell "
+    "more, or at better prices?'. Determinism: qty and revenue "
+    "reduce in exact DECIMAL; average prices and all three effects "
+    "are identical IEEE doubles in both engines, round(4) at the "
+    "edge. Scale shape: one broadcast dim join + ONE partial+final "
+    "agg on (brand, year) with the year filter pushed to the scan; "
+    "the bridge itself is a self-join over the ~|brands| frame. "
+    "Brands need activity in BOTH years (a brand at zero quantity "
+    "has no average price to bridge from).",
+)
+@plan_cache
+def q276(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    yr = F.year(F.to_date("l_shipdate"))
+    y = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .where(yr.isin(1999, 2000))
+        .groupBy("p_brand", yr.cast("int").alias("yr"))
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).alias("qty"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    DEC
+                )
+            ).alias("rev"),
+        )
+    )
+    a = y.where(F.col("yr") == 1999).select(
+        "p_brand",
+        F.col("qty").cast("double").alias("q1"),
+        F.col("rev").cast("double").alias("r1"),
+    )
+    b = y.where(F.col("yr") == 2000).select(
+        F.col("p_brand").alias("brand2"),
+        F.col("qty").cast("double").alias("q2"),
+        F.col("rev").cast("double").alias("r2"),
+    )
+    p = a.join(F.broadcast(b), F.col("p_brand") == F.col("brand2")).where(
+        (F.col("q1") > 0) & (F.col("q2") > 0)
+    )
+    dp = F.col("r2") / F.col("q2") - F.col("r1") / F.col("q1")
+    return p.select(
+        F.col("p_brand").alias("brand"),
+        F.round(F.col("r2") - F.col("r1"), 4).alias("delta_rev"),
+        F.round(dp * F.col("q1"), 4).alias("price_effect"),
+        F.round(
+            (F.col("q2") - F.col("q1")) * (F.col("r1") / F.col("q1")), 4
+        ).alias("volume_effect"),
+        F.round(dp * (F.col("q2") - F.col("q1")), 4).alias("mix_effect"),
+    ).orderBy("brand")
+
+
+@register(
+    "q277",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id,
+             CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    z AS (
+      SELECT vec_id,
+             CAST(SUM(CAST(x * ((CAST((pos * 2654435761) % 997 AS DOUBLE)
+                                 / 997.0) - 0.5)
+                           AS DECIMAL(30,10))) AS DOUBLE) AS z
+      FROM ex GROUP BY vec_id
+    ),
+    sc AS (
+      SELECT vec_id, ROUND(1.0 / (1.0 + exp(-z)), 6) AS score,
+             CAST((vec_id % 2147483648) * 2654435761 % 1000000
+                  AS DOUBLE) / 1000000.0 AS u
+      FROM z
+    ),
+    th AS (
+      SELECT ROUND(quantile_cont(score, 0.1), 6) AS t1,
+             ROUND(quantile_cont(score, 0.2), 6) AS t2,
+             ROUND(quantile_cont(score, 0.3), 6) AS t3,
+             ROUND(quantile_cont(score, 0.4), 6) AS t4,
+             ROUND(quantile_cont(score, 0.5), 6) AS t5,
+             ROUND(quantile_cont(score, 0.6), 6) AS t6,
+             ROUND(quantile_cont(score, 0.7), 6) AS t7,
+             ROUND(quantile_cont(score, 0.8), 6) AS t8,
+             ROUND(quantile_cont(score, 0.9), 6) AS t9
+      FROM sc
+    ),
+    dec AS (
+      SELECT CAST(1 + CAST(score > t1 AS INT) + CAST(score > t2 AS INT)
+                    + CAST(score > t3 AS INT) + CAST(score > t4 AS INT)
+                    + CAST(score > t5 AS INT) + CAST(score > t6 AS INT)
+                    + CAST(score > t7 AS INT) + CAST(score > t8 AS INT)
+                    + CAST(score > t9 AS INT) AS INT) AS decile,
+             score, CAST(u < score AS INT) AS actual
+      FROM sc CROSS JOIN th
+    )
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(score AS DECIMAL(30,10))) / COUNT(*)
+                 AS DOUBLE), 4) AS avg_score,
+           ROUND(CAST(SUM(actual) AS DOUBLE) / COUNT(*), 4) AS pos_rate,
+           ROUND(CAST(SUM(CAST(score AS DECIMAL(30,10))) / COUNT(*)
+                 AS DOUBLE)
+                 - CAST(SUM(actual) AS DOUBLE) / COUNT(*), 4)
+             AS calibration_gap
+    FROM dec GROUP BY decile ORDER BY decile
+    """,
+    doc="Model-calibration report by score decile — q178's logistic "
+    "quality scores bucketed into deciles and compared against the "
+    "realized positive rate (a calibrated model's decile gap ≈ 0; "
+    "the MLOps acceptance check that precedes any threshold "
+    "decision). Outcomes are a deterministic hash draw u < score "
+    "(both engines hold the identical 'world', integer-hash based "
+    "— no rand()). Scale shape: one posexplode + DECIMAL dot-"
+    "product agg per vector (q178's plan), decile FENCES from exact "
+    "percentile() rounded to 6 dp in both engines and broadcast "
+    "back as pure threshold compares (no global rank window), one "
+    "final 10-row agg.",
+)
+@plan_cache
+def q277(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("p0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("p0") + 1).alias("pos"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    wgt = (
+        F.pmod(F.col("pos") * F.lit(2654435761), F.lit(997)).cast("double")
+        / F.lit(997.0)
+    ) - F.lit(0.5)
+    z = ex.groupBy("vec_id").agg(
+        F.sum((F.col("x") * wgt).cast(DEC)).cast("double").alias("z")
+    )
+    sc = z.select(
+        "vec_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6).alias(
+            "score"
+        ),
+        (
+            F.pmod(
+                F.pmod(F.col("vec_id"), F.lit(2147483648))
+                * F.lit(2654435761),
+                F.lit(1000000),
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("u"),
+    )
+    th = sc.agg(
+        F.expr(
+            "transform(percentile(score, array(0.1D,0.2D,0.3D,0.4D,0.5D,"
+            "0.6D,0.7D,0.8D,0.9D)), t -> round(t, 6))"
+        ).alias("ts")
+    )
+    decile = F.lit(1)
+    for i in range(1, 10):
+        decile = decile + (
+            F.col("score") > F.element_at(F.col("ts"), i)
+        ).cast("int")
+    dec = sc.crossJoin(F.broadcast(th)).select(
+        decile.cast("int").alias("decile"),
+        "score",
+        (F.col("u") < F.col("score")).cast("int").alias("actual"),
+    )
+    avg_score = (F.sum(F.col("score").cast(DEC)) / F.count(F.lit(1))).cast(
+        "double"
+    )
+    pos_rate = F.sum("actual").cast("double") / F.count(F.lit(1))
+    return (
+        dec.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(avg_score, 4).alias("avg_score"),
+            F.round(pos_rate, 4).alias("pos_rate"),
+            F.round(avg_score - pos_rate, 4).alias("calibration_gap"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "q278",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+                   AS DOUBLE), 4) AS rev
+      FROM orders GROUP BY 1
+    ),
+    tr AS (
+      SELECT d.day, MAX(d.rev) AS rev,
+             CAST(COUNT(*) AS BIGINT) AS band_n,
+             ROUND(CAST(SUM(CAST(d2.rev AS DECIMAL(30,10))) / 15
+                   AS DOUBLE), 4) AS trend
+      FROM daily d JOIN daily d2
+        ON d2.day BETWEEN d.day - 7 AND d.day + 7
+      GROUP BY d.day
+    ),
+    det AS (
+      SELECT day, rev, trend, ROUND(rev - trend, 4) AS detr,
+             CAST(date_diff('day', DATE '1992-01-01', day) % 7
+                  AS BIGINT) AS dow
+      FROM tr WHERE band_n = 15
+    ),
+    seas AS (
+      SELECT dow,
+             ROUND(CAST(SUM(CAST(detr AS DECIMAL(30,10))) / COUNT(*)
+                   AS DOUBLE), 4) AS seasonal
+      FROM det GROUP BY 1
+    )
+    SELECT CAST(d.day AS VARCHAR) AS day, d.rev, d.trend,
+           s.seasonal, ROUND(d.detr - s.seasonal, 4) AS residual
+    FROM det d JOIN seas s ON d.dow = s.dow
+    ORDER BY day
+    """,
+    doc="Classical additive seasonal decomposition of daily revenue — "
+    "rev = trend (centered 15-day moving average, edges dropped) + "
+    "day-of-week seasonal index (mean detrended value per weekday) "
+    "+ residual: the series triage that separates 'weekends are "
+    "slow' from 'demand is shifting' before any anomaly rule runs "
+    "(q142's z-score flags what THIS explains away). Determinism: "
+    "every stage rounds to 4 dp through the exact-DECIMAL "
+    "accumulator before the next subtraction, so both engines "
+    "subtract identical doubles; weekday = days-since-epoch mod 7 "
+    "(never dayofweek() — engines disagree on week origin). Scale "
+    "shape: fact folds to ≤|calendar| daily rows; the centered "
+    "window is a BROADCAST band self-join (q272's discipline); the "
+    "7-row seasonal index broadcasts back.",
+)
+@plan_cache
+def q278(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 4
+            ).alias("rev")
+        )
+    )
+    d2 = daily.select(F.col("day").alias("day2"), F.col("rev").alias("rev2"))
+    tr = (
+        daily.join(
+            F.broadcast(d2),
+            (F.col("day2") >= F.date_sub(F.col("day"), 7))
+            & (F.col("day2") <= F.date_add(F.col("day"), 7)),
+        )
+        .groupBy("day")
+        .agg(
+            F.max("rev").alias("rev"),
+            F.count(F.lit(1)).alias("band_n"),
+            F.round(
+                (F.sum(F.col("rev2").cast(DEC)) / 15).cast("double"), 4
+            ).alias("trend"),
+        )
+    )
+    det = tr.where(F.col("band_n") == 15).select(
+        "day",
+        "rev",
+        "trend",
+        F.round(F.col("rev") - F.col("trend"), 4).alias("detr"),
+        F.pmod(
+            F.datediff("day", F.lit("1992-01-01").cast("date")), F.lit(7)
+        )
+        .cast("bigint")
+        .alias("dow"),
+    )
+    seas = det.groupBy("dow").agg(
+        F.round(
+            (F.sum(F.col("detr").cast(DEC)) / F.count(F.lit(1))).cast(
+                "double"
+            ),
+            4,
+        ).alias("seasonal")
+    )
+    return (
+        det.join(F.broadcast(seas), "dow")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "rev",
+            "trend",
+            "seasonal",
+            F.round(F.col("detr") - F.col("seasonal"), 4).alias("residual"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "q279",
+    oracle="""
+    WITH th AS (
+      SELECT event_type,
+             ROUND(quantile_cont(value, 0.95), 4) AS var95
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           MAX(var95) AS var95,
+           CAST(COUNT(*) FILTER (WHERE value > var95) AS BIGINT)
+             AS n_tail,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10)))
+                      FILTER (WHERE value > var95)
+                 AS DOUBLE)
+                 / COUNT(*) FILTER (WHERE value > var95), 4) AS es95
+    FROM events e JOIN th ON e.event_type = th.event_type
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    doc="Value-at-risk + expected shortfall (CVaR) per event type — "
+    "VaR95 is the exact P95 fence, ES95 the mean of the exceedance "
+    "tail (the coherent risk measure: VaR says where the tail "
+    "starts, ES says how bad it is once entered — the q271 "
+    "winsorized mean's mirror image, completing the tail-risk "
+    "family). Determinism: the fence comes from exact percentile() "
+    "≡ quantile_cont rounded to 4 dp in both engines before the "
+    "strict-> tail membership test; the tail mean runs through the "
+    "exact-DECIMAL accumulator. Scale shape: pass 1 reduces to "
+    "|types| fences (approx_percentile = the 100 TB swap), "
+    "broadcast into ONE pass-2 conditional agg — no shuffle of the "
+    "fact table beyond the group key.",
+)
+@plan_cache
+def q279(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    th = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.95D)"), 4).alias("var95")
+    )
+    tail = F.col("value") > F.col("var95")
+    return (
+        ev.join(F.broadcast(th), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("var95").alias("var95"),
+            F.count(F.when(tail, 1)).alias("n_tail"),
+            F.round(
+                F.sum(F.when(tail, F.col("value")).cast(DEC)).cast("double")
+                / F.count(F.when(tail, 1)),
+                4,
+            ).alias("es95"),
+        )
+        .orderBy("event_type")
+    )

@@ -44,6 +44,11 @@ UNIT_ONLY = {
     "Q211": "stream-stream LEFT OUTER interval join (watermarked NULL emission) — tests/test_streaming.py::test_q211_stream_stream_left_outer_join_emits_null_after_watermark",
     "Q212": "parquet bloom-filter write contract — hive_hw_spark/tables.py::write_parquet_with_bloom + tests/test_tables.py::test_q212_parquet_bloom_filter_write_contract",
     "Q225": "streaming session windows (cross-batch merge + exactly-once close) — tests/test_streaming.py::test_q225_streaming_session_window",
+    "Q273": "stream-stream FULL OUTER interval join (NULLs emitted on BOTH sides after watermark) — tests/test_streaming.py::test_q273_stream_stream_full_outer_join_emits_nulls_both_sides",
+    "Q275": "line-oriented text source (line / wholetext / lineSep framing) — tests/test_sources.py::test_q275_text_source_line_and_wholetext",
+    "Q280": "SQL scripting control flow (BEGIN/DECLARE/WHILE/IF, Spark 4) — tests/test_sql_surface.py::test_q280_sql_scripting_control_flow",
+    "Q281": "parameterized SQL + IDENTIFIER() clause (injection-safe templating) — tests/test_sql_surface.py::test_q281_parameterized_sql_and_identifier",
+    "Q282": "Python UDTF with TABLE argument + PARTITION BY/ORDER BY — tests/test_udfs.py::test_q282_udtf_table_argument_partition_by",
     "Q226": "streaming SCD2 dimension maintenance (stream ≡ batch) — hive_hw_spark/tables.py::scd2_apply_batch + tests/test_streaming.py::test_q226_streaming_scd2_maintenance",
     "Q228": "parquet schema evolution via mergeSchema (NULL-fill across writer generations) — tests/test_sources.py::test_q228_parquet_schema_evolution_merge",
     "Q229": "corrupt-record quarantine (PERMISSIVE/_corrupt_record, DROPMALFORMED, FAILFAST) — tests/test_sources.py::test_q229_json_corrupt_record_quarantine",

@@ -195,3 +195,28 @@ def test_q229_json_corrupt_record_quarantine(spark, tmp_path):
             .json(str(p))
             .collect()
         )
+
+
+def test_q275_text_source_line_and_wholetext(spark, tmp_path):
+    """Q275: the line-oriented text source — the rawest LLM-corpus
+    ingest path (one line = one training example, or one FILE = one
+    document with wholetext). Line mode must preserve line count and
+    content exactly; wholetext mode must yield one row per file with
+    the full payload; lineSep override must re-split the same bytes.
+    DuckDB has no analog (unit contract like q03)."""
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha line 1\nalpha line 2\n")
+    (d / "b.txt").write_text("beta only line\n")
+    lines = spark.read.text(str(d))
+    got = sorted(r.value for r in lines.collect())
+    assert got == ["alpha line 1", "alpha line 2", "beta only line"]
+    # wholetext: one row per FILE, full bytes preserved (must be the
+    # text() kwarg — a .option("wholetext", ...) string is ignored)
+    whole = spark.read.text(str(d), wholetext=True)
+    by_file = sorted(r.value for r in whole.collect())
+    assert by_file == ["alpha line 1\nalpha line 2\n", "beta only line\n"]
+    # custom record separator: same bytes, different framing
+    (d / "c.txt").unlink(missing_ok=True)
+    sep = spark.read.option("lineSep", " line ").text(str(d / "a.txt"))
+    assert sep.count() == 3

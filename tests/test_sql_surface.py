@@ -58,3 +58,80 @@ def test_adhoc_sql_parity(name, spark, sf_dir, oracle):
     register_tables(spark, sf_dir)
     got = spark.sql(ADHOC[name])
     compare(got, oracle, ADHOC[name], name=name)
+
+
+def test_q280_sql_scripting_control_flow(spark, sf_dir):
+    """Q280: Spark 4 SQL scripting (BEGIN/DECLARE/WHILE/IF) — the
+    procedural surface that replaces driver-side glue for multi-step
+    SQL jobs. A script with local variables, a WHILE loop and a
+    conditional computes the same result the declarative spelling
+    does; the final SELECT is the script's result set."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    register_tables(spark, sf_dir)
+    got = spark.sql(
+        """
+        BEGIN
+          DECLARE n_priorities INT DEFAULT 0;
+          DECLARE label STRING DEFAULT 'small';
+          SET n_priorities = (SELECT COUNT(DISTINCT o_orderpriority)
+                              FROM orders);
+          IF n_priorities >= 3 THEN
+            SET label = 'large';
+          END IF;
+          SELECT n_priorities AS n, label;
+        END
+        """
+    ).collect()
+    expect = spark.sql(
+        "SELECT COUNT(DISTINCT o_orderpriority) AS n FROM orders"
+    ).collect()[0].n
+    assert got[0].n == expect
+    assert got[0].label == ("large" if expect >= 3 else "small")
+    # loop semantics: gauss sum via WHILE
+    r = spark.sql(
+        """
+        BEGIN
+          DECLARE total INT DEFAULT 0;
+          DECLARE i INT DEFAULT 0;
+          WHILE i < 10 DO
+            SET total = total + i;
+            SET i = i + 1;
+          END WHILE;
+          SELECT total AS t;
+        END
+        """
+    ).collect()
+    assert r[0].t == 45
+
+
+def test_q281_parameterized_sql_and_identifier(spark, sf_dir):
+    """Q281: parameterized SQL (named markers, injection-safe literals)
+    + the IDENTIFIER() clause (safe dynamic table/column names) — the
+    Spark 4 templating surface that replaces f-string SQL assembly.
+    Parameters must bind as VALUES (a quote in a string parameter is
+    data, not syntax); IDENTIFIER must resolve a name from a
+    parameter."""
+    register_tables(spark, sf_dir)
+    got = spark.sql(
+        "SELECT COUNT(*) AS n FROM orders "
+        "WHERE o_orderpriority = :prio AND o_totalprice > :floor",
+        args={"prio": "1-URGENT", "floor": 1000.0},
+    ).collect()[0].n
+    expect = spark.sql(
+        "SELECT COUNT(*) AS n FROM orders "
+        "WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 1000.0"
+    ).collect()[0].n
+    assert got == expect and got > 0
+    # a malicious string binds as a harmless literal
+    inj = spark.sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_orderpriority = :prio",
+        args={"prio": "x' OR '1'='1"},
+    ).collect()[0].n
+    assert inj == 0
+    # IDENTIFIER: table name arrives as a parameter, not via string paste
+    for t, key in (("orders", "o_orderkey"), ("customer", "c_custkey")):
+        n = spark.sql(
+            "SELECT COUNT(IDENTIFIER(:k)) AS n FROM IDENTIFIER(:t)",
+            args={"t": t, "k": key},
+        ).collect()[0].n
+        assert n == spark.table(t).count()

@@ -865,3 +865,86 @@ def test_q226_scd2_batch_retry_is_idempotent(spark, tmp_path):
         (1, 2, "idle", 200, 300),
         (1, 3, "active", 300, None),
     ], got
+
+
+def test_q273_stream_stream_full_outer_join_emits_nulls_both_sides(
+    spark, tmp_path
+):
+    """Q273: stream-stream FULL OUTER interval join — completes the
+    streaming join-mode matrix (q77 inner, q211 left outer): unmatched
+    LEFT rows (request that died) AND unmatched RIGHT rows (orphan
+    confirm with no visible request — the reference's duplicate/late
+    ack, master.ino:580-599 analog) each surface with NULLs on the
+    other side exactly once the watermark proves no future match, with
+    the closed window's state dropped. Same one-batch application lag
+    discipline as q73/q211."""
+    req_dir = str(tmp_path / "req")
+    resp_dir = str(tmp_path / "resp")
+    t0 = time.time() - 1000
+    reqs = [
+        {"req_id": 1, "node": "H0001", "req_ts": "2024-01-01 10:00:00"},
+        # never answered — must surface as (1=2, NULL)
+        {"req_id": 2, "node": "H0002", "req_ts": "2024-01-01 10:00:05"},
+    ]
+    resps = [
+        {"resp_id": 11, "node": "H0001", "resp_ts": "2024-01-01 10:00:04"},
+        # orphan ack: no request for this node — must surface as (NULL, 12)
+        {"resp_id": 12, "node": "H0003", "resp_ts": "2024-01-01 10:00:06"},
+    ]
+    _write_batch(req_dir, "b1.json", reqs, t0)
+    _write_batch(resp_dir, "b1.json", resps, t0)
+    # watermark lift on BOTH streams, then a spacer batch for the
+    # one-batch application lag
+    _write_batch(
+        req_dir, "b2.json",
+        [{"req_id": 90, "node": "H0009", "req_ts": "2024-01-01 12:00:00"}],
+        t0 + 10,
+    )
+    _write_batch(
+        resp_dir, "b2.json",
+        [{"resp_id": 91, "node": "H0009", "resp_ts": "2024-01-01 12:00:01"}],
+        t0 + 10,
+    )
+    _write_batch(
+        req_dir, "b3.json",
+        [{"req_id": 92, "node": "H0009", "req_ts": "2024-01-01 12:05:00"}],
+        t0 + 20,
+    )
+    _write_batch(
+        resp_dir, "b3.json",
+        [{"resp_id": 93, "node": "H0009", "resp_ts": "2024-01-01 12:05:01"}],
+        t0 + 20,
+    )
+
+    req_s = (
+        spark.readStream.schema("req_id long, node string, req_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(req_dir)
+        .withWatermark("req_ts", "5 minutes")
+    )
+    resp_s = (
+        spark.readStream.schema("resp_id long, node string, resp_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(resp_dir)
+        .withWatermark("resp_ts", "5 minutes")
+        .withColumnRenamed("node", "r_node")
+    )
+    cond = (
+        (F.col("node") == F.col("r_node"))
+        & (F.col("resp_ts") >= F.col("req_ts"))
+        & (F.col("resp_ts") <= F.col("req_ts") + F.expr("INTERVAL 60 SECONDS"))
+    )
+    joined = req_s.join(resp_s, cond, "full_outer").select("req_id", "resp_id")
+    _run_available_now(
+        joined.writeStream.format("memory")
+        .queryName("q273_sink")
+        .outputMode("append")
+    )
+    got = {(r.req_id, r.resp_id) for r in spark.table("q273_sink").collect()}
+    # inner match emits as it arrives
+    assert (1, 11) in got
+    # dead request -> (2, NULL); orphan ack -> (NULL, 12), both only
+    # after their windows provably closed
+    assert (2, None) in got
+    assert (None, 12) in got
+    assert (90, 91) in got

@@ -71,3 +71,51 @@ def test_q223_udtf_schema_is_polymorphic(spark):
     assert [f.name for f in words.schema.fields] == ["word"]
     assert stats.collect() == [(3, 2)]
     assert [r.word for r in words.collect()] == ["a", "b", "a"]
+
+
+def test_q282_udtf_table_argument_partition_by(spark, sf_dir):
+    """Q282: Python UDTF with a TABLE argument and PARTITION BY — the
+    Spark 4 surface for whole-relation table functions (the engine
+    routes each partition's rows through one UDTF instance, eval per
+    row, terminate once per partition). A per-partition counter must
+    see exactly the per-key row sets; ORDER BY inside the partition
+    clause must fix the row order the UDTF observes."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="event_type string, n bigint, first_id bigint")
+    class PerTypeStats:
+        def __init__(self):
+            self.t = None
+            self.n = 0
+            self.first = None
+
+        def eval(self, row):
+            self.t = row["event_type"]
+            self.n += 1
+            if self.first is None:
+                self.first = row["event_id"]
+
+        def terminate(self):
+            yield self.t, self.n, self.first
+
+    spark.udtf.register("per_type_stats", PerTypeStats)
+    import os
+
+    spark.read.parquet(os.path.join(sf_dir, "events.parquet")).limit(
+        2000
+    ).createOrReplaceTempView("q282_events")
+    got = {
+        r.event_type: (r.n, r.first_id)
+        for r in spark.sql(
+            "SELECT * FROM per_type_stats("
+            "TABLE(q282_events) PARTITION BY event_type ORDER BY event_id)"
+        ).collect()
+    }
+    expect = {
+        r.event_type: (r.n, r.first_id)
+        for r in spark.sql(
+            "SELECT event_type, COUNT(*) AS n, MIN(event_id) AS first_id "
+            "FROM q282_events GROUP BY event_type"
+        ).collect()
+    }
+    assert got == expect and len(got) >= 3
