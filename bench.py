@@ -152,6 +152,15 @@ HEADLINE = [
     "q277",  # model-calibration deciles
     "q278",  # seasonal decomposition
     "q279",  # VaR + expected shortfall
+    "q285",  # index-of-dispersion (basket sizes)
+    "q286",  # seasonally-adjusted anomalies
+    "q288",  # multi-timeband single-scan report
+    "q289",  # time-interval RANGE window frame
+    "q290",  # fixed-edge histogram (width_bucket)
+    "q291",  # next-best-offer recommendation
+    "q292",  # CUPED A/B readout
+    "q293",  # time-to-convert cohort latency
+    "q294",  # SCD2 temporal diff
 ]
 
 

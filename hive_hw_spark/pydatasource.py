@@ -134,3 +134,113 @@ class TelemetryDataSource(DataSource):
 
     def streamReader(self, schema):
         return TelemetryStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Q283/Q284 — the WRITE side of the Python DataSource API: the reference's
+# uplink (gateway.ino:84-119 serializes each round's readings and POSTs
+# them upstream) as a first-class Spark SINK. Each task serializes its
+# partition to a JSON-lines part file and returns a WriterCommitMessage;
+# the driver's commit() publishes a manifest listing EXACTLY the
+# committed parts — readers trust the manifest, so a failed/retried task
+# (abort() path) can never leak half-written output into a read. The
+# streaming variant writes one manifest per micro-batch (batch id in the
+# name), which is the idempotent-retry contract q76b implements with
+# foreachBatch, here moved INTO the connector.
+
+import json
+import os
+import uuid
+
+from pyspark.sql.datasource import (  # noqa: E402 (grouped with peers)
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class UplinkCommit(WriterCommitMessage):
+    part_file: str
+    n_rows: int
+
+
+def _write_part(path_dir: str, it) -> UplinkCommit:
+    """Serialize one partition's rows to a uniquely-named part file.
+    Uniqueness (uuid) means a retried task writes a NEW file and the
+    loser's orphan is simply never manifested — rename-free exactly-once
+    on any filesystem with atomic create."""
+    os.makedirs(path_dir, exist_ok=True)
+    name = f"part-{uuid.uuid4().hex}.jsonl"
+    full = os.path.join(path_dir, name)
+    n = 0
+    with open(full, "w") as f:
+        for row in it:
+            f.write(json.dumps(row.asDict()) + "\n")
+            n += 1
+    return UplinkCommit(part_file=name, n_rows=n)
+
+
+class UplinkWriter(DataSourceWriter):
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        return _write_part(self.path, iterator)
+
+    def commit(self, messages):
+        manifest = {
+            "parts": sorted(m.part_file for m in messages),
+            "rows": sum(m.n_rows for m in messages),
+        }
+        with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages):
+        # unmanifested parts are invisible to readers; best-effort reap
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.path, m.part_file))
+            except OSError:
+                pass
+
+
+class UplinkStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        return _write_part(self.path, iterator)
+
+    def commit(self, messages, batchId):
+        manifest = {
+            "batch": batchId,
+            "parts": sorted(m.part_file for m in messages),
+            "rows": sum(m.n_rows for m in messages),
+        }
+        with open(
+            os.path.join(self.path, f"_MANIFEST-{batchId}"), "w"
+        ) as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages, batchId):
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.path, m.part_file))
+            except OSError:
+                pass
+
+
+class UplinkDataSource(DataSource):
+    """`df.write.format("hw_uplink").option("path", d)` /
+    `df.writeStream.format("hw_uplink")` — manifest-committed JSONL."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "hw_uplink"
+
+    def writer(self, schema, overwrite):
+        return UplinkWriter(self.options)
+
+    def streamWriter(self, schema, overwrite):
+        return UplinkStreamWriter(self.options)

@@ -20,8 +20,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_hw_spark.catalog import load_table
-from hive_hw_spark.queries import register
-from hive_hw_spark.queries._util import davg, dsum, sql_davg, sql_dsum
+from hive_hw_spark.queries import plan_cache, register
+from hive_hw_spark.queries._util import DEC, davg, dsum, sql_davg, sql_dsum
 
 
 @register(
@@ -2244,3 +2244,108 @@ def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q288",
+    oracle="""
+    SELECT CAST(COUNT(*) FILTER (WHERE h BETWEEN 0 AND 2) AS BIGINT)
+             AS b_00_02,
+           CAST(COUNT(*) FILTER (WHERE h BETWEEN 3 AND 5) AS BIGINT)
+             AS b_03_05,
+           CAST(COUNT(*) FILTER (WHERE h BETWEEN 6 AND 8) AS BIGINT)
+             AS b_06_08,
+           CAST(COUNT(*) FILTER (WHERE h BETWEEN 9 AND 11) AS BIGINT)
+             AS b_09_11,
+           CAST(COUNT(*) FILTER (WHERE h BETWEEN 12 AND 14) AS BIGINT)
+             AS b_12_14,
+           CAST(COUNT(*) FILTER (WHERE h BETWEEN 15 AND 17) AS BIGINT)
+             AS b_15_17,
+           CAST(COUNT(*) FILTER (WHERE h BETWEEN 18 AND 20) AS BIGINT)
+             AS b_18_20,
+           CAST(COUNT(*) FILTER (WHERE h BETWEEN 21 AND 23) AS BIGINT)
+             AS b_21_23
+    FROM (SELECT CAST(hour(ts) AS INT) AS h FROM events
+          WHERE event_type IN ('click', 'view'))
+    ORDER BY b_00_02
+    """,
+    doc="TPC-DS Q88 shape — the multi-timeband single-scan report: "
+    "eight 3-hour traffic bands of click/view activity as ONE scan "
+    "with eight conditional partial counts (the textbook spelling is "
+    "eight self-joined subqueries — eight scans of a 100 TB fact "
+    "table; the conditional-aggregation rewrite is THE classic "
+    "many-bands optimization, and the type filter still pushes to "
+    "the scan). Every band count is an exact mergeable integer "
+    "partial; the result is one row wide, not eight plans deep.",
+)
+@plan_cache
+def q288(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = F.hour("ts")
+
+    def band(lo: int, hi: int, name: str):
+        return F.count(F.when(h.between(lo, hi), 1)).alias(name)
+
+    return (
+        ev.where(F.col("event_type").isin("click", "view"))
+        .agg(
+            band(0, 2, "b_00_02"),
+            band(3, 5, "b_03_05"),
+            band(6, 8, "b_06_08"),
+            band(9, 11, "b_09_11"),
+            band(12, 14, "b_12_14"),
+            band(15, 17, "b_15_17"),
+            band(18, 20, "b_18_20"),
+            band(21, 23, "b_21_23"),
+        )
+        .orderBy("b_00_02")
+    )
+
+
+@register(
+    "q289",
+    oracle="""
+    SELECT event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_epoch,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) OVER w
+                 AS DOUBLE), 4) AS sum_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    doc="Time-interval RANGE window frame — each event's trailing "
+    "7-DAY per-user activity (count + exact-DECIMAL sum), the "
+    "event-time sibling of q44's numeric range frame and the "
+    "windowed form of q164's rolling actives: a ROWS frame is wrong "
+    "here (17 events in 7 days vs 17 rows are different questions), "
+    "and RANGE over epoch seconds also gives tie-correct semantics "
+    "(same-second events share a frame in both engines — no "
+    "row-order dependence). Scale shape: ONE user_id exchange "
+    "carries the window; the frame bound is value-based so Spark "
+    "evaluates it with a sliding aggregate per partition, never a "
+    "per-row rescan; epoch seconds are tz-free instants, FLOORED to "
+    "whole seconds in both engines (Spark unix_timestamp truncates; "
+    "a bare DuckDB CAST would round sub-second parts up).",
+)
+@plan_cache
+def q289(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts").cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-604800, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.col("user_id").cast("bigint").alias("user_id"),
+        epoch.alias("ts_epoch"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_7d"),
+        F.round(
+            F.sum(F.col("value").cast(DEC)).over(w).cast("double"), 4
+        ).alias("sum_7d"),
+    ).orderBy("event_id")

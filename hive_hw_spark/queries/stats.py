@@ -2040,3 +2040,797 @@ def q279(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q285",
+    oracle="""
+    WITH oc AS (
+      SELECT o_orderpriority AS priority, l_orderkey,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS sx,
+             CAST(SUM(c * c) AS BIGINT) AS sxx
+      FROM oc GROUP BY 1
+    )
+    SELECT priority, n,
+           ROUND(CAST(sx AS DOUBLE) / n, 4) AS mean_lines,
+           ROUND((n * sxx - sx * sx)
+                 / (CAST(n AS DOUBLE) * (n - 1)), 4) AS var_lines,
+           ROUND(((n * sxx - sx * sx)
+                  / (CAST(n AS DOUBLE) * (n - 1)))
+                 / (CAST(sx AS DOUBLE) / n), 4) AS dispersion
+    FROM s ORDER BY priority
+    """,
+    doc="Index-of-dispersion test on basket sizes per order priority — "
+    "variance-to-mean ratio of lines-per-order (≈1 = Poisson "
+    "arrivals, >1 = clumped/bursty baskets, <1 = regularized: the "
+    "distributional diagnostic behind inventory and capacity "
+    "models). Determinism: basket counts are integers, so the "
+    "sufficient statistics (n, Σx, Σx²) are EXACT BIGINTs and the "
+    "sample variance (n·Σx² − (Σx)²)/(n(n−1)) is exact-rational "
+    "until one final double division — engine-identical by "
+    "construction, round(4) at the edge. Scale shape: one orderkey "
+    "co-partitioned join+agg folds the fact table to per-order "
+    "counts; the per-priority reduction is mergeable integer "
+    "partials (the 1000-executor algebra).",
+)
+@plan_cache
+def q285(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    oc = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"), "l_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = oc.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("bigint").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    var = (n * sxx - sx * sx) / (n.cast("double") * (n - 1))
+    mean = sx.cast("double") / n
+    return s.select(
+        "priority",
+        "n",
+        F.round(mean, 4).alias("mean_lines"),
+        F.round(var, 4).alias("var_lines"),
+        F.round(var / mean, 4).alias("dispersion"),
+    ).orderBy("priority")
+
+
+@register(
+    "q286",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+                   AS DOUBLE), 4) AS rev
+      FROM orders GROUP BY 1
+    ),
+    tr AS (
+      SELECT d.day, MAX(d.rev) AS rev,
+             CAST(COUNT(*) AS BIGINT) AS band_n,
+             ROUND(CAST(SUM(CAST(d2.rev AS DECIMAL(30,10))) / 15
+                   AS DOUBLE), 4) AS trend
+      FROM daily d JOIN daily d2
+        ON d2.day BETWEEN d.day - 7 AND d.day + 7
+      GROUP BY d.day
+    ),
+    det AS (
+      SELECT day, rev, trend, ROUND(rev - trend, 4) AS detr,
+             CAST(date_diff('day', DATE '1992-01-01', day) % 7
+                  AS BIGINT) AS dow
+      FROM tr WHERE band_n = 15
+    ),
+    seas AS (
+      SELECT dow,
+             ROUND(CAST(SUM(CAST(detr AS DECIMAL(30,10))) / COUNT(*)
+                   AS DOUBLE), 4) AS seasonal
+      FROM det GROUP BY 1
+    ),
+    res AS (
+      SELECT d.day, d.rev, ROUND(d.detr - s.seasonal, 4) AS residual
+      FROM det d JOIN seas s ON d.dow = s.dow
+    ),
+    fence AS (
+      SELECT ROUND(quantile_cont(residual, 0.5), 4) AS med
+      FROM res
+    ),
+    madf AS (
+      SELECT med,
+             ROUND(quantile_cont(ABS(residual - med), 0.5), 4) AS mad
+      FROM res CROSS JOIN fence GROUP BY med
+    )
+    SELECT CAST(day AS VARCHAR) AS day, rev, residual,
+           ROUND(ABS(residual - med) / mad, 4) AS robust_z
+    FROM res CROSS JOIN madf
+    WHERE mad > 0 AND ABS(residual - med) > 4.4478 * mad
+    ORDER BY day
+    """,
+    doc="Seasonally-adjusted anomaly detection — q278's decomposition "
+    "composed with q246's MAD rule: a day is anomalous only if its "
+    "RESIDUAL (after removing trend and weekday effect) sits more "
+    "than 3 robust sigmas (3 x 1.4826 x MAD) from the residual "
+    "median — so 'Sunday is slow' never pages anyone, and a slow "
+    "TUESDAY does. The composition is the point: raw z-scores "
+    "(q142) alarm on every weekend at this threshold. Determinism: "
+    "decomposition stages round(4) through DECIMAL (q278), "
+    "median/MAD via exact percentile() ≡ quantile_cont rounded "
+    "4 dp, threshold compare on identical doubles. Scale shape: "
+    "everything after the daily fold runs on calendar-bounded "
+    "frames (band self-joins + broadcast fences).",
+)
+@plan_cache
+def q286(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 4
+            ).alias("rev")
+        )
+    )
+    d2 = daily.select(F.col("day").alias("day2"), F.col("rev").alias("rev2"))
+    tr = (
+        daily.join(
+            F.broadcast(d2),
+            (F.col("day2") >= F.date_sub(F.col("day"), 7))
+            & (F.col("day2") <= F.date_add(F.col("day"), 7)),
+        )
+        .groupBy("day")
+        .agg(
+            F.max("rev").alias("rev"),
+            F.count(F.lit(1)).alias("band_n"),
+            F.round(
+                (F.sum(F.col("rev2").cast(DEC)) / 15).cast("double"), 4
+            ).alias("trend"),
+        )
+    )
+    det = tr.where(F.col("band_n") == 15).select(
+        "day",
+        "rev",
+        F.round(F.col("rev") - F.col("trend"), 4).alias("detr"),
+        F.pmod(
+            F.datediff("day", F.lit("1992-01-01").cast("date")), F.lit(7)
+        )
+        .cast("bigint")
+        .alias("dow"),
+    )
+    seas = det.groupBy("dow").agg(
+        F.round(
+            (F.sum(F.col("detr").cast(DEC)) / F.count(F.lit(1))).cast(
+                "double"
+            ),
+            4,
+        ).alias("seasonal")
+    )
+    res = det.join(F.broadcast(seas), "dow").select(
+        "day",
+        "rev",
+        F.round(F.col("detr") - F.col("seasonal"), 4).alias("residual"),
+    )
+    fence = res.agg(
+        F.round(F.expr("percentile(residual, 0.5D)"), 4).alias("med")
+    )
+    madf = (
+        res.crossJoin(F.broadcast(fence))
+        .agg(
+            F.max("med").alias("med"),
+            F.round(
+                F.expr("percentile(abs(residual - med), 0.5D)"), 4
+            ).alias("mad"),
+        )
+    )
+    dev = F.abs(F.col("residual") - F.col("med"))
+    return (
+        res.crossJoin(F.broadcast(madf))
+        .where((F.col("mad") > 0) & (dev > 4.4478 * F.col("mad")))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "rev",
+            "residual",
+            F.round(dev / F.col("mad"), 4).alias("robust_z"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "q290",
+    oracle="""
+    SELECT b AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+                 AS DOUBLE), 4) AS total
+    FROM (
+      SELECT o_totalprice,
+             CAST(LEAST(CAST(FLOOR(o_totalprice / 50000) AS INT) + 1, 13)
+                  AS INT) AS b
+      FROM orders
+    ) GROUP BY b ORDER BY b
+    """,
+    doc="Fixed-edge histogram via width_bucket — order totals binned "
+    "into twelve 50k-wide buckets over [0, 600k) plus the overflow "
+    "bucket 13 (the reporting histogram with CONTRACTUAL edges, vs "
+    "q107's data-driven bands and q175's mergeable quantile sketch). "
+    "Spark's width_bucket(x, 0, 600000, 12) is exactly "
+    "least(floor(x/50000)+1, 13) for non-negative x — the oracle "
+    "states that arithmetic since DuckDB spells the same semantics "
+    "differently. Scale shape: the bucket id is a pure codegen "
+    "function of the row, so this is ONE partial+final agg over 13 "
+    "integer cells with DECIMAL totals — the mergeable-counter "
+    "algebra at its simplest.",
+)
+@plan_cache
+def q290(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_totalprice",
+            F.expr("CAST(width_bucket(o_totalprice, 0D, 600000D, 12) AS INT)")
+            .alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 4
+            ).alias("total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q291",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    s1 AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS s
+           FROM d GROUP BY 1),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nb FROM d),
+    p AS (
+      SELECT d1.l_partkey AS a, d2.l_partkey AS b,
+             CAST(COUNT(*) AS BIGINT) AS supp
+      FROM d d1 JOIN d d2
+        ON d1.l_orderkey = d2.l_orderkey AND d1.l_partkey < d2.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    rules AS (
+      SELECT a AS ante, b AS cons, supp,
+             ROUND(CAST(supp * n.nb AS DOUBLE) / (sa.s * sb.s), 4) AS lift
+      FROM p JOIN s1 sa ON sa.k = a JOIN s1 sb ON sb.k = b CROSS JOIN n
+      UNION ALL
+      SELECT b AS ante, a AS cons, supp,
+             ROUND(CAST(supp * n.nb AS DOUBLE) / (sa.s * sb.s), 4) AS lift
+      FROM p JOIN s1 sa ON sa.k = a JOIN s1 sb ON sb.k = b CROSS JOIN n
+    ),
+    owned AS (
+      SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE (o_custkey % 2147483648) * 2654435761 % 100 < 1
+    ),
+    cand AS (
+      SELECT ck, cons AS rec, MAX(lift) AS lift, MAX(supp) AS supp
+      FROM owned JOIN rules ON pk = ante
+      WHERE NOT EXISTS (SELECT 1 FROM owned o2
+                        WHERE o2.ck = owned.ck AND o2.pk = cons)
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT ck, rec, lift,
+             ROW_NUMBER() OVER (PARTITION BY ck
+                                ORDER BY lift DESC, supp DESC, rec)
+               AS rnk
+      FROM cand
+    )
+    SELECT CAST(ck AS BIGINT) AS custkey, CAST(rnk AS BIGINT) AS rnk,
+           CAST(rec AS BIGINT) AS rec_part, lift
+    FROM ranked WHERE rnk <= 3 ORDER BY custkey, rnk
+    """,
+    doc="Next-best-offer recommendation — top-3 parts per (hash-"
+    "sampled 1%) customer by association-rule LIFT over parts they "
+    "already buy, excluding what they own: the end-to-end composition "
+    "that turns q214's rule mining into a serving table (mine -> "
+    "match -> exclude -> rank). Scale shape: baskets expand to pairs "
+    "map-side from q139's per-basket arrays (fact shuffled once, "
+    "never self-joined); the rules frame is |frequent pairs| x 2 and "
+    "the customer->part ownership frame folds through one "
+    "co-partitioned orderkey join with the customer sample pushed to "
+    "the orders SCAN (q221's arithmetic membership — no key list "
+    "distributed); candidate scoring joins ownership to BROADCAST "
+    "rules, the own-it-already exclusion is a left anti join on the "
+    "same persisted ownership frame, and the final rank window "
+    "partitions per customer. Lift ties break on (supp, part id) — "
+    "fully deterministic.",
+)
+def q291(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    d = _managed_persist(
+        "q291_orderparts", li.select("l_orderkey", "l_partkey").distinct()
+    )
+    baskets = d.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, (x, i) -> "
+                    "transform(slice(items, i + 2, size(items)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= 3)
+    )
+    s1 = d.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    nb = d.select("l_orderkey").distinct().agg(F.count(F.lit(1)).alias("nb"))
+    scored = (
+        pairs.join(
+            F.broadcast(
+                s1.select(F.col("k").alias("ka"), F.col("s").alias("sa"))
+            ),
+            F.col("a") == F.col("ka"),
+        )
+        .join(
+            F.broadcast(
+                s1.select(F.col("k").alias("kb"), F.col("s").alias("sb"))
+            ),
+            F.col("b") == F.col("kb"),
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "a",
+            "b",
+            "supp",
+            F.round(
+                (F.col("supp") * F.col("nb")).cast("double")
+                / (F.col("sa") * F.col("sb")),
+                4,
+            ).alias("lift"),
+        )
+    )
+    rules = _managed_persist(
+        "q291_rules",
+        scored.select(
+            F.col("a").alias("ante"), F.col("b").alias("cons"), "supp", "lift"
+        ).unionAll(
+            scored.select(
+                F.col("b").alias("ante"),
+                F.col("a").alias("cons"),
+                "supp",
+                "lift",
+            )
+        ),
+    )
+    sampled = (F.col("o_custkey") % F.lit(2147483648)) * 2654435761 % 100 < 1
+    owned = _managed_persist(
+        "q291_owned",
+        o.where(sampled)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk")
+        )
+        .distinct(),
+    )
+    cand = (
+        owned.join(F.broadcast(rules), F.col("pk") == F.col("ante"))
+        .join(
+            owned.select(F.col("ck").alias("ck2"), F.col("pk").alias("pk2")),
+            (F.col("ck") == F.col("ck2")) & (F.col("cons") == F.col("pk2")),
+            "left_anti",
+        )
+        .groupBy("ck", F.col("cons").alias("rec"))
+        .agg(F.max("lift").alias("lift"), F.max("supp").alias("supp"))
+    )
+    w = Window.partitionBy("ck").orderBy(
+        F.col("lift").desc(), F.col("supp").desc(), F.col("rec")
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+        .select(
+            F.col("ck").cast("bigint").alias("custkey"),
+            "rnk",
+            F.col("rec").cast("bigint").alias("rec_part"),
+            "lift",
+        )
+        .orderBy("custkey", "rnk")
+    )
+
+
+@register(
+    "q292",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS lo,
+             CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS hi
+      FROM events
+    ),
+    per AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+             CAST(SUM(CAST(CASE WHEN FLOOR(epoch(ts)) < (lo + hi) / 2
+                           THEN value ELSE 0 END AS DECIMAL(30,10)))
+                  AS DOUBLE) AS x,
+             CAST(SUM(CAST(CASE WHEN FLOOR(epoch(ts)) >= (lo + hi) / 2
+                           THEN value ELSE 0 END AS DECIMAL(30,10)))
+                  AS DOUBLE) AS y
+      FROM events CROSS JOIN bounds GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(30,10))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sxy
+      FROM per GROUP BY 1
+    ),
+    g AS (
+      SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+             SUM(sxx) AS sxx, SUM(sxy) AS sxy
+      FROM s
+    ),
+    theta AS (
+      SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS th,
+             sx / n AS xbar
+      FROM g
+    )
+    SELECT arm, n,
+           ROUND(sy / n, 4) AS mean_y,
+           ROUND(sy / n - th * (sx / n - xbar), 4) AS mean_adj,
+           ROUND((syy - sy * sy / n) / (n - 1), 4) AS var_y,
+           ROUND(((syy - sy * sy / n)
+                  - 2 * th * (sxy - sx * sy / n)
+                  + th * th * (sxx - sx * sx / n)) / (n - 1), 4)
+             AS var_adj
+    FROM s CROSS JOIN theta ORDER BY arm
+    """,
+    doc="CUPED variance-reduced A/B readout — pre-period activity as "
+    "the control covariate: adjusted metric y* = y − θ(x − x̄) with "
+    "θ = cov(x,y)/var(x) from the POOLED data (the modern "
+    "experimentation-platform standard; same decision, tighter "
+    "confidence — var_adj/var_y ≈ 1 − ρ² — so experiments conclude "
+    "in a fraction of the traffic). Arms are deterministic "
+    "(user_id mod 2), the pre/post split is the midpoint of the "
+    "feed's epoch range. Scale shape: ONE conditional per-user fold "
+    "(pre-sum, post-sum in exact DECIMAL), then everything — per-arm "
+    "sufficient stats, pooled θ, adjusted means AND adjusted "
+    "variances — derives in closed form from six mergeable DECIMAL "
+    "partials per arm; the fact table is never rescanned and no "
+    "per-user adjustment column is materialized.",
+)
+@plan_cache
+def q292(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.floor(F.unix_timestamp("ts")).cast("bigint")
+    bounds = ev.agg(
+        F.min(epoch).alias("lo"), F.max(epoch).alias("hi")
+    )
+    mid = (F.col("lo") + F.col("hi")) / 2
+    per = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "user_id", F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("arm")
+        )
+        .agg(
+            F.sum(
+                F.when(epoch < mid, F.col("value")).otherwise(0.0).cast(DEC)
+            )
+            .cast("double")
+            .alias("x"),
+            F.sum(
+                F.when(epoch >= mid, F.col("value")).otherwise(0.0).cast(DEC)
+            )
+            .cast("double")
+            .alias("y"),
+        )
+    )
+    s = per.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(DEC)).cast("double").alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
+    )
+    g = s.agg(
+        F.sum("n").alias("gn"),
+        F.sum("sx").alias("gsx"),
+        F.sum("sy").alias("gsy"),
+        F.sum("sxx").alias("gsxx"),
+        F.sum("sxy").alias("gsxy"),
+    )
+    theta = g.select(
+        (
+            (F.col("gn") * F.col("gsxy") - F.col("gsx") * F.col("gsy"))
+            / (F.col("gn") * F.col("gsxx") - F.col("gsx") * F.col("gsx"))
+        ).alias("th"),
+        (F.col("gsx") / F.col("gn")).alias("xbar"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    th = F.col("th")
+    return (
+        s.crossJoin(F.broadcast(theta))
+        .select(
+            "arm",
+            "n",
+            F.round(sy / n, 4).alias("mean_y"),
+            F.round(sy / n - th * (sx / n - F.col("xbar")), 4).alias(
+                "mean_adj"
+            ),
+            F.round((syy - sy * sy / n) / (n - 1), 4).alias("var_y"),
+            F.round(
+                (
+                    (syy - sy * sy / n)
+                    - 2 * th * (sxy - sx * sy / n)
+                    + th * th * (sxx - sx * sx / n)
+                )
+                / (n - 1),
+                4,
+            ).alias("var_adj"),
+        )
+        .orderBy("arm")
+    )
+
+
+@register(
+    "q293",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, MIN(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    pu AS (
+      SELECT user_id, MIN(ts) AS p_ts FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    lat AS (
+      SELECT CAST(year(CAST(s_ts AS DATE)) * 12
+                  + month(CAST(s_ts AS DATE)) - 1 AS BIGINT) AS mk,
+             CAST(date_diff('day', CAST(s_ts AS DATE),
+                            CAST(p_ts AS DATE)) AS BIGINT) AS days
+      FROM su JOIN pu USING (user_id)
+      WHERE p_ts >= s_ts
+    ),
+    r AS (
+      SELECT mk, days,
+             ROW_NUMBER() OVER (PARTITION BY mk ORDER BY days) AS rn,
+             COUNT(*) OVER (PARTITION BY mk) AS n
+      FROM lat
+    )
+    SELECT printf('%04d-%02d', mk // 12, mk % 12 + 1) AS cohort_month,
+           CAST(MAX(n) AS BIGINT) AS n_converted,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN days END)
+                AS BIGINT) AS median_days,
+           CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN days END)
+                AS BIGINT) AS p90_days
+    FROM r GROUP BY mk ORDER BY cohort_month
+    """,
+    doc="Time-to-convert distribution per signup cohort — median and "
+    "P90 days from first signup to first purchase, by signup month "
+    "(the latency half of the funnel story: q180 counts WHO "
+    "converted inside a deadline, this reports HOW LONG converts "
+    "take — the activation metric growth teams steer by). "
+    "Determinism: latencies are exact integer days; medians are "
+    "DISCRETE ranks in integer arithmetic ((n+1) DIV 2, (9n+9) DIV "
+    "10 — q218's discipline), so no interpolation ever happens. "
+    "Scale shape: two conditional per-user folds share one user_id "
+    "exchange pattern, the cohort rank window partitions by MONTH "
+    "over the converted-user frame (bounded by users, grouped "
+    "small), and the final rollup is |months| rows.",
+)
+@plan_cache
+def q293(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    lat = (
+        su.join(pu, "user_id")
+        .where(F.col("p_ts") >= F.col("s_ts"))
+        .select(
+            (
+                F.year(F.to_date("s_ts")) * 12
+                + F.month(F.to_date("s_ts"))
+                - 1
+            )
+            .cast("bigint")
+            .alias("mk"),
+            F.datediff(F.to_date("p_ts"), F.to_date("s_ts"))
+            .cast("bigint")
+            .alias("days"),
+        )
+    )
+    w = Window.partitionBy("mk").orderBy("days")
+    wn = Window.partitionBy("mk")
+    r = lat.select(
+        "mk",
+        "days",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        r.groupBy("mk")
+        .agg(
+            F.max("n").cast("bigint").alias("n_converted"),
+            F.max(
+                F.when(F.col("rn") == F.expr("div(n + 1, 2)"), F.col("days"))
+            )
+            .cast("bigint")
+            .alias("median_days"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("div(9 * n + 9, 10)"), F.col("days")
+                )
+            )
+            .cast("bigint")
+            .alias("p90_days"),
+        )
+        .select(
+            F.format_string(
+                "%04d-%02d",
+                F.expr("CAST(div(mk, 12) AS INT)"),
+                F.expr("CAST(pmod(mk, 12) + 1 AS INT)"),
+            ).alias("cohort_month"),
+            "n_converted",
+            "median_days",
+            "p90_days",
+        )
+        .orderBy("cohort_month")
+    )
+
+
+@register(
+    "q294",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events
+    ),
+    o AS (
+      SELECT user_id, event_type, ts_s,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts_s, event_id) AS prev
+      FROM e
+    ),
+    ch AS (
+      SELECT user_id, event_type AS state, ts_s,
+             LEAD(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s)
+               AS valid_to
+      FROM o WHERE prev IS NULL OR prev <> event_type
+    ),
+    b AS (
+      SELECT CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS lo,
+             CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS hi
+      FROM events
+    ),
+    a1 AS (
+      SELECT user_id, state FROM ch CROSS JOIN b
+      WHERE ts_s <= lo + (hi - lo) / 3
+        AND COALESCE(valid_to, 9223372036854775807) > lo + (hi - lo) / 3
+    ),
+    a2 AS (
+      SELECT user_id, state FROM ch CROSS JOIN b
+      WHERE ts_s <= lo + 2 * (hi - lo) / 3
+        AND COALESCE(valid_to, 9223372036854775807)
+              > lo + 2 * (hi - lo) / 3
+    )
+    SELECT CAST(COALESCE(a1.user_id, a2.user_id) AS BIGINT) AS user_id,
+           a1.state AS state_t1, a2.state AS state_t2,
+           CASE WHEN a1.user_id IS NULL THEN 'added'
+                WHEN a2.user_id IS NULL THEN 'removed'
+                WHEN a1.state <> a2.state THEN 'changed'
+                ELSE 'unchanged' END AS diff
+    FROM a1 FULL OUTER JOIN a2 ON a1.user_id = a2.user_id
+    WHERE NOT (a1.state = a2.state)
+       OR a1.user_id IS NULL OR a2.user_id IS NULL
+    ORDER BY user_id
+    """,
+    doc="Temporal dimension diff — the SCD2 history (q136's build) "
+    "queried AS OF two instants (T1 = 1/3, T2 = 2/3 of the feed's "
+    "epoch range) and reconciled into added / removed / changed "
+    "rows: the snapshot-compare primitive behind dimension audits "
+    "and replication checks, done WITHOUT materializing either "
+    "snapshot table (each as-of is a filter on the interval table). "
+    "Scale shape: the change-row build shares ONE user_id exchange "
+    "(q136); both as-of selections filter the SAME persisted "
+    "interval frame; the reconciliation is a user-keyed full outer "
+    "join emitting only differences. Epoch thirds are exact integer "
+    "arithmetic; NULL valid_to (current row) coalesces to +inf "
+    "identically in both engines.",
+)
+def q294(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("ts_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    wl = Window.partitionBy("user_id").orderBy("ts_s")
+    ch = _managed_persist(
+        "q294_intervals",
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            "ts_s",
+            F.lead("ts_s").over(wl).alias("valid_to"),
+        ),
+    )
+    b = ev.agg(
+        F.floor(F.min(F.unix_timestamp("ts"))).cast("bigint").alias("lo"),
+        F.floor(F.max(F.unix_timestamp("ts"))).cast("bigint").alias("hi"),
+    )
+    inf = F.lit(9223372036854775807)
+
+    def asof(frac_num: int):
+        cut = F.col("lo") + frac_num * (F.col("hi") - F.col("lo")) / 3
+        return (
+            ch.crossJoin(F.broadcast(b))
+            .where(
+                (F.col("ts_s") <= cut)
+                & (F.coalesce(F.col("valid_to"), inf) > cut)
+            )
+            .select("user_id", "state")
+        )
+
+    a1 = asof(1).select(
+        F.col("user_id").alias("u1"), F.col("state").alias("state_t1")
+    )
+    a2 = asof(2).select(
+        F.col("user_id").alias("u2"), F.col("state").alias("state_t2")
+    )
+    j = a1.join(a2, F.col("u1") == F.col("u2"), "full_outer")
+    diff = (
+        F.when(F.col("u1").isNull(), "added")
+        .when(F.col("u2").isNull(), "removed")
+        .when(F.col("state_t1") != F.col("state_t2"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.where(
+            F.col("u1").isNull()
+            | F.col("u2").isNull()
+            | (F.col("state_t1") != F.col("state_t2"))
+        )
+        .select(
+            F.coalesce(F.col("u1"), F.col("u2"))
+            .cast("bigint")
+            .alias("user_id"),
+            "state_t1",
+            "state_t2",
+            diff.alias("diff"),
+        )
+        .orderBy("user_id")
+    )

@@ -47,6 +47,9 @@ UNIT_ONLY = {
     "Q273": "stream-stream FULL OUTER interval join (NULLs emitted on BOTH sides after watermark) — tests/test_streaming.py::test_q273_stream_stream_full_outer_join_emits_nulls_both_sides",
     "Q275": "line-oriented text source (line / wholetext / lineSep framing) — tests/test_sources.py::test_q275_text_source_line_and_wholetext",
     "Q280": "SQL scripting control flow (BEGIN/DECLARE/WHILE/IF, Spark 4) — tests/test_sql_surface.py::test_q280_sql_scripting_control_flow",
+    "Q287": "streaming observe() ride-along metrics (per-micro-batch DQ counters via query progress) — tests/test_streaming.py::test_q287_streaming_observe_metrics_per_batch",
+    "Q283": "custom Python DataSource batch WRITER (per-task parts + manifest commit, orphans invisible) — hive_hw_spark/pydatasource.py::UplinkWriter + tests/test_pydatasource.py::test_q283_uplink_batch_writer_manifest_commit",
+    "Q284": "custom Python DataSource STREAMING writer (per-micro-batch manifests, exactly-once union) — hive_hw_spark/pydatasource.py::UplinkStreamWriter + tests/test_pydatasource.py::test_q284_uplink_stream_writer_batch_manifests",
     "Q281": "parameterized SQL + IDENTIFIER() clause (injection-safe templating) — tests/test_sql_surface.py::test_q281_parameterized_sql_and_identifier",
     "Q282": "Python UDTF with TABLE argument + PARTITION BY/ORDER BY — tests/test_udfs.py::test_q282_udtf_table_argument_partition_by",
     "Q226": "streaming SCD2 dimension maintenance (stream ≡ batch) — hive_hw_spark/tables.py::scd2_apply_batch + tests/test_streaming.py::test_q226_streaming_scd2_maintenance",

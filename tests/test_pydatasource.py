@@ -132,3 +132,76 @@ def test_q208_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     run(8)
     full = sorted((r.round_id, r.slave_id) for r in out)
     assert full == [(r, s) for r in range(8) for s in range(2)], full
+
+
+def test_q283_uplink_batch_writer_manifest_commit(spark, tmp_path):
+    """Q283: Python DataSource batch WRITER — per-task part files +
+    driver-side manifest commit. The manifest must list exactly the
+    committed parts and their total row count; re-reading ONLY
+    manifested parts reproduces the written rows (the exactly-once
+    read contract: orphans from retried tasks are invisible)."""
+    import json
+    import os
+
+    from hive_hw_spark.pydatasource import UplinkDataSource
+
+    spark.dataSource.register(UplinkDataSource)
+    out = str(tmp_path / "uplink")
+    df = spark.range(0, 100).selectExpr(
+        "id AS round_id", "CAST(id % 7 AS INT) AS slave_id"
+    ).repartition(4)
+    df.write.format("hw_uplink").option("path", out).mode("append").save()
+    manifest = json.load(open(os.path.join(out, "_MANIFEST")))
+    assert manifest["rows"] == 100
+    assert len(manifest["parts"]) == 4
+    # every manifested part exists; reading them back restores the data
+    rows = []
+    for p in manifest["parts"]:
+        with open(os.path.join(out, p)) as f:
+            rows += [json.loads(line) for line in f]
+    assert sorted(r["round_id"] for r in rows) == list(range(100))
+
+
+def test_q284_uplink_stream_writer_batch_manifests(spark, tmp_path):
+    """Q284: Python DataSource STREAMING writer — one manifest per
+    micro-batch (the connector-side form of q76b's idempotent
+    foreachBatch): every batch's manifest names its parts and row
+    count, and the union of manifested parts reproduces the whole
+    stream exactly once."""
+    import json
+    import glob
+    import os
+    import time
+
+    from hive_hw_spark.pydatasource import (
+        TelemetryDataSource,
+        UplinkDataSource,
+    )
+
+    spark.dataSource.register(TelemetryDataSource)
+    spark.dataSource.register(UplinkDataSource)
+    out = str(tmp_path / "uplink_stream")
+    q = (
+        spark.readStream.format("hw_telemetry")
+        .option("maxRounds", 6)
+        .option("roundsPerBatch", 2)
+        .option("slaves", 3)
+        .load()
+        .writeStream.format("hw_uplink")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    manifests = sorted(glob.glob(os.path.join(out, "_MANIFEST-*")))
+    assert len(manifests) >= 1
+    seen = []
+    for mf in manifests:
+        m = json.load(open(mf))
+        for p in m["parts"]:
+            with open(os.path.join(out, p)) as f:
+                seen += [json.loads(line) for line in f]
+    # 6 rounds x 3 slaves, each exactly once across all batch manifests
+    keys = sorted((r["round_id"], r["slave_id"]) for r in seen)
+    assert keys == [(r, s) for r in range(6) for s in range(3)]

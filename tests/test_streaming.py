@@ -948,3 +948,49 @@ def test_q273_stream_stream_full_outer_join_emits_nulls_both_sides(
     assert (2, None) in got
     assert (None, 12) in got
     assert (90, 91) in got
+
+
+def test_q287_streaming_observe_metrics_per_batch(spark, tmp_path):
+    """Q287: observe() on a STREAMING query — ride-along aggregate
+    metrics (count, conditional count, decimal sum) reported through
+    each micro-batch's progress, with no second pass over the data
+    (q112b's batch contract extended to streams: the per-batch DQ
+    counters a 100 TB ingest alarms on). The summed per-batch metrics
+    must equal the batch-mode totals."""
+    src = str(tmp_path / "obs_src")
+    t0 = time.time() - 100
+    _write_batch(
+        src, "b1.json",
+        [{"k": 1, "v": 10.0}, {"k": 2, "v": -5.0}], t0,
+    )
+    _write_batch(
+        src, "b2.json",
+        [{"k": 3, "v": 7.5}, {"k": 4, "v": -1.0}, {"k": 5, "v": 2.0}],
+        t0 + 5,
+    )
+    stream = (
+        spark.readStream.schema("k long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .observe(
+            "dq",
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("v") < 0, 1)).alias("n_negative"),
+            F.sum(F.col("v").cast("decimal(30,10)")).alias("v_total"),
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("q287_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    progresses = [p for p in q.recentProgress if p["observedMetrics"]]
+    got = [p["observedMetrics"]["dq"] for p in progresses]
+    assert sum(m["n_rows"] for m in got) == 5
+    assert sum(m["n_negative"] for m in got) == 2
+    assert float(sum(m["v_total"] for m in got)) == 13.5
+    # at least two micro-batches actually reported (per-batch, not once)
+    assert len(got) >= 2
