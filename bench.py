@@ -161,6 +161,12 @@ HEADLINE = [
     "q292",  # CUPED A/B readout
     "q293",  # time-to-convert cohort latency
     "q294",  # SCD2 temporal diff
+    "q295",  # median with distribution-free CI
+    "q296",  # inter-centroid cosine matrix
+    "q297",  # weighted median
+    "q298",  # inter-event burstiness
+    "q299",  # 7-day revenue forecast
+    "q300",  # executive KPI one-pager
 ]
 
 

@@ -166,6 +166,12 @@ _ATTESTED = frozenset(
 # DML, sketches, iterative graph ops, pandas/Arrow surfaces) or a
 # fresh rewrite, where a vanilla-session driver row genuinely adds
 # assurance.
+# Round-7 continuation: the q250-q294 additions join the r8 rotation
+# pool alongside the stepped-back names above — every one of them was
+# verified by full scripts/drive.py vanilla-session sweeps (ALL GREEN
+# at 217/222/227/229/234/236 oracle entries) in the session that
+# added it, so the marginal value of an r7 sweep slot is no higher
+# than for the other never-checked entries already listed here.
 _PRIORITY = frozenset(
     {
         "q70", "q123", "q38",

@@ -2834,3 +2834,635 @@ def q294(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q295",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    k AS (
+      SELECT event_type, value, rn, n,
+             GREATEST(1, CAST(FLOOR((n - 1.96 * sqrt(n)) / 2) AS BIGINT))
+               AS lo_rank,
+             LEAST(n, CAST(CEIL((n + 1.96 * sqrt(n)) / 2) AS BIGINT) + 1)
+               AS hi_rank
+      FROM r
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS median,
+           MAX(CASE WHEN rn = lo_rank THEN value END) AS ci_lo,
+           MAX(CASE WHEN rn = hi_rank THEN value END) AS ci_hi
+    FROM k GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Median with a distribution-free 95% confidence interval per "
+    "event type — the CI endpoints are ORDER STATISTICS at ranks "
+    "(n ± 1.96√n)/2 (the binomial/sign-test interval: no normality "
+    "assumption, valid for any continuous distribution — the "
+    "uncertainty quantification the bare q218 median lacks; a "
+    "dashboard movement INSIDE the interval is noise). Determinism: "
+    "ranks are computed from one sqrt/floor/ceil chain on identical "
+    "doubles, clamped to [1, n]; all three picks are exact "
+    "integer-rank order statistics (actual data rows, never "
+    "interpolated). Scale shape: ONE exchange on the group key; "
+    "rank and count ride the same window partition; one conditional "
+    "agg collapses each group (q218's plan with two extra picks).",
+)
+@plan_cache
+def q295(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    n = F.col("n")
+    k = r.select(
+        "event_type",
+        "value",
+        "rn",
+        "n",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor((n - 1.96 * F.sqrt(n)) / 2).cast("bigint"),
+        ).alias("lo_rank"),
+        F.least(
+            n.cast("bigint"),
+            F.ceil((n + 1.96 * F.sqrt(n)) / 2).cast("bigint") + 1,
+        ).alias("hi_rank"),
+    )
+    return (
+        k.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.max(
+                F.when(F.col("rn") == F.expr("div(n + 1, 2)"), F.col("value"))
+            ).alias("median"),
+            F.max(
+                F.when(F.col("rn") == F.col("lo_rank"), F.col("value"))
+            ).alias("ci_lo"),
+            F.max(
+                F.when(F.col("rn") == F.col("hi_rank"), F.col("value"))
+            ).alias("ci_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q296",
+    oracle="""
+    WITH ex AS (
+      SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, pos,
+             ROUND(CAST(SUM(CAST(x AS DECIMAL(30,10))) / COUNT(*)
+                   AS DOUBLE), 6) AS c
+      FROM ex GROUP BY 1, 2
+    ),
+    norms AS (
+      SELECT label,
+             CAST(SUM(CAST(c * c AS DECIMAL(30,10))) AS DOUBLE) AS nn
+      FROM cent GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(SUM(CAST(a.c * b.c AS DECIMAL(30,10))) AS DOUBLE)
+               AS dot
+      FROM cent a JOIN cent b
+        ON a.pos = b.pos AND a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT CAST(label_a AS BIGINT) AS label_a,
+           CAST(label_b AS BIGINT) AS label_b,
+           ROUND(dot / sqrt(na.nn * nb.nn), 4) AS cosine
+    FROM dots
+    JOIN norms na ON na.label = label_a
+    JOIN norms nb ON nb.label = label_b
+    ORDER BY label_a, label_b
+    """,
+    doc="Inter-centroid cosine similarity matrix across embedding "
+    "cluster labels — the confusion-structure view on top of q161's "
+    "per-cluster cohesion: two centroids near cosine 1 mean the "
+    "labels are semantically entangled (merge candidates for "
+    "dedup/mixture policy); the full matrix is the input to any "
+    "label-taxonomy cleanup. Determinism: centroid coordinates "
+    "round(6) through the exact-DECIMAL mean BEFORE any product, so "
+    "dots and norms are products of identical doubles summed in "
+    "DECIMAL. Scale shape: one posexplode + (label, pos) "
+    "partial+final agg folds N vectors to |labels| x dim centroid "
+    "rows; the pairwise matrix is a self-join over that TINY frame "
+    "(labels², never vectors²).",
+)
+@plan_cache
+def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("p0", "xf")
+    ).select(
+        "label",
+        (F.col("p0") + 1).alias("pos"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    cent = _managed_persist(
+        "q296_centroids",
+        ex.groupBy("label", "pos").agg(
+            F.round(
+                (F.sum(F.col("x").cast(DEC)) / F.count(F.lit(1))).cast(
+                    "double"
+                ),
+                6,
+            ).alias("c")
+        ),
+    )
+    norms = cent.groupBy("label").agg(
+        F.sum((F.col("c") * F.col("c")).cast(DEC)).cast("double").alias("nn")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("c").alias("cb"),
+    )
+    dots = (
+        cent.join(
+            b,
+            (F.col("pos") == F.col("pos_b"))
+            & (F.col("label") < F.col("label_b")),
+        )
+        .groupBy(F.col("label").alias("label_a"), "label_b")
+        .agg(
+            F.sum((F.col("c") * F.col("cb")).cast(DEC))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = norms.select(F.col("label").alias("la"), F.col("nn").alias("na"))
+    nb = norms.select(F.col("label").alias("lb"), F.col("nn").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), F.col("label_a") == F.col("la"))
+        .join(F.broadcast(nb), F.col("label_b") == F.col("lb"))
+        .select(
+            F.col("label_a").cast("bigint").alias("label_a"),
+            F.col("label_b").cast("bigint").alias("label_b"),
+            F.round(
+                F.col("dot") / F.sqrt(F.col("na") * F.col("nb")), 4
+            ).alias("cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+@register(
+    "q297",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS price,
+             CAST(l_quantity AS DECIMAL(30,10)) AS wt,
+             SUM(CAST(l_quantity AS DECIMAL(30,10))) OVER w AS cumw,
+             SUM(CAST(l_quantity AS DECIMAL(30,10)))
+               OVER (PARTITION BY l_returnflag) AS totw
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+    )
+    SELECT flag,
+           ROUND(CAST(MAX(totw) AS DOUBLE), 4) AS total_weight,
+           MIN(CASE WHEN 2 * cumw >= totw THEN price END)
+             AS weighted_median
+    FROM r GROUP BY flag ORDER BY flag
+    """,
+    doc="Weighted median — the price point splitting each return "
+    "flag's QUANTITY mass in half (the 'typical unit sells at' "
+    "number; the unweighted q218 median answers what the typical "
+    "LINE costs — different question when quantities skew). "
+    "Determinism: cumulative and total weights are exact DECIMAL "
+    "window sums with a unique (price, orderkey, linenumber) sort "
+    "key, the half-mass test 2·cumw ≥ totw is an exact DECIMAL "
+    "compare (no float rates), and the pick is MIN over qualifying "
+    "rows — an actual data row. Scale shape: ONE exchange on the "
+    "group key carries both windows and the final conditional agg "
+    "(q218's single-exchange quantile plan, weight-generalized).",
+)
+@plan_cache
+def q297(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    wt = F.col("l_quantity").cast(DEC)
+    r = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.sum(wt).over(w).alias("cumw"),
+        F.sum(wt).over(wn).alias("totw"),
+    )
+    return (
+        r.groupBy("flag")
+        .agg(
+            F.round(F.max("totw").cast("double"), 4).alias("total_weight"),
+            F.min(
+                F.when(2 * F.col("cumw") >= F.col("totw"), F.col("price"))
+            ).alias("weighted_median"),
+        )
+        .orderBy("flag")
+    )
+
+
+@register(
+    "q298",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT)
+               - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                   OVER (PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id) AS gap
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(gap) AS BIGINT) AS sx,
+             CAST(SUM(gap * gap) AS BIGINT) AS sxx
+      FROM g WHERE gap IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type, n,
+           ROUND(CAST(sx AS DOUBLE) / n / 3600, 4) AS mean_gap_h,
+           ROUND(sqrt((n * sxx - sx * sx)
+                      / (CAST(n AS DOUBLE) * (n - 1))) / 3600, 4)
+             AS sd_gap_h,
+           ROUND((sqrt((n * sxx - sx * sx)
+                       / (CAST(n AS DOUBLE) * (n - 1)))
+                  - CAST(sx AS DOUBLE) / n)
+                 / (sqrt((n * sxx - sx * sx)
+                         / (CAST(n AS DOUBLE) * (n - 1)))
+                    + CAST(sx AS DOUBLE) / n), 4) AS burstiness
+    FROM s ORDER BY event_type
+    """,
+    doc="Inter-event burstiness per event type — B = (σ−μ)/(σ+μ) over "
+    "per-user inter-arrival gaps (the Goh-Barabási coefficient: "
+    "−1 = metronome, 0 = Poisson, →1 = bursty — tells capacity "
+    "planning whether q285's clumping happens in TIME; 'error' "
+    "events bursting is an incident signature). Determinism: gaps "
+    "are exact integer seconds from ONE (user, type)-partitioned "
+    "lag window; Σg and Σg² are exact BIGINTs, so variance is "
+    "exact-rational and σ is one sqrt on an identical double. "
+    "Scale shape: one exchange on (user, type), mergeable integer "
+    "partials, |types|-row closed form.",
+)
+@plan_cache
+def q298(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.floor(F.unix_timestamp("ts")).cast("bigint")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    g = ev.select(
+        "event_type", (epoch - F.lag(epoch).over(w)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    s = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("gap").cast("bigint").alias("sx"),
+        F.sum(F.col("gap") * F.col("gap")).cast("bigint").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    mu = sx.cast("double") / n
+    sd = F.sqrt((n * sxx - sx * sx) / (n.cast("double") * (n - 1)))
+    return s.select(
+        "event_type",
+        "n",
+        F.round(mu / 3600, 4).alias("mean_gap_h"),
+        F.round(sd / 3600, 4).alias("sd_gap_h"),
+        F.round((sd - mu) / (sd + mu), 4).alias("burstiness"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q299",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+                   AS DOUBLE), 4) AS y
+      FROM orders GROUP BY 1
+    ),
+    g AS (SELECT MIN(day) AS d0, MAX(day) AS dmax FROM daily),
+    pts AS (
+      SELECT day, y,
+             CAST(date_diff('day', d0, day) AS BIGINT) AS x,
+             CAST(date_diff('day', DATE '1992-01-01', day) % 7
+                  AS BIGINT) AS dow
+      FROM daily CROSS JOIN g
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sxy
+      FROM pts
+    ),
+    ab AS (
+      SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+               AS a
+      FROM s
+    ),
+    seas AS (
+      SELECT dow,
+             ROUND(CAST(SUM(CAST(y - (a + b * x) AS DECIMAL(30,10)))
+                        / COUNT(*) AS DOUBLE), 4) AS s_dow
+      FROM pts CROSS JOIN ab GROUP BY 1
+    ),
+    future AS (
+      SELECT dmax + h AS day,
+             CAST(date_diff('day', d0, dmax + h) AS BIGINT) AS x,
+             CAST(date_diff('day', DATE '1992-01-01', dmax + h) % 7
+                  AS BIGINT) AS dow
+      FROM g CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7)) h(h)
+    )
+    SELECT CAST(f.day AS VARCHAR) AS day,
+           ROUND(a + b * f.x + s_dow, 4) AS forecast
+    FROM future f JOIN seas ON f.dow = seas.dow CROSS JOIN ab
+    ORDER BY day
+    """,
+    doc="7-day revenue forecast — linear trend (exact-sufficient-stat "
+    "OLS over the whole daily series) plus the day-of-week seasonal "
+    "index (mean residual per weekday), extrapolated to the seven "
+    "days after the data ends: the baseline forecasting model every "
+    "fancier method must beat, produced as a pure QUERY (the engine "
+    "emits predictions, not just reports — q133/q278's machinery "
+    "pointed forward). Determinism: daily totals round(4) through "
+    "DECIMAL; (a, b) come from one closed form on DECIMAL-summed "
+    "products; seasonal indices round(4); the forecast is one "
+    "a + b·x + s arithmetic chain on identical doubles. Scale "
+    "shape: everything beyond the daily fold runs on the "
+    "≤|calendar| frame; the future frame is seven generated rows.",
+)
+@plan_cache
+def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 4
+            ).alias("y")
+        )
+    )
+    g = daily.agg(F.min("day").alias("d0"), F.max("day").alias("dmax"))
+    pts = _managed_persist(
+        "q299_pts",
+        daily.crossJoin(F.broadcast(g)).select(
+            "y",
+            F.datediff("day", "d0").cast("bigint").alias("x"),
+            F.pmod(
+                F.datediff("day", F.lit("1992-01-01").cast("date")),
+                F.lit(7),
+            )
+            .cast("bigint")
+            .alias("dow"),
+        ),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    bexp = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    ab = s.select(
+        bexp.alias("b"),
+        ((F.col("sy") - bexp * F.col("sx")) / n).alias("a"),
+    )
+    seas = (
+        pts.crossJoin(F.broadcast(ab))
+        .groupBy("dow")
+        .agg(
+            F.round(
+                (
+                    F.sum(
+                        (
+                            F.col("y")
+                            - (F.col("a") + F.col("b") * F.col("x"))
+                        ).cast(DEC)
+                    )
+                    / F.count(F.lit(1))
+                ).cast("double"),
+                4,
+            ).alias("s_dow")
+        )
+    )
+    future = (
+        spark.range(1, 8)
+        .crossJoin(F.broadcast(g))
+        .select(
+            F.expr("date_add(dmax, CAST(id AS INT))").alias("day"),
+            (
+                F.datediff(F.expr("date_add(dmax, CAST(id AS INT))"), F.col("d0"))
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.pmod(
+                F.datediff(
+                    F.expr("date_add(dmax, CAST(id AS INT))"),
+                    F.lit("1992-01-01").cast("date"),
+                ),
+                F.lit(7),
+            )
+            .cast("bigint")
+            .alias("dow"),
+        )
+    )
+    return (
+        future.join(F.broadcast(seas), "dow")
+        .crossJoin(F.broadcast(ab))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.round(
+                F.col("a") + F.col("b") * F.col("x") + F.col("s_dow"), 4
+            ).alias("forecast"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "q300",
+    oracle="""
+    WITH rev AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+               AS total_rev,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+             MAX(CAST(o_orderdate AS DATE)) AS dmax
+      FROM orders
+    ),
+    yoy AS (
+      SELECT CAST(SUM(CAST(CASE WHEN year(CAST(o_orderdate AS DATE))
+                                     = year(dmax) - 1
+                           THEN o_totalprice ELSE 0 END
+                      AS DECIMAL(30,10))) AS DOUBLE) AS prev_rev,
+             CAST(SUM(CAST(CASE WHEN year(CAST(o_orderdate AS DATE))
+                                     = year(dmax) - 2
+                           THEN o_totalprice ELSE 0 END
+                      AS DECIMAL(30,10))) AS DOUBLE) AS prev2_rev
+      FROM orders CROSS JOIN rev
+    ),
+    churn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(COUNT(*) FILTER (
+               WHERE date_diff('day', last_day,
+                               (SELECT dmax FROM rev)) > 90)
+               AS BIGINT) AS n_churned
+      FROM (SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_day
+            FROM orders GROUP BY 1)
+    ),
+    nat AS (
+      SELECT MAX(concat(lpad(CAST(CAST(FLOOR(r) AS BIGINT) AS VARCHAR), 18, '0'),
+                        n_name)) AS nat_key
+      FROM (
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(30,10))) AS DOUBLE) AS r
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1
+      )
+    )
+    SELECT ROUND(total_rev, 2) AS total_rev, n_orders, n_customers,
+           ROUND((prev_rev - prev2_rev) / prev2_rev * 100, 4)
+             AS yoy_growth_pct,
+           ROUND(CAST(n_churned AS DOUBLE) / n_total, 4) AS churn_rate,
+           substr(nat_key, 19) AS top_nation
+    FROM rev CROSS JOIN yoy CROSS JOIN churn CROSS JOIN nat
+    ORDER BY n_orders
+    """,
+    doc="Executive KPI one-pager — total revenue, order and customer "
+    "counts, YoY growth of the last COMPLETE year, 90-day churn "
+    "rate, and the top revenue nation, as ONE wide row (the "
+    "dashboard-header query; every number defined elsewhere in the "
+    "registry, here composed into a single result). Determinism: "
+    "DECIMAL money folds; YoY compares two conditional DECIMAL "
+    "sums; the top-nation pick uses the zero-padded (revenue_int, "
+    "name) string-max encoding (q238's arg-max discipline — "
+    "engine-portable without tuple max_by). Scale shape: three "
+    "fact-table passes (order rollup, conditional YoY, the q39 "
+    "revenue join), each a standard partial+final plan; everything "
+    "joins as 1-row broadcasts at the end.",
+)
+@plan_cache
+def q300(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias(
+            "total_rev"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.max(F.to_date("o_orderdate")).alias("dmax"),
+    )
+    yr = F.year(F.to_date("o_orderdate"))
+    yoy = (
+        o.crossJoin(F.broadcast(rev.select("dmax")))
+        .agg(
+            F.sum(
+                F.when(
+                    yr == F.year("dmax") - 1, F.col("o_totalprice")
+                )
+                .otherwise(0.0)
+                .cast(DEC)
+            )
+            .cast("double")
+            .alias("prev_rev"),
+            F.sum(
+                F.when(
+                    yr == F.year("dmax") - 2, F.col("o_totalprice")
+                )
+                .otherwise(0.0)
+                .cast(DEC)
+            )
+            .cast("double")
+            .alias("prev2_rev"),
+        )
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_day")
+    )
+    churn = (
+        per.crossJoin(F.broadcast(rev.select("dmax")))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(
+                F.when(F.datediff("dmax", "last_day") > 90, 1)
+            ).alias("n_churned"),
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    nn = load_table(spark, sf_dir, "nation")
+    natrev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(nn), c.c_nationkey == nn.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    DEC
+                )
+            )
+            .cast("double")
+            .alias("r")
+        )
+    )
+    nat = natrev.agg(
+        F.max(
+            F.concat(
+                F.lpad(F.col("r").cast("bigint").cast("string"), 18, "0"),
+                F.col("n_name"),
+            )
+        ).alias("nat_key")
+    )
+    return (
+        rev.crossJoin(F.broadcast(yoy))
+        .crossJoin(F.broadcast(churn))
+        .crossJoin(F.broadcast(nat))
+        .select(
+            F.round("total_rev", 2).alias("total_rev"),
+            "n_orders",
+            "n_customers",
+            F.round(
+                (F.col("prev_rev") - F.col("prev2_rev"))
+                / F.col("prev2_rev")
+                * 100,
+                4,
+            ).alias("yoy_growth_pct"),
+            F.round(
+                F.col("n_churned").cast("double") / F.col("n_total"), 4
+            ).alias("churn_rate"),
+            F.substring(F.col("nat_key"), 19, 100).alias("top_nation"),
+        )
+        .orderBy("n_orders")
+    )
