@@ -167,6 +167,9 @@ HEADLINE = [
     "q298",  # inter-event burstiness
     "q299",  # 7-day revenue forecast
     "q300",  # executive KPI one-pager
+    "q301",  # forecast backtest (MAPE/bias)
+    "q302",  # PSI drift detector
+    "q303",  # dead-stock report
 ]
 
 

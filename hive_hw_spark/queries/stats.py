@@ -3466,3 +3466,336 @@ def q300(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_orders")
     )
+
+
+@register(
+    "q301",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+                   AS DOUBLE), 4) AS y
+      FROM orders GROUP BY 1
+    ),
+    g AS (SELECT MIN(day) AS d0, MAX(day) AS dmax FROM daily),
+    train AS (
+      SELECT day, y,
+             CAST(date_diff('day', d0, day) AS BIGINT) AS x,
+             CAST(date_diff('day', DATE '1992-01-01', day) % 7
+                  AS BIGINT) AS dow
+      FROM daily CROSS JOIN g WHERE day <= dmax - 7
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sxy
+      FROM train
+    ),
+    ab AS (
+      SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+               AS a
+      FROM s
+    ),
+    seas AS (
+      SELECT dow,
+             ROUND(CAST(SUM(CAST(y - (a + b * x) AS DECIMAL(30,10)))
+                        / COUNT(*) AS DOUBLE), 4) AS s_dow
+      FROM train CROSS JOIN ab GROUP BY 1
+    ),
+    test AS (
+      SELECT day, y,
+             CAST(date_diff('day', d0, day) AS BIGINT) AS x,
+             CAST(date_diff('day', DATE '1992-01-01', day) % 7
+                  AS BIGINT) AS dow
+      FROM daily CROSS JOIN g WHERE day > dmax - 7
+    ),
+    e AS (
+      SELECT t.day, t.y,
+             ROUND(a + b * t.x + s_dow, 4) AS yhat
+      FROM test t JOIN seas ON t.dow = seas.dow CROSS JOIN ab
+    )
+    SELECT CAST(day AS VARCHAR) AS day, y AS actual, yhat AS forecast,
+           ROUND(ABS(y - yhat) / y * 100, 4) AS ape_pct,
+           ROUND((yhat - y) / y * 100, 4) AS bias_pct
+    FROM e ORDER BY day
+    """,
+    doc="Forecast backtest — q299's trend+seasonal model refit on "
+    "everything EXCEPT the last 7 observed days, then scored against "
+    "those held-out actuals with per-day absolute-percentage error "
+    "and signed bias: the evaluation loop that must precede trusting "
+    "any forecast (a model the engine can fit, it must also be able "
+    "to GRADE — train/test hygiene as a pure query). Determinism: "
+    "identical to q299's discipline (rounded DECIMAL stages, closed-"
+    "form OLS, epoch-mod-7 weekday), holdout boundary in exact date "
+    "arithmetic. Scale shape: calendar-bounded frames beyond the "
+    "daily fold; train and test are filters on the SAME daily CTE.",
+)
+@plan_cache
+def q301(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 4
+            ).alias("y")
+        )
+    )
+    g = daily.agg(F.min("day").alias("d0"), F.max("day").alias("dmax"))
+    pts = _managed_persist(
+        "q301_pts",
+        daily.crossJoin(F.broadcast(g)).select(
+            "day",
+            "y",
+            F.datediff("day", "d0").cast("bigint").alias("x"),
+            F.pmod(
+                F.datediff("day", F.lit("1992-01-01").cast("date")),
+                F.lit(7),
+            )
+            .cast("bigint")
+            .alias("dow"),
+            F.col("dmax"),
+        ),
+    )
+    train = pts.where(F.col("day") <= F.date_sub(F.col("dmax"), 7))
+    s = train.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    bexp = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    ab = s.select(
+        bexp.alias("b"),
+        ((F.col("sy") - bexp * F.col("sx")) / n).alias("a"),
+    )
+    seas = (
+        train.crossJoin(F.broadcast(ab))
+        .groupBy("dow")
+        .agg(
+            F.round(
+                (
+                    F.sum(
+                        (
+                            F.col("y")
+                            - (F.col("a") + F.col("b") * F.col("x"))
+                        ).cast(DEC)
+                    )
+                    / F.count(F.lit(1))
+                ).cast("double"),
+                4,
+            ).alias("s_dow")
+        )
+    )
+    test = pts.where(F.col("day") > F.date_sub(F.col("dmax"), 7))
+    e = (
+        test.join(F.broadcast(seas), "dow")
+        .crossJoin(F.broadcast(ab))
+        .select(
+            "day",
+            "y",
+            F.round(
+                F.col("a") + F.col("b") * F.col("x") + F.col("s_dow"), 4
+            ).alias("yhat"),
+        )
+    )
+    return e.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("y").alias("actual"),
+        F.col("yhat").alias("forecast"),
+        F.round(F.abs(F.col("y") - F.col("yhat")) / F.col("y") * 100, 4).alias(
+            "ape_pct"
+        ),
+        F.round((F.col("yhat") - F.col("y")) / F.col("y") * 100, 4).alias(
+            "bias_pct"
+        ),
+    ).orderBy("day")
+
+
+@register(
+    "q302",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS lo,
+             CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS hi
+      FROM events
+    ),
+    v AS (
+      SELECT event_type, value,
+             CASE WHEN FLOOR(epoch(ts)) < (lo + hi) / 2
+                  THEN 0 ELSE 1 END AS period
+      FROM events CROSS JOIN b
+    ),
+    th AS (
+      SELECT event_type,
+             ROUND(quantile_cont(value, 0.25), 4) AS t1,
+             ROUND(quantile_cont(value, 0.50), 4) AS t2,
+             ROUND(quantile_cont(value, 0.75), 4) AS t3
+      FROM v WHERE period = 0 GROUP BY 1
+    ),
+    binned AS (
+      SELECT v.event_type, period,
+             CAST(1 + CAST(value > t1 AS INT) + CAST(value > t2 AS INT)
+                    + CAST(value > t3 AS INT) AS INT) AS bin
+      FROM v JOIN th ON v.event_type = th.event_type
+    ),
+    cnt AS (
+      SELECT event_type, bin,
+             CAST(COUNT(*) FILTER (WHERE period = 0) AS BIGINT) AS c0,
+             CAST(COUNT(*) FILTER (WHERE period = 1) AS BIGINT) AS c1
+      FROM binned GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(SUM(c0) AS BIGINT) AS n0,
+             CAST(SUM(c1) AS BIGINT) AS n1
+      FROM cnt GROUP BY 1
+    )
+    SELECT c.event_type,
+           ROUND(CAST(SUM(CAST(
+                     (CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+                     * LN((CAST(c0 AS DOUBLE) / n0)
+                          / (CAST(c1 AS DOUBLE) / n1))
+                   AS DECIMAL(30,10))) AS DOUBLE), 4) AS psi
+    FROM cnt c JOIN tot t ON c.event_type = t.event_type
+    GROUP BY c.event_type ORDER BY c.event_type
+    """,
+    doc="Population stability index (PSI) drift detector — first-half "
+    "vs second-half value distributions per event type over "
+    "quartile bins FROM THE REFERENCE PERIOD (the ML-ops drift "
+    "gauge: PSI < 0.1 stable, > 0.25 retrain; the distributional "
+    "sibling of q254's KS statistic, stated in the binned form "
+    "production monitors actually ship). Determinism: reference "
+    "fences from exact percentile() rounded 4 dp, bins by strict-> "
+    "compares, PSI terms are identical-IEEE products with one ln "
+    "per (type, bin), summed over a ≤|types|·4 frame. Scale shape: "
+    "fence pass + ONE conditional binned count pass (both "
+    "partial+final), closed form on the tiny count frame.",
+)
+@plan_cache
+def q302(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.floor(F.unix_timestamp("ts")).cast("bigint")
+    b = ev.agg(F.min(epoch).alias("lo"), F.max(epoch).alias("hi"))
+    v = ev.crossJoin(F.broadcast(b)).select(
+        "event_type",
+        "value",
+        F.when(epoch < (F.col("lo") + F.col("hi")) / 2, 0)
+        .otherwise(1)
+        .alias("period"),
+    )
+    th = (
+        v.where(F.col("period") == 0)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.25D)"), 4).alias("t1"),
+            F.round(F.expr("percentile(value, 0.50D)"), 4).alias("t2"),
+            F.round(F.expr("percentile(value, 0.75D)"), 4).alias("t3"),
+        )
+    )
+    bin_ = (
+        F.lit(1)
+        + (F.col("value") > F.col("t1")).cast("int")
+        + (F.col("value") > F.col("t2")).cast("int")
+        + (F.col("value") > F.col("t3")).cast("int")
+    )
+    cnt = (
+        v.join(F.broadcast(th), "event_type")
+        .groupBy("event_type", bin_.cast("int").alias("bin"))
+        .agg(
+            F.count(F.when(F.col("period") == 0, 1)).alias("c0"),
+            F.count(F.when(F.col("period") == 1, 1)).alias("c1"),
+        )
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("c0").cast("bigint").alias("n0"),
+        F.sum("c1").cast("bigint").alias("n1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    term = (p0 - p1) * F.log(p0 / p1)
+    return (
+        cnt.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum(term.cast(DEC)).cast("double"), 4).alias("psi")
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q303",
+    oracle="""
+    WITH last_sale AS (
+      SELECT l_partkey, MAX(CAST(l_shipdate AS DATE)) AS last_day,
+             CAST(COUNT(*) AS BIGINT) AS n_sales
+      FROM lineitem GROUP BY 1
+    ),
+    hw AS (SELECT MAX(last_day) AS dmax FROM last_sale)
+    SELECT CAST(p_partkey AS BIGINT) AS partkey, p_brand,
+           CASE WHEN last_day IS NULL THEN 'never_sold'
+                WHEN date_diff('day', last_day, dmax) > 365
+                  THEN 'dead_stock'
+                ELSE 'slow' END AS status,
+           COALESCE(CAST(n_sales AS BIGINT), 0) AS n_sales,
+           CAST(date_diff('day', last_day, dmax) AS BIGINT)
+             AS days_since_sale,
+           p_retailprice AS value_at_risk
+    FROM part
+    LEFT JOIN last_sale ON p_partkey = l_partkey
+    CROSS JOIN hw
+    WHERE last_day IS NULL
+       OR date_diff('day', last_day, dmax) > 180
+    ORDER BY partkey
+    """,
+    doc="Dead-stock / slow-mover report — parts never sold or unsold "
+    "for 180+ days (365+ = dead), with recency, lifetime sales and "
+    "retail value at risk: the inventory-hygiene complement to "
+    "q167's Pareto/ABC (which ranks what SELLS; this surfaces what "
+    "DOESN'T — the left-anti-shaped question every merchandiser "
+    "asks). Scale shape: ONE partial+final fold of the fact table "
+    "to per-part recency, a LEFT join from the dimension (never-"
+    "sold parts surface as NULLs — the anti join and the aging "
+    "report share one plan), 1-row broadcast high-water mark; "
+    "exact integer day arithmetic.",
+)
+@plan_cache
+def q303(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    last_sale = li.groupBy("l_partkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("last_day"),
+        F.count(F.lit(1)).alias("n_sales"),
+    )
+    hw = last_sale.agg(F.max("last_day").alias("dmax"))
+    age = F.datediff("dmax", "last_day")
+    status = (
+        F.when(F.col("last_day").isNull(), "never_sold")
+        .when(age > 365, "dead_stock")
+        .otherwise("slow")
+    )
+    return (
+        pt.join(last_sale, pt.p_partkey == last_sale.l_partkey, "left")
+        .crossJoin(F.broadcast(hw))
+        .where(F.col("last_day").isNull() | (age > 180))
+        .select(
+            F.col("p_partkey").cast("bigint").alias("partkey"),
+            "p_brand",
+            status.alias("status"),
+            F.coalesce(F.col("n_sales"), F.lit(0))
+            .cast("bigint")
+            .alias("n_sales"),
+            age.cast("bigint").alias("days_since_sale"),
+            F.col("p_retailprice").alias("value_at_risk"),
+        )
+        .orderBy("partkey")
+    )
