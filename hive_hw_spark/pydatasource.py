@@ -197,8 +197,11 @@ class UplinkWriter(DataSourceWriter):
             json.dump(manifest, f)
 
     def abort(self, messages):
-        # unmanifested parts are invisible to readers; best-effort reap
+        # unmanifested parts are invisible to readers; best-effort reap.
+        # Failed tasks contribute None slots (writer-abort contract).
         for m in messages:
+            if m is None:
+                continue
             try:
                 os.remove(os.path.join(self.path, m.part_file))
             except OSError:
@@ -225,6 +228,8 @@ class UplinkStreamWriter(DataSourceStreamWriter):
 
     def abort(self, messages, batchId):
         for m in messages:
+            if m is None:
+                continue
             try:
                 os.remove(os.path.join(self.path, m.part_file))
             except OSError:

@@ -2053,28 +2053,34 @@ def q279(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(c) AS BIGINT) AS sx,
-             CAST(SUM(c * c) AS BIGINT) AS sxx
+             CAST(SUM(c) AS HUGEINT) AS sx,
+             SUM(CAST(c AS HUGEINT) * c) AS sxx
       FROM oc GROUP BY 1
+    ),
+    v AS (
+      SELECT priority, n,
+             CAST(sx AS DOUBLE) / n AS mean,
+             CAST(n * sxx - sx * sx AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (n - 1)) AS var
+      FROM s
     )
     SELECT priority, n,
-           ROUND(CAST(sx AS DOUBLE) / n, 4) AS mean_lines,
-           ROUND((n * sxx - sx * sx)
-                 / (CAST(n AS DOUBLE) * (n - 1)), 4) AS var_lines,
-           ROUND(((n * sxx - sx * sx)
-                  / (CAST(n AS DOUBLE) * (n - 1)))
-                 / (CAST(sx AS DOUBLE) / n), 4) AS dispersion
-    FROM s ORDER BY priority
+           ROUND(mean, 4) AS mean_lines,
+           ROUND(var, 4) AS var_lines,
+           ROUND(var / mean, 4) AS dispersion
+    FROM v ORDER BY priority
     """,
     doc="Index-of-dispersion test on basket sizes per order priority — "
     "variance-to-mean ratio of lines-per-order (≈1 = Poisson "
     "arrivals, >1 = clumped/bursty baskets, <1 = regularized: the "
     "distributional diagnostic behind inventory and capacity "
-    "models). Determinism: basket counts are integers, so the "
-    "sufficient statistics (n, Σx, Σx²) are EXACT BIGINTs and the "
-    "sample variance (n·Σx² − (Σx)²)/(n(n−1)) is exact-rational "
-    "until one final double division — engine-identical by "
-    "construction, round(4) at the edge. Scale shape: one orderkey "
+    "models). Determinism: basket counts are integers; the "
+    "sufficient statistics (n, Σx, Σx²) accumulate as "
+    "DECIMAL(38,0)/HUGEINT (no BIGINT overflow at 1e9-row groups) "
+    "and the sample variance (n·Σx² − (Σx)²)/(n(n−1)) is "
+    "exact-rational until one final double division — "
+    "engine-identical by construction, round(4) at the edge. "
+    "Scale shape: one orderkey "
     "co-partitioned join+agg folds the fact table to per-order "
     "counts; the per-priority reduction is mergeable integer "
     "partials (the 1000-executor algebra).",
@@ -2088,13 +2094,15 @@ def q285(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderpriority").alias("priority"), "l_orderkey")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    cd = F.col("c").cast("decimal(18,0)")
     s = oc.groupBy("priority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("c").cast("bigint").alias("sx"),
-        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sxx"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("sx"),
+        F.sum(cd * cd).alias("sxx"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
-    var = (n * sxx - sx * sx) / (n.cast("double") * (n - 1))
+    num = (n.cast("decimal(20,0)") * sxx - sx * sx).cast("double")
+    var = num / (n.cast("double") * (n - 1))
     mean = sx.cast("double") / n
     return s.select(
         "priority",
@@ -2714,15 +2722,15 @@ def q293(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     o AS (
-      SELECT user_id, event_type, ts_s,
+      SELECT user_id, event_id, event_type, ts_s,
              LAG(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts_s, event_id) AS prev
       FROM e
     ),
     ch AS (
       SELECT user_id, event_type AS state, ts_s,
-             LEAD(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s)
-               AS valid_to
+             LEAD(ts_s) OVER (PARTITION BY user_id
+                              ORDER BY ts_s, event_id) AS valid_to
       FROM o WHERE prev IS NULL OR prev <> event_type
     ),
     b AS (
@@ -2776,7 +2784,10 @@ def q294(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_timestamp("ts")).cast("bigint").alias("ts_s"),
     )
     w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
-    wl = Window.partitionBy("user_id").orderBy("ts_s")
+    # event_id tiebreak on the lead window too: two change rows at the
+    # same floored second would otherwise get engine-dependent tie order
+    # for which state holds the live valid_to interval.
+    wl = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
     ch = _managed_persist(
         "q294_intervals",
         e.withColumn("prev", F.lag("event_type").over(w))
@@ -3095,22 +3106,22 @@ def q297(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(gap) AS BIGINT) AS sx,
-             CAST(SUM(gap * gap) AS BIGINT) AS sxx
+             CAST(SUM(gap) AS HUGEINT) AS sx,
+             SUM(CAST(gap AS HUGEINT) * gap) AS sxx
       FROM g WHERE gap IS NOT NULL GROUP BY 1
+    ),
+    v AS (
+      SELECT event_type, n,
+             CAST(sx AS DOUBLE) / n AS mu,
+             sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * (n - 1))) AS sd
+      FROM s
     )
     SELECT event_type, n,
-           ROUND(CAST(sx AS DOUBLE) / n / 3600, 4) AS mean_gap_h,
-           ROUND(sqrt((n * sxx - sx * sx)
-                      / (CAST(n AS DOUBLE) * (n - 1))) / 3600, 4)
-             AS sd_gap_h,
-           ROUND((sqrt((n * sxx - sx * sx)
-                       / (CAST(n AS DOUBLE) * (n - 1)))
-                  - CAST(sx AS DOUBLE) / n)
-                 / (sqrt((n * sxx - sx * sx)
-                         / (CAST(n AS DOUBLE) * (n - 1)))
-                    + CAST(sx AS DOUBLE) / n), 4) AS burstiness
-    FROM s ORDER BY event_type
+           ROUND(mu / 3600, 4) AS mean_gap_h,
+           ROUND(sd / 3600, 4) AS sd_gap_h,
+           ROUND((sd - mu) / (sd + mu), 4) AS burstiness
+    FROM v ORDER BY event_type
     """,
     doc="Inter-event burstiness per event type — B = (σ−μ)/(σ+μ) over "
     "per-user inter-arrival gaps (the Goh-Barabási coefficient: "
@@ -3118,10 +3129,13 @@ def q297(spark: SparkSession, sf_dir: str) -> DataFrame:
     "planning whether q285's clumping happens in TIME; 'error' "
     "events bursting is an incident signature). Determinism: gaps "
     "are exact integer seconds from ONE (user, type)-partitioned "
-    "lag window; Σg and Σg² are exact BIGINTs, so variance is "
-    "exact-rational and σ is one sqrt on an identical double. "
-    "Scale shape: one exchange on (user, type), mergeable integer "
-    "partials, |types|-row closed form.",
+    "lag window; Σg/Σg² accumulate as DECIMAL(38,0) (Spark) / "
+    "HUGEINT (DuckDB) — exact 128-bit-class integers, so the "
+    "variance numerator n·Σg²−(Σg)² is exact-rational with no "
+    "BIGINT overflow at any scale (the r7 BIGINT form overflowed "
+    "ANSI long at sf0.1), and σ is one sqrt on an identical "
+    "double. Scale shape: one exchange on (user, type), mergeable "
+    "decimal partials, |types|-row closed form.",
 )
 @plan_cache
 def q298(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3133,14 +3147,16 @@ def q298(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ev.select(
         "event_type", (epoch - F.lag(epoch).over(w)).alias("gap")
     ).where(F.col("gap").isNotNull())
+    gd = F.col("gap").cast("decimal(18,0)")
     s = g.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("gap").cast("bigint").alias("sx"),
-        F.sum(F.col("gap") * F.col("gap")).cast("bigint").alias("sxx"),
+        F.sum(F.col("gap").cast("decimal(38,0)")).alias("sx"),
+        F.sum(gd * gd).alias("sxx"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     mu = sx.cast("double") / n
-    sd = F.sqrt((n * sxx - sx * sx) / (n.cast("double") * (n - 1)))
+    num = (n.cast("decimal(20,0)") * sxx - sx * sx).cast("double")
+    sd = F.sqrt(num / (n.cast("double") * (n - 1)))
     return s.select(
         "event_type",
         "n",
@@ -3661,9 +3677,10 @@ def q301(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.event_type,
            ROUND(CAST(SUM(CAST(
-                     (CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
-                     * LN((CAST(c0 AS DOUBLE) / n0)
-                          / (CAST(c1 AS DOUBLE) / n1))
+                     (GREATEST(CAST(c0 AS DOUBLE) / n0, 1e-6)
+                      - GREATEST(CAST(c1 AS DOUBLE) / n1, 1e-6))
+                     * LN(GREATEST(CAST(c0 AS DOUBLE) / n0, 1e-6)
+                          / GREATEST(CAST(c1 AS DOUBLE) / n1, 1e-6))
                    AS DECIMAL(30,10))) AS DOUBLE), 4) AS psi
     FROM cnt c JOIN tot t ON c.event_type = t.event_type
     GROUP BY c.event_type ORDER BY c.event_type
@@ -3719,8 +3736,10 @@ def q302(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c0").cast("bigint").alias("n0"),
         F.sum("c1").cast("bigint").alias("n1"),
     )
-    p0 = F.col("c0").cast("double") / F.col("n0")
-    p1 = F.col("c1").cast("double") / F.col("n1")
+    # epsilon-clamp (standard PSI practice): a bin empty in one period
+    # would give ln(inf)/NaN and raise on the DECIMAL cast under ANSI.
+    p0 = F.greatest(F.col("c0").cast("double") / F.col("n0"), F.lit(1e-6))
+    p1 = F.greatest(F.col("c1").cast("double") / F.col("n1"), F.lit(1e-6))
     term = (p0 - p1) * F.log(p0 / p1)
     return (
         cnt.join(F.broadcast(tot), "event_type")

@@ -101,8 +101,11 @@ def test_q282_udtf_table_argument_partition_by(spark, sf_dir):
     spark.udtf.register("per_type_stats", PerTypeStats)
     import os
 
-    spark.read.parquet(os.path.join(sf_dir, "events.parquet")).limit(
-        2000
+    # deterministic subset: an unordered .limit(2000) is re-executed
+    # independently by the UDTF query and the GROUP BY expectation and
+    # may pick different rows. Filter on a stable key instead.
+    spark.read.parquet(os.path.join(sf_dir, "events.parquet")).where(
+        "event_id < 2000"
     ).createOrReplaceTempView("q282_events")
     got = {
         r.event_type: (r.n, r.first_id)
