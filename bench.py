@@ -173,6 +173,17 @@ HEADLINE = [
 ]
 
 
+# The r2 recorded BASELINE.md subset (22 queries) — the stable cross-round
+# perf comparator. Emitted as its own field (subset22_wall_sec) so the
+# gate check vs BASELINE.md's 14.5 s needs no recomputation while the
+# full headline keeps growing.
+SUBSET22 = [
+    "q01", "q02", "q10", "q20", "q27", "q28", "q30", "q33", "q39",
+    "q41", "q44", "q52", "q55", "q63", "q68", "q70", "q90", "q91",
+    "q92", "q93", "q94", "q97",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -233,6 +244,9 @@ def main() -> None:
         "sf": _sf_from_dir(sf_dir),
         "load": load,
         "query_load1": per_query_load,
+        "subset22_wall_sec": round(
+            sum(timings.get(q, 0.0) for q in SUBSET22), 3
+        ),
     }
     print(json.dumps(out), flush=True)
 

@@ -124,12 +124,21 @@ _loaded = False
 # r6 verdict's top item is re-attesting that q40–q52 / q63–q122 pool.
 _ATTESTED = frozenset(
     {
+        # r6 sweep (regenerated testdata)
         "q01", "q02", "q06", "q10", "q11", "q12", "q13", "q14", "q15",
         "q20", "q21", "q22", "q23", "q24", "q25", "q26", "q27", "q28",
         "q30", "q31", "q32", "q33", "q34", "q35", "q36", "q37", "q39",
         "q46", "q47", "q47b", "q48", "q49", "q53", "q54", "q55", "q56",
         "q57", "q58", "q60", "q61", "q62", "q124", "q125", "q126",
         "q127", "q128", "q129", "q130", "q131",
+        # r7 sweep (CORRECTNESS_r07.json, all green)
+        "q38", "q70", "q82", "q123", "q181", "q186", "q187", "q188",
+        "q192", "q193", "q194", "q195", "q196", "q197", "q198", "q199",
+        "q200", "q201", "q202", "q203", "q204", "q205", "q206", "q209",
+        "q213", "q214", "q215", "q216", "q217", "q218", "q219", "q220",
+        "q221", "q222", "q223", "q224", "q227", "q233", "q234", "q235",
+        "q238", "q239", "q240", "q241", "q242", "q243", "q244", "q245",
+        "q246", "q249",
     }
 )
 
@@ -172,20 +181,31 @@ _ATTESTED = frozenset(
 # at 217/222/227/229/234/236 oracle entries) in the session that
 # added it, so the marginal value of an r7 sweep slot is no higher
 # than for the other never-checked entries already listed here.
+# Round-8 rotation (exactly 50 — the sweep cap; over-filling hands slot
+# choice to registration order). Composition per the r7 verdict's item 4:
+# (a) q298 — its r7 BIGINT-overflow rewrite (DECIMAL sufficient stats)
+#     needs a driver row post-fix; q285/q294/q302 were rewritten in the
+#     same hardening pass (overflow twin / lead-window tiebreak / PSI
+#     epsilon) and re-enter the queue under the rewritten-outranks-stale
+#     policy;
+# (b) the events-reading stale five (q63, q71, q72, q78, q114) — they
+#     cross catalog.decode_event_ts's dtype branch, which the round-6
+#     testdata regeneration changed; their last driver rows predate it;
+# (c) the oldest never-driver-swept block q132–q180 (q140 excluded:
+#     rows-only defer) — pytest-parity-only since rounds 5-6.
 _PRIORITY = frozenset(
     {
-        "q70", "q123", "q38",
-        # NEW in round 7 — first driver rows outrank stale re-confirmation
-                "q181", "q186", "q187", "q188",
-        "q192", "q193", "q194", "q195", "q196", "q197", "q198", "q199",
-        "q200", "q201", "q202", "q203", "q204", "q205", "q206", "q209",
-        # rewritten round 7 (bucketed pandas kernel) — driver must re-attest
-        "q82",
-        # wave 20
-        "q213", "q214", "q215", "q216", "q217", "q218", "q219",
-        # wave 21-25
-        "q220", "q221", "q222", "q223", "q224", "q227", "q233", "q234",
-        "q235", "q238", "q239", "q240", "q241", "q242", "q243", "q244", "q245", "q246", "q249",
+        # (a) rewritten this round
+        "q298", "q285", "q294", "q302",
+        # (b) events-decode stale
+        "q63", "q71", "q72", "q78", "q114",
+        # (c) oldest never-swept block
+        "q132", "q133", "q134", "q135", "q136", "q137", "q138", "q139",
+        "q141", "q142", "q143", "q144", "q145", "q146", "q148", "q149",
+        "q151", "q152", "q153", "q154", "q155", "q156", "q157", "q158",
+        "q160", "q161", "q162", "q163", "q164", "q165", "q166", "q167",
+        "q170", "q172", "q173", "q174", "q175", "q176", "q177", "q178",
+        "q180",
     }
 )
 
