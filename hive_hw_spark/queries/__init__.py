@@ -106,6 +106,7 @@ _MODULES = (
     "graph",
     "tpch",
     "stats",
+    "inference",
 )
 
 _loaded = False
