@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_hw_spark.catalog import load_table
@@ -3828,4 +3828,416 @@ def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
         .orderBy("a_id", "b_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Wave 42: tokenizer-construction ops (OOV audit, BPE induction, Zipf fit)
+# --------------------------------------------------------------------------
+@register(
+    "q313",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, source, word FROM (
+        SELECT lang, source, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents) WHERE word <> ''
+    ),
+    grp AS (
+      SELECT lang, source, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2, 3
+    ),
+    gw AS (
+      SELECT word, CAST(SUM(c) AS BIGINT) AS n FROM grp GROUP BY word
+    ),
+    vocab AS (SELECT word FROM gw ORDER BY n DESC, word LIMIT 20)
+    SELECT lang, source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.word IS NULL THEN c ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           ROUND(CAST(SUM(CASE WHEN v.word IS NULL THEN c ELSE 0 END)
+                      AS DOUBLE) / SUM(c), 4) AS oov_rate,
+           CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_types
+    FROM grp LEFT JOIN vocab v ON grp.word = v.word
+    GROUP BY lang, source ORDER BY lang, source
+    """,
+    doc="Tokenizer OOV (out-of-vocabulary) audit — fix the vocabulary to "
+    "the corpus's top-20 words (count desc, word asc tie-break) and "
+    "report, per lang x source slice, the token-occurrence OOV rate "
+    "and the count of distinct OOV types: the coverage report run "
+    "before freezing any tokenizer vocab.  Scale shape: ONE "
+    "tokenize+fold of the corpus to the (lang, source, word) count "
+    "frame (bounded by slices x vocabulary, never corpus rows), "
+    "localCheckpointed because THREE plan branches consume it "
+    "(vocab derivation, the left join probe, and the final rollup) "
+    "— without it each branch re-scans the corpus (the q118/q122 "
+    "materialize-before-reuse rule); the top-20 vocab is a global "
+    "top-k (TakeOrderedAndProject — no full sort) broadcast to the "
+    "probe side.",
+)
+@plan_cache
+def q313(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    grp = (
+        d.select(
+            "lang",
+            "source",
+            F.explode(F.split(F.lower("text"), " ")).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .groupBy("lang", "source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    vocab = (
+        grp.groupBy("word")
+        .agg(F.sum("c").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+        .select("word", F.lit(1).alias("iv"))
+    )
+    oov = F.col("iv").isNull()
+    return (
+        grp.join(F.broadcast(vocab), "word", "left")
+        .groupBy("lang", "source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.when(oov, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("oov_tokens"),
+            F.round(
+                F.sum(F.when(oov, F.col("c")).otherwise(0)).cast("double")
+                / F.sum("c"),
+                4,
+            ).alias("oov_rate"),
+            F.sum(F.when(oov, 1).otherwise(0)).cast("long").alias("oov_types"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def _bpe_round_sql(i: int) -> str:
+    """One BPE round as DuckDB CTE text: pair counts over w{i-1}, the
+    arg-max pair t{i} (count desc, pair asc), and the merged corpus w{i}."""
+    return f"""
+    p{i} AS (
+      SELECT pr AS pair, CAST(SUM(wt) AS BIGINT) AS cnt FROM (
+        SELECT unnest(list_transform(range(1, len(string_split(seq, ' '))),
+                 j -> string_split(seq, ' ')[j] || ' ' ||
+                      string_split(seq, ' ')[j + 1])) AS pr, wt
+        FROM w{i - 1}) GROUP BY pr
+    ),
+    t{i} AS (
+      SELECT CAST({i} AS BIGINT) AS round, pair, cnt
+      FROM p{i} ORDER BY cnt DESC, pair LIMIT 1
+    ),
+    w{i} AS (
+      SELECT replace(seq, (SELECT pair FROM t{i}),
+                     replace((SELECT pair FROM t{i}), ' ', '')) AS seq, wt
+      FROM w{i - 1}
+    )"""
+
+
+@register(
+    "q314",
+    oracle="""
+    WITH w0 AS (
+      SELECT array_to_string(string_split(w, ''), ' ') AS seq,
+             CAST(COUNT(*) AS BIGINT) AS wt
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY seq
+    ),"""
+    + ",".join(_bpe_round_sql(i) for i in range(1, 6))
+    + """
+    SELECT round, pair, cnt FROM (
+      SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL
+      SELECT * FROM t3 UNION ALL SELECT * FROM t4 UNION ALL
+      SELECT * FROM t5
+    ) ORDER BY round
+    """,
+    doc="Byte-pair-encoding merge induction, first 5 merges — the "
+    "tokenizer-training primitive: words split to space-separated "
+    "character symbols, each round counts adjacent symbol pairs "
+    "weighted by word frequency, merges the arg-max pair (count "
+    "desc, pair asc tie-break) corpus-wide via left-to-right "
+    "non-overlapping replace (both engines' replace semantics, = "
+    "greedy BPE application), and recounts.  Genuinely iterative: "
+    "each merge changes the next round's pair distribution, so the "
+    "Spark side is a 5-step driver loop (the q118 discipline) over "
+    "the VOCABULARY frame — the corpus folds to (distinct word -> "
+    "weight) ONCE and is localCheckpointed (~|vocab| rows; lineage "
+    "truncated so round k's plan does not re-analyze rounds 1..k-1), "
+    "each round's arg-max is a 1-row driver collect of a "
+    "TakeOrderedAndProject over the per-pair counts (bounded by "
+    "|symbol vocab|^2, never corpus rows), and the merge applies as "
+    "a codegen replace.  At 100 TB the same loop holds: every "
+    "per-round frame is vocabulary-bounded, the corpus is touched "
+    "exactly once.",
+)
+@plan_cache
+def q314(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wt"))
+        .select(F.concat_ws(" ", F.split("w", "")).alias("seq"), "wt")
+        .localCheckpoint()
+    )
+    merges = []
+    for rnd in range(1, 6):
+        toks = F.split("seq", " ")
+        pairs = words.select(
+            F.explode(
+                F.when(
+                    F.size(toks) >= 2,
+                    F.expr(
+                        "transform(sequence(0, size(split(seq, ' ')) - 2),"
+                        " j -> concat_ws(' ', split(seq, ' ')[j],"
+                        " split(seq, ' ')[j + 1]))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("pair"),
+            "wt",
+        ).groupBy("pair").agg(F.sum("wt").cast("long").alias("cnt"))
+        top = pairs.orderBy(F.col("cnt").desc(), "pair").limit(1).collect()[0]
+        merges.append((rnd, top["pair"], top["cnt"]))
+        words = words.select(
+            F.replace(
+                F.col("seq"), F.lit(top["pair"]), F.lit(top["pair"].replace(" ", ""))
+            ).alias("seq"),
+            "wt",
+        ).localCheckpoint()
+    return spark.createDataFrame(merges, "round bigint, pair string, cnt bigint")
+
+
+@register(
+    "q315",
+    oracle="""
+    WITH gw AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS word
+        FROM documents) WHERE word <> ''
+      GROUP BY word
+    ),
+    rk AS (
+      SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word)
+                AS DOUBLE)) AS x,
+             ln(CAST(n AS DOUBLE)) AS y
+      FROM gw
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nw,
+             CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(y * y AS DECIMAL(30,10))) AS DOUBLE) AS syy
+      FROM rk
+    )
+    SELECT nw AS n_words,
+           ROUND(-(nw * sxy - sx * sy) / (nw * sxx - sx * sx), 4)
+             AS zipf_alpha,
+           ROUND(POWER(nw * sxy - sx * sy, 2)
+                 / ((nw * sxx - sx * sx) * (nw * syy - sy * sy)), 4) AS r2
+    FROM s
+    """,
+    doc="Zipf-law exponent fit — log-log OLS of word frequency on "
+    "frequency rank (y = ln n, x = ln rank): alpha near 1 is the "
+    "natural-language signature, so the fitted exponent + R^2 is a "
+    "one-row corpus-health check (synthetic/templated corpora show "
+    "flat alpha, boilerplate shows stair-steps) complementing "
+    "q105b's Zipf head listing.  Scale shape: the corpus folds to "
+    "the |vocabulary| count frame in one tokenize+agg; the GLOBAL "
+    "frequency rank uses the q255/q167 two-phase discipline "
+    "(percentile bounds over n bucket DESCENDING as a pure function "
+    "of n, per-bucket offsets via triangular broadcast join, "
+    "row_number windows PARTITIONED BY bucket; oracle states the "
+    "naive global window); ln products stay IEEE double, moment "
+    "sums accumulate in exact DECIMAL, and the slope/R^2 closed "
+    "form runs once.",
+)
+@plan_cache
+def q315(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    gw = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    bounds = gw.agg(
+        F.expr(
+            "percentile(CAST(n AS DOUBLE),"
+            " array(0.125,0.25,0.375,0.5,0.625,0.75,0.875))"
+        ).alias("bs")
+    )
+    bucketed = gw.crossJoin(F.broadcast(bounds)).select(
+        "word",
+        "n",
+        F.expr("size(filter(bs, b -> b > CAST(n AS DOUBLE)))").alias("bk"),
+    )
+    btot = bucketed.groupBy("bk").agg(F.count(F.lit(1)).alias("bn"))
+    b2 = btot.select(F.col("bk").alias("bk2"), F.col("bn").alias("bn2"))
+    offsets = (
+        btot.join(F.broadcast(b2), F.col("bk2") < F.col("bk"), "left")
+        .groupBy("bk")
+        .agg(F.coalesce(F.sum("bn2"), F.lit(0)).alias("off"))
+    )
+    wb = Window.partitionBy("bk").orderBy(F.col("n").desc(), "word")
+    rk = (
+        bucketed.join(F.broadcast(offsets), "bk")
+        .select(
+            F.log((F.col("off") + F.row_number().over(wb)).cast("double"))
+            .alias("x"),
+            F.log(F.col("n").cast("double")).alias("y"),
+        )
+    )
+    s = rk.agg(
+        F.count(F.lit(1)).cast("long").alias("nw"),
+        F.sum(F.col("x").cast("decimal(30,10)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(30,10)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(30,10)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(30,10)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(30,10)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    nw = F.col("nw")
+    cov = nw * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = nw * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = nw * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        nw.alias("n_words"),
+        F.round(-cov / vx, 4).alias("zipf_alpha"),
+        F.round(F.pow(cov, 2) / (vx * vy), 4).alias("r2"),
+    )
+
+
+@register(
+    "q318",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  w -> w <> '')) AS BIGINT) AS ntok,
+             CAST(len(list_distinct(list_filter(
+                    string_split(lower(text), ' '), w -> w <> '')))
+               AS DOUBLE)
+             / len(list_filter(string_split(lower(text), ' '),
+                               w -> w <> '')) AS ttr
+      FROM documents
+      WHERE len(list_filter(string_split(lower(text), ' '),
+                            w -> w <> '')) > 0
+    ),
+    tot AS (SELECT CAST(SUM(ntok) AS BIGINT) AS total_tok FROM d),
+    r AS (
+      SELECT doc_id, lang, ntok,
+             CAST(SUM(ntok) OVER (ORDER BY ttr DESC, doc_id) AS BIGINT)
+               AS cum
+      FROM d
+    ),
+    sel AS (
+      SELECT lang, ntok,
+             CASE WHEN cum <= FLOOR(0.25 * total_tok) THEN 1 ELSE 0 END
+               AS s
+      FROM r, tot
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(s) AS BIGINT) AS sel_docs,
+           CAST(SUM(s * ntok) AS BIGINT) AS sel_tokens,
+           ROUND(CAST(SUM(s * ntok) AS DOUBLE) / SUM(ntok), 4)
+             AS sel_token_share
+    FROM sel GROUP BY lang ORDER BY lang
+    """,
+    doc="Token-budget corpus selection — greedy fractional-knapsack "
+    "curation: rank documents by lexical quality (type-token ratio, "
+    "doc_id tie-break), admit in rank order until the cumulative "
+    "token count reaches 25% of the corpus budget, and report per-"
+    "language admission stats.  This is the 'we can only afford B "
+    "tokens of pretraining — which documents?' selector on top of "
+    "the q103/q117 quality filters.  Scale shape: ONE tokenize pass "
+    "reduces the corpus to a 4-column per-doc meta frame, PERSISTED "
+    "(MEMORY_AND_DISK, q118/q122 materialize-before-reuse rule) "
+    "because four plan branches consume it (budget total, "
+    "percentile bounds, bucket totals, the ranked scan); the GLOBAL "
+    "quality-rank running token sum uses the q254 two-phase "
+    "discipline — percentile bounds over ttr bucket DESCENDING as a "
+    "pure function of the score, per-bucket token totals offset via "
+    "a triangular broadcast join, within-bucket running sums window "
+    "PARTITIONED BY bucket (oracle states the naive global window); "
+    "the budget is a 1-row broadcast.",
+)
+@plan_cache
+def q318(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("ntok"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "ttr"
+        ),
+    ).where(F.col("ntok") > 0)
+    d = _managed_persist("q318_docmeta", d)
+    tot = d.agg(F.sum("ntok").cast("long").alias("total_tok"))
+    bounds = d.agg(
+        F.expr(
+            "percentile(ttr, array(0.125,0.25,0.375,0.5,0.625,0.75,0.875))"
+        ).alias("bs")
+    )
+    bucketed = d.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        "lang",
+        "ntok",
+        "ttr",
+        F.expr("size(filter(bs, b -> b > ttr))").alias("bk"),
+    )
+    btot = bucketed.groupBy("bk").agg(F.sum("ntok").alias("bt"))
+    b2 = btot.select(F.col("bk").alias("bk2"), F.col("bt").alias("bt2"))
+    offsets = (
+        btot.join(F.broadcast(b2), F.col("bk2") < F.col("bk"), "left")
+        .groupBy("bk")
+        .agg(F.coalesce(F.sum("bt2"), F.lit(0)).alias("off"))
+    )
+    wb = Window.partitionBy("bk").orderBy(
+        F.col("ttr").desc(), "doc_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sel = (
+        bucketed.withColumn("w", F.sum("ntok").over(wb))
+        .join(F.broadcast(offsets), "bk")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "ntok",
+            F.when(
+                (F.col("off") + F.col("w"))
+                <= F.floor(0.25 * F.col("total_tok")),
+                1,
+            )
+            .otherwise(0)
+            .alias("s"),
+        )
+    )
+    return (
+        sel.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("s").cast("long").alias("sel_docs"),
+            F.sum(F.col("s") * F.col("ntok")).cast("long").alias("sel_tokens"),
+            F.round(
+                F.sum(F.col("s") * F.col("ntok")).cast("double")
+                / F.sum("ntok"),
+                4,
+            ).alias("sel_token_share"),
+        )
+        .orderBy("lang")
     )

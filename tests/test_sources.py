@@ -220,3 +220,47 @@ def test_q275_text_source_line_and_wholetext(spark, tmp_path):
     (d / "c.txt").unlink(missing_ok=True)
     sep = spark.read.option("lineSep", " line ").text(str(d / "a.txt"))
     assert sep.count() == 3
+
+
+def test_q312_binaryfile_source(spark, tmp_path):
+    """Q312: binaryFile source — the multimodal ingest path (SURVEY §2
+
+    B-K): opaque payloads (image/audio/video bytes) land as files and
+    enter the engine via spark.read.format("binaryFile") with the fixed
+    (path, modificationTime, length, content) schema; pathGlobFilter
+    prunes non-matching payloads at the LISTING stage (no bytes read),
+    and the content column round-trips byte-exact into the q95-style
+    BinaryType pipeline.
+    """
+    payloads = {
+        "a.img": b"\x89PNG\r\n\x1a\n" + bytes(range(64)),
+        "b.img": b"\x89PNG\r\n\x1a\n" + bytes(reversed(range(64))),
+        "c.wav": b"RIFF" + b"\x00" * 32,
+    }
+    src = tmp_path / "blobs"
+    src.mkdir()
+    for name, blob in payloads.items():
+        (src / name).write_bytes(blob)
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.img")
+        .load(str(src))
+    )
+    assert [f.name for f in df.schema.fields] == [
+        "path",
+        "modificationTime",
+        "length",
+        "content",
+    ]
+    rows = {
+        os.path.basename(r.path): bytes(r.content)
+        for r in df.select("path", "content").collect()
+    }
+    # glob filter pruned the .wav at listing time; bytes are exact
+    assert rows == {k: v for k, v in payloads.items() if k.endswith(".img")}
+    lens = {
+        os.path.basename(r.path): r.length
+        for r in df.select("path", "length").collect()
+    }
+    assert lens == {k: len(v) for k, v in payloads.items() if k.endswith(".img")}
