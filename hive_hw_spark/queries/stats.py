@@ -3818,3 +3818,697 @@ def q303(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("partkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Wave 43: economics / cohort-value / reliability operators
+# --------------------------------------------------------------------------
+@register(
+    "q316",
+    oracle="""
+    WITH obs AS (
+      SELECT p_brand,
+             ln(l_extendedprice / l_quantity) AS x,
+             ln(l_quantity) AS y
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_quantity > 0
+    ),
+    s AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(y * y AS DECIMAL(30,10))) AS DOUBLE) AS syy
+      FROM obs GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+             AS elasticity,
+           ROUND(POWER(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+    FROM s ORDER BY p_brand
+    """,
+    doc="Price-elasticity estimate per brand — log-log OLS of quantity "
+    "on unit price (ln q = a + e*ln p; the slope e IS the elasticity), "
+    "the demand-curve read every pricing team runs.  Scale shape: "
+    "the dimension joins BROADCAST (|part| rows, pruned to the two "
+    "join/group columns); per-row ln products stay IEEE double; the "
+    "corpus folds to a 25-row (|brands|) moment frame in ONE "
+    "partial+final agg with exact DECIMAL accumulators; the "
+    "slope/R^2 closed form runs per brand row.",
+)
+@plan_cache
+def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    x = F.log(F.col("l_extendedprice") / F.col("l_quantity"))
+    y = F.log(F.col("l_quantity"))
+    s = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select("p_brand", x.alias("x"), y.alias("y"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+            F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+            F.sum((F.col("x") * F.col("x")).cast(DEC))
+            .cast("double")
+            .alias("sxx"),
+            F.sum((F.col("x") * F.col("y")).cast(DEC))
+            .cast("double")
+            .alias("sxy"),
+            F.sum((F.col("y") * F.col("y")).cast(DEC))
+            .cast("double")
+            .alias("syy"),
+        )
+    )
+    n = F.col("n")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "p_brand",
+        "n",
+        F.round(cov / vx, 4).alias("elasticity"),
+        F.round(F.pow(cov, 2) / (vx * vy), 4).alias("r2"),
+    ).orderBy("p_brand")
+
+
+@register(
+    "q317",
+    oracle="""
+    WITH om AS (
+      SELECT o_custkey,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             o_totalprice AS rev
+      FROM orders
+    ),
+    first_m AS (
+      SELECT o_custkey, MIN(month) AS cohort FROM om GROUP BY o_custkey
+    ),
+    sizes AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM first_m GROUP BY cohort
+    ),
+    ca AS (
+      SELECT f.cohort,
+             CAST(date_diff('month', f.cohort, om.month) AS BIGINT)
+               AS age,
+             CAST(SUM(CAST(om.rev AS DECIMAL(30,10))) AS DOUBLE) AS rev
+      FROM om JOIN first_m f ON om.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort, age,
+             CAST(SUM(CAST(rev AS DECIMAL(30,10)))
+                  OVER (PARTITION BY cohort ORDER BY age)
+               AS DOUBLE) AS cum_rev
+      FROM ca
+    )
+    SELECT CAST(c.cohort AS VARCHAR) AS cohort, c.age, s.n_customers,
+           ROUND(c.cum_rev, 2) AS cum_rev,
+           ROUND(c.cum_rev / s.n_customers, 4) AS ltv_per_customer
+    FROM cum c JOIN sizes s ON c.cohort = s.cohort
+    ORDER BY cohort, age
+    """,
+    doc="Cohort LTV curves — customers grouped by first-order month, "
+    "cumulative revenue per cohort by month-age, normalized per "
+    "cohort customer: the payback/LTV report behind every "
+    "acquisition-spend decision (q130's retention counts answer "
+    "'do they come back'; this answers 'what are they worth by "
+    "age').  Scale shape: the fact folds once to per-customer first "
+    "months and once to the (cohort, age) revenue frame — bounded "
+    "by |calendar months|^2 (~3.5k rows) at ANY corpus size; the "
+    "running LTV cumulates via a window PARTITIONED BY cohort over "
+    "that tiny frame; month age is exact integer month arithmetic "
+    "on month-truncated dates (identical in both engines — no "
+    "day-fraction months_between ambiguity).",
+)
+@plan_cache
+def q317(spark: SparkSession, sf_dir: str) -> DataFrame:
+    om = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.trunc("o_orderdate", "month").alias("month"),
+        F.col("o_totalprice").alias("rev"),
+    )
+    first_m = om.groupBy("o_custkey").agg(F.min("month").alias("cohort"))
+    sizes = first_m.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    ca = (
+        om.join(first_m, "o_custkey")
+        .groupBy(
+            "cohort",
+            (
+                (F.year("month") - F.year("cohort")) * 12
+                + (F.month("month") - F.month("cohort"))
+            )
+            .cast("long")
+            .alias("age"),
+        )
+        .agg(F.sum(F.col("rev").cast(DEC)).cast("double").alias("rev"))
+    )
+    w = Window.partitionBy("cohort").orderBy("age")
+    cum = ca.withColumn(
+        "cum_rev", F.sum(F.col("rev").cast(DEC)).over(w).cast("double")
+    )
+    return (
+        cum.join(F.broadcast(sizes), "cohort")
+        .select(
+            F.col("cohort").cast("string").alias("cohort"),
+            "age",
+            "n_customers",
+            F.round("cum_rev", 2).alias("cum_rev"),
+            F.round(F.col("cum_rev") / F.col("n_customers"), 4).alias(
+                "ltv_per_customer"
+            ),
+        )
+        .orderBy("cohort", "age")
+    )
+
+
+@register(
+    "q319",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS k
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT month, n, k,
+             CAST(k AS DOUBLE) / n AS p,
+             1.96 * 1.96 AS z2
+      FROM m
+    )
+    SELECT CAST(month AS VARCHAR) AS month, n, k, ROUND(p, 4) AS p_hat,
+           ROUND((p + z2 / (2 * n)
+                  - 1.96 * SQRT(p * (1 - p) / n + z2 / (4.0 * n * n)))
+                 / (1 + z2 / n), 4) AS wilson_lo,
+           ROUND((p + z2 / (2 * n)
+                  + 1.96 * SQRT(p * (1 - p) / n + z2 / (4.0 * n * n)))
+                 / (1 + z2 / n), 4) AS wilson_hi
+    FROM w ORDER BY month
+    """,
+    doc="SLA attainment with Wilson-score 95% confidence bounds — per "
+    "month, the share of events meeting the latency objective "
+    "(value <= 100) with the CI every honest SLO report needs "
+    "(the Wilson interval stays valid at p near 0/1 and small n, "
+    "unlike the normal approximation; z = 1.96).  Scale shape: ONE "
+    "conditional partial+final fold of the corpus to the "
+    "|calendar months| frame; the interval closed form evaluates "
+    "the same IEEE expression per tiny-frame row in both engines.",
+)
+@plan_cache
+def q319(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.trunc(F.col("ts").cast("date"), "month").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("value") <= 100.0, 1).otherwise(0))
+            .cast("long")
+            .alias("k"),
+        )
+    )
+    n, k = F.col("n"), F.col("k")
+    p = k.cast("double") / n
+    z = F.lit(1.96)
+    z2 = z * z
+    denom = 1 + z2 / n
+    center = p + z2 / (2 * n)
+    half = z * F.sqrt(p * (1 - p) / n + z2 / (4.0 * n * n))
+    return m.select(
+        F.col("month").cast("string").alias("month"),
+        "n",
+        "k",
+        F.round(p, 4).alias("p_hat"),
+        F.round((center - half) / denom, 4).alias("wilson_lo"),
+        F.round((center + half) / denom, 4).alias("wilson_hi"),
+    ).orderBy("month")
+
+
+@register(
+    "q320",
+    oracle="""
+    WITH wk AS (
+      SELECT p_brand,
+             CAST(FLOOR(date_diff('day', DATE '1992-01-01',
+                        CAST(l_shipdate AS DATE)) / 7.0) AS BIGINT)
+               AS week,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)
+               AS demand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_weeks,
+             CAST(SUM(CAST(demand AS DECIMAL(30,10))) AS DOUBLE) AS sd,
+             CAST(SUM(CAST(demand * demand AS DECIMAL(30,10)))
+               AS DOUBLE) AS sdd
+      FROM wk GROUP BY p_brand
+    ),
+    d AS (
+      SELECT p_brand, n_weeks, sd / n_weeks AS mu,
+             SQRT((sdd - sd * sd / n_weeks) / (n_weeks - 1)) AS sigma
+      FROM s
+    )
+    SELECT p_brand, n_weeks, ROUND(mu, 4) AS mean_weekly_demand,
+           ROUND(sigma, 4) AS sd_weekly_demand,
+           ROUND(1.645 * sigma * SQRT(2.0), 4) AS safety_stock,
+           ROUND(mu * 2 + 1.645 * sigma * SQRT(2.0), 4) AS reorder_point
+    FROM d ORDER BY p_brand
+    """,
+    doc="Safety-stock / reorder-point planning per brand — weekly demand "
+    "mean and standard deviation drive the classic (z = 1.645, 95% "
+    "service level, lead time L = 2 weeks) safety stock "
+    "z*sigma*sqrt(L) and reorder point mu*L + safety: the inventory-"
+    "planning complement to q303's dead-stock report.  Weeks are "
+    "exact integer anchored week numbers via FLOOR(day_diff / 7) "
+    "spelled identically in both engines (DuckDB's date_diff('week') "
+    "counts calendar week-boundary crossings — a different, "
+    "origin-dependent quantity; the q278/q299 weekday lesson).  Scale shape: broadcast dimension join, then the "
+    "corpus folds to the |brands| x |weeks| frame and again to "
+    "|brands| sufficient stats — two partial+final aggs, DECIMAL "
+    "accumulators, closed form per 25-row output.",
+)
+@plan_cache
+def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    wk = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.floor(
+                F.datediff(
+                    F.col("l_shipdate").cast("date"),
+                    F.lit("1992-01-01").cast("date"),
+                )
+                / 7
+            ).alias("week"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("demand"))
+    )
+    s = wk.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_weeks"),
+        F.sum(F.col("demand").cast(DEC)).cast("double").alias("sd"),
+        F.sum((F.col("demand") * F.col("demand")).cast(DEC))
+        .cast("double")
+        .alias("sdd"),
+    )
+    n = F.col("n_weeks")
+    mu = F.col("sd") / n
+    sigma = F.sqrt((F.col("sdd") - F.col("sd") * F.col("sd") / n) / (n - 1))
+    safety = 1.645 * sigma * F.sqrt(F.lit(2.0))
+    return s.select(
+        "p_brand",
+        "n_weeks",
+        F.round(mu, 4).alias("mean_weekly_demand"),
+        F.round(sigma, 4).alias("sd_weekly_demand"),
+        F.round(safety, 4).alias("safety_stock"),
+        F.round(mu * 2 + safety, 4).alias("reorder_point"),
+    ).orderBy("p_brand")
+
+
+@register(
+    "q321",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)
+               AS sq,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
+               AS sp,
+             CAST(SUM(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE)
+               AS sd,
+             CAST(SUM(CAST(l_tax AS DECIMAL(30,10))) AS DOUBLE) AS st,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,10)))
+               AS DOUBLE) AS sqq,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice
+               AS DECIMAL(30,10))) AS DOUBLE) AS spp,
+             CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(30,10)))
+               AS DOUBLE) AS sdd,
+             CAST(SUM(CAST(l_tax * l_tax AS DECIMAL(30,10))) AS DOUBLE)
+               AS stt,
+             CAST(SUM(CAST(l_quantity * l_extendedprice
+               AS DECIMAL(30,10))) AS DOUBLE) AS sqp,
+             CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(30,10)))
+               AS DOUBLE) AS sqd,
+             CAST(SUM(CAST(l_quantity * l_tax AS DECIMAL(30,10)))
+               AS DOUBLE) AS sqt,
+             CAST(SUM(CAST(l_extendedprice * l_discount
+               AS DECIMAL(30,10))) AS DOUBLE) AS spd,
+             CAST(SUM(CAST(l_extendedprice * l_tax AS DECIMAL(30,10)))
+               AS DOUBLE) AS spt,
+             CAST(SUM(CAST(l_discount * l_tax AS DECIMAL(30,10)))
+               AS DOUBLE) AS sdt
+      FROM lineitem
+    )
+    SELECT var_a, var_b, ROUND(corr, 4) AS corr FROM (
+      SELECT 'disc' AS var_a, 'price' AS var_b,
+             (n * spd - sp * sd)
+             / (SQRT(n * spp - sp * sp) * SQRT(n * sdd - sd * sd))
+               AS corr FROM s
+      UNION ALL SELECT 'disc', 'qty',
+             (n * sqd - sq * sd)
+             / (SQRT(n * sqq - sq * sq) * SQRT(n * sdd - sd * sd)) FROM s
+      UNION ALL SELECT 'disc', 'tax',
+             (n * sdt - sd * st)
+             / (SQRT(n * sdd - sd * sd) * SQRT(n * stt - st * st)) FROM s
+      UNION ALL SELECT 'price', 'qty',
+             (n * sqp - sq * sp)
+             / (SQRT(n * sqq - sq * sq) * SQRT(n * spp - sp * sp)) FROM s
+      UNION ALL SELECT 'price', 'tax',
+             (n * spt - sp * st)
+             / (SQRT(n * spp - sp * sp) * SQRT(n * stt - st * st)) FROM s
+      UNION ALL SELECT 'qty', 'tax',
+             (n * sqt - sq * st)
+             / (SQRT(n * sqq - sq * sq) * SQRT(n * stt - st * st)) FROM s
+    ) ORDER BY var_a, var_b
+    """,
+    doc="One-pass pairwise correlation matrix over the four lineitem "
+    "measures (quantity, extended price, discount, tax) — all "
+    "C(4,2) = 6 Pearson coefficients from a SINGLE scan computing "
+    "15 mergeable sufficient statistics (the feature-screening / "
+    "multicollinearity pre-check before any q308-style regression; "
+    "naive per-pair corr() would scan the fact 6 times).  Scale "
+    "shape: ONE partial+final fold to a 1-row moment frame "
+    "(map-side combinable, DECIMAL accumulators, per-row products "
+    "in IEEE double); the 6 output rows unfold from that single "
+    "row driver-free.",
+)
+@plan_cache
+def q321(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = {
+        "q": F.col("l_quantity"),
+        "p": F.col("l_extendedprice"),
+        "d": F.col("l_discount"),
+        "t": F.col("l_tax"),
+    }
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for k, c in cols.items():
+        aggs.append(F.sum(c.cast(DEC)).cast("double").alias(f"s{k}"))
+    pairs = [("q", "q"), ("p", "p"), ("d", "d"), ("t", "t"),
+             ("q", "p"), ("q", "d"), ("q", "t"),
+             ("p", "d"), ("p", "t"), ("d", "t")]
+    for a, b in pairs:
+        aggs.append(
+            F.sum((cols[a] * cols[b]).cast(DEC))
+            .cast("double")
+            .alias(f"s{a}{b}")
+        )
+    s = li.agg(*aggs)
+
+    made = {f"{a}{b}" for a, b in pairs}
+
+    def corr(a: str, b: str):
+        n = F.col("n")
+        ab = f"{a}{b}" if f"{a}{b}" in made else f"{b}{a}"
+        cov = n * F.col(f"s{ab}") - F.col(f"s{a}") * F.col(f"s{b}")
+        va = n * F.col(f"s{a}{a}") - F.col(f"s{a}") * F.col(f"s{a}")
+        vb = n * F.col(f"s{b}{b}") - F.col(f"s{b}") * F.col(f"s{b}")
+        return cov / (F.sqrt(va) * F.sqrt(vb))
+
+    names = {"q": "qty", "p": "price", "d": "disc", "t": "tax"}
+    out_pairs = [("d", "p"), ("d", "q"), ("d", "t"),
+                 ("p", "q"), ("p", "t"), ("q", "t")]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(names[a]).alias("var_a"),
+                F.lit(names[b]).alias("var_b"),
+                F.round(corr(a, b), 4).alias("corr"),
+            )
+            for a, b in out_pairs
+        ]
+    )
+    return (
+        s.select(F.explode(rows).alias("r"))
+        .select("r.var_a", "r.var_b", "r.corr")
+        .orderBy("var_a", "var_b")
+    )
+
+
+@register(
+    "q322",
+    oracle="""
+    WITH lat AS (
+      SELECT o_orderpriority,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                            CAST(l_shipdate AS DATE)) AS DOUBLE) AS days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(days, 0.5), 4) AS p50,
+           ROUND(quantile_cont(days, 0.9), 4) AS p90,
+           ROUND(quantile_cont(days, 0.99), 4) AS p99
+    FROM lat GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Order-to-ship latency percentiles per order priority — p50/"
+    "p90/p99 of days from order placement to line-item shipment: "
+    "the fulfillment-SLA report (does paying for '1-URGENT' "
+    "actually ship faster, and at which tail?).  Spark's exact "
+    "interpolating percentile() ≡ DuckDB quantile_cont on integer "
+    "day diffs cast to double.  Scale shape: the orders side "
+    "prunes to two columns before a single shuffle join on "
+    "orderkey (both sides fact-scale — sort-merge, AQE-planned), "
+    "then ONE fold to the 5-row priority frame; exact percentiles "
+    "imply a per-group sort, bounded because groups are 5 and the "
+    "latency domain is small-integer days.",
+)
+@plan_cache
+def q322(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("double")
+        .alias("days"),
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.percentile("days", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("days", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("days", F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q323",
+    oracle="""
+    WITH obs AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+               AS wd,
+             event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT wd, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM obs GROUP BY wd
+    )
+    SELECT o.wd AS wd, t.n AS n_events, t.k AS n_types,
+           ROUND(CAST(SUM(CAST(
+               -(CAST(o.c AS DOUBLE) / t.n) * ln(CAST(o.c AS DOUBLE) / t.n)
+             AS DECIMAL(30,10))) AS DOUBLE), 4) AS entropy,
+           ROUND(CAST(SUM(CAST(
+               -(CAST(o.c AS DOUBLE) / t.n) * ln(CAST(o.c AS DOUBLE) / t.n)
+             AS DECIMAL(30,10))) AS DOUBLE) / ln(CAST(t.k AS DOUBLE)), 4)
+             AS norm_entropy
+    FROM obs o JOIN tot t ON o.wd = t.wd
+    GROUP BY o.wd, t.n, t.k ORDER BY o.wd
+    """,
+    doc="Shannon entropy of the event-type mix per weekday — H = "
+    "-Sigma p ln p plus the [0,1]-normalized H/ln(k) evenness "
+    "index: the behavioral-diversity monitor (a weekday whose mix "
+    "collapses toward one event type is an incident signature; "
+    "complements q302's PSI drift which needs two periods).  "
+    "Weekday is epoch-day mod 7 (the q278/q311 cross-engine "
+    "discipline).  Scale shape: ONE fold of the corpus to the "
+    "<= 7 x |types| contingency frame; margins broadcast back; "
+    "per-cell p ln p terms stay IEEE double and sum in exact "
+    "DECIMAL; zero-count cells cannot occur (group-by only emits "
+    "observed cells) so ln never sees 0.",
+)
+@plan_cache
+def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        F.pmod(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ),
+            F.lit(7),
+        ).alias("wd"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = obs.groupBy("wd").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    term = (-p * F.log(p)).cast(DEC)
+    return (
+        obs.join(F.broadcast(tot), "wd")
+        .groupBy("wd", "n", "k")
+        .agg(
+            F.round(F.sum(term).cast("double"), 4).alias("entropy"),
+            F.round(
+                F.sum(term).cast("double") / F.log(F.col("k").cast("double")),
+                4,
+            ).alias("norm_entropy"),
+        )
+        .select(
+            "wd",
+            F.col("n").alias("n_events"),
+            F.col("k").alias("n_types"),
+            "entropy",
+            "norm_entropy",
+        )
+        .orderBy("wd")
+    )
+
+
+@register(
+    "q324",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    cal AS (SELECT DISTINCT day FROM ud)
+    SELECT CAST(c.day AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+    FROM cal c JOIN ud u
+      ON u.day BETWEEN c.day - 6 AND c.day
+    GROUP BY c.day ORDER BY day
+    """,
+    doc="Exact 7-day rolling active users (WAU per day) — the sliding-"
+    "window COUNT DISTINCT every growth dashboard needs and naive "
+    "plans cannot scale: distinct is not decomposable over "
+    "overlapping windows.  The oracle states the naive band join "
+    "(calendar x user-days, re-deduped per window); the Spark plan "
+    "uses the GAP-BOUNDED EXPANSION identity — a user counts for "
+    "window day d iff d lies in [a, min(next_active - 1, a + 6)] "
+    "for some active day a, so each (user, day) row expands to AT "
+    "MOST 7 (day, +1) contributions via sequence+explode after a "
+    "lag window per user, and the result is a plain additive "
+    "count per day: shuffle volume is <= 7x|user-days|, no "
+    "per-window dedup state, no repeated distinct.  At 100 TB the "
+    "naive form re-counts every user up to 7x per window with a "
+    "distinct per day; the expansion form is one window + one "
+    "explode + one count — the whole point of the operator.",
+)
+@plan_cache
+def q324(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = (
+        ev.where(F.col("user_id").isNotNull())
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    spans = ud.withColumn("nxt", F.lead("day").over(w)).select(
+        "day",
+        F.least(
+            F.coalesce(F.date_sub(F.col("nxt"), 1), F.date_add(F.col("day"), 6)),
+            F.date_add(F.col("day"), 6),
+        ).alias("hi"),
+    )
+    contrib = spans.select(
+        F.explode(F.sequence(F.col("day"), F.col("hi"))).alias("day")
+    )
+    cal = ud.select("day").distinct()
+    return (
+        contrib.join(cal, "day")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("wau"))
+        .select(F.col("day").cast("string").alias("day"), "wau")
+        .orderBy("day")
+    )
+
+
+@register(
+    "q325",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    ),
+    m AS (
+      SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+             CAST(COUNT(*) AS BIGINT) AS active_days,
+             CAST(SUM(dau) AS BIGINT) AS sum_dau
+      FROM dau GROUP BY 1
+    ),
+    mau AS (
+      SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      FROM ud GROUP BY 1
+    )
+    SELECT CAST(m.month AS VARCHAR) AS month, m.active_days, mau.mau,
+           ROUND(CAST(m.sum_dau AS DOUBLE) / m.active_days, 4)
+             AS avg_dau,
+           ROUND(CAST(m.sum_dau AS DOUBLE) / m.active_days / mau.mau, 4)
+             AS stickiness
+    FROM m JOIN mau ON m.month = mau.month
+    ORDER BY month
+    """,
+    doc="DAU/MAU stickiness per calendar month — average daily active "
+    "users over monthly active users (the engagement-intensity "
+    "ratio; 1.0 = every monthly user active every day), with "
+    "active-day and MAU counts.  Scale shape: ONE dedup of the "
+    "corpus to (user, day) pairs feeds both branches — the daily "
+    "counts (additive fold to |calendar| rows) and the per-month "
+    "distinct (one shuffle on (month, user), partial-deduped "
+    "map-side); the final join is |months| x |months| broadcast.  "
+    "No window, no overlap: calendar months partition, so distinct "
+    "IS decomposable here — contrast q324 where overlap forces the "
+    "expansion identity.",
+)
+@plan_cache
+def q325(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = (
+        ev.where(F.col("user_id").isNotNull())
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    m = dau.groupBy(F.trunc("day", "month").alias("month")).agg(
+        F.count(F.lit(1)).cast("long").alias("active_days"),
+        F.sum("dau").cast("long").alias("sum_dau"),
+    )
+    mau = (
+        ud.groupBy(F.trunc("day", "month").alias("month"))
+        .agg(F.countDistinct("user_id").cast("long").alias("mau"))
+    )
+    avg_dau = F.col("sum_dau").cast("double") / F.col("active_days")
+    return (
+        m.join(F.broadcast(mau), "month")
+        .select(
+            F.col("month").cast("string").alias("month"),
+            "active_days",
+            "mau",
+            F.round(avg_dau, 4).alias("avg_dau"),
+            F.round(avg_dau / F.col("mau"), 4).alias("stickiness"),
+        )
+        .orderBy("month")
+    )
