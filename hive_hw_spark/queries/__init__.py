@@ -107,6 +107,7 @@ _MODULES = (
     "tpch",
     "stats",
     "inference",
+    "mlprep",
 )
 
 _loaded = False

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from hive_hw_spark.catalog import load_table
 from hive_hw_spark.queries import plan_cache, register
+from hive_hw_spark.queries._util import DEC
 
 # Fixed stopword list for Q93/Q98 (the engine vocabulary's function words).
 STOPWORDS = ("a", "the", "and", "of", "to", "in", "is", "on", "for", "with")
@@ -3986,30 +3987,7 @@ def q314(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.concat_ws(" ", F.split("w", "")).alias("seq"), "wt")
         .localCheckpoint()
     )
-    merges = []
-    for rnd in range(1, 6):
-        toks = F.split("seq", " ")
-        pairs = words.select(
-            F.explode(
-                F.when(
-                    F.size(toks) >= 2,
-                    F.expr(
-                        "transform(sequence(0, size(split(seq, ' ')) - 2),"
-                        " j -> concat_ws(' ', split(seq, ' ')[j],"
-                        " split(seq, ' ')[j + 1]))"
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("pair"),
-            "wt",
-        ).groupBy("pair").agg(F.sum("wt").cast("long").alias("cnt"))
-        top = pairs.orderBy(F.col("cnt").desc(), "pair").limit(1).collect()[0]
-        merges.append((rnd, top["pair"], top["cnt"]))
-        words = words.select(
-            F.replace(
-                F.col("seq"), F.lit(top["pair"]), F.lit(top["pair"].replace(" ", ""))
-            ).alias("seq"),
-            "wt",
-        ).localCheckpoint()
+    merges = _learn_bpe_merges(words, 5)
     return spark.createDataFrame(merges, "round bigint, pair string, cnt bigint")
 
 
@@ -4240,4 +4218,388 @@ def q318(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sel_token_share"),
         )
         .orderBy("lang")
+    )
+
+
+def _learn_bpe_merges(words, rounds: int) -> list:
+    """Learn ``rounds`` BPE merges from a (seq, wt) global vocabulary
+    frame (space-separated symbol strings, weights).  Returns the merge
+    list [(round, pair, cnt), ...] in application order.  Each round is
+    one vocabulary-bounded job: pair counts via codegen transform, a
+    1-row TakeOrderedAndProject collect for the arg-max (count desc,
+    pair asc), and a codegen replace; the frame is localCheckpointed per
+    round so round k's plan never re-analyzes rounds 1..k-1 (the q118
+    iterative-loop discipline)."""
+    merges = []
+    for rnd in range(1, rounds + 1):
+        toks = F.split("seq", " ")
+        pairs = words.select(
+            F.explode(
+                F.when(
+                    F.size(toks) >= 2,
+                    F.expr(
+                        "transform(sequence(0, size(split(seq, ' ')) - 2),"
+                        " j -> concat_ws(' ', split(seq, ' ')[j],"
+                        " split(seq, ' ')[j + 1]))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("pair"),
+            "wt",
+        ).groupBy("pair").agg(F.sum("wt").cast("long").alias("cnt"))
+        top = pairs.orderBy(F.col("cnt").desc(), "pair").limit(1).collect()[0]
+        merges.append((rnd, top["pair"], top["cnt"]))
+        words = words.select(
+            F.replace(
+                F.col("seq"), F.lit(top["pair"]), F.lit(top["pair"].replace(" ", ""))
+            ).alias("seq"),
+            "wt",
+        ).localCheckpoint()
+    return merges
+
+
+@register(
+    "q326",
+    oracle="""
+    WITH wl AS (
+      SELECT lang, array_to_string(string_split(w, ''), ' ') AS seq,
+             CAST(COUNT(*) AS BIGINT) AS wt
+      FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY lang, seq
+    ),
+    g0 AS (SELECT seq, CAST(SUM(wt) AS BIGINT) AS wt FROM wl
+           GROUP BY seq),"""
+    + ",".join(
+        f"""
+    p{i} AS (
+      SELECT pr AS pair, CAST(SUM(wt) AS BIGINT) AS cnt FROM (
+        SELECT unnest(list_transform(range(1, len(string_split(seq, ' '))),
+                 j -> string_split(seq, ' ')[j] || ' ' ||
+                      string_split(seq, ' ')[j + 1])) AS pr, wt
+        FROM g{i - 1}) GROUP BY pr
+    ),
+    t{i} AS (SELECT pair FROM p{i} ORDER BY cnt DESC, pair LIMIT 1),
+    g{i} AS (
+      SELECT replace(seq, (SELECT pair FROM t{i}),
+                     replace((SELECT pair FROM t{i}), ' ', '')) AS seq, wt
+      FROM g{i - 1}
+    ),
+    a{i} AS (
+      SELECT lang,
+             replace(seq, (SELECT pair FROM t{i}),
+                     replace((SELECT pair FROM t{i}), ' ', '')) AS seq,
+             wt, ntb
+      FROM a{i - 1}
+    )"""
+        for i in range(1, 6)
+    ).replace(
+        "FROM a0",
+        "FROM (SELECT lang, seq, wt,"
+        " CAST(len(string_split(seq, ' ')) AS BIGINT) AS ntb FROM wl) a0",
+        1,
+    )
+    + """
+    SELECT lang,
+           CAST(SUM(wt * ntb) AS BIGINT) AS tokens_before,
+           CAST(SUM(wt * len(string_split(seq, ' '))) AS BIGINT)
+             AS tokens_after,
+           ROUND(CAST(SUM(wt * len(string_split(seq, ' '))) AS DOUBLE)
+                 / SUM(wt * ntb), 4) AS compression
+    FROM a5 GROUP BY lang ORDER BY lang
+    """,
+    doc="BPE encode + compression report — q314's learned 5-merge table "
+    "APPLIED in order to the per-language corpus, reporting token "
+    "counts before (= characters) and after, and the compression "
+    "ratio per language: the 'how much does this tokenizer actually "
+    "buy us, and does it transfer across languages' readout that "
+    "closes the tokenizer-training loop (merges learn on the GLOBAL "
+    "weighted vocabulary; encoding applies them per lang x word).  "
+    "Scale shape: the corpus folds ONCE to the (lang, word) weight "
+    "frame (localCheckpointed — the learn chain and the encode "
+    "chain both consume it); learning runs q314's vocabulary-"
+    "bounded driver loop; application is 5 chained codegen replaces "
+    "(one narrow select, no shuffle) and ONE final fold to "
+    "|langs| rows.",
+)
+@plan_cache
+def q326(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    wl = (
+        d.select("lang", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("lang", F.concat_ws(" ", F.split("w", "")).alias("seq"))
+        .agg(F.count(F.lit(1)).cast("long").alias("wt"))
+        .localCheckpoint()
+    )
+    g0 = wl.groupBy("seq").agg(F.sum("wt").cast("long").alias("wt"))
+    merges = _learn_bpe_merges(g0.localCheckpoint(), 5)
+    enc = wl.withColumn(
+        "ntb", F.size(F.split("seq", " ")).cast("long")
+    )
+    for _, pair, _cnt in merges:
+        enc = enc.withColumn(
+            "seq",
+            F.replace(F.col("seq"), F.lit(pair), F.lit(pair.replace(" ", ""))),
+        )
+    return (
+        enc.groupBy("lang")
+        .agg(
+            F.sum(F.col("wt") * F.col("ntb")).cast("long").alias("tokens_before"),
+            F.sum(F.col("wt") * F.size(F.split("seq", " ")))
+            .cast("long")
+            .alias("tokens_after"),
+            F.round(
+                F.sum(F.col("wt") * F.size(F.split("seq", " "))).cast("double")
+                / F.sum(F.col("wt") * F.col("ntb")),
+                4,
+            ).alias("compression"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q328",
+    oracle="""
+    WITH v AS (
+      SELECT label,
+             SQRT(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               AS nrm,
+             CASE WHEN len(list_filter(embedding,
+                    x -> isnan(CAST(x AS DOUBLE))
+                         OR NOT isfinite(CAST(x AS DOUBLE)))) > 0
+                  THEN 1 ELSE 0 END AS bad
+      FROM embeddings
+    ),
+    s AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             CAST(SUM(CAST(nrm AS DECIMAL(30,10))) AS DOUBLE) AS sn,
+             CAST(SUM(CAST(nrm * nrm AS DECIMAL(30,10))) AS DOUBLE)
+               AS snn,
+             CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero,
+             CAST(SUM(bad) AS BIGINT) AS n_nonfinite
+      FROM v GROUP BY label
+    )
+    SELECT label, n_vectors,
+           ROUND(sn / n_vectors, 4) AS mean_norm,
+           ROUND(SQRT(GREATEST((snn - sn * sn / n_vectors)
+                               / (n_vectors - 1), 0)), 4) AS sd_norm,
+           n_zero, n_nonfinite
+    FROM s ORDER BY label
+    """,
+    doc="Embedding-quality audit per label — vector-column data "
+    "quality: L2-norm mean and spread, zero-vector count (a dead "
+    "encoder or failed batch writes all-zeros), and non-finite "
+    "element detection (NaN/inf poison downstream cosine math "
+    "silently).  The vector-pipeline sibling of q112's tabular "
+    "quality rules — run BEFORE any q92-family similarity search.  "
+    "Determinism: the per-vector norm is a SEQUENTIAL in-list fold "
+    "in double (same element order both engines — list fold, not a "
+    "partition-order sum), per-group moments accumulate in exact "
+    "DECIMAL.  Scale shape: norms compute per row inside the scan "
+    "projection (no shuffle, no explode — 64 elements per lambda "
+    "is cold-path per row, not hot-loop per corpus); ONE "
+    "partial+final fold to the |labels| frame.",
+)
+@plan_cache
+def q328(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "label",
+        F.sqrt(
+            F.expr(
+                "aggregate(embedding, CAST(0 AS DOUBLE),"
+                " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+            )
+        ).alias("nrm"),
+        F.expr(
+            "CASE WHEN exists(embedding,"
+            " x -> isnan(CAST(x AS DOUBLE))"
+            " OR abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))"
+            " THEN 1 ELSE 0 END"
+        ).alias("bad"),
+    )
+    s = v.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(F.col("nrm").cast(DEC)).cast("double").alias("sn"),
+        F.sum((F.col("nrm") * F.col("nrm")).cast(DEC))
+        .cast("double")
+        .alias("snn"),
+        F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero"),
+        F.sum("bad").cast("long").alias("n_nonfinite"),
+    )
+    n = F.col("n_vectors")
+    return s.select(
+        "label",
+        "n_vectors",
+        F.round(F.col("sn") / n, 4).alias("mean_norm"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    (F.col("snn") - F.col("sn") * F.col("sn") / n) / (n - 1),
+                    F.lit(0.0),
+                )
+            ),
+            4,
+        ).alias("sd_norm"),
+        "n_zero",
+        "n_nonfinite",
+    ).orderBy("label")
+
+
+@register(
+    "q329",
+    oracle="""
+    WITH tg AS (
+      SELECT week, unnest(list_transform(
+               range(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i + 1] || ' ' ||
+                    string_split(text, ' ')[i + 2])) AS tri
+      FROM (SELECT CAST(FLOOR((doc_id % 730) / 7.0) AS BIGINT) AS week,
+                   text
+            FROM documents)
+    ),
+    fs AS (SELECT tri, MIN(week) AS first_week FROM tg GROUP BY tri),
+    wk AS (
+      SELECT tg.week, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+             CAST(SUM(CASE WHEN fs.first_week = tg.week THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_novel
+      FROM tg JOIN fs ON tg.tri = fs.tri
+      GROUP BY tg.week
+    )
+    SELECT week, n_trigrams, n_novel,
+           ROUND(CAST(n_novel AS DOUBLE) / n_trigrams, 4) AS novelty_rate
+    FROM wk ORDER BY week
+    """,
+    doc="Weekly n-gram novelty rate — per ingestion week, the share of "
+    "trigram OCCURRENCES whose trigram first appeared that week: the "
+    "freshness monitor for a continuously-ingested corpus (novelty "
+    "collapsing toward 0 means the crawl is re-reading itself — the "
+    "temporal complement to q116's cross-source contamination).  "
+    "Documents carry no timestamp, so ingestion day derives "
+    "deterministically as doc_id mod 730 (the synthetic-clock "
+    "convention), bucketed to FLOOR(day/7) weeks.  Scale shape: trigrams explode once and fold to "
+    "per-(week, trigram) — the first-seen fold and the novelty "
+    "join are both VOCABULARY-bounded (trigram types, not corpus "
+    "occurrences); the min-week frame broadcasts.",
+)
+@plan_cache
+def q329(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        F.floor(F.pmod(F.col("doc_id"), F.lit(730)) / 7)
+        .cast("long")
+        .alias("week"),
+        "text",
+    )
+    tg = d.select(
+        "week",
+        F.explode(
+            F.when(
+                F.size(F.split("text", " ")) >= 3,
+                F.expr(
+                    "transform(sequence(0, size(split(text, ' ')) - 3),"
+                    " i -> concat_ws(' ', split(text, ' ')[i],"
+                    " split(text, ' ')[i + 1], split(text, ' ')[i + 2]))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("tri"),
+    )
+    fs = tg.groupBy("tri").agg(F.min("week").alias("first_week"))
+    return (
+        tg.join(F.broadcast(fs), "tri")
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.sum(F.when(F.col("first_week") == F.col("week"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "week",
+            "n_trigrams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_trigrams"), 4
+            ).alias("novelty_rate"),
+        )
+        .orderBy("week")
+    )
+
+
+@register(
+    "q335",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  w -> w <> '')) AS BIGINT) AS ntok
+      FROM documents
+    ),
+    dup AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_unique
+      FROM documents
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+             ROUND(quantile_cont(CAST(ntok AS DOUBLE), 0.5), 4)
+               AS p50_tokens,
+             ROUND(quantile_cont(CAST(ntok AS DOUBLE), 0.9), 4)
+               AS p90_tokens
+      FROM tok
+    )
+    SELECT s.n_docs, n_langs, total_tokens, p50_tokens, p90_tokens,
+           ROUND(1 - CAST(n_unique AS DOUBLE) / dup.n_docs, 4)
+             AS exact_dup_rate
+    FROM s, dup
+    """,
+    doc="Corpus datasheet one-pager — the dataset-card summary row "
+    "(Datasheets-for-Datasets style) every corpus release ships: "
+    "document and language counts, total token volume, p50/p90 "
+    "document length, and the exact-duplicate rate (1 − distinct "
+    "content hashes / docs, q90's dedup as a single rate).  The "
+    "documents-corpus sibling of q300's business KPI one-pager.  "
+    "Scale shape: two corpus passes — one tokenize+fold for the "
+    "token stats (exact percentile over per-doc counts), one "
+    "sha2-based distinct (shuffles 32-byte hashes, never bodies) — "
+    "composed by 1-row broadcasts.",
+)
+@plan_cache
+def q335(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang",
+        F.size(F.filter(F.split(F.lower("text"), " "), lambda w: w != ""))
+        .cast("long")
+        .alias("ntok"),
+    )
+    s = tok.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("ntok").cast("long").alias("total_tokens"),
+        F.round(F.percentile(F.col("ntok").cast("double"), F.lit(0.5)), 4)
+        .alias("p50_tokens"),
+        F.round(F.percentile(F.col("ntok").cast("double"), F.lit(0.9)), 4)
+        .alias("p90_tokens"),
+    )
+    dup = d.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.countDistinct(F.sha2("text", 256)).cast("long").alias("n_unique"),
+    )
+    return s.crossJoin(F.broadcast(dup)).select(
+        "n_docs",
+        "n_langs",
+        "total_tokens",
+        "p50_tokens",
+        "p90_tokens",
+        F.round(
+            1 - F.col("n_unique").cast("double") / F.col("nd"), 4
+        ).alias("exact_dup_rate"),
     )

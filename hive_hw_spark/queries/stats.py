@@ -4397,21 +4397,23 @@ def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON u.day BETWEEN c.day - 6 AND c.day
     GROUP BY c.day ORDER BY day
     """,
-    doc="Exact 7-day rolling active users (WAU per day) — the sliding-"
-    "window COUNT DISTINCT every growth dashboard needs and naive "
-    "plans cannot scale: distinct is not decomposable over "
-    "overlapping windows.  The oracle states the naive band join "
-    "(calendar x user-days, re-deduped per window); the Spark plan "
-    "uses the GAP-BOUNDED EXPANSION identity — a user counts for "
+    doc="Exact 7-day rolling active users, DISTINCT-FREE — q164 answers "
+    "the same WAU question with the bounded 7x explode followed by "
+    "a per-day COUNT DISTINCT (a dedup shuffle holding per-day user "
+    "state); this variant eliminates the distinct entirely.  The "
+    "oracle states the naive band join (calendar x user-days, "
+    "re-deduped per window); the Spark plan uses the GAP-BOUNDED "
+    "EXPANSION identity — a user counts for "
     "window day d iff d lies in [a, min(next_active - 1, a + 6)] "
     "for some active day a, so each (user, day) row expands to AT "
     "MOST 7 (day, +1) contributions via sequence+explode after a "
-    "lag window per user, and the result is a plain additive "
-    "count per day: shuffle volume is <= 7x|user-days|, no "
-    "per-window dedup state, no repeated distinct.  At 100 TB the "
-    "naive form re-counts every user up to 7x per window with a "
-    "distinct per day; the expansion form is one window + one "
-    "explode + one count — the whole point of the operator.",
+    "lead window per user — the gap bound guarantees each user "
+    "contributes AT MOST ONCE per window day, so the per-day result "
+    "is a plain ADDITIVE count (map-side-combinable partials, no "
+    "dedup state at all).  At 100 TB this is the difference between "
+    "shuffling raw (day, user) pairs into a distinct-agg (q164) and "
+    "shuffling pre-combined per-partition day counts; output "
+    "restricted to days with direct activity.",
 )
 @plan_cache
 def q324(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4511,4 +4513,164 @@ def q325(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(avg_dau / F.col("mau"), 4).alias("stickiness"),
         )
         .orderBy("month")
+    )
+
+
+@register(
+    "q330",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(FLOOR((doc_id % 730)) AS BIGINT) AS day,
+             CAST(SUM(n_chars) AS BIGINT) AS bytes_in
+      FROM documents GROUP BY 1
+    ),
+    cum AS (
+      SELECT day, bytes_in,
+             CAST(SUM(bytes_in) OVER (ORDER BY day) AS BIGINT) AS stored
+      FROM daily
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(day AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(bytes_in AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(day * day AS DECIMAL(30,10))) AS DOUBLE)
+               AS sxx,
+             CAST(SUM(CAST(day * bytes_in AS DECIMAL(30,10))) AS DOUBLE)
+               AS sxy,
+             CAST(MAX(stored) AS DOUBLE) AS stored_now,
+             CAST(MAX(day) AS BIGINT) AS last_day
+      FROM cum
+    )
+    SELECT n AS n_days, CAST(stored_now AS BIGINT) AS stored_bytes,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+             AS daily_growth,
+           ROUND((10 * stored_now - stored_now)
+                 / ((n * sxy - sx * sy) / (n * sxx - sx * sx)), 2)
+             AS days_to_10x
+    FROM s
+    """,
+    doc="Capacity-runway forecast — fit the daily ingest-volume trend "
+    "(OLS of bytes/day on day) over the cumulative stored total and "
+    "report days until storage reaches 10x today's footprint at the "
+    "current growth rate: the 'when do we buy disks' one-pager "
+    "(q299's revenue trend pointed at operations).  Ingestion day "
+    "derives as doc_id mod 730 (q329's synthetic-clock convention); "
+    "volume proxies as n_chars.  Scale shape: ONE fold of the "
+    "corpus metadata column to the <=730-row day frame; the "
+    "cumulative is a window over that tiny frame (oracle states "
+    "it; Spark computes stored_now as a plain SUM — no window "
+    "needed for the max of a cumulative of positives); trend "
+    "closed-form from DECIMAL moments on one row.",
+)
+@plan_cache
+def q330(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    daily = d.groupBy(
+        F.pmod(F.col("doc_id"), F.lit(730)).cast("long").alias("day")
+    ).agg(F.sum("n_chars").cast("long").alias("bytes_in"))
+    s = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("day").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("bytes_in").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("day") * F.col("day")).cast(DEC))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("day") * F.col("bytes_in")).cast(DEC))
+        .cast("double")
+        .alias("sxy"),
+        F.sum("bytes_in").cast("double").alias("stored_now"),
+    )
+    n = F.col("n")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        n.alias("n_days"),
+        F.col("stored_now").cast("long").alias("stored_bytes"),
+        F.round(slope, 4).alias("daily_growth"),
+        F.round((10 * F.col("stored_now") - F.col("stored_now")) / slope, 2)
+        .alias("days_to_10x"),
+    )
+
+
+@register(
+    "q331",
+    oracle="""
+    WITH arm AS (
+      SELECT user_id % 16 AS bucket, user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_ev
+      FROM events GROUP BY 1, 2
+    ),
+    per_split AS (
+      SELECT CAST(FLOOR(bucket / 2) AS BIGINT) AS split_id,
+             bucket % 2 AS arm_b,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(CAST(n_ev AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(n_ev * n_ev AS DECIMAL(30,10))) AS DOUBLE)
+               AS sxx
+      FROM arm GROUP BY 1, 2
+    ),
+    z AS (
+      SELECT a.split_id,
+             (a.sx / a.n_users - b.sx / b.n_users)
+             / SQRT((a.sxx - a.sx * a.sx / a.n_users)
+                    / (a.n_users - 1) / a.n_users
+                    + (b.sxx - b.sx * b.sx / b.n_users)
+                    / (b.n_users - 1) / b.n_users) AS zval
+      FROM per_split a JOIN per_split b
+        ON a.split_id = b.split_id AND a.arm_b = 0 AND b.arm_b = 1
+    )
+    SELECT split_id, ROUND(zval, 4) AS z_stat,
+           CAST(CASE WHEN ABS(zval) > 1.96 THEN 1 ELSE 0 END AS INT)
+             AS false_positive
+    FROM z ORDER BY split_id
+    """,
+    doc="A/A null-experiment audit — 8 deterministic user splits "
+    "(user_id mod 16, paired buckets) each z-tested for a "
+    "difference in per-user event counts that CANNOT be real: any "
+    "|z| > 1.96 is a false positive, and more than ~0-1 of 8 "
+    "flags a broken randomization/metric pipeline BEFORE anyone "
+    "trusts q242's real A/B readouts (the experimentation-hygiene "
+    "harness every platform runs).  Splits are pure hash-free "
+    "modulo arithmetic — identical across engines by construction.  "
+    "Scale shape: ONE fold to per-user counts, ONE fold to the "
+    "16-row (split, arm) moment frame, per-split Welch z closed "
+    "form over an 8-row self-join.",
+)
+@plan_cache
+def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arm = ev.groupBy(
+        F.pmod(F.col("user_id"), F.lit(16)).alias("bucket"), "user_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_ev"))
+    per_split = arm.groupBy(
+        F.floor(F.col("bucket") / 2).cast("long").alias("split_id"),
+        F.pmod(F.col("bucket"), F.lit(2)).alias("arm_b"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.col("n_ev").cast(DEC)).cast("double").alias("sx"),
+        F.sum((F.col("n_ev") * F.col("n_ev")).cast(DEC))
+        .cast("double")
+        .alias("sxx"),
+    )
+    a = per_split.where(F.col("arm_b") == 0).alias("a")
+    b = per_split.where(F.col("arm_b") == 1).alias("b")
+    va = (F.col("a.sxx") - F.col("a.sx") * F.col("a.sx") / F.col("a.n_users")) / (
+        F.col("a.n_users") - 1
+    ) / F.col("a.n_users")
+    vb = (F.col("b.sxx") - F.col("b.sx") * F.col("b.sx") / F.col("b.n_users")) / (
+        F.col("b.n_users") - 1
+    ) / F.col("b.n_users")
+    z = (
+        F.col("a.sx") / F.col("a.n_users") - F.col("b.sx") / F.col("b.n_users")
+    ) / F.sqrt(va + vb)
+    return (
+        a.join(F.broadcast(b), F.col("a.split_id") == F.col("b.split_id"))
+        .select(
+            F.col("a.split_id").alias("split_id"),
+            F.round(z, 4).alias("z_stat"),
+            F.when(F.abs(z) > 1.96, 1).otherwise(0).cast("int")
+            .alias("false_positive"),
+        )
+        .orderBy("split_id")
     )

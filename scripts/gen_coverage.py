@@ -53,6 +53,7 @@ UNIT_ONLY = {
     "Q281": "parameterized SQL + IDENTIFIER() clause (injection-safe templating) — tests/test_sql_surface.py::test_q281_parameterized_sql_and_identifier",
     "Q282": "Python UDTF with TABLE argument + PARTITION BY/ORDER BY — tests/test_udfs.py::test_q282_udtf_table_argument_partition_by",
     "Q312": "binaryFile multimodal ingest source (fixed 4-column schema, pathGlobFilter listing-time pruning, byte-exact content) — tests/test_sources.py::test_q312_binaryfile_source",
+    "Q327": "TABLESAMPLE / df.sample determinism contract (REPEATABLE seeding, BUCKET x OUT OF y, kwargs-only seed trap) — tests/test_sql_surface.py::test_q327_tablesample_repeatable",
     "Q226": "streaming SCD2 dimension maintenance (stream ≡ batch) — hive_hw_spark/tables.py::scd2_apply_batch + tests/test_streaming.py::test_q226_streaming_scd2_maintenance",
     "Q228": "parquet schema evolution via mergeSchema (NULL-fill across writer generations) — tests/test_sources.py::test_q228_parquet_schema_evolution_merge",
     "Q229": "corrupt-record quarantine (PERMISSIVE/_corrupt_record, DROPMALFORMED, FAILFAST) — tests/test_sources.py::test_q229_json_corrupt_record_quarantine",

@@ -135,3 +135,49 @@ def test_q281_parameterized_sql_and_identifier(spark, sf_dir):
             args={"t": t, "k": key},
         ).collect()[0].n
         assert n == spark.table(t).count()
+
+
+def test_q327_tablesample_repeatable(spark, sf_dir):
+    """Q327: TABLESAMPLE surface — REPEATABLE seeding is deterministic
+    (same seed -> identical row set, different seed -> different draw is
+    overwhelmingly likely), the sampled fraction lands near the request,
+    and BUCKET x OUT OF y sampling parses and bounds the draw.  Sampling
+    is engine-native Bernoulli (no oracle: DuckDB's sampler is a
+    different RNG by design — the contract is Spark-internal
+    determinism, which is what reproducible pipelines rely on)."""
+    import os
+
+    spark.read.parquet(os.path.join(sf_dir, "events.parquet")).createOrReplaceTempView(
+        "q327_events"
+    )
+    a = spark.sql(
+        "SELECT event_id FROM q327_events TABLESAMPLE (10 PERCENT) REPEATABLE (42)"
+    )
+    b = spark.sql(
+        "SELECT event_id FROM q327_events TABLESAMPLE (10 PERCENT) REPEATABLE (42)"
+    )
+    ids_a = sorted(r.event_id for r in a.collect())
+    ids_b = sorted(r.event_id for r in b.collect())
+    assert ids_a == ids_b, "same REPEATABLE seed must reproduce the draw"
+
+    c = spark.sql(
+        "SELECT event_id FROM q327_events TABLESAMPLE (10 PERCENT) REPEATABLE (7)"
+    )
+    ids_c = sorted(r.event_id for r in c.collect())
+    assert ids_a != ids_c, "different seed should change the draw"
+
+    n = spark.table("q327_events").count()
+    assert 0.05 * n < len(ids_a) < 0.15 * n, "Bernoulli fraction far off"
+
+    bucket = spark.sql(
+        "SELECT COUNT(*) AS c FROM q327_events TABLESAMPLE (BUCKET 1 OUT OF 10)"
+    ).collect()[0].c
+    assert 0 < bucket < n
+
+    # DataFrame API twin — fraction/seed must be KWARGS: positional
+    # sample(0.1, seed=42) binds 0.1 to the withReplacement overload slot
+    # and the seed is silently dropped (probed: two runs differ), the
+    # q275 wholetext-option class of trap.
+    d1 = spark.table("q327_events").sample(fraction=0.1, seed=42).count()
+    d2 = spark.table("q327_events").sample(fraction=0.1, seed=42).count()
+    assert d1 == d2
