@@ -170,6 +170,37 @@ HEADLINE = [
     "q301",  # forecast backtest (MAPE/bias)
     "q302",  # PSI drift detector
     "q303",  # dead-stock report
+    "q304",  # Welch two-sample t
+    "q305",  # Spearman rank correlation (two-phase ranks)
+    "q306",  # Mann-Whitney U (tie-corrected)
+    "q307",  # one-way ANOVA
+    "q308",  # two-feature OLS per group
+    "q309",  # EWMA control chart
+    "q310",  # Kendall tau-b (monthly triangular)
+    "q311",  # Cramér's V (densified contingency)
+    "q313",  # tokenizer OOV audit
+    "q314",  # BPE merge induction (5 iterative rounds)
+    "q315",  # Zipf exponent fit
+    "q316",  # price elasticity per brand
+    "q317",  # cohort LTV curves
+    "q318",  # token-budget corpus selection
+    "q319",  # SLA attainment + Wilson CI
+    "q320",  # safety stock / reorder point
+    "q321",  # one-pass correlation matrix
+    "q322",  # order-to-ship latency percentiles
+    "q323",  # event-mix entropy per weekday
+    "q324",  # distinct-free rolling WAU (gap-bounded expansion)
+    "q325",  # DAU/MAU stickiness
+    "q326",  # BPE encode + compression report
+    "q328",  # embedding-quality audit
+    "q329",  # weekly n-gram novelty rate
+    "q330",  # capacity-runway forecast
+    "q331",  # A/A null-experiment audit
+    "q332",  # churn-feature materialization
+    "q333",  # point-in-time feature join
+    "q334",  # leave-one-out target encoding
+    "q335",  # corpus datasheet one-pager
+    "q336",  # expanding-window CV folds
 ]
 
 
