@@ -201,6 +201,10 @@ HEADLINE = [
     "q334",  # leave-one-out target encoding
     "q335",  # corpus datasheet one-pager
     "q336",  # expanding-window CV folds
+    "q337",  # exact ROC-AUC (rank-sum)
+    "q338",  # Brier + Murphy decomposition
+    "q339",  # group-leakage split audit
+    "q340",  # split-conformal interval + coverage
 ]
 
 

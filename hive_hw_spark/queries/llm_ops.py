@@ -4484,9 +4484,10 @@ def q328(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Documents carry no timestamp, so ingestion day derives "
     "deterministically as doc_id mod 730 (the synthetic-clock "
     "convention), bucketed to FLOOR(day/7) weeks.  Scale shape: trigrams explode once and fold to "
-    "per-(week, trigram) — the first-seen fold and the novelty "
-    "join are both VOCABULARY-bounded (trigram types, not corpus "
-    "occurrences); the min-week frame broadcasts.",
+    "per-(week, trigram) counts, localCheckpointed (two consumers); "
+    "the first-seen fold and the novelty join both run at that "
+    "VOCABULARY scale (trigram types, never corpus occurrences); "
+    "the min-week frame broadcasts.",
 )
 @plan_cache
 def q329(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4509,13 +4510,20 @@ def q329(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<string>"))
         ).alias("tri"),
     )
-    fs = tg.groupBy("tri").agg(F.min("week").alias("first_week"))
+    # fold the corpus-scale explode ONCE into the vocabulary-bounded
+    # (trigram, week) count frame; first-seen derivation and the novelty
+    # join then run at vocabulary scale (tri-types x weeks), never
+    # against exploded corpus rows
+    vc = tg.groupBy("tri", "week").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint()
+    fs = vc.groupBy("tri").agg(F.min("week").alias("first_week"))
     return (
-        tg.join(F.broadcast(fs), "tri")
+        vc.join(F.broadcast(fs), "tri")
         .groupBy("week")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
-            F.sum(F.when(F.col("first_week") == F.col("week"), 1).otherwise(0))
+            F.sum("c").cast("long").alias("n_trigrams"),
+            F.sum(F.when(F.col("first_week") == F.col("week"), F.col("c")).otherwise(0))
             .cast("long")
             .alias("n_novel"),
         )

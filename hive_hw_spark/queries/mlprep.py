@@ -314,3 +314,433 @@ def q336(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+_SCORE_SQL = """
+    ex AS (
+      SELECT vec_id, label,
+             CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    sc AS (
+      SELECT vec_id,
+             CASE WHEN MAX(label) >= 5 THEN 1 ELSE 0 END AS y,
+             ROUND(1.0 / (1.0 + exp(-CAST(SUM(CAST(
+                 x * ((CAST((pos * 2654435761) % 997 AS DOUBLE) / 997.0)
+                      - 0.5) AS DECIMAL(30,10))) AS DOUBLE))), 6) AS s
+      FROM ex GROUP BY vec_id
+    )
+"""
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q178's deterministic logistic score per vector, with the binary
+    label y = (label >= 5) carried through — the shared input frame for
+    the ML evaluation metrics (q337 AUC, q338 Brier)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("p0", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("p0") + 1).alias("pos"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    w = (
+        F.pmod(F.col("pos") * F.lit(2654435761), F.lit(997)).cast("double")
+        / F.lit(997.0)
+    ) - F.lit(0.5)
+    z = ex.groupBy("vec_id").agg(
+        F.when(F.max("label") >= 5, 1).otherwise(0).alias("y"),
+        F.sum((F.col("x") * w).cast(DEC)).cast("double").alias("z"),
+    )
+    return z.select(
+        "vec_id",
+        "y",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6).alias("s"),
+    )
+
+
+@register(
+    "q337",
+    oracle="""
+    WITH """ + _SCORE_SQL + """,
+    vc AS (
+      SELECT s,
+             CAST(SUM(y) AS BIGINT) AS c1,
+             CAST(SUM(1 - y) AS BIGINT) AS c0
+      FROM sc GROUP BY s
+    ),
+    cum AS (
+      SELECT s, c1, c0,
+             CAST(SUM(c0) OVER (ORDER BY s) - c0 AS BIGINT) AS cb0
+      FROM vc
+    ),
+    u AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n_pos,
+             CAST(SUM(c0) AS BIGINT) AS n_neg,
+             CAST(SUM(CAST(c1 * (2 * cb0 + c0) AS DECIMAL(38,0)))
+               AS DOUBLE) AS u1x2
+      FROM cum
+    )
+    SELECT n_pos, n_neg,
+           ROUND(u1x2 / 2 / (CAST(n_pos AS DOUBLE) * n_neg), 4) AS auc
+    FROM u
+    """,
+    doc="Exact ROC-AUC via the rank-sum identity — AUC = U1/(n1*n0) "
+    "with tie-average credit, computed over q178's deterministic "
+    "logistic scores against the y = (label >= 5) ground truth: the "
+    "model-evaluation metric as one exact query, no sampling and no "
+    "trapezoid approximation (AUC IS the Mann-Whitney U — q306's "
+    "machinery pointed at classifier evaluation; scores hash-random "
+    "here, so AUC ~ 0.5 — the metric, not the model, is the "
+    "operator).  Scale shape: one posexplode+fold to per-vector "
+    "scores, fold to per-DISTINCT-score class counts, q306's "
+    "two-phase cumulative (oracle states the naive window), exact "
+    "integer 2*U1 in DECIMAL(38,0), one divide at the end.",
+)
+@plan_cache
+def q337(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _scored(spark, sf_dir)
+    # the posexplode score subtree is the expensive part (64x row
+    # multiplier); the per-distinct-score frame is tiny — materialize it
+    # so the bounds/bucket/offset branches never re-run the explode
+    vc = scored.groupBy("s").agg(
+        F.sum("y").cast("long").alias("c1"),
+        F.sum(1 - F.col("y")).cast("long").alias("c0"),
+    ).localCheckpoint()
+    bounds = vc.agg(
+        F.expr(
+            "percentile(s, array(0.125,0.25,0.375,0.5,0.625,0.75,0.875))"
+        ).alias("bs")
+    )
+    bucketed = vc.crossJoin(F.broadcast(bounds)).select(
+        "s",
+        "c1",
+        "c0",
+        F.expr("size(filter(bs, b -> b < s))").alias("bk"),
+    )
+    btot = bucketed.groupBy("bk").agg(F.sum("c0").alias("b0"))
+    bo = btot.select(F.col("bk").alias("bk2"), F.col("b0").alias("e0"))
+    offsets = (
+        btot.join(F.broadcast(bo), F.col("bk2") < F.col("bk"), "left")
+        .groupBy("bk")
+        .agg(F.coalesce(F.sum("e0"), F.lit(0)).alias("o0"))
+    )
+    wb = Window.partitionBy("bk").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        bucketed.withColumn("w0", F.sum("c0").over(wb))
+        .join(F.broadcast(offsets), "bk")
+        .withColumn("cb0", (F.col("o0") + F.col("w0") - F.col("c0")).cast("long"))
+    )
+    u = cum.agg(
+        F.sum("c1").cast("long").alias("n_pos"),
+        F.sum("c0").cast("long").alias("n_neg"),
+        F.sum((F.col("c1") * (2 * F.col("cb0") + F.col("c0"))).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("u1x2"),
+    )
+    return u.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.col("u1x2") / 2 / (F.col("n_pos").cast("double") * F.col("n_neg")),
+            4,
+        ).alias("auc"),
+    )
+
+
+@register(
+    "q338",
+    oracle="""
+    WITH """ + _SCORE_SQL + """,
+    binned AS (
+      SELECT LEAST(CAST(FLOOR(s * 10) AS BIGINT), 9) AS bin, y, s
+      FROM sc
+    ),
+    pb AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(s AS DECIMAL(30,10))) AS DOUBLE) AS ss,
+             CAST(SUM(y) AS BIGINT) AS k
+      FROM binned GROUP BY bin
+    ),
+    g AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS gn, CAST(SUM(k) AS BIGINT) AS gk
+      FROM pb
+    ),
+    sq AS (
+      SELECT CAST(SUM(CAST((s - y) * (s - y) AS DECIMAL(30,10)))
+               AS DOUBLE) AS sqerr
+      FROM binned
+    ),
+    terms AS (
+      SELECT CAST(SUM(CAST(n * POWER(ss / n - CAST(k AS DOUBLE) / n, 2)
+               AS DECIMAL(30,10))) AS DOUBLE) AS rel,
+             CAST(SUM(CAST(n * POWER(CAST(k AS DOUBLE) / n
+                      - CAST(gk AS DOUBLE) / gn, 2)
+               AS DECIMAL(30,10))) AS DOUBLE) AS res
+      FROM pb, g
+    )
+    SELECT gn AS n,
+           ROUND(sqerr / gn, 4) AS brier,
+           ROUND(rel / gn, 4) AS reliability,
+           ROUND(res / gn, 4) AS resolution,
+           ROUND(CAST(gk AS DOUBLE) / gn
+                 * (1 - CAST(gk AS DOUBLE) / gn), 4) AS uncertainty
+    FROM g, sq, terms
+    """,
+    doc="Brier score + Murphy decomposition — mean squared error of "
+    "q178's probabilistic scores against y = (label >= 5), split "
+    "into reliability (calibration error across 10 fixed-width "
+    "score bins), resolution (how much the bins separate the base "
+    "rate), and uncertainty (base-rate variance): the probabilistic-"
+    "forecast evaluation triple beneath q277's calibration deciles.  "
+    "Scale shape: one score fold, one fold to the 10-bin frame, "
+    "global terms from 1-row broadcasts; every squared term is "
+    "per-row IEEE double DECIMAL-summed.",
+)
+@plan_cache
+def q338(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _scored(spark, sf_dir)
+    binned = scored.select(
+        F.least(F.floor(F.col("s") * 10).cast("long"), F.lit(9).cast("long"))
+        .alias("bin"),
+        "y",
+        "s",
+    ).localCheckpoint()
+    pb = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("s").cast(DEC)).cast("double").alias("ss"),
+        F.sum("y").cast("long").alias("k"),
+    )
+    sq = binned.agg(
+        F.sum(((F.col("s") - F.col("y")) * (F.col("s") - F.col("y"))).cast(DEC))
+        .cast("double")
+        .alias("sqerr")
+    )
+    g = pb.agg(
+        F.sum("n").cast("long").alias("gn"),
+        F.sum("k").cast("long").alias("gk"),
+    )
+    terms = (
+        pb.crossJoin(F.broadcast(g))
+        .select(
+            "n",
+            (
+                F.col("n")
+                * F.pow(
+                    F.col("ss") / F.col("n")
+                    - F.col("k").cast("double") / F.col("n"),
+                    2,
+                )
+            ).alias("rel_t"),
+            (
+                F.col("n")
+                * F.pow(
+                    F.col("k").cast("double") / F.col("n")
+                    - F.col("gk").cast("double") / F.col("gn"),
+                    2,
+                )
+            ).alias("res_t"),
+        )
+        .agg(
+            F.sum(F.col("rel_t").cast(DEC)).cast("double").alias("rel"),
+            F.sum(F.col("res_t").cast(DEC)).cast("double").alias("res"),
+        )
+    )
+    base = F.col("gk").cast("double") / F.col("gn")
+    return (
+        g.crossJoin(F.broadcast(sq))
+        .crossJoin(F.broadcast(terms))
+        .select(
+            F.col("gn").alias("n"),
+            F.round(F.col("sqerr") / F.col("gn"), 4).alias("brier"),
+            F.round(F.col("rel") / F.col("gn"), 4).alias("reliability"),
+            F.round(F.col("res") / F.col("gn"), 4).alias("resolution"),
+            F.round(base * (1 - base), 4).alias("uncertainty"),
+        )
+    )
+
+
+@register(
+    "q339",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_id % 2 AS half FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS in_train,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS in_test
+      FROM ev GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN in_train > 0 AND in_test > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_leaking,
+           ROUND(CAST(SUM(CASE WHEN in_train > 0 AND in_test > 0
+                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4)
+             AS leak_rate,
+           CAST(SUM(CASE WHEN in_train > 0 AND in_test > 0
+                    THEN in_test ELSE 0 END) AS BIGINT)
+             AS contaminated_test_rows
+    FROM u
+    """,
+    doc="Group-leakage split audit — a row-level random split (event_id "
+    "parity stands in for the shuffled split) scored for ENTITY "
+    "overlap: users with rows on both sides, the leak rate, and how "
+    "many test rows belong to train-seen users.  This is the audit "
+    "that shows why q336's temporal folds and grouped splits exist: "
+    "row-level splits of entity-correlated data leak nearly every "
+    "entity (expected leak_rate -> 1 here), silently inflating "
+    "offline metrics.  Scale shape: ONE fold to per-entity side "
+    "counts (map-side combined), one 1-row fold — two aggs, no "
+    "join.",
+)
+@plan_cache
+def q339(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.pmod(F.col("event_id"), F.lit(2)).alias("half")
+    )
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("in_train"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("in_test"),
+    )
+    leak = (F.col("in_train") > 0) & (F.col("in_test") > 0)
+    return u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(leak, 1).otherwise(0)).cast("long").alias("n_leaking"),
+        F.round(
+            F.sum(F.when(leak, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("leak_rate"),
+        F.sum(F.when(leak, F.col("in_test")).otherwise(0))
+        .cast("long")
+        .alias("contaminated_test_rows"),
+    )
+
+
+@register(
+    "q340",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(date_diff('day', DATE '1995-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+               AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    mx AS (SELECT MAX(x) AS xmax FROM daily),
+    tr AS (SELECT d.* FROM daily d, mx WHERE x <= xmax - 60),
+    cal AS (SELECT d.* FROM daily d, mx
+            WHERE x > xmax - 60 AND x <= xmax - 30),
+    te AS (SELECT d.* FROM daily d, mx WHERE x > xmax - 30),
+    fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(rev AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x * rev AS DECIMAL(30,10))) AS DOUBLE) AS sxy
+      FROM tr
+    ),
+    coefs AS (
+      SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+             sy / n - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx / n
+               AS a
+      FROM fit
+    ),
+    q AS (
+      SELECT quantile_cont(ABS(rev - (a + b * x)), 0.9) AS qhat
+      FROM cal, coefs
+    )
+    SELECT CAST((SELECT COUNT(*) FROM te) AS BIGINT) AS n_test_days,
+           ROUND(qhat, 4) AS interval_halfwidth,
+           ROUND(CAST((SELECT SUM(CASE WHEN ABS(rev - (a + b * x))
+                                       <= qhat THEN 1 ELSE 0 END)
+                       FROM te, coefs, q) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM te), 4) AS empirical_coverage
+    FROM q
+    """,
+    doc="Split-conformal prediction interval + coverage audit — fit the "
+    "daily-revenue trend on the oldest days, take the 90th-"
+    "percentile absolute residual on a held-out CALIBRATION month "
+    "as the interval half-width (the distribution-free split-"
+    "conformal recipe: ~90% coverage guaranteed without any "
+    "distributional assumption), then measure empirical coverage on "
+    "the final test month: the uncertainty-quantification layer "
+    "q299's point forecast lacks, with the train/calibrate/test "
+    "discipline structural (three disjoint windows, q336's rule).  "
+    "Scale shape: one fold to the calendar-day frame; fit/quantile/"
+    "coverage all run over slices of that tiny frame via 1-row "
+    "broadcasts.",
+)
+@plan_cache
+def q340(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("rev"))
+        .select(
+            F.datediff("day", F.lit("1995-01-01").cast("date"))
+            .cast("long")
+            .alias("x"),
+            "rev",
+        )
+        .localCheckpoint()
+    )
+    mx = daily.agg(F.max("x").alias("xmax"))
+    d = daily.crossJoin(F.broadcast(mx))
+    tr = d.where(F.col("x") <= F.col("xmax") - 60)
+    cal = d.where(
+        (F.col("x") > F.col("xmax") - 60) & (F.col("x") <= F.col("xmax") - 30)
+    )
+    te = d.where(F.col("x") > F.col("xmax") - 30)
+    fit = tr.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("rev").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
+        F.sum((F.col("x") * F.col("rev")).cast(DEC))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n = F.col("n")
+    b = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    coefs = fit.select(
+        b.alias("b"), (F.col("sy") / n - b * F.col("sx") / n).alias("a")
+    )
+    resid = F.abs(F.col("rev") - (F.col("a") + F.col("b") * F.col("x")))
+    q = (
+        cal.crossJoin(F.broadcast(coefs))
+        .agg(F.percentile(resid, F.lit(0.9)).alias("qhat"))
+    )
+    cov = (
+        te.crossJoin(F.broadcast(coefs))
+        .crossJoin(F.broadcast(q))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test_days"),
+            F.round(F.max("qhat"), 4).alias("interval_halfwidth"),
+            F.round(
+                F.sum(F.when(resid <= F.col("qhat"), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("empirical_coverage"),
+        )
+    )
+    return cov.select("n_test_days", "interval_halfwidth", "empirical_coverage")
