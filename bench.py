@@ -205,6 +205,8 @@ HEADLINE = [
     "q338",  # Brier + Murphy decomposition
     "q339",  # group-leakage split audit
     "q340",  # split-conformal interval + coverage
+    "q341",  # degree assortativity
+    "q342",  # order-backlog flow balance
 ]
 
 

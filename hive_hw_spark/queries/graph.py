@@ -418,3 +418,95 @@ def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_parts"))
         .orderBy("hop")
     )
+
+
+@register(
+    "q341",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT d1.l_partkey AS a, d2.l_partkey AS b
+      FROM d d1 JOIN d d2
+        ON d1.l_orderkey = d2.l_orderkey AND d1.l_partkey < d2.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+      ) GROUP BY v
+    ),
+    ends AS (
+      SELECT da.d AS x, db.d AS y
+      FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v
+      UNION ALL
+      SELECT db.d AS x, da.d AS y
+      FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+      FROM ends
+    )
+    SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+           ROUND((m * sxy - sx * sy)
+                 / (SQRT(m * sxx - sx * sx) * SQRT(m * syy - sy * sy)), 4)
+             AS assortativity
+    FROM s
+    """,
+    doc="Degree assortativity coefficient of the co-purchase graph — "
+    "Pearson correlation of endpoint degrees over the SYMMETRIZED "
+    "edge list (each undirected edge contributes both orientations, "
+    "the standard Newman definition): positive means hubs attach to "
+    "hubs (assortative), negative means hub-and-spoke; the fourth "
+    "graph statistic next to q215's clustering, q156's PageRank and "
+    "q118's components.  Exact integer degree products accumulate "
+    "as DECIMAL(38,0) (d can reach graph scale; d*d overflows "
+    "BIGINT sums at 100 TB — the q298 lesson).  Scale shape: "
+    "reuses the _managed_persist'd co-purchase edge frame (ONE "
+    "basket expansion per session shared with q215/q220); the "
+    "degree map is |vertices| rows, BROADCAST to both endpoint "
+    "joins; one moment fold, closed form on one row.",
+)
+@plan_cache
+def q341(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("dx"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("dy"))
+    one = (
+        edges.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(F.col("dx").alias("x"), F.col("dy").alias("y"))
+    )
+    ends = one.unionAll(one.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    s = ends.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    m = F.col("m")
+    cov = m * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = m * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = m * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        (m / 2).cast("long").alias("n_edges"),
+        F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 4).alias("assortativity"),
+    )

@@ -4674,3 +4674,112 @@ def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_id")
     )
+
+
+@register(
+    "q342",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS placed
+      FROM orders
+    ),
+    done AS (
+      SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS completed
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    placed_d AS (
+      SELECT placed AS day, CAST(COUNT(*) AS BIGINT) AS n_placed
+      FROM o GROUP BY placed
+    ),
+    done_d AS (
+      SELECT completed AS day, CAST(COUNT(*) AS BIGINT) AS n_done
+      FROM o JOIN done ON o_orderkey = l_orderkey
+      GROUP BY completed
+    ),
+    cal AS (
+      SELECT day FROM placed_d UNION SELECT day FROM done_d
+    ),
+    flow AS (
+      SELECT cal.day,
+             COALESCE(p.n_placed, 0) AS n_placed,
+             COALESCE(f.n_done, 0) AS n_done
+      FROM cal LEFT JOIN placed_d p ON cal.day = p.day
+      LEFT JOIN done_d f ON cal.day = f.day
+    ),
+    cum AS (
+      SELECT day, n_placed, n_done,
+             CAST(SUM(n_placed - n_done) OVER (ORDER BY day) AS BIGINT)
+               AS backlog
+      FROM flow
+    )
+    SELECT CAST(date_trunc('month', day) AS VARCHAR) AS month,
+           CAST(MAX_BY(backlog, day) AS BIGINT) AS month_end_backlog,
+           CAST(MAX(backlog) AS BIGINT) AS peak_backlog,
+           CAST(SUM(n_placed) AS BIGINT) AS placed,
+           CAST(SUM(n_done) AS BIGINT) AS completed
+    FROM cum GROUP BY 1 ORDER BY month
+    """,
+    doc="Order-backlog flow balance — cumulative placed minus cumulative "
+    "completed (an order completes when its LAST line item ships), "
+    "reported as month-end and peak backlog with monthly in/out "
+    "flows: the WIP/queue-depth report behind every fulfillment "
+    "capacity decision (Little's-law input; q322 gives the latency "
+    "view, this gives the inventory-of-work view).  Scale shape: "
+    "one fold per fact to daily in/out counts (the completion fold "
+    "is a per-order MAX — partial-combined), a calendar-bounded "
+    "full-union merge, ONE running-sum window over the tiny "
+    "calendar frame, month rollup via max_by.",
+)
+@plan_cache
+def q342(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("placed")
+    )
+    done = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("completed"))
+    )
+    placed_d = o.groupBy(F.col("placed").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_placed")
+    )
+    done_d = (
+        o.join(done, o.o_orderkey == done.l_orderkey)
+        .groupBy(F.col("completed").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_done"))
+    )
+    flow = (
+        placed_d.join(done_d, "day", "full")
+        .select(
+            "day",
+            F.coalesce("n_placed", F.lit(0)).alias("n_placed"),
+            F.coalesce("n_done", F.lit(0)).alias("n_done"),
+        )
+    )
+    # single tiny calendar frame: structurally bounded by |distinct days|;
+    # constant partition key via the non-foldable pmod idiom (CLAUDE.md)
+    w = (
+        Window.partitionBy(F.pmod(F.dayofmonth("day"), F.lit(1)))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = flow.withColumn(
+        "backlog", F.sum(F.col("n_placed") - F.col("n_done")).over(w).cast("long")
+    )
+    return (
+        cum.groupBy(F.trunc("day", "month").alias("m"))
+        .agg(
+            F.max_by("backlog", "day").cast("long").alias("month_end_backlog"),
+            F.max("backlog").cast("long").alias("peak_backlog"),
+            F.sum("n_placed").cast("long").alias("placed"),
+            F.sum("n_done").cast("long").alias("completed"),
+        )
+        .select(
+            F.col("m").cast("string").alias("month"),
+            "month_end_backlog",
+            "peak_backlog",
+            "placed",
+            "completed",
+        )
+        .orderBy("month")
+    )
