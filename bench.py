@@ -207,6 +207,10 @@ HEADLINE = [
     "q340",  # split-conformal interval + coverage
     "q341",  # degree assortativity
     "q342",  # order-backlog flow balance
+    "q343",  # XmR individuals control chart
+    "q344",  # Wald-Wolfowitz runs test
+    "q345",  # Theil index + decomposition
+    "q346",  # Lorenz curve deciles
 ]
 
 

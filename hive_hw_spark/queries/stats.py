@@ -4783,3 +4783,384 @@ def q342(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "q343",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+               AS rev
+      FROM orders GROUP BY day
+    ),
+    mr AS (
+      SELECT day, rev,
+             ABS(rev - LAG(rev) OVER (ORDER BY day)) AS m
+      FROM daily
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(rev AS DECIMAL(30,10))) AS DOUBLE) AS sr,
+             CAST(SUM(CAST(m AS DECIMAL(30,10))) AS DOUBLE) AS sm,
+             CAST(COUNT(m) AS BIGINT) AS nm
+      FROM mr
+    )
+    SELECT CAST(mr.day AS VARCHAR) AS day, ROUND(mr.rev, 4) AS rev,
+           CAST(CASE WHEN ABS(mr.rev - s.sr / s.n)
+                          > 2.66 * (s.sm / s.nm)
+                     THEN 1 ELSE 0 END AS INT) AS x_ooc,
+           CAST(CASE WHEN mr.m > 3.267 * (s.sm / s.nm)
+                     THEN 1 ELSE 0 END AS INT) AS mr_ooc
+    FROM mr, s ORDER BY day
+    """,
+    doc="XmR (individuals / moving-range) control chart on daily "
+    "revenue — the SPC chart for single observations per period: "
+    "X limits at xbar ± 2.66·MRbar and MR limit at 3.267·MRbar "
+    "(the Shewhart constants for n = 2 subgroups), flagging both "
+    "level shifts (x_ooc) and volatility spikes (mr_ooc).  "
+    "Complements q309's EWMA chart: XmR reacts to single large "
+    "shocks, EWMA to small sustained drifts — a real SPC deployment "
+    "runs both.  Scale shape: one fold to the calendar frame, ONE "
+    "lag window over it (bounded, structurally tiny), limits from a "
+    "1-row broadcast of DECIMAL-accumulated moments.",
+)
+@plan_cache
+def q343(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("rev"))
+    )
+    w = Window.partitionBy(F.pmod(F.dayofmonth("day"), F.lit(1))).orderBy(
+        "day"
+    )
+    mr = daily.withColumn(
+        "m", F.abs(F.col("rev") - F.lag("rev").over(w))
+    ).localCheckpoint()
+    s = mr.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("rev").cast(DEC)).cast("double").alias("sr"),
+        F.sum(F.col("m").cast(DEC)).cast("double").alias("sm"),
+        F.count("m").cast("long").alias("nm"),
+    )
+    xbar = F.col("sr") / F.col("n")
+    mrbar = F.col("sm") / F.col("nm")
+    return (
+        mr.crossJoin(F.broadcast(s))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.round("rev", 4).alias("rev"),
+            F.when(F.abs(F.col("rev") - xbar) > 2.66 * mrbar, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("x_ooc"),
+            F.when(F.col("m") > 3.267 * mrbar, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("mr_ooc"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "q344",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+               AS rev
+      FROM orders GROUP BY day
+    ),
+    med AS (SELECT quantile_cont(rev, 0.5) AS m FROM daily),
+    sgn AS (
+      SELECT day, CASE WHEN rev > med.m THEN 1 ELSE 0 END AS s
+      FROM daily, med WHERE rev <> med.m
+    ),
+    runs AS (
+      SELECT s,
+             CASE WHEN LAG(s) OVER (ORDER BY day) IS NULL
+                       OR s <> LAG(s) OVER (ORDER BY day)
+                  THEN 1 ELSE 0 END AS new_run
+      FROM sgn
+    ),
+    c AS (
+      SELECT CAST(SUM(new_run) AS BIGINT) AS r,
+             CAST(SUM(s) AS BIGINT) AS n1,
+             CAST(SUM(1 - s) AS BIGINT) AS n2
+      FROM runs
+    )
+    SELECT r AS n_runs, n1 AS n_above, n2 AS n_below,
+           ROUND(1 + 2.0 * n1 * n2 / (n1 + n2), 4) AS expected_runs,
+           ROUND((r - (1 + 2.0 * n1 * n2 / (n1 + n2)))
+                 / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((CAST(n1 + n2 AS DOUBLE))
+                           * (n1 + n2) * (n1 + n2 - 1))), 4) AS z_stat
+    FROM c
+    """,
+    doc="Wald-Wolfowitz runs test for randomness — is the daily-revenue "
+    "series' above/below-median sign sequence random, or does it "
+    "cluster (trend/regime) or alternate (over-correction)?  Runs "
+    "counted as sign-change starts (the gaps-and-islands trick on "
+    "the sign sequence), exact-median ties excluded, normal-approx "
+    "z from the run-count moments: the model-free randomness check "
+    "run BEFORE trusting q252's ACF or q299's trend fit.  Scale "
+    "shape: one fold to the calendar frame, one lag window over it, "
+    "closed form on one row.",
+)
+@plan_cache
+def q344(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("rev"))
+        .localCheckpoint()
+    )
+    med = daily.agg(F.percentile("rev", F.lit(0.5)).alias("m"))
+    sgn = (
+        daily.crossJoin(F.broadcast(med))
+        .where(F.col("rev") != F.col("m"))
+        .select("day", F.when(F.col("rev") > F.col("m"), 1).otherwise(0).alias("s"))
+    )
+    w = Window.partitionBy(F.pmod(F.dayofmonth("day"), F.lit(1))).orderBy(
+        "day"
+    )
+    runs = sgn.select(
+        "s",
+        F.when(
+            F.lag("s").over(w).isNull() | (F.col("s") != F.lag("s").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    c = runs.agg(
+        F.sum("new_run").cast("long").alias("r"),
+        F.sum("s").cast("long").alias("n1"),
+        F.sum(1 - F.col("s")).cast("long").alias("n2"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    er = 1 + 2.0 * n1 * n2 / (n1 + n2)
+    vr = (
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2).cast("double") * (n1 + n2) * (n1 + n2 - 1))
+    )
+    return c.select(
+        r.alias("n_runs"),
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        F.round(er, 4).alias("expected_runs"),
+        F.round((r - er) / F.sqrt(vr), 4).alias("z_stat"),
+    )
+
+
+@register(
+    "q345",
+    oracle="""
+    WITH cr AS (
+      SELECT o_custkey, c_nationkey AS nk,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+               AS x
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT nk, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(x * ln(x) AS DECIMAL(30,10))) AS DOUBLE)
+               AS sxl
+      FROM cr GROUP BY nk
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS gn,
+             CAST(SUM(CAST(sx AS DECIMAL(30,10))) AS DOUBLE) AS gs,
+             CAST(SUM(CAST(sxl AS DECIMAL(30,10))) AS DOUBLE) AS gl
+      FROM g
+    ),
+    parts AS (
+      SELECT
+        CAST(SUM(CAST((sx / gs) * ln((sx / gs) / (CAST(n AS DOUBLE) / gn))
+             AS DECIMAL(30,10))) AS DOUBLE) AS t_between
+      FROM g, tot
+    )
+    SELECT ROUND(gl / gs - ln(gs / gn), 4) AS theil_total,
+           ROUND(t_between, 4) AS theil_between,
+           ROUND(gl / gs - ln(gs / gn) - t_between, 4) AS theil_within
+    FROM parts, tot
+    """,
+    doc="Theil T inequality index with between/within-nation "
+    "decomposition — T = E[(x/mu)·ln(x/mu)] over per-customer "
+    "revenue, split EXACTLY into between-group (nation revenue "
+    "shares vs population shares) and within-group terms (within "
+    "reported as total − between, the decomposition identity): the "
+    "decomposable complement to q255's Gini (Gini does not "
+    "decompose; Theil answers 'how much inequality is ACROSS "
+    "markets vs INSIDE them').  Per-row x·ln x stays IEEE double, "
+    "all folds DECIMAL; groups are |nations| rows.  Scale shape: "
+    "broadcast dim join, fold to per-customer, fold to per-nation "
+    "sufficient stats, closed form from 1-row broadcasts.",
+)
+@plan_cache
+def q345(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cr = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey", F.col("c_nationkey").alias("nk"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("x"))
+    )
+    g = cr.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum((F.col("x") * F.log("x")).cast(DEC)).cast("double").alias("sxl"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("gn"),
+        F.sum(F.col("sx").cast(DEC)).cast("double").alias("gs"),
+        F.sum(F.col("sxl").cast(DEC)).cast("double").alias("gl"),
+    )
+    share = F.col("sx") / F.col("gs")
+    pop = F.col("n").cast("double") / F.col("gn")
+    tb = (
+        g.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum((share * F.log(share / pop)).cast(DEC))
+            .cast("double")
+            .alias("t_between")
+        )
+    )
+    t_total = F.col("gl") / F.col("gs") - F.log(F.col("gs") / F.col("gn"))
+    return (
+        tot.crossJoin(F.broadcast(tb))
+        .select(
+            F.round(t_total, 4).alias("theil_total"),
+            F.round(F.col("t_between"), 4).alias("theil_between"),
+            F.round(t_total - F.col("t_between"), 4).alias("theil_within"),
+        )
+    )
+
+
+@register(
+    "q346",
+    oracle="""
+    WITH cr AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+               AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    rk AS (
+      SELECT rev,
+             NTILE(10) OVER (ORDER BY rev, o_custkey) AS decile
+      FROM cr
+    ),
+    d AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(rev AS DECIMAL(30,10))) AS DOUBLE) AS s
+      FROM rk GROUP BY decile
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS gn,
+             CAST(SUM(CAST(s AS DECIMAL(30,10))) AS DOUBLE) AS gs
+      FROM d
+    ),
+    cum AS (
+      SELECT decile, n, s,
+             CAST(SUM(CAST(s AS DECIMAL(30,10)))
+                  OVER (ORDER BY decile) AS DOUBLE) AS cs,
+             CAST(SUM(n) OVER (ORDER BY decile) AS BIGINT) AS cn
+      FROM d
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n AS n_customers,
+           ROUND(CAST(cn AS DOUBLE) / gn, 4) AS cum_pop_share,
+           ROUND(cs / gs, 4) AS cum_rev_share
+    FROM cum, tot ORDER BY decile
+    """,
+    doc="Lorenz curve at revenue deciles — cumulative population share "
+    "vs cumulative revenue share per decile of customers ordered by "
+    "spend: the 10-point curve behind q255's Gini scalar (the "
+    "'bottom 50% hold X% of revenue' chart).  Decile assignment "
+    "uses the deterministic (rev, custkey) tie-break; the oracle "
+    "states NTILE over the naive global window, the Spark plan "
+    "derives the SAME decile as a pure function of the q255 "
+    "two-phase global rank (off + row_number, bucket-partitioned "
+    "windows), so both engines assign identical membership.  Scale "
+    "shape: fold to per-customer, two-phase rank, fold to 10 rows, "
+    "cumulate over the 10-row frame.",
+)
+@plan_cache
+def q346(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cr = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("rev"))
+    )
+    bounds = cr.agg(
+        F.expr(
+            "percentile(rev, array(0.125,0.25,0.375,0.5,0.625,0.75,0.875))"
+        ).alias("bs")
+    )
+    bucketed = cr.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        "rev",
+        F.expr("size(filter(bs, b -> b < rev))").alias("bk"),
+    )
+    btot = bucketed.groupBy("bk").agg(F.count(F.lit(1)).alias("bn"))
+    b2 = btot.select(F.col("bk").alias("bk2"), F.col("bn").alias("bn2"))
+    offsets = (
+        btot.join(F.broadcast(b2), F.col("bk2") < F.col("bk"), "left")
+        .groupBy("bk")
+        .agg(F.coalesce(F.sum("bn2"), F.lit(0)).alias("off"))
+    )
+    total = cr.agg(F.count(F.lit(1)).cast("long").alias("gn"))
+    wb = Window.partitionBy("bk").orderBy("rev", "o_custkey")
+    # NTILE(10) over n rows assigns rank r (1-based) to tile
+    # floor((r - 1) * 10 / n) + 1 when n % 10 == 0; in general the first
+    # (n % 10) tiles get one extra row — replicate exactly:
+    # tile(r) = the unique t with r <= t*q + min(t, rem) where
+    # q = n / 10, rem = n % 10; closed form below.
+    ranked = (
+        bucketed.join(F.broadcast(offsets), "bk")
+        .withColumn("r", (F.col("off") + F.row_number().over(wb)).cast("long"))
+        .crossJoin(F.broadcast(total))
+    )
+    q = F.floor(F.col("gn") / 10)
+    rem = F.col("gn") % 10
+    big = (q + 1) * rem  # rows covered by the first `rem` (larger) tiles
+    decile = F.when(
+        F.col("r") <= big, F.floor((F.col("r") - 1) / (q + 1)) + 1
+    ).otherwise(F.floor((F.col("r") - big - 1) / q) + rem + 1)
+    d = (
+        ranked.select(decile.cast("long").alias("decile"), "rev")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("rev").cast(DEC)).alias("sdec"),
+        )
+        .localCheckpoint()
+    )
+    tot = d.agg(
+        F.sum("n").cast("long").alias("gn"),
+        F.sum("sdec").cast("double").alias("gs"),
+    )
+    wc = Window.partitionBy(F.pmod(F.col("decile"), F.lit(1))).orderBy(
+        "decile"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        d.withColumn("cs", F.sum("sdec").over(wc).cast("double"))
+        .withColumn("cn", F.sum("n").over(wc).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            F.col("n").alias("n_customers"),
+            F.round(F.col("cn").cast("double") / F.col("gn"), 4).alias(
+                "cum_pop_share"
+            ),
+            F.round(F.col("cs") / F.col("gs"), 4).alias("cum_rev_share"),
+        )
+        .orderBy("decile")
+    )
