@@ -211,6 +211,22 @@ HEADLINE = [
     "q344",  # Wald-Wolfowitz runs test
     "q345",  # Theil index + decomposition
     "q346",  # Lorenz curve deciles
+    "q347",  # log-rank survival test
+    "q348",  # Benjamini-Hochberg FDR
+    "q349",  # Markov stationary + entropy rate
+    "q350",  # Poisson-bootstrap CI
+    "q351",  # Chao1 + Good-Turing richness
+    "q352",  # pairwise Jensen-Shannon matrix
+    "q353",  # recommender temporal backtest
+    "q354",  # int8 quantization audit
+    "q355",  # post-stratified treatment effect
+    "q356",  # dedup-threshold sweep histogram
+    "q357",  # Huber one-step robust trend
+    "q358",  # negative-sampling triplets
+    "q359",  # ABC-XYZ inventory matrix
+    "q360",  # forecast bake-off
+    "q361",  # per-source perplexity audit
+    "q362",  # k-core peeling trace
 ]
 
 

@@ -2349,3 +2349,201 @@ def q289(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast(DEC)).over(w).cast("double"), 4
         ).alias("sum_7d"),
     ).orderBy("event_id")
+
+
+@register(
+    "q359",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(30,10))) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    t AS (SELECT SUM(rev) AS tot FROM pr),
+    c AS (
+      SELECT l_partkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS crev
+      FROM pr
+    ),
+    abc AS (
+      SELECT l_partkey, rev,
+             CASE
+               WHEN CAST(crev AS DOUBLE)
+                    <= CAST(0.80 AS DOUBLE) * CAST(tot AS DOUBLE)
+                 THEN 'A'
+               WHEN CAST(crev AS DOUBLE)
+                    <= CAST(0.95 AS DOUBLE) * CAST(tot AS DOUBLE)
+                 THEN 'B'
+               ELSE 'C'
+             END AS abc_class
+      FROM c, t
+    ),
+    bounds AS (
+      SELECT MIN(CAST(l_shipdate AS DATE)) AS mn,
+             CAST(date_diff('day', MIN(CAST(l_shipdate AS DATE)),
+                            MAX(CAST(l_shipdate AS DATE))) // 7 + 1
+                  AS BIGINT) AS nw
+      FROM lineitem
+    ),
+    wk AS (
+      SELECT l_partkey,
+             CAST(date_diff('day', mn, CAST(l_shipdate AS DATE)) // 7
+                  AS BIGINT) AS w,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)
+               AS q
+      FROM lineitem CROSS JOIN bounds GROUP BY 1, 2
+    ),
+    cv AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(q AS DECIMAL(30,10))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(q * q AS DECIMAL(30,10))) AS DOUBLE) AS ss
+      FROM wk GROUP BY 1
+    ),
+    xyz AS (
+      SELECT l_partkey,
+             CASE
+               WHEN SQRT((ss - s * s / nw) / (nw - 1)) / (s / nw) < 0.5
+                 THEN 'X'
+               WHEN SQRT((ss - s * s / nw) / (nw - 1)) / (s / nw) < 1.0
+                 THEN 'Y'
+               ELSE 'Z'
+             END AS xyz_class
+      FROM cv CROSS JOIN bounds
+    )
+    SELECT abc_class, xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(SUM(rev) AS DOUBLE)
+                 / (SELECT CAST(tot AS DOUBLE) FROM t), 4) AS rev_share
+    FROM abc JOIN xyz USING (l_partkey)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="ABC-XYZ inventory matrix: q167's cumulative-revenue ABC "
+    "classes crossed with demand-variability XYZ classes (weekly "
+    "demand coefficient of variation over the FULL week horizon — "
+    "zero weeks contribute through the global week count, so "
+    "sporadic parts are correctly Z, not X), the 9-cell planning "
+    "matrix behind stocking policy (AX = automate, CZ = "
+    "make-to-order).  Scale shape: per-part revenue persisted and "
+    "cumulated with q167's two-phase bucket discipline (oracle "
+    "states the naive global window), weekly demand folds to "
+    "(part, week) with map-side combine then to per-part moments, "
+    "CV closed form with the implicit-zero-weeks identity, one "
+    "part-keyed join, 9-row output.",
+)
+def q359(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(30,10)"
+    pr = _managed_persist(
+        "q359_part_rev",
+        li.groupBy("l_partkey").agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    dec
+                )
+            ).alias("rev")
+        ),
+    )
+    bounds = pr.agg(
+        F.expr(
+            "percentile(CAST(rev AS DOUBLE), "
+            "array(0.125,0.25,0.375,0.5,0.625,0.75,0.875))"
+        ).alias("bs")
+    )
+    bucketed = pr.crossJoin(F.broadcast(bounds)).select(
+        "l_partkey",
+        "rev",
+        F.expr("size(filter(bs, b -> b > CAST(rev AS DOUBLE)))").alias("bk"),
+    )
+    btot = bucketed.groupBy("bk").agg(F.sum("rev").alias("brev"))
+    b2 = btot.select(F.col("bk").alias("bk2"), F.col("brev").alias("brev2"))
+    offsets = (
+        btot.join(b2, F.col("bk2") < F.col("bk"), "left")
+        .groupBy("bk")
+        .agg(F.sum("brev2").alias("offset"))
+        .na.fill({"offset": 0})
+    )
+    tot = pr.agg(F.sum("rev").alias("tot"))
+    w = Window.partitionBy("bk").orderBy(
+        F.col("rev").desc(), F.col("l_partkey")
+    )
+    abc = (
+        bucketed.join(F.broadcast(offsets), "bk")
+        .withColumn("wsum", F.sum("rev").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            "rev",
+            "tot",
+            F.when(
+                (F.col("wsum") + F.col("offset")).cast("double")
+                <= F.lit(0.80) * F.col("tot").cast("double"),
+                "A",
+            )
+            .when(
+                (F.col("wsum") + F.col("offset")).cast("double")
+                <= F.lit(0.95) * F.col("tot").cast("double"),
+                "B",
+            )
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+    b = li.agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("mn"),
+        (
+            F.floor(
+                F.datediff(
+                    F.max(F.col("l_shipdate").cast("date")),
+                    F.min(F.col("l_shipdate").cast("date")),
+                )
+                / 7
+            )
+            + 1
+        )
+        .cast("bigint")
+        .alias("nw"),
+    )
+    wk = (
+        li.crossJoin(F.broadcast(b))
+        .groupBy(
+            "l_partkey",
+            F.floor(
+                F.datediff(F.col("l_shipdate").cast("date"), F.col("mn")) / 7
+            )
+            .cast("bigint")
+            .alias("w"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("q"))
+    )
+    cv = wk.groupBy("l_partkey").agg(
+        F.sum(F.col("q").cast(dec)).cast("double").alias("s"),
+        F.sum((F.col("q") * F.col("q")).cast(dec)).cast("double").alias("ss"),
+    )
+    cv_expr = F.sqrt(
+        (F.col("ss") - F.col("s") * F.col("s") / F.col("nw"))
+        / (F.col("nw") - 1)
+    ) / (F.col("s") / F.col("nw"))
+    xyz = cv.crossJoin(F.broadcast(b)).select(
+        "l_partkey",
+        F.when(cv_expr < 0.5, "X")
+        .when(cv_expr < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(
+                F.sum("rev").cast("double")
+                / F.any_value(F.col("tot")).cast("double"),
+                4,
+            ).alias("rev_share"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )

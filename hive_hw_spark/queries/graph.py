@@ -510,3 +510,106 @@ def q341(spark: SparkSession, sf_dir: str) -> DataFrame:
         (m / 2).cast("long").alias("n_edges"),
         F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 4).alias("assortativity"),
     )
+
+
+@register(
+    "q362",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT d1.l_partkey AS a, d2.l_partkey AS b
+      FROM d d1 JOIN d d2
+        ON d1.l_orderkey = d2.l_orderkey
+       AND d1.l_partkey < d2.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    dg1 AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+        SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0
+      ) GROUP BY v
+    ),
+    k1 AS (SELECT v FROM dg1 WHERE dg >= 3),
+    e1 AS (
+      SELECT a, b FROM e0
+      WHERE a IN (SELECT v FROM k1) AND b IN (SELECT v FROM k1)
+    ),
+    dg2 AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+        SELECT a AS v FROM e1 UNION ALL SELECT b AS v FROM e1
+      ) GROUP BY v
+    ),
+    k2 AS (SELECT v FROM dg2 WHERE dg >= 3),
+    e2 AS (
+      SELECT a, b FROM e1
+      WHERE a IN (SELECT v FROM k2) AND b IN (SELECT v FROM k2)
+    ),
+    dg3 AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+        SELECT a AS v FROM e2 UNION ALL SELECT b AS v FROM e2
+      ) GROUP BY v
+    ),
+    k3 AS (SELECT v FROM dg3 WHERE dg >= 3),
+    e3 AS (
+      SELECT a, b FROM e2
+      WHERE a IN (SELECT v FROM k3) AND b IN (SELECT v FROM k3)
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS round,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM k1) AS n_nodes,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM e1) AS n_edges
+      UNION ALL
+      SELECT CAST(2 AS BIGINT),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM k2),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM e2)
+      UNION ALL
+      SELECT CAST(3 AS BIGINT),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM k3),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM e3)
+    ) ORDER BY round
+    """,
+    doc="3-core peeling trace over the shared co-purchase graph (5th "
+    "graph statistic beside q215 triangles / q156 PageRank / q118 "
+    "components / q341 assortativity): three rounds of 'drop nodes "
+    "with degree < 3, keep only surviving edges', reporting nodes "
+    "and edges after each peel — the convergence trace IS the "
+    "output (a stable tail means the 3-core is found; fast decay "
+    "means the graph is mostly tree-like fringe).  Bounded "
+    "iteration with a straight SQL oracle, same family as q156's "
+    "unrolled supersteps.  Scale shape: the persisted edge frame "
+    "is shared with the other graph ops; each peel is one degree "
+    "fold plus two LEFT SEMI joins, and each round's shrinking "
+    "edge set is localCheckpointed (the q118 rule — the next round "
+    "AND the count branch both read it, and warm bench reps must "
+    "not replay the peel chain).",
+)
+def q362(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir)
+    rows = []
+    e = edges
+    for rnd in (1, 2, 3):
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("dg"))
+        )
+        keep = deg.where(F.col("dg") >= 3).select("v").localCheckpoint()
+        e = (
+            e.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        nk = keep.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        ne = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+        rows.append(
+            nk.crossJoin(ne).select(
+                F.lit(rnd).cast("bigint").alias("round"),
+                "n_nodes",
+                "n_edges",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("round")

@@ -4611,3 +4611,207 @@ def q335(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 - F.col("n_unique").cast("double") / F.col("nd"), 4
         ).alias("exact_dup_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q356 dedup-threshold sweep: exact-Jaccard candidate histogram
+# --------------------------------------------------------------------------
+@register(
+    "q356",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, len(string_split(text,' ')) - 1),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2])) AS sh
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))), 4)
+               AS jac
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    ),
+    binned AS (
+      SELECT CASE WHEN CAST(ROUND(jac * 10000) AS BIGINT) >= 10000
+                  THEN 9
+                  ELSE CAST(ROUND(jac * 10000) AS BIGINT) // 1000
+             END AS bin, doc_a, doc_b
+      FROM pairs
+    ),
+    ex AS (
+      SELECT bin, doc_a AS d FROM binned
+      UNION ALL
+      SELECT bin, doc_b AS d FROM binned
+    )
+    SELECT CAST(bin AS DOUBLE) / 10 AS bin_lo,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs
+    FROM ex GROUP BY bin ORDER BY bin_lo
+    """,
+    doc="Dedup-threshold sweep: the exact word-trigram Jaccard "
+    "similarity histogram of all candidate pairs >= 0.5, binned "
+    "[0.5,0.6) ... [0.9,1.0] with pair counts and distinct docs "
+    "touched per bin — the calibration table you read BEFORE "
+    "choosing q91/q132's production threshold ('how much more "
+    "corpus does 0.7 remove than 0.8').  ONE candidate generation "
+    "serves every threshold: prefix filtering at the LOWEST "
+    "threshold (0.5) is exhaustively complete for all higher bins "
+    "(AllPairs theorem), so the sweep costs one pass, not five.  "
+    "Binning is integer arithmetic on the round(4) value (no "
+    "float*10 floor hazards).  Scale shape: q132's prefix-filter "
+    "join (rarest-gram candidates, size filter, bounded fan-out); "
+    "the pair frame is localCheckpointed before the histogram fold "
+    "(single map-side explode, one tiny agg).",
+)
+@plan_cache
+def q356(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("toks", _toks())
+        .withColumn("sh", _shingles())
+        .select("doc_id", "sh")
+    )
+    pairs = prefix_filter_jaccard_pairs(d, threshold=0.5).localCheckpoint()
+    j4 = F.round(F.col("jac") * 10000, 0).cast("bigint")
+    binned = pairs.select(
+        F.when(j4 >= 10000, F.lit(9))
+        .otherwise(F.floor(j4 / 1000))
+        .cast("bigint")
+        .alias("bin"),
+        "doc_a",
+        "doc_b",
+    )
+    ex = binned.select("bin", F.col("doc_a").alias("d")).unionAll(
+        binned.select("bin", F.col("doc_b").alias("d"))
+    )
+    return (
+        ex.groupBy("bin")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_pairs"),
+            F.countDistinct("d").cast("bigint").alias("n_docs"),
+        )
+        .select(
+            (F.col("bin").cast("double") / 10).alias("bin_lo"),
+            "n_pairs",
+            "n_docs",
+        )
+        .orderBy("bin_lo")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q361 per-source perplexity audit (q206's LM rolled up to source level)
+# --------------------------------------------------------------------------
+@register(
+    "q361",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)),
+               i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      FROM tok
+    ),
+    dbc AS (SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
+    c12 AS (SELECT bigram, COUNT(*) AS c12 FROM bg GROUP BY 1),
+    c1  AS (SELECT string_split(bigram, ' ')[1] AS w1,
+                   CAST(SUM(c12) AS BIGINT) AS c1
+            FROM c12 GROUP BY 1),
+    v   AS (
+      SELECT COUNT(DISTINCT word) AS v FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+      )
+    ),
+    lp AS (
+      SELECT bigram,
+             CAST(ROUND(ln((c12 + 1)::DOUBLE / (c1 + v)) * 1e6) AS BIGINT)
+               AS lpq
+      FROM c12 JOIN c1 ON string_split(bigram, ' ')[1] = c1.w1 CROSS JOIN v
+    ),
+    scored AS (
+      SELECT dbc.doc_id,
+             ROUND(CAST(SUM(lp.lpq * dbc.cnt) AS DOUBLE)
+                   / (1e6 * SUM(dbc.cnt)), 4) AS avg_lp
+      FROM dbc JOIN lp USING (bigram)
+      GROUP BY dbc.doc_id
+    ),
+    ds AS (
+      SELECT s.doc_id, s.avg_lp, d.source
+      FROM scored s JOIN documents d USING (doc_id)
+    ),
+    thr AS (SELECT quantile_cont(avg_lp, 0.1) AS p10 FROM ds)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(avg_lp AS DECIMAL(30,10))) AS DOUBLE)
+                 / COUNT(*), 4) AS mean_lp,
+           CAST(COUNT(CASE WHEN avg_lp < thr.p10 THEN 1 END) AS BIGINT)
+             AS n_flagged,
+           ROUND(CAST(COUNT(CASE WHEN avg_lp < thr.p10 THEN 1 END)
+                      AS DOUBLE) / COUNT(*), 4) AS flagged_share,
+           ROUND(thr.p10, 4) AS p10_threshold
+    FROM ds CROSS JOIN thr
+    GROUP BY source, thr.p10 ORDER BY source
+    """,
+    doc="Per-source perplexity audit: q206's add-one bigram LM scores "
+    "every document, then each SOURCE is profiled by mean "
+    "log-probability and its share of docs below the global 10th "
+    "percentile — the triage table that turns a per-doc fluency "
+    "signal into a crawl-level decision ('source X is 4x "
+    "over-represented in the disfluent tail: re-extract or "
+    "down-weight it'), exactly how CCNet/Gopher report perplexity "
+    "by dump.  Scale shape: the LM is vocab-scale and broadcast "
+    "(q206's plan, unchanged); the scored doc frame is "
+    "localCheckpointed before the branch fan-out (global "
+    "percentile + per-source rollup both read it — the q118 "
+    "rule); the threshold is exact-percentile over doc-cardinality "
+    "rows with approx_percentile as the documented 100 TB swap.",
+)
+@plan_cache
+def q361(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = q206(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ds = (
+        scored.select("doc_id", "avg_lp")
+        .join(src, "doc_id")
+        .localCheckpoint()
+    )
+    thr = ds.agg(F.expr("percentile(avg_lp, 0.1)").alias("p10"))
+    return (
+        ds.crossJoin(F.broadcast(thr))
+        .groupBy("source", "p10")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.col("avg_lp").cast(DEC)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_lp"),
+            F.count(F.when(F.col("avg_lp") < F.col("p10"), 1))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.round(
+                F.count(F.when(F.col("avg_lp") < F.col("p10"), 1)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("flagged_share"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "mean_lp",
+            "n_flagged",
+            "flagged_share",
+            F.round("p10", 4).alias("p10_threshold"),
+        )
+        .orderBy("source")
+    )

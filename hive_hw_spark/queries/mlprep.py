@@ -744,3 +744,116 @@ def q340(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cov.select("n_test_days", "interval_halfwidth", "empirical_coverage")
+
+
+@register(
+    "q358",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pos AS (
+      SELECT d1.l_partkey AS a, d2.l_partkey AS b
+      FROM d d1 JOIN d d2
+        ON d1.l_orderkey = d2.l_orderkey
+       AND d1.l_partkey < d2.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    np AS (SELECT CAST(COUNT(*) AS BIGINT) AS p FROM part),
+    cand AS (
+      SELECT a, b, j,
+             ((a * 1000003 + b * 7919 + j) % 2147483648)
+             * 2654435761 % p AS neg
+      FROM pos CROSS JOIN np
+      CROSS JOIN (SELECT range AS j FROM range(2))
+    )
+    SELECT a AS anchor, b AS positive, CAST(j AS BIGINT) AS attempt,
+           CAST(neg AS BIGINT) AS negative
+    FROM cand c
+    WHERE neg <> a AND neg <> b
+      AND NOT EXISTS (
+        SELECT 1 FROM pos p2
+        WHERE p2.a = LEAST(c.a, c.neg) AND p2.b = GREATEST(c.a, c.neg)
+      )
+    ORDER BY anchor, positive, attempt
+    """,
+    doc="Contrastive negative-sampling pair generator: for every "
+    "frequent co-purchase positive (a, b) (support >= 3, q291's "
+    "mining), two deterministic negative candidates drawn by "
+    "multiplicative hash over the CONTIGUOUS 0..|part|-1 key space, "
+    "rejected (not resampled — fixed fan-out, no open-ended retry "
+    "loop) when the draw collides with either pair member or is "
+    "itself a known positive of the anchor.  The triplet table "
+    "(anchor, positive, negative) is what embedding-training "
+    "exports feed on; hash-based draws make the dataset "
+    "reproducible across runs and engines with zero RNG state.  "
+    "Scale shape: baskets expand to pairs map-side (q139 idiom — "
+    "the oracle states the naive self-join), the 2x candidate "
+    "expansion is map-side, and the positive-collision check is a "
+    "LEFT ANTI join against the same persisted positives frame on "
+    "its natural (a, b) key.",
+)
+def q358(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    baskets = d.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    pos = _managed_persist(
+        "q358_pos",
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, (x, i) -> "
+                    "transform(slice(items, i + 2, size(items)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= 3)
+        .select("a", "b"),
+    )
+    np_ = load_table(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).cast("bigint").alias("p")
+    )
+    cand = (
+        pos.crossJoin(F.broadcast(np_))
+        .select(
+            "a",
+            "b",
+            F.explode(F.sequence(F.lit(0), F.lit(1))).alias("j"),
+            "p",
+        )
+        .select(
+            "a",
+            "b",
+            "j",
+            F.pmod(
+                F.pmod(
+                    F.col("a") * 1000003 + F.col("b") * 7919 + F.col("j"),
+                    F.lit(2147483648),
+                )
+                * 2654435761,
+                F.col("p"),
+            ).alias("neg"),
+        )
+        .where((F.col("neg") != F.col("a")) & (F.col("neg") != F.col("b")))
+    )
+    return (
+        cand.join(
+            pos.select(F.col("a").alias("pa"), F.col("b").alias("pb")),
+            (F.least("a", "neg") == F.col("pa"))
+            & (F.greatest("a", "neg") == F.col("pb")),
+            "left_anti",
+        )
+        .select(
+            F.col("a").alias("anchor"),
+            F.col("b").alias("positive"),
+            F.col("j").cast("bigint").alias("attempt"),
+            F.col("neg").cast("bigint").alias("negative"),
+        )
+        .orderBy("anchor", "positive", "attempt")
+    )

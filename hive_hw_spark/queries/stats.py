@@ -5164,3 +5164,1653 @@ def q346(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "q347",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             MIN(CAST(o_orderdate AS DATE)) AS f,
+             MAX(CAST(o_orderdate AS DATE)) AS l
+      FROM orders GROUP BY 1
+    ),
+    cu AS (
+      SELECT CASE WHEN c.c_mktsegment = 'BUILDING'
+                  THEN 'b' ELSE 'o' END AS grp,
+             CAST(date_diff('day', f, l) // 7 AS BIGINT) AS wk,
+             CASE WHEN date_diff('day', l, (SELECT MAX(l) FROM per)) > 90
+                  THEN 1 ELSE 0 END AS churn
+      FROM per p JOIN customer c ON p.o_custkey = c.c_custkey
+    ),
+    weekly AS (
+      SELECT grp, wk, CAST(SUM(churn) AS BIGINT) AS d,
+             CAST(SUM(1 - churn) AS BIGINT) AS c
+      FROM cu GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT w.wk, g.grp
+      FROM (SELECT DISTINCT wk FROM weekly) w
+      CROSS JOIN (SELECT DISTINCT grp FROM weekly) g
+    ),
+    fill AS (
+      SELECT grid.wk, grid.grp,
+             COALESCE(weekly.d, 0) AS d, COALESCE(weekly.c, 0) AS c
+      FROM grid LEFT JOIN weekly
+        ON grid.wk = weekly.wk AND grid.grp = weekly.grp
+    ),
+    tot AS (
+      SELECT grp, CAST(SUM(d + c) AS BIGINT) AS tot
+      FROM fill GROUP BY 1
+    ),
+    risk AS (
+      SELECT f.grp, f.wk, f.d,
+             CAST(t.tot - COALESCE(SUM(p.d + p.c), 0) AS BIGINT)
+               AS n_at_risk
+      FROM fill f JOIN tot t ON f.grp = t.grp
+      LEFT JOIN fill p ON p.grp = f.grp AND p.wk < f.wk
+      GROUP BY f.grp, f.wk, f.d, t.tot
+    ),
+    wide AS (
+      SELECT wk,
+             CAST(SUM(CASE WHEN grp = 'b' THEN d ELSE 0 END)
+                  AS BIGINT) AS db,
+             CAST(SUM(CASE WHEN grp = 'o' THEN d ELSE 0 END)
+                  AS BIGINT) AS do_,
+             CAST(SUM(CASE WHEN grp = 'b' THEN n_at_risk ELSE 0 END)
+                  AS BIGINT) AS nb,
+             CAST(SUM(CASE WHEN grp = 'o' THEN n_at_risk ELSE 0 END)
+                  AS BIGINT) AS no_
+      FROM risk GROUP BY wk
+    ),
+    terms AS (
+      SELECT db, do_, nb, no_, db + do_ AS dtot, nb + no_ AS n
+      FROM wide WHERE db + do_ > 0 AND nb + no_ > 1
+    ),
+    s AS (
+      SELECT CAST(SUM(db) AS BIGINT) AS ob,
+             CAST(SUM(do_) AS BIGINT) AS od,
+             CAST(SUM(CAST(CAST(dtot AS DOUBLE) * nb / n
+                           AS DECIMAL(30,10))) AS DOUBLE) AS eb,
+             CAST(SUM(CAST(CAST(dtot AS DOUBLE) * no_ / n
+                           AS DECIMAL(30,10))) AS DOUBLE) AS eo,
+             CAST(SUM(CAST((CAST(dtot AS DOUBLE) * nb / n)
+                           * (CAST(no_ AS DOUBLE) / n)
+                           * (CAST(n - dtot AS DOUBLE) / (n - 1))
+                           AS DECIMAL(30,10))) AS DOUBLE) AS v
+      FROM terms
+    ),
+    tw AS (
+      SELECT
+        CAST(MAX(CASE WHEN grp = 'b' THEN tot END) AS BIGINT) AS n_b,
+        CAST(MAX(CASE WHEN grp = 'o' THEN tot END) AS BIGINT) AS n_o
+      FROM tot
+    )
+    SELECT n_b, n_o, ob AS obs_b, ROUND(eb, 4) AS exp_b,
+           od AS obs_o, ROUND(eo, 4) AS exp_o,
+           ROUND(CASE WHEN v > 0
+                 THEN (ob - eb) * (ob - eb) / v ELSE 0.0 END, 4)
+             AS chi2
+    FROM s CROSS JOIN tw ORDER BY n_b
+    """,
+    doc="Log-rank test comparing q265's Kaplan-Meier churn survival "
+    "between BUILDING-segment customers and everyone else — the "
+    "standard censoring-aware two-group survival comparison (naive "
+    "mean-lifetime deltas are biased by right-censored still-active "
+    "customers).  Per event week: observed group-b deaths vs "
+    "hypergeometric expectation d*nb/n and variance "
+    "d*(nb/n)*(no/n)*(n-d)/(n-1); chi2 = (O-E)^2/V on 1 df.  "
+    "Scale shape: the fact folds once to per-customer (f, l) rows, "
+    "the customer dim joins on the fold's own key, the week grid / "
+    "at-risk counts come from triangular broadcast joins over the "
+    "calendar-bounded weekly frame (q265's discipline), and the "
+    "test statistic is three DECIMAL folds of per-week IEEE-double "
+    "terms over that tiny frame.",
+)
+def q347(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_mktsegment") == "BUILDING", "b")
+        .otherwise("o")
+        .alias("grp"),
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("f"),
+        F.max(F.to_date("o_orderdate")).alias("l"),
+    )
+    anchor = per.agg(F.max("l").alias("anchor"))
+    cu = (
+        per.join(c, per.o_custkey == c.c_custkey)
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "grp",
+            F.expr("CAST(datediff(l, f) DIV 7 AS BIGINT)").alias("wk"),
+            F.when(F.datediff("anchor", "l") > 90, 1)
+            .otherwise(0)
+            .alias("churn"),
+        )
+    )
+    weekly = _managed_persist(
+        "q347_weekly",
+        cu.groupBy("grp", "wk").agg(
+            F.sum("churn").cast("bigint").alias("d"),
+            F.sum(1 - F.col("churn")).cast("bigint").alias("c"),
+        ),
+    )
+    grid = (
+        weekly.select("wk")
+        .distinct()
+        .crossJoin(F.broadcast(weekly.select("grp").distinct()))
+    )
+    fill = _managed_persist(
+        "q347_fill",
+        grid.join(weekly, ["wk", "grp"], "left").select(
+            "wk",
+            "grp",
+            F.coalesce("d", F.lit(0)).alias("d"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+        ),
+    )
+    tot = fill.groupBy("grp").agg(
+        F.sum(F.col("d") + F.col("c")).cast("bigint").alias("tot")
+    )
+    p = fill.select(
+        F.col("grp").alias("pgrp"),
+        F.col("wk").alias("pwk"),
+        (F.col("d") + F.col("c")).alias("pdc"),
+    )
+    risk = (
+        fill.join(F.broadcast(tot), "grp")
+        .join(
+            F.broadcast(p),
+            (F.col("pgrp") == F.col("grp")) & (F.col("pwk") < F.col("wk")),
+            "left",
+        )
+        .groupBy("grp", "wk", "d", "tot")
+        .agg(F.coalesce(F.sum("pdc"), F.lit(0)).alias("seen"))
+        .select(
+            "grp",
+            "wk",
+            "d",
+            (F.col("tot") - F.col("seen")).cast("bigint").alias("n_at_risk"),
+        )
+    )
+    wide = risk.groupBy("wk").agg(
+        F.sum(F.when(F.col("grp") == "b", F.col("d")).otherwise(0))
+        .cast("bigint")
+        .alias("db"),
+        F.sum(F.when(F.col("grp") == "o", F.col("d")).otherwise(0))
+        .cast("bigint")
+        .alias("do_"),
+        F.sum(F.when(F.col("grp") == "b", F.col("n_at_risk")).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+        F.sum(F.when(F.col("grp") == "o", F.col("n_at_risk")).otherwise(0))
+        .cast("bigint")
+        .alias("no_"),
+    )
+    terms = wide.select(
+        "db",
+        "do_",
+        "nb",
+        "no_",
+        (F.col("db") + F.col("do_")).alias("dtot"),
+        (F.col("nb") + F.col("no_")).alias("n"),
+    ).where((F.col("db") + F.col("do_") > 0) & (F.col("nb") + F.col("no_") > 1))
+    dtot_d = F.col("dtot").cast("double")
+    s = terms.agg(
+        F.sum("db").cast("bigint").alias("ob"),
+        F.sum("do_").cast("bigint").alias("od"),
+        F.sum((dtot_d * F.col("nb") / F.col("n")).cast(DEC))
+        .cast("double")
+        .alias("eb"),
+        F.sum((dtot_d * F.col("no_") / F.col("n")).cast(DEC))
+        .cast("double")
+        .alias("eo"),
+        F.sum(
+            (
+                (dtot_d * F.col("nb") / F.col("n"))
+                * (F.col("no_").cast("double") / F.col("n"))
+                * (
+                    (F.col("n") - F.col("dtot")).cast("double")
+                    / (F.col("n") - 1)
+                )
+            ).cast(DEC)
+        )
+        .cast("double")
+        .alias("v"),
+    )
+    tw = tot.agg(
+        F.max(F.when(F.col("grp") == "b", F.col("tot")))
+        .cast("bigint")
+        .alias("n_b"),
+        F.max(F.when(F.col("grp") == "o", F.col("tot")))
+        .cast("bigint")
+        .alias("n_o"),
+    )
+    return s.crossJoin(F.broadcast(tw)).select(
+        "n_b",
+        "n_o",
+        F.col("ob").alias("obs_b"),
+        F.round("eb", 4).alias("exp_b"),
+        F.col("od").alias("obs_o"),
+        F.round("eo", 4).alias("exp_o"),
+        F.round(
+            F.when(
+                F.col("v") > 0,
+                (F.col("ob") - F.col("eb"))
+                * (F.col("ob") - F.col("eb"))
+                / F.col("v"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("chi2"),
+    ).orderBy("n_b")
+
+
+@register(
+    "q348",
+    oracle="""
+    WITH ue AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CASE WHEN (user_id % 2147483648) * 2654435761 % 100 < 50
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM events GROUP BY user_id, event_type
+    ),
+    arms AS (
+      SELECT
+        CAST(COUNT(DISTINCT CASE WHEN (user_id % 2147483648)
+                                      * 2654435761 % 100 < 50
+                                 THEN user_id END) AS BIGINT) AS na,
+        CAST(COUNT(DISTINCT CASE WHEN (user_id % 2147483648)
+                                      * 2654435761 % 100 >= 50
+                                 THEN user_id END) AS BIGINT) AS nb
+      FROM events
+    ),
+    mom AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN arm = 'A' THEN n ELSE 0 END)
+                  AS BIGINT) AS sxa,
+             CAST(SUM(CASE WHEN arm = 'A' THEN n * n ELSE 0 END)
+                  AS BIGINT) AS sxxa,
+             CAST(SUM(CASE WHEN arm = 'B' THEN n ELSE 0 END)
+                  AS BIGINT) AS sxb,
+             CAST(SUM(CASE WHEN arm = 'B' THEN n * n ELSE 0 END)
+                  AS BIGINT) AS sxxb
+      FROM ue GROUP BY event_type
+    ),
+    z AS (
+      SELECT event_type,
+             (CAST(sxa AS DOUBLE) / na - CAST(sxb AS DOUBLE) / nb)
+             / SQRT((CAST(sxxa AS DOUBLE)
+                     - CAST(sxa AS DOUBLE) * sxa / na) / (na - 1) / na
+                    + (CAST(sxxb AS DOUBLE)
+                       - CAST(sxb AS DOUBLE) * sxb / nb) / (nb - 1) / nb)
+               AS zval
+      FROM mom CROSS JOIN arms
+    ),
+    pv AS (
+      SELECT event_type, zval,
+             2 * (EXP(-ABS(zval) * ABS(zval) / 2) * 0.3989422804014327)
+               * (((((1.330274429 * (1 / (1 + 0.2316419 * ABS(zval)))
+                      - 1.821255978) * (1 / (1 + 0.2316419 * ABS(zval)))
+                     + 1.781477937) * (1 / (1 + 0.2316419 * ABS(zval)))
+                    - 0.356563782) * (1 / (1 + 0.2316419 * ABS(zval)))
+                   + 0.319381530) * (1 / (1 + 0.2316419 * ABS(zval))))
+               AS p
+      FROM z
+    ),
+    rc AS (
+      SELECT event_type, zval, p,
+             CAST(ROW_NUMBER() OVER (ORDER BY p, event_type)
+                  AS BIGINT) AS rnk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM pv
+    ),
+    kmax AS (
+      SELECT COALESCE(MAX(CASE WHEN p <= rnk * 0.10 / m
+                               THEN rnk END), 0) AS k
+      FROM rc
+    )
+    SELECT event_type, ROUND(zval, 4) AS z_stat, ROUND(p, 6) AS p_value,
+           rnk AS p_rank,
+           CAST(CASE WHEN rnk <= k THEN 1 ELSE 0 END AS INT)
+             AS significant
+    FROM rc CROSS JOIN kmax ORDER BY event_type
+    """,
+    doc="Benjamini-Hochberg FDR correction over the per-event-type "
+    "A/B metric family — one Welch z per event type (per-user count "
+    "of that type, q242's deterministic hash split, absent users "
+    "contributing implicit zeros through the arm-total denominator), "
+    "two-sided p via the Abramowitz-Stegun 26.2.17 normal-tail "
+    "polynomial (spelled with IDENTICAL double literals in both "
+    "engines — neither has erf), then the BH step-up at FDR 0.10: "
+    "reject all p(i) with rank <= max{i : p(i) <= i*alpha/m}.  The "
+    "multiple-testing guard q331's single-split A/A audit needs once "
+    "dashboards test 25 metrics at once.  Scale shape: one "
+    "(user,type) fold with map-side combine, one fold to the "
+    "|types|-row moment frame (persisted — rank and step-up "
+    "threshold are two branches over it), BIGINT moments safe (n^2 "
+    "per user-type bounded by session length), rank window "
+    "bucket-partitioned over the tiny frame.",
+)
+def q348(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.pmod(
+            F.pmod(F.col("user_id"), F.lit(2147483648)) * 2654435761,
+            F.lit(100),
+        )
+        < 50,
+        "A",
+    ).otherwise("B")
+    ue = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("arm", arm)
+    )
+    arms = ev.agg(
+        F.countDistinct(
+            F.when(
+                F.pmod(
+                    F.pmod(F.col("user_id"), F.lit(2147483648)) * 2654435761,
+                    F.lit(100),
+                )
+                < 50,
+                F.col("user_id"),
+            )
+        )
+        .cast("bigint")
+        .alias("na"),
+        F.countDistinct(
+            F.when(
+                F.pmod(
+                    F.pmod(F.col("user_id"), F.lit(2147483648)) * 2654435761,
+                    F.lit(100),
+                )
+                >= 50,
+                F.col("user_id"),
+            )
+        )
+        .cast("bigint")
+        .alias("nb"),
+    )
+    mom = _managed_persist(
+        "q348_mom",
+        ue.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("arm") == "A", F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("sxa"),
+            F.sum(
+                F.when(F.col("arm") == "A", F.col("n") * F.col("n")).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("sxxa"),
+            F.sum(F.when(F.col("arm") == "B", F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("sxb"),
+            F.sum(
+                F.when(F.col("arm") == "B", F.col("n") * F.col("n")).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("sxxb"),
+        )
+        .crossJoin(F.broadcast(arms)),
+    )
+    zval = (
+        F.col("sxa").cast("double") / F.col("na")
+        - F.col("sxb").cast("double") / F.col("nb")
+    ) / F.sqrt(
+        (
+            F.col("sxxa").cast("double")
+            - F.col("sxa").cast("double") * F.col("sxa") / F.col("na")
+        )
+        / (F.col("na") - 1)
+        / F.col("na")
+        + (
+            F.col("sxxb").cast("double")
+            - F.col("sxb").cast("double") * F.col("sxb") / F.col("nb")
+        )
+        / (F.col("nb") - 1)
+        / F.col("nb")
+    )
+    z = mom.select("event_type", zval.alias("zval"))
+    # Abramowitz-Stegun 26.2.17 upper-tail polynomial; t re-spelled
+    # inline exactly as in the oracle so both engines evaluate the
+    # same double expression tree.
+    t = 1 / (1 + 0.2316419 * F.abs(F.col("zval")))
+    p = (
+        2
+        * (
+            F.exp(-F.abs(F.col("zval")) * F.abs(F.col("zval")) / 2)
+            * 0.3989422804014327
+        )
+        * (
+            ((((1.330274429 * t - 1.821255978) * t + 1.781477937) * t
+              - 0.356563782) * t + 0.319381530)
+            * t
+        )
+    )
+    pv = z.select("event_type", "zval", p.alias("p"))
+    wr = Window.partitionBy(F.pmod(F.xxhash64("event_type"), F.lit(1))).orderBy(
+        "p", "event_type"
+    )
+    m = pv.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    rc = (
+        pv.crossJoin(F.broadcast(m))
+        .withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+    )
+    kmax = rc.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p") <= F.col("rnk") * 0.10 / F.col("m"),
+                    F.col("rnk"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k")
+    )
+    return (
+        rc.crossJoin(F.broadcast(kmax))
+        .select(
+            "event_type",
+            F.round("zval", 4).alias("z_stat"),
+            F.round("p", 6).alias("p_value"),
+            F.col("rnk").alias("p_rank"),
+            F.when(F.col("rnk") <= F.col("k"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("significant"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q349",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    ),
+    states AS (SELECT DISTINCT prev_type AS st FROM cnt),
+    r AS (
+      SELECT prev_type, next_type, n FROM cnt
+      WHERE next_type IN (SELECT st FROM states)
+    ),
+    tot AS (
+      SELECT prev_type, CAST(SUM(n) AS BIGINT) AS t
+      FROM r GROUP BY prev_type
+    ),
+    pm AS (
+      SELECT r.prev_type AS i, r.next_type AS j,
+             CAST(n AS DOUBLE) / t AS pij
+      FROM r JOIN tot ON r.prev_type = tot.prev_type
+    ),
+    ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cs FROM states),
+    x0 AS (SELECT st, 1.0 / cs AS w FROM states CROSS JOIN ns),
+    x1 AS (
+      SELECT j AS st,
+             CAST(SUM(CAST(w * pij AS DECIMAL(30,10))) AS DOUBLE) AS w
+      FROM x0 JOIN pm ON x0.st = pm.i GROUP BY j
+    ),
+    x2 AS (
+      SELECT j AS st,
+             CAST(SUM(CAST(w * pij AS DECIMAL(30,10))) AS DOUBLE) AS w
+      FROM x1 JOIN pm ON x1.st = pm.i GROUP BY j
+    ),
+    x3 AS (
+      SELECT j AS st,
+             CAST(SUM(CAST(w * pij AS DECIMAL(30,10))) AS DOUBLE) AS w
+      FROM x2 JOIN pm ON x2.st = pm.i GROUP BY j
+    ),
+    h AS (
+      SELECT i AS st,
+             CAST(SUM(CAST(-pij * LN(pij) AS DECIMAL(30,10)))
+                  AS DOUBLE) AS hs
+      FROM pm GROUP BY i
+    ),
+    hr AS (
+      SELECT CAST(SUM(CAST(x3.w * h.hs AS DECIMAL(30,10)))
+                  AS DOUBLE) AS hrate
+      FROM x3 JOIN h ON x3.st = h.st
+    )
+    SELECT x3.st AS state, ROUND(x3.w, 4) AS pi_3,
+           ROUND(h.hs, 4) AS h_state,
+           ROUND((SELECT hrate FROM hr), 4) AS entropy_rate
+    FROM x3 JOIN h ON x3.st = h.st
+    ORDER BY state
+    """,
+    doc="Markov-chain stationary distribution (3-step power iteration "
+    "from uniform) and entropy rate H = sum_i pi_i * "
+    "(-sum_j p_ij ln p_ij) over q257's behavioral transition matrix "
+    "— the predictability summary of user flows (low H = scripted "
+    "journeys, high H = exploratory) and the long-run state "
+    "occupancy next-action models should be calibrated against.  "
+    "The chain is restricted to states observed as a SOURCE (mass "
+    "into pure-sink types is dropped identically in both engines).  "
+    "Scale shape: the only corpus-scale work is q257's single "
+    "user_id exchange folding to <=|types|^2 counts; that frame is "
+    "localCheckpointed ONCE and every power-iteration step, the "
+    "row-entropy fold, and the final contraction are broadcast "
+    "joins over the tiny matrix (the q118 rule: materialize before "
+    "branch fan-out — pm feeds five branches).",
+)
+@plan_cache
+def q349(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cnt = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    states = cnt.select(F.col("prev_type").alias("st")).distinct()
+    r = cnt.join(
+        F.broadcast(states), cnt.next_type == states.st, "left_semi"
+    )
+    tot = r.groupBy("prev_type").agg(F.sum("n").cast("bigint").alias("t"))
+    pm = (
+        r.join(F.broadcast(tot), "prev_type")
+        .select(
+            F.col("prev_type").alias("i"),
+            F.col("next_type").alias("j"),
+            (F.col("n").cast("double") / F.col("t")).alias("pij"),
+        )
+        .localCheckpoint()
+    )
+    ns = states.agg(F.count(F.lit(1)).cast("double").alias("cs"))
+    x = states.crossJoin(F.broadcast(ns)).select(
+        "st", (F.lit(1.0) / F.col("cs")).alias("w")
+    )
+    for _ in range(3):
+        x = (
+            x.join(F.broadcast(pm), x.st == pm.i)
+            .groupBy(F.col("j").alias("st2"))
+            .agg(
+                F.sum((F.col("w") * F.col("pij")).cast(DEC))
+                .cast("double")
+                .alias("w")
+            )
+            .withColumnRenamed("st2", "st")
+        )
+    h = pm.groupBy(F.col("i").alias("st")).agg(
+        F.sum((-F.col("pij") * F.log(F.col("pij"))).cast(DEC))
+        .cast("double")
+        .alias("hs")
+    )
+    joined = x.join(F.broadcast(h), "st")
+    hr = joined.agg(
+        F.sum((F.col("w") * F.col("hs")).cast(DEC))
+        .cast("double")
+        .alias("hrate")
+    )
+    return (
+        joined.crossJoin(F.broadcast(hr))
+        .select(
+            F.col("st").alias("state"),
+            F.round("w", 4).alias("pi_3"),
+            F.round("hs", 4).alias("h_state"),
+            F.round("hrate", 4).alias("entropy_rate"),
+        )
+        .orderBy("state")
+    )
+
+
+@register(
+    "q350",
+    oracle="""
+    WITH reps AS (SELECT range AS b FROM range(40)),
+    ww AS (
+      SELECT b, o_totalprice AS price,
+             CASE
+               WHEN ((o_orderkey * 40 + b) % 2147483648)
+                    * 2654435761 % 1000000 < 367879 THEN 0
+               WHEN ((o_orderkey * 40 + b) % 2147483648)
+                    * 2654435761 % 1000000 < 735759 THEN 1
+               WHEN ((o_orderkey * 40 + b) % 2147483648)
+                    * 2654435761 % 1000000 < 919699 THEN 2
+               WHEN ((o_orderkey * 40 + b) % 2147483648)
+                    * 2654435761 % 1000000 < 981012 THEN 3
+               WHEN ((o_orderkey * 40 + b) % 2147483648)
+                    * 2654435761 % 1000000 < 996340 THEN 4
+               WHEN ((o_orderkey * 40 + b) % 2147483648)
+                    * 2654435761 % 1000000 < 999406 THEN 5
+               WHEN ((o_orderkey * 40 + b) % 2147483648)
+                    * 2654435761 % 1000000 < 999917 THEN 6
+               WHEN ((o_orderkey * 40 + b) % 2147483648)
+                    * 2654435761 % 1000000 < 999990 THEN 7
+               ELSE 8
+             END AS w
+      FROM orders CROSS JOIN reps
+    ),
+    per AS (
+      SELECT b, CAST(SUM(w) AS BIGINT) AS sw,
+             CAST(SUM(CAST(w * price AS DECIMAL(30,10))) AS DOUBLE)
+               AS swp
+      FROM ww GROUP BY b
+    ),
+    m AS (SELECT b, swp / sw AS mb FROM per),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS bn,
+             CAST(SUM(CAST(mb AS DECIMAL(30,10))) AS DOUBLE) AS sm,
+             CAST(SUM(CAST(mb * mb AS DECIMAL(30,10))) AS DOUBLE)
+               AS smm
+      FROM m
+    ),
+    pt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+               / COUNT(*) AS mu
+      FROM orders
+    )
+    SELECT n_orders, ROUND(mu, 4) AS point_mean,
+           ROUND(SQRT((smm - sm * sm / bn) / (bn - 1)), 4) AS boot_se,
+           ROUND(mu - 1.96 * SQRT((smm - sm * sm / bn) / (bn - 1)), 4)
+             AS lo95,
+           ROUND(mu + 1.96 * SQRT((smm - sm * sm / bn) / (bn - 1)), 4)
+             AS hi95
+    FROM pt CROSS JOIN s ORDER BY n_orders
+    """,
+    doc="Poisson-bootstrap 95% CI for mean order value — THE "
+    "shared-nothing bootstrap: instead of resampling n rows with "
+    "replacement (which needs global coordination), each row draws "
+    "an independent Poisson(1) replication weight per replicate, "
+    "which converges to the multinomial bootstrap as n grows "
+    "(Chamandy et al., 'Estimating Uncertainty for Massive Data "
+    "Streams', Google 2012).  40 replicates; weights come from the "
+    "q105 multiplicative-hash uniform quantized to integer "
+    "micro-units compared against exact Poisson(1) CDF thresholds "
+    "— pure 64-bit integer arithmetic, identical in both engines, "
+    "no float RNG anywhere.  SE = stddev of replicate means, "
+    "normal-interval CI around the exact point estimate.  Scale "
+    "shape: the 40x row expansion is map-side (no shuffle "
+    "amplification — partial aggregation folds each partition to "
+    "40 rows before the exchange), the replicate frame is 40 rows, "
+    "and every sum is an exact DECIMAL accumulator.",
+)
+@plan_cache
+def q350(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    h = F.pmod(
+        F.pmod(F.col("o_orderkey") * 40 + F.col("b"), F.lit(2147483648))
+        * 2654435761,
+        F.lit(1000000),
+    )
+    wcol = (
+        F.when(h < 367879, 0)
+        .when(h < 735759, 1)
+        .when(h < 919699, 2)
+        .when(h < 981012, 3)
+        .when(h < 996340, 4)
+        .when(h < 999406, 5)
+        .when(h < 999917, 6)
+        .when(h < 999990, 7)
+        .otherwise(8)
+    )
+    ww = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.explode(F.sequence(F.lit(0), F.lit(39))).alias("b"),
+    ).select("b", "price", wcol.alias("w"))
+    per = ww.groupBy("b").agg(
+        F.sum("w").cast("bigint").alias("sw"),
+        F.sum((F.col("w") * F.col("price")).cast(DEC))
+        .cast("double")
+        .alias("swp"),
+    )
+    mrep = per.select("b", (F.col("swp") / F.col("sw")).alias("mb"))
+    s = mrep.agg(
+        F.count(F.lit(1)).cast("bigint").alias("bn"),
+        F.sum(F.col("mb").cast(DEC)).cast("double").alias("sm"),
+        F.sum((F.col("mb") * F.col("mb")).cast(DEC))
+        .cast("double")
+        .alias("smm"),
+    )
+    pt = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu"),
+    )
+    se = F.sqrt(
+        (F.col("smm") - F.col("sm") * F.col("sm") / F.col("bn"))
+        / (F.col("bn") - 1)
+    )
+    return pt.crossJoin(F.broadcast(s)).select(
+        "n_orders",
+        F.round("mu", 4).alias("point_mean"),
+        F.round(se, 4).alias("boot_se"),
+        F.round(F.col("mu") - 1.96 * se, 4).alias("lo95"),
+        F.round(F.col("mu") + 1.96 * se, 4).alias("hi95"),
+    ).orderBy("n_orders")
+
+
+@register(
+    "q351",
+    oracle="""
+    WITH w AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM w WHERE word <> '' GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT lang,
+             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(COUNT(*) FILTER (WHERE cnt = 1) AS BIGINT) AS f1,
+             CAST(COUNT(*) FILTER (WHERE cnt = 2) AS BIGINT) AS f2
+      FROM wc GROUP BY 1
+    )
+    SELECT lang, n_tokens, vocab, f1, f2,
+           ROUND(CASE WHEN f2 > 0
+                 THEN vocab + CAST(f1 AS DOUBLE) * f1 / (2 * f2)
+                 ELSE vocab + CAST(f1 AS DOUBLE) * (f1 - 1) / 2
+                 END, 4) AS chao1,
+           ROUND(CAST(f1 AS DOUBLE) / n_tokens, 4) AS unseen_mass
+    FROM s ORDER BY lang
+    """,
+    doc="Vocabulary-richness estimation per language: Chao1 lower "
+    "bound on TRUE vocabulary size (V + f1^2/(2 f2), the "
+    "species-richness estimator; bias-corrected f1(f1-1)/2 form "
+    "when no doubletons) and the Good-Turing unseen-probability "
+    "mass f1/N — 'how much vocabulary has this crawl NOT seen "
+    "yet', the coverage planning number behind q313's OOV audit "
+    "and q108's Zipf head (those describe the seen distribution; "
+    "this extrapolates the unseen).  Scale shape: explode to "
+    "words, ONE (lang, word) fold with map-side combine (shuffle "
+    "bounded by vocabulary), then a |langs|-row frequency-of-"
+    "frequencies fold; the estimators are closed-form arithmetic "
+    "over five integers per language.",
+)
+@plan_cache
+def q351(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    s = wc.groupBy("lang").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.count(F.when(F.col("cnt") == 1, 1)).alias("f1"),
+        F.count(F.when(F.col("cnt") == 2, 1)).alias("f2"),
+    )
+    f1d = F.col("f1").cast("double")
+    return s.select(
+        "lang",
+        "n_tokens",
+        "vocab",
+        "f1",
+        "f2",
+        F.round(
+            F.when(
+                F.col("f2") > 0,
+                F.col("vocab") + f1d * F.col("f1") / (2 * F.col("f2")),
+            ).otherwise(F.col("vocab") + f1d * (F.col("f1") - 1) / 2),
+            4,
+        ).alias("chao1"),
+        F.round(f1d / F.col("n_tokens"), 4).alias("unseen_mass"),
+    ).orderBy("lang")
+
+
+@register(
+    "q352",
+    oracle="""
+    WITH w AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM w WHERE word <> '' GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(cnt) AS BIGINT) AS n
+      FROM wc GROUP BY 1
+    ),
+    p AS (
+      SELECT wc.source, word, CAST(cnt AS DOUBLE) / n AS pr
+      FROM wc JOIN tot ON wc.source = tot.source
+    ),
+    pair AS (
+      SELECT a.source AS s1, b.source AS s2,
+             CAST(COUNT(*) AS BIGINT) AS shared_types,
+             CAST(SUM(CAST(a.pr * LN(2 * a.pr / (a.pr + b.pr))
+                           + b.pr * LN(2 * b.pr / (a.pr + b.pr))
+                           AS DECIMAL(30,10))) AS DOUBLE) AS t12,
+             CAST(SUM(CAST(a.pr AS DECIMAL(30,10))) AS DOUBLE) AS m1,
+             CAST(SUM(CAST(b.pr AS DECIMAL(30,10))) AS DOUBLE) AS m2
+      FROM p a JOIN p b ON a.word = b.word AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT s1, s2, shared_types,
+           ROUND(0.5 * (t12 + 0.6931471805599453 * (1 - m1)
+                            + 0.6931471805599453 * (1 - m2))
+                 / 0.6931471805599453, 4) AS js_bits
+    FROM pair ORDER BY s1, s2
+    """,
+    doc="Pairwise Jensen-Shannon divergence (in bits) between the "
+    "unigram distributions of every source pair — the symmetric, "
+    "bounded [0,1] corpus-drift matrix behind mixture design and "
+    "crawl-overlap triage (q302's PSI tracks ONE distribution over "
+    "time; this compares all sources to each other).  Identity "
+    "used: words private to one side contribute exactly "
+    "p*ln2, so JS = 0.5*(sum_shared terms + ln2*(1-M1) + "
+    "ln2*(1-M2)) where M is each side's shared mass — the whole "
+    "statistic needs only the INNER join on shared words, never a "
+    "full-outer vocabulary alignment.  Scale shape: one "
+    "(source, word) fold (shuffle bounded by vocabulary), the "
+    "probability frame self-joins on word (fan-out = sources "
+    "sharing the word, grouped map-side to |pairs| rows), "
+    "per-word double terms folded in exact DECIMAL.",
+)
+@plan_cache
+def q352(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = wc.groupBy("source").agg(F.sum("cnt").cast("bigint").alias("n"))
+    p = _managed_persist(
+        "q352_p",
+        wc.join(F.broadcast(tot), "source").select(
+            "source", "word", (F.col("cnt").cast("double") / F.col("n")).alias("pr")
+        ),
+    )
+    a = p.select(
+        F.col("source").alias("s1"), "word", F.col("pr").alias("p1")
+    )
+    b = p.select(
+        F.col("source").alias("s2"),
+        F.col("word").alias("word2"),
+        F.col("pr").alias("p2"),
+    )
+    ln2 = 0.6931471805599453
+    term = F.col("p1") * F.log(2 * F.col("p1") / (F.col("p1") + F.col("p2"))) + F.col(
+        "p2"
+    ) * F.log(2 * F.col("p2") / (F.col("p1") + F.col("p2")))
+    pair = (
+        a.join(b, (F.col("word") == F.col("word2")) & (F.col("s1") < F.col("s2")))
+        .groupBy("s1", "s2")
+        .agg(
+            F.count(F.lit(1)).alias("shared_types"),
+            F.sum(term.cast(DEC)).cast("double").alias("t12"),
+            F.sum(F.col("p1").cast(DEC)).cast("double").alias("m1"),
+            F.sum(F.col("p2").cast(DEC)).cast("double").alias("m2"),
+        )
+    )
+    return pair.select(
+        "s1",
+        "s2",
+        "shared_types",
+        F.round(
+            0.5
+            * (
+                F.col("t12")
+                + ln2 * (1 - F.col("m1"))
+                + ln2 * (1 - F.col("m2"))
+            )
+            / ln2,
+            4,
+        ).alias("js_bits"),
+    ).orderBy("s1", "s2")
+
+
+@register(
+    "q353",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS mn,
+             MAX(CAST(o_orderdate AS DATE)) AS mx
+      FROM orders
+    ),
+    cut AS (
+      SELECT mn + CAST(date_diff('day', mn, mx) * 4 // 5 AS INTEGER)
+               AS c
+      FROM b
+    ),
+    d AS (
+      SELECT DISTINCT l_orderkey, l_partkey,
+             CAST(o_orderdate AS DATE) < (SELECT c FROM cut) AS train
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    pt AS (
+      SELECT d1.l_partkey AS a, d2.l_partkey AS b,
+             CAST(COUNT(*) AS BIGINT) AS supp
+      FROM d d1 JOIN d d2
+        ON d1.l_orderkey = d2.l_orderkey
+       AND d1.l_partkey < d2.l_partkey
+      WHERE d1.train GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    rules AS (
+      SELECT a AS ante, b AS cons, supp FROM pt
+      UNION ALL
+      SELECT b AS ante, a AS cons, supp FROM pt
+    ),
+    recs AS (
+      SELECT ante, cons,
+             CAST(ROW_NUMBER() OVER (PARTITION BY ante
+                                     ORDER BY supp DESC, cons)
+                  AS BIGINT) AS rnk
+      FROM rules
+    ),
+    tp AS (
+      SELECT DISTINCT d1.l_partkey AS x, d2.l_partkey AS y
+      FROM d d1 JOIN d d2
+        ON d1.l_orderkey = d2.l_orderkey
+       AND d1.l_partkey <> d2.l_partkey
+      WHERE NOT d1.train
+    ),
+    hits AS (
+      SELECT tp.x, tp.y, recs.rnk
+      FROM tp LEFT JOIN recs
+        ON recs.ante = tp.x AND recs.cons = tp.y AND recs.rnk <= 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test_pairs,
+           CAST(COUNT(rnk) AS BIGINT) AS hits_at_3,
+           CAST(COUNT(CASE WHEN rnk = 1 THEN 1 END) AS BIGINT)
+             AS hits_at_1,
+           ROUND(CAST(COUNT(rnk) AS DOUBLE) / COUNT(*), 4)
+             AS hit_rate,
+           ROUND(CAST(SUM(CAST(COALESCE(CAST(1.0 AS DOUBLE) / rnk, 0.0)
+                               AS DECIMAL(30,10))) AS DOUBLE)
+                 / COUNT(*), 4) AS mrr
+    FROM hits ORDER BY n_test_pairs
+    """,
+    doc="Temporal backtest of the co-purchase recommender: rules are "
+    "mined ONLY on the first 80% of the order-date range (integer "
+    "day arithmetic for the cut), top-3 recs per part ranked by "
+    "(support desc, part id), then every directed co-purchase pair "
+    "in the held-out last 20% asks 'was y among x's top-3?' — "
+    "hit-rate@3/@1 and MRR, the leakage-free offline eval q291's "
+    "serving table needs before anyone ships it (same discipline as "
+    "q334's temporal CV folds, applied to a ranking model).  Scale "
+    "shape: baskets expand to pairs MAP-SIDE from per-order sorted "
+    "arrays (the q139/q291 idiom — the fact is never self-joined "
+    "in Spark; the oracle states the naive self-join), one rank "
+    "window over the |frequent-pair|-bounded rules frame, and the "
+    "eval join probes the broadcast top-3 table.",
+)
+def q353(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("mn"),
+        F.max(F.to_date("o_orderdate")).alias("mx"),
+    ).select(
+        "mn",
+        F.date_add(
+            F.col("mn"),
+            F.floor(F.datediff("mx", "mn") * 4 / 5).cast("int"),
+        ).alias("c"),
+    )
+    d = _managed_persist(
+        "q353_d",
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .join(
+            o.select("o_orderkey", F.to_date("o_orderdate").alias("day")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .crossJoin(F.broadcast(b))
+        .select(
+            "l_orderkey", "l_partkey", (F.col("day") < F.col("c")).alias("train")
+        ),
+    )
+
+    def _pairs(frame):
+        baskets = frame.groupBy("l_orderkey").agg(
+            F.array_sort(F.collect_set("l_partkey")).alias("items")
+        )
+        pp = baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, (x, i) -> "
+                    "transform(slice(items, i + 2, size(items)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        ).select("p.a", "p.b")
+        return pp
+
+    pt = (
+        _pairs(d.where("train"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= 2)
+    )
+    rules = pt.select(
+        F.col("a").alias("ante"), F.col("b").alias("cons"), "supp"
+    ).unionAll(
+        pt.select(F.col("b").alias("ante"), F.col("a").alias("cons"), "supp")
+    )
+    wr = Window.partitionBy("ante").orderBy(F.col("supp").desc(), "cons")
+    recs = (
+        rules.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+        .select(F.col("ante"), F.col("cons"), "rnk")
+    )
+    tpw = _pairs(d.where(~F.col("train")))
+    tp = (
+        tpw.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .unionAll(tpw.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .distinct()
+    )
+    hits = tp.join(
+        F.broadcast(recs),
+        (F.col("ante") == F.col("x")) & (F.col("cons") == F.col("y")),
+        "left",
+    )
+    return hits.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test_pairs"),
+        F.count("rnk").cast("bigint").alias("hits_at_3"),
+        F.count(F.when(F.col("rnk") == 1, 1)).cast("bigint").alias("hits_at_1"),
+        F.round(F.count("rnk").cast("double") / F.count(F.lit(1)), 4).alias(
+            "hit_rate"
+        ),
+        F.round(
+            F.sum(F.coalesce(1.0 / F.col("rnk"), F.lit(0.0)).cast(DEC))
+            .cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mrr"),
+    ).orderBy("n_test_pairs")
+
+
+@register(
+    "q354",
+    oracle="""
+    WITH x AS (
+      SELECT i AS dim,
+             CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE) AS v
+      FROM embeddings
+      CROSS JOIN (SELECT range AS i FROM range(64))
+    ),
+    st AS (
+      SELECT dim, MIN(v) AS lo, MAX(v) AS hi,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM x GROUP BY dim
+    ),
+    err AS (
+      SELECT x.dim,
+             CASE WHEN hi > lo THEN
+               v - (lo + ROUND((v - lo) / ((hi - lo) / 255))
+                         * ((hi - lo) / 255))
+             ELSE 0.0 END AS e
+      FROM x JOIN st ON x.dim = st.dim
+    )
+    SELECT st.dim, ROUND(lo, 6) AS lo, ROUND(hi, 6) AS hi,
+           ROUND((hi - lo) / 255, 6) AS scale,
+           ROUND(SQRT(CAST(SUM(CAST(e * e AS DECIMAL(30,15)))
+                           AS DOUBLE) / st.n) * 1000, 4) AS rmse_milli,
+           ROUND(MAX(ABS(e)) * 1000, 4) AS max_err_milli
+    FROM err JOIN st ON err.dim = st.dim
+    GROUP BY st.dim, lo, hi, n ORDER BY st.dim
+    """,
+    doc="Scalar int8 quantization audit over the embedding corpus: "
+    "per-dimension asymmetric min/max quantization to 256 levels, "
+    "reporting the per-dimension RMSE and worst-case reconstruction "
+    "error (in milli-units) — the storage-planning table behind "
+    "'can we serve q92's index at 1/4 the bytes', and the "
+    "per-dimension outlier detector (one heavy-tailed dimension "
+    "inflates its scale and ruins its RMSE).  round() on "
+    "non-negative arguments is half-up in both engines; constant "
+    "dimensions quantize losslessly by definition.  Scale shape: "
+    "posexplode is map-side, both folds group on the 64-value "
+    "dimension key (map-side combine), the stats frame joins back "
+    "BROADCAST, and every error sum is an exact DECIMAL "
+    "accumulator.",
+)
+@plan_cache
+def q354(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        F.posexplode("embedding").alias("dim", "vf")
+    ).select("dim", F.col("vf").cast("double").alias("v"))
+    st = x.groupBy("dim").agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    scale = (F.col("hi") - F.col("lo")) / 255
+    err = x.join(F.broadcast(st), "dim").select(
+        "dim",
+        "lo",
+        "hi",
+        "n",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.col("v")
+            - (
+                F.col("lo")
+                + F.round((F.col("v") - F.col("lo")) / scale, 0) * scale
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("e"),
+    )
+    return (
+        err.groupBy("dim", "lo", "hi", "n")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum((F.col("e") * F.col("e")).cast("decimal(30,15)"))
+                    .cast("double")
+                    / F.col("n")
+                )
+                * 1000,
+                4,
+            ).alias("rmse_milli"),
+            F.round(F.max(F.abs("e")) * 1000, 4).alias("max_err_milli"),
+        )
+        .select(
+            "dim",
+            F.round("lo", 6).alias("lo"),
+            F.round("hi", 6).alias("hi"),
+            F.round(scale, 6).alias("scale"),
+            "rmse_milli",
+            "max_err_milli",
+        )
+        .orderBy("dim")
+    )
+
+
+@register(
+    "q355",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, c_nationkey,
+             CASE WHEN (o_custkey % 2147483648) * 2654435761 % 100 < 50
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+               AS x
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2, 3
+    ),
+    mom AS (
+      SELECT c_nationkey,
+             CAST(COUNT(CASE WHEN arm = 'A' THEN 1 END) AS BIGINT)
+               AS na,
+             CAST(COUNT(CASE WHEN arm = 'B' THEN 1 END) AS BIGINT)
+               AS nb,
+             CAST(SUM(CAST(CASE WHEN arm = 'A' THEN x ELSE 0 END
+                           AS DECIMAL(30,10))) AS DOUBLE) AS sxa,
+             CAST(SUM(CAST(CASE WHEN arm = 'B' THEN x ELSE 0 END
+                           AS DECIMAL(30,10))) AS DOUBLE) AS sxb,
+             CAST(SUM(CAST(CASE WHEN arm = 'A' THEN x * x ELSE 0 END
+                           AS DECIMAL(30,10))) AS DOUBLE) AS sxxa,
+             CAST(SUM(CAST(CASE WHEN arm = 'B' THEN x * x ELSE 0 END
+                           AS DECIMAL(30,10))) AS DOUBLE) AS sxxb
+      FROM spend GROUP BY 1 HAVING na > 1 AND nb > 1
+    ),
+    tot AS (SELECT CAST(SUM(na + nb) AS BIGINT) AS n FROM mom),
+    agg AS (
+      SELECT
+        CAST(SUM(CAST(CAST(na + nb AS DOUBLE) / n
+                      * (sxa / na - sxb / nb)
+                      AS DECIMAL(30,10))) AS DOUBLE) AS ate,
+        CAST(SUM(CAST((CAST(na + nb AS DOUBLE) / n)
+                      * (CAST(na + nb AS DOUBLE) / n)
+                      * ((sxxa - sxa * sxa / na) / (na - 1) / na
+                         + (sxxb - sxb * sxb / nb) / (nb - 1) / nb)
+                      AS DECIMAL(30,10))) AS DOUBLE) AS var_ate,
+        CAST(SUM(CAST(sxa AS DECIMAL(30,10))) AS DOUBLE) AS ta,
+        CAST(SUM(CAST(sxb AS DECIMAL(30,10))) AS DOUBLE) AS tb,
+        CAST(SUM(na) AS BIGINT) AS tna, CAST(SUM(nb) AS BIGINT) AS tnb
+      FROM mom CROSS JOIN tot
+    )
+    SELECT mom.c_nationkey AS nation, na, nb,
+           ROUND(sxa / na - sxb / nb, 4) AS stratum_diff,
+           ROUND(CAST(na + nb AS DOUBLE) / tot.n, 4) AS weight,
+           ROUND(agg.ta / agg.tna - agg.tb / agg.tnb, 4) AS ate_naive,
+           ROUND(agg.ate, 4) AS ate_strat,
+           ROUND(agg.ate / SQRT(agg.var_ate), 4) AS z_strat
+    FROM mom CROSS JOIN tot CROSS JOIN agg
+    ORDER BY nation
+    """,
+    doc="Post-stratified treatment-effect estimate: per-customer "
+    "total spend under the q242 hash arms, stratified by customer "
+    "nation — ATE = sum_s w_s (mean_As - mean_Bs) with pooled "
+    "stratum weights, Var = sum_s w_s^2 (va/na + vb/nb).  The "
+    "second variance-reduction tool next to q292's CUPED "
+    "(covariate-based): stratification removes between-nation "
+    "variance from the contrast and is the unbiased fix when "
+    "assignment happens to imbalance a stratum.  Per-nation rows "
+    "carry the stratum diff and weight; the overall naive vs "
+    "stratified ATE and its z ride along broadcast.  Scale shape: "
+    "one custkey-partitioned fold (customer dim joined on the "
+    "fold key), one fold to the |nations|x2 moment frame, closed "
+    "forms over tiny frames; strata needing variance get the "
+    "na>1/nb>1 guard identically in both engines.",
+)
+def q355(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    arm = F.when(
+        F.pmod(
+            F.pmod(F.col("o_custkey"), F.lit(2147483648)) * 2654435761,
+            F.lit(100),
+        )
+        < 50,
+        "A",
+    ).otherwise("B")
+    spend = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_custkey", "c_nationkey", arm.alias("arm"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("x")
+        )
+    )
+    mom = _managed_persist(
+        "q355_mom",
+        spend.groupBy("c_nationkey")
+        .agg(
+            F.count(F.when(F.col("arm") == "A", 1)).cast("bigint").alias("na"),
+            F.count(F.when(F.col("arm") == "B", 1)).cast("bigint").alias("nb"),
+            F.sum(
+                F.when(F.col("arm") == "A", F.col("x")).otherwise(0.0).cast(DEC)
+            )
+            .cast("double")
+            .alias("sxa"),
+            F.sum(
+                F.when(F.col("arm") == "B", F.col("x")).otherwise(0.0).cast(DEC)
+            )
+            .cast("double")
+            .alias("sxb"),
+            F.sum(
+                F.when(F.col("arm") == "A", F.col("x") * F.col("x"))
+                .otherwise(0.0)
+                .cast(DEC)
+            )
+            .cast("double")
+            .alias("sxxa"),
+            F.sum(
+                F.when(F.col("arm") == "B", F.col("x") * F.col("x"))
+                .otherwise(0.0)
+                .cast(DEC)
+            )
+            .cast("double")
+            .alias("sxxb"),
+        )
+        .where((F.col("na") > 1) & (F.col("nb") > 1)),
+    )
+    tot = mom.agg(F.sum(F.col("na") + F.col("nb")).cast("bigint").alias("n"))
+    w_s = (F.col("na") + F.col("nb")).cast("double") / F.col("n")
+    diff_s = F.col("sxa") / F.col("na") - F.col("sxb") / F.col("nb")
+    var_s = (
+        F.col("sxxa") - F.col("sxa") * F.col("sxa") / F.col("na")
+    ) / (F.col("na") - 1) / F.col("na") + (
+        F.col("sxxb") - F.col("sxb") * F.col("sxb") / F.col("nb")
+    ) / (F.col("nb") - 1) / F.col("nb")
+    agg = (
+        mom.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum((w_s * diff_s).cast(DEC)).cast("double").alias("ate"),
+            F.sum((w_s * w_s * var_s).cast(DEC))
+            .cast("double")
+            .alias("var_ate"),
+            F.sum(F.col("sxa").cast(DEC)).cast("double").alias("ta"),
+            F.sum(F.col("sxb").cast(DEC)).cast("double").alias("tb"),
+            F.sum("na").cast("bigint").alias("tna"),
+            F.sum("nb").cast("bigint").alias("tnb"),
+        )
+    )
+    return (
+        mom.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(agg))
+        .select(
+            F.col("c_nationkey").alias("nation"),
+            "na",
+            "nb",
+            F.round(diff_s, 4).alias("stratum_diff"),
+            F.round(w_s, 4).alias("weight"),
+            F.round(
+                F.col("ta") / F.col("tna") - F.col("tb") / F.col("tnb"), 4
+            ).alias("ate_naive"),
+            F.round("ate", 4).alias("ate_strat"),
+            F.round(F.col("ate") / F.sqrt(F.col("var_ate")), 4).alias(
+                "z_strat"
+            ),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "q357",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+               AS y
+      FROM orders GROUP BY 1
+    ),
+    xy AS (
+      SELECT CAST(date_diff('day', (SELECT MIN(day) FROM daily), day)
+                  AS BIGINT) AS x, y
+      FROM daily
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(CAST(x AS DOUBLE) * x AS DECIMAL(30,10)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sxy
+      FROM xy
+    ),
+    ols AS (
+      SELECT n,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b1,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+               AS b0
+      FROM m
+    ),
+    res AS (
+      SELECT x, y, y - (b0 + b1 * x) AS r FROM xy CROSS JOIN ols
+    ),
+    sc AS (
+      SELECT 1.4826 * median(abs(r)) AS s FROM res
+    ),
+    wts AS (
+      SELECT x, y,
+             CASE WHEN abs(r) <= 1.345 * s THEN 1.0
+                  ELSE 1.345 * s / abs(r) END AS w
+      FROM res CROSS JOIN sc
+    ),
+    wm AS (
+      SELECT CAST(SUM(CAST(w AS DECIMAL(30,10))) AS DOUBLE) AS sw,
+             CAST(SUM(CAST(w * x AS DECIMAL(30,10))) AS DOUBLE) AS swx,
+             CAST(SUM(CAST(w * y AS DECIMAL(30,10))) AS DOUBLE) AS swy,
+             CAST(SUM(CAST(w * x * x AS DECIMAL(30,10))) AS DOUBLE)
+               AS swxx,
+             CAST(SUM(CAST(w * x * y AS DECIMAL(30,10))) AS DOUBLE)
+               AS swxy,
+             CAST(COUNT(CASE WHEN w < 1.0 THEN 1 END) AS BIGINT)
+               AS n_down
+      FROM wts
+    )
+    SELECT ols.n AS n_days,
+           ROUND(ols.b1, 4) AS slope_ols,
+           ROUND(ols.b0, 4) AS icept_ols,
+           ROUND((SELECT s FROM sc), 4) AS scale_s,
+           wm.n_down AS n_downweighted,
+           ROUND((sw * swxy - swx * swy) / (sw * swxx - swx * swx), 4)
+             AS slope_huber,
+           ROUND((swy - (sw * swxy - swx * swy)
+                        / (sw * swxx - swx * swx) * swx) / sw, 4)
+             AS icept_huber
+    FROM ols CROSS JOIN wm ORDER BY n_days
+    """,
+    doc="One-step Huber robust trend on daily revenue: plain OLS "
+    "(q299's fit), residual scale s = 1.4826*median|r| (q246's MAD "
+    "constant), Huber weights w = min(1, 1.345*s/|r|), then ONE "
+    "weighted-least-squares refit — the first IRLS iteration, which "
+    "captures most of the robustness (promo-day spikes stop "
+    "dragging the slope) while staying a fixed two-pass plan "
+    "instead of an open-ended iteration.  Reports both fits so the "
+    "gap itself is the outlier-influence diagnostic.  Scale shape: "
+    "one fold to the calendar frame (persisted — moments, "
+    "residuals and the refit all branch from it), 1-row parameter "
+    "broadcasts, exact interpolated median over the bounded daily "
+    "frame (approx_percentile is the documented 100 TB swap), "
+    "every sum a DECIMAL accumulator.",
+)
+def q357(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("y")
+    )
+    mn = daily.agg(F.min("day").alias("mn"))
+    xy = _managed_persist(
+        "q357_xy",
+        daily.crossJoin(F.broadcast(mn)).select(
+            F.datediff("day", "mn").cast("bigint").alias("x"), "y"
+        ),
+    )
+    m = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x").cast("double") * F.col("x")).cast(DEC))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
+    )
+    b1 = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    ols = m.select("n", b1.alias("b1"), ((F.col("sy") - b1 * F.col("sx")) / F.col("n")).alias("b0"))
+    res = xy.crossJoin(F.broadcast(ols)).select(
+        "x", "y", (F.col("y") - (F.col("b0") + F.col("b1") * F.col("x"))).alias("r")
+    )
+    sc = res.agg((1.4826 * F.median(F.abs("r"))).alias("s"))
+    wts = res.crossJoin(F.broadcast(sc)).select(
+        "x",
+        "y",
+        F.when(F.abs("r") <= 1.345 * F.col("s"), F.lit(1.0))
+        .otherwise(1.345 * F.col("s") / F.abs("r"))
+        .alias("w"),
+    )
+    wm = wts.agg(
+        F.sum(F.col("w").cast(DEC)).cast("double").alias("sw"),
+        F.sum((F.col("w") * F.col("x")).cast(DEC)).cast("double").alias("swx"),
+        F.sum((F.col("w") * F.col("y")).cast(DEC)).cast("double").alias("swy"),
+        F.sum((F.col("w") * F.col("x") * F.col("x")).cast(DEC))
+        .cast("double")
+        .alias("swxx"),
+        F.sum((F.col("w") * F.col("x") * F.col("y")).cast(DEC))
+        .cast("double")
+        .alias("swxy"),
+        F.count(F.when(F.col("w") < 1.0, 1)).cast("bigint").alias("n_down"),
+    )
+    hb1 = (F.col("sw") * F.col("swxy") - F.col("swx") * F.col("swy")) / (
+        F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+    )
+    return (
+        ols.crossJoin(F.broadcast(sc))
+        .crossJoin(F.broadcast(wm))
+        .select(
+            F.col("n").alias("n_days"),
+            F.round("b1", 4).alias("slope_ols"),
+            F.round("b0", 4).alias("icept_ols"),
+            F.round("s", 4).alias("scale_s"),
+            F.col("n_down").alias("n_downweighted"),
+            F.round(hb1, 4).alias("slope_huber"),
+            F.round((F.col("swy") - hb1 * F.col("swx")) / F.col("sw"), 4).alias(
+                "icept_huber"
+            ),
+        )
+        .orderBy("n_days")
+    )
+
+
+@register(
+    "q360",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+               AS y
+      FROM orders GROUP BY 1
+    ),
+    xy AS (
+      SELECT CAST(date_diff('day', (SELECT MIN(day) FROM daily), day)
+                  AS BIGINT) AS x, y
+      FROM daily
+    ),
+    cutv AS (SELECT MAX(x) - 28 AS xt FROM xy),
+    tr AS (
+      SELECT CAST(MAX(x) AS BIGINT) AS xl,
+             arg_max(y, x) AS yl,
+             CAST(MIN(x) AS BIGINT) AS x0,
+             arg_min(y, x) AS y0
+      FROM xy CROSS JOIN cutv WHERE x <= xt
+    ),
+    err AS (
+      SELECT t.y,
+             t.y - tr.yl AS e_naive,
+             t.y - l7.y AS e_snaive,
+             t.y - (tr.yl + (t.x - tr.xl)
+                            * (tr.yl - tr.y0) / (tr.xl - tr.x0))
+               AS e_drift
+      FROM xy t CROSS JOIN cutv CROSS JOIN tr
+      JOIN xy l7 ON l7.x = t.x - 7
+      WHERE t.x > cutv.xt
+    ),
+    stacked AS (
+      SELECT 'drift' AS model, y, e_drift AS e FROM err
+      UNION ALL
+      SELECT 'naive' AS model, y, e_naive AS e FROM err
+      UNION ALL
+      SELECT 'snaive' AS model, y, e_snaive AS e FROM err
+    )
+    SELECT model, CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(CAST(SUM(CAST(ABS(e) AS DECIMAL(30,10))) AS DOUBLE)
+                 / COUNT(*), 4) AS mae,
+           ROUND(CAST(SUM(CAST(ABS(e) / y AS DECIMAL(30,10)))
+                      AS DOUBLE) / COUNT(*), 4) AS mape,
+           ROUND(CAST(SUM(CAST(e AS DECIMAL(30,10))) AS DOUBLE)
+                 / COUNT(*), 4) AS bias
+    FROM stacked GROUP BY model ORDER BY model
+    """,
+    doc="Three-model forecast bake-off on a 28-day holdout: naive "
+    "(last train value), seasonal-naive (actual from 7 days "
+    "earlier), and drift (last value + per-day trend from the "
+    "train endpoints) — the mandatory benchmark table before "
+    "trusting q299's fitted forecast (a model that can't beat "
+    "seasonal-naive isn't a model; Hyndman's forecasting first "
+    "commandment).  All three evaluate over the IDENTICAL day set "
+    "(test days whose lag-7 day exists), so MAE/MAPE/bias are "
+    "directly comparable.  Scale shape: one fold to the persisted "
+    "calendar frame, train anchors via arg_max/arg_min in a 1-row "
+    "broadcast, lag-7 as a self-join on the tiny frame, one "
+    "3x-stacked DECIMAL metric fold.",
+)
+def q360(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("y")
+    )
+    mn = daily.agg(F.min("day").alias("mn"))
+    xy = _managed_persist(
+        "q360_xy",
+        daily.crossJoin(F.broadcast(mn)).select(
+            F.datediff("day", "mn").cast("bigint").alias("x"), "y"
+        ),
+    )
+    cutv = xy.agg((F.max("x") - 28).alias("xt"))
+    tr = (
+        xy.crossJoin(F.broadcast(cutv))
+        .where(F.col("x") <= F.col("xt"))
+        .agg(
+            F.max("x").cast("bigint").alias("xl"),
+            F.expr("max_by(y, x)").alias("yl"),
+            F.min("x").cast("bigint").alias("x0"),
+            F.expr("min_by(y, x)").alias("y0"),
+        )
+    )
+    l7 = xy.select(F.col("x").alias("lx"), F.col("y").alias("ly"))
+    err = (
+        xy.crossJoin(F.broadcast(cutv))
+        .where(F.col("x") > F.col("xt"))
+        .crossJoin(F.broadcast(tr))
+        .join(F.broadcast(l7), F.col("lx") == F.col("x") - 7)
+        .select(
+            "y",
+            (F.col("y") - F.col("yl")).alias("e_naive"),
+            (F.col("y") - F.col("ly")).alias("e_snaive"),
+            (
+                F.col("y")
+                - (
+                    F.col("yl")
+                    + (F.col("x") - F.col("xl"))
+                    * (F.col("yl") - F.col("y0"))
+                    / (F.col("xl") - F.col("x0"))
+                )
+            ).alias("e_drift"),
+        )
+    )
+    stacked = err.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("drift").alias("model"),
+                    F.col("y").alias("y"),
+                    F.col("e_drift").alias("e"),
+                ),
+                F.struct(
+                    F.lit("naive").alias("model"),
+                    F.col("y").alias("y"),
+                    F.col("e_naive").alias("e"),
+                ),
+                F.struct(
+                    F.lit("snaive").alias("model"),
+                    F.col("y").alias("y"),
+                    F.col("e_snaive").alias("e"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.model", "s.y", "s.e")
+    return (
+        stacked.groupBy("model")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(
+                F.sum(F.abs("e").cast(DEC)).cast("double") / F.count(F.lit(1)),
+                4,
+            ).alias("mae"),
+            F.round(
+                F.sum((F.abs("e") / F.col("y")).cast(DEC)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mape"),
+            F.round(
+                F.sum(F.col("e").cast(DEC)).cast("double") / F.count(F.lit(1)),
+                4,
+            ).alias("bias"),
+        )
+        .orderBy("model")
+    )
