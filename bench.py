@@ -227,6 +227,10 @@ HEADLINE = [
     "q360",  # forecast bake-off
     "q361",  # per-source perplexity audit
     "q362",  # k-core peeling trace
+    "q363",  # Hurst exponent (R/S)
+    "q364",  # difference-in-differences
+    "q365",  # precision/recall operating points
+    "q366",  # IPW treatment effect
 ]
 
 

@@ -857,3 +857,92 @@ def q358(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor", "positive", "attempt")
     )
+
+
+@register(
+    "q365",
+    oracle="""
+    WITH """ + _SCORE_SQL + """,
+    th AS (SELECT CAST(i AS DOUBLE) / 10 AS t
+           FROM (SELECT range AS i FROM range(1, 10))),
+    cm AS (
+      SELECT t,
+             CAST(COUNT(CASE WHEN s >= t AND y = 1 THEN 1 END)
+                  AS BIGINT) AS tp,
+             CAST(COUNT(CASE WHEN s >= t AND y = 0 THEN 1 END)
+                  AS BIGINT) AS fp,
+             CAST(COUNT(CASE WHEN s < t AND y = 1 THEN 1 END)
+                  AS BIGINT) AS fn
+      FROM sc CROSS JOIN th GROUP BY t
+    )
+    SELECT t AS threshold, tp, fp, fn,
+           ROUND(CASE WHEN tp + fp > 0
+                 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END, 4)
+             AS precision_,
+           ROUND(CASE WHEN tp + fn > 0
+                 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END, 4)
+             AS recall_,
+           ROUND(CASE WHEN 2 * tp + fp + fn > 0
+                 THEN 2 * CAST(tp AS DOUBLE) / (2 * tp + fp + fn)
+                 ELSE 0.0 END, 4) AS f1
+    FROM cm ORDER BY threshold
+    """,
+    doc="Precision/recall operating-point table for q178's classifier "
+    "at nine fixed thresholds 0.1..0.9 — the table an ML platform "
+    "publishes next to q337's threshold-free AUC and q338's "
+    "calibration decomposition, because deployment needs ONE "
+    "operating point and this is how it gets chosen (F1 spelled in "
+    "its division-stable 2TP/(2TP+FP+FN) form, zero-denominator "
+    "cells defined as 0 identically in both engines).  Scale "
+    "shape: the scored frame folds once through a 9x map-side "
+    "threshold expansion into conditional counts — integer "
+    "confusion cells, float ops only on the 9-row result.",
+)
+@plan_cache
+def q365(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _scored(spark, sf_dir)
+    th = F.explode(F.sequence(F.lit(1), F.lit(9))).alias("i")
+    cm = (
+        scored.select("y", "s", th)
+        .select("y", "s", (F.col("i").cast("double") / 10).alias("t"))
+        .groupBy("t")
+        .agg(
+            F.count(F.when((F.col("s") >= F.col("t")) & (F.col("y") == 1), 1))
+            .cast("bigint")
+            .alias("tp"),
+            F.count(F.when((F.col("s") >= F.col("t")) & (F.col("y") == 0), 1))
+            .cast("bigint")
+            .alias("fp"),
+            F.count(F.when((F.col("s") < F.col("t")) & (F.col("y") == 1), 1))
+            .cast("bigint")
+            .alias("fn"),
+        )
+    )
+    return cm.select(
+        F.col("t").alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            F.when(
+                F.col("tp") + F.col("fp") > 0,
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+            ).otherwise(0.0),
+            4,
+        ).alias("precision_"),
+        F.round(
+            F.when(
+                F.col("tp") + F.col("fn") > 0,
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fn")),
+            ).otherwise(0.0),
+            4,
+        ).alias("recall_"),
+        F.round(
+            F.when(
+                2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+                2 * F.col("tp").cast("double")
+                / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+            ).otherwise(0.0),
+            4,
+        ).alias("f1"),
+    ).orderBy("threshold")

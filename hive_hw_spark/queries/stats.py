@@ -6814,3 +6814,435 @@ def q360(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model")
     )
+
+
+@register(
+    "q363",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+               AS y
+      FROM orders GROUP BY 1
+    ),
+    xy AS (
+      SELECT CAST(date_diff('day', (SELECT MIN(day) FROM daily), day)
+                  AS BIGINT) AS x, y
+      FROM daily
+    ),
+    ms AS (SELECT m FROM (VALUES (8), (16), (32), (64)) AS t(m)),
+    blk AS (
+      SELECT CAST(ms.m AS BIGINT) AS m, x // ms.m AS b, x, y
+      FROM xy CROSS JOIN ms
+    ),
+    bs AS (
+      SELECT m, b, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(y * y AS DECIMAL(30,10))) AS DOUBLE) AS ss
+      FROM blk GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT blk.m, blk.b, blk.x,
+             CAST(SUM(CAST(blk.y AS DECIMAL(30,10)))
+                  OVER (PARTITION BY blk.m, blk.b ORDER BY blk.x
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cy,
+             CAST(ROW_NUMBER() OVER (PARTITION BY blk.m, blk.b
+                                     ORDER BY blk.x) AS BIGINT) AS k,
+             bs.s, bs.ss, bs.n
+      FROM blk JOIN bs ON blk.m = bs.m AND blk.b = bs.b
+      WHERE bs.n = blk.m
+    ),
+    rs AS (
+      SELECT m, b,
+             (MAX(cy - k * (s / n)) - MIN(cy - k * (s / n)))
+             / SQRT((ANY_VALUE(ss) - ANY_VALUE(s) * ANY_VALUE(s)
+                     / ANY_VALUE(n)) / ANY_VALUE(n)) AS rsv
+      FROM cum GROUP BY m, b
+    ),
+    per_m AS (
+      SELECT m, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             CAST(SUM(CAST(rsv AS DECIMAL(30,10))) AS DOUBLE)
+               / COUNT(*) AS avg_rs
+      FROM rs GROUP BY m
+    ),
+    fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(CAST(LN(CAST(m AS DOUBLE)) AS DECIMAL(30,10)))
+                  AS DOUBLE) AS sx,
+             CAST(SUM(CAST(LN(avg_rs) AS DECIMAL(30,10))) AS DOUBLE)
+               AS sy,
+             CAST(SUM(CAST(LN(CAST(m AS DOUBLE))
+                           * LN(CAST(m AS DOUBLE)) AS DECIMAL(30,10)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(LN(CAST(m AS DOUBLE)) * LN(avg_rs)
+                           AS DECIMAL(30,10))) AS DOUBLE) AS sxy
+      FROM per_m
+    )
+    SELECT per_m.m AS block_size, n_blocks, ROUND(avg_rs, 4) AS avg_rs,
+           ROUND((fit.k * sxy - sx * sy) / (fit.k * sxx - sx * sx), 4)
+             AS hurst
+    FROM per_m CROSS JOIN fit ORDER BY block_size
+    """,
+    doc="Hurst exponent via rescaled-range (R/S) analysis of daily "
+    "revenue: full blocks of 8/16/32/64 days, per-block R = range of "
+    "the mean-adjusted cumulative sum, S = population sd, H = "
+    "log-log slope of avg(R/S) vs block size — the long-memory "
+    "diagnostic (H≈0.5 random walk, H>0.5 persistent trends, H<0.5 "
+    "mean-reverting) that q252's short-lag ACF cannot see.  Scale "
+    "shape: one fold to the calendar frame, a 4x map-side block "
+    "expansion, cumulative DECIMAL prefix sums in windows "
+    "partitioned by (block size, block) — bounded frames, never "
+    "global — and the final fit is a 4-row closed form.  Partial "
+    "trailing blocks are excluded (n = m) identically in both "
+    "engines.",
+)
+def q363(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("y")
+    )
+    mn = daily.agg(F.min("day").alias("mn"))
+    xy = _managed_persist(
+        "q363_xy",
+        daily.crossJoin(F.broadcast(mn)).select(
+            F.datediff("day", "mn").cast("bigint").alias("x"), "y"
+        ),
+    )
+    blk = xy.crossJoin(
+        F.broadcast(
+            xy.sparkSession.createDataFrame(
+                [(8,), (16,), (32,), (64,)], "m long"
+            )
+        )
+    ).select("m", F.floor(F.col("x") / F.col("m")).alias("b"), "x", "y")
+    bs = blk.groupBy("m", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("s"),
+        F.sum((F.col("y") * F.col("y")).cast(DEC)).cast("double").alias("ss"),
+    )
+    w = Window.partitionBy("m", "b").orderBy("x")
+    cum = (
+        blk.join(bs, ["m", "b"])
+        .where(F.col("n") == F.col("m"))
+        .select(
+            "m",
+            "b",
+            "s",
+            "ss",
+            "n",
+            F.sum(F.col("y").cast(DEC))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double")
+            .alias("cy"),
+            F.row_number().over(w).cast("bigint").alias("k"),
+        )
+    )
+    z = F.col("cy") - F.col("k") * (F.col("s") / F.col("n"))
+    rs = (
+        cum.groupBy("m", "b")
+        .agg(
+            (
+                (F.max(z) - F.min(z))
+                / F.sqrt(
+                    (
+                        F.any_value("ss")
+                        - F.any_value("s") * F.any_value("s") / F.any_value("n")
+                    )
+                    / F.any_value("n")
+                )
+            ).alias("rsv")
+        )
+    )
+    per_m = rs.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        (
+            F.sum(F.col("rsv").cast(DEC)).cast("double") / F.count(F.lit(1))
+        ).alias("avg_rs"),
+    )
+    lm = F.log(F.col("m").cast("double"))
+    fit = per_m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(lm.cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.log("avg_rs").cast(DEC)).cast("double").alias("sy"),
+        F.sum((lm * lm).cast(DEC)).cast("double").alias("sxx"),
+        F.sum((lm * F.log("avg_rs")).cast(DEC)).cast("double").alias("sxy"),
+    )
+    return (
+        per_m.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("m").alias("block_size"),
+            "n_blocks",
+            F.round("avg_rs", 4).alias("avg_rs"),
+            F.round(
+                (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")),
+                4,
+            ).alias("hurst"),
+        )
+        .orderBy("block_size")
+    )
+
+
+@register(
+    "q364",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS mn,
+             MAX(CAST(o_orderdate AS DATE)) AS mx
+      FROM orders
+    ),
+    cells AS (
+      SELECT CASE WHEN r_name = 'ASIA' THEN 1 ELSE 0 END AS treated,
+             CASE WHEN CAST(o_orderdate AS DATE)
+                       >= mn + CAST(date_diff('day', mn, mx) // 2
+                                    AS INTEGER)
+                  THEN 1 ELSE 0 END AS post,
+             o_totalprice AS x
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      CROSS JOIN b
+    ),
+    mom AS (
+      SELECT treated, post,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS sxx
+      FROM cells GROUP BY 1, 2
+    ),
+    wd AS (
+      SELECT
+        MAX(CASE WHEN treated = 1 AND post = 1 THEN sx / n END) AS tp,
+        MAX(CASE WHEN treated = 1 AND post = 0 THEN sx / n END) AS tr,
+        MAX(CASE WHEN treated = 0 AND post = 1 THEN sx / n END) AS cp,
+        MAX(CASE WHEN treated = 0 AND post = 0 THEN sx / n END) AS cr,
+        CAST(SUM(CAST((sxx - sx * sx / n) / (n - 1) / n
+                      AS DECIMAL(30,10))) AS DOUBLE) AS var_did,
+        CAST(MAX(CASE WHEN treated = 1 AND post = 1 THEN n END)
+             AS BIGINT) AS n_tp
+      FROM mom
+    )
+    SELECT n_tp AS n_treated_post,
+           ROUND(tr, 4) AS treated_pre, ROUND(tp, 4) AS treated_post,
+           ROUND(cr, 4) AS control_pre, ROUND(cp, 4) AS control_post,
+           ROUND((tp - tr) - (cp - cr), 4) AS did,
+           ROUND(((tp - tr) - (cp - cr)) / SQRT(var_did), 4) AS z_did
+    FROM wd ORDER BY n_treated_post
+    """,
+    doc="Difference-in-differences: ASIA-region customers as the "
+    "'treated' group, order value as the outcome, the date-range "
+    "midpoint as the policy instant — DiD = (T_post - T_pre) - "
+    "(C_post - C_pre) removes both the group-level baseline gap "
+    "and the common time trend, the observational-causal "
+    "complement to the randomized q242/q355 family (when you "
+    "cannot randomize, you difference twice).  SE from the four "
+    "independent cell variances.  Scale shape: the dim chain "
+    "(customer, nation, region) joins the fact once, one fold to "
+    "the 4-cell moment frame, closed forms on one row; the period "
+    "split is integer day arithmetic identical in both engines.",
+)
+def q364(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    b = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("mn"),
+        F.max(F.col("o_orderdate").cast("date")).alias("mx"),
+    )
+    cells = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .crossJoin(F.broadcast(b))
+        .select(
+            F.when(F.col("r_name") == "ASIA", 1).otherwise(0).alias("treated"),
+            F.when(
+                F.col("o_orderdate").cast("date")
+                >= F.date_add(
+                    F.col("mn"),
+                    F.floor(F.datediff("mx", "mn") / 2).cast("int"),
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("post"),
+            F.col("o_totalprice").alias("x"),
+        )
+    )
+    mom = cells.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
+    )
+    def cell(t, p):
+        return F.max(
+            F.when(
+                (F.col("treated") == t) & (F.col("post") == p),
+                F.col("sx") / F.col("n"),
+            )
+        )
+
+    wd = mom.agg(
+        cell(1, 1).alias("tp"),
+        cell(1, 0).alias("tr"),
+        cell(0, 1).alias("cp"),
+        cell(0, 0).alias("cr"),
+        F.sum(
+            (
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                / (F.col("n") - 1)
+                / F.col("n")
+            ).cast(DEC)
+        )
+        .cast("double")
+        .alias("var_did"),
+        F.max(
+            F.when((F.col("treated") == 1) & (F.col("post") == 1), F.col("n"))
+        )
+        .cast("bigint")
+        .alias("n_tp"),
+    )
+    did = (F.col("tp") - F.col("tr")) - (F.col("cp") - F.col("cr"))
+    return wd.select(
+        F.col("n_tp").alias("n_treated_post"),
+        F.round("tr", 4).alias("treated_pre"),
+        F.round("tp", 4).alias("treated_post"),
+        F.round("cr", 4).alias("control_pre"),
+        F.round("cp", 4).alias("control_post"),
+        F.round(did, 4).alias("did"),
+        F.round(did / F.sqrt(F.col("var_did")), 4).alias("z_did"),
+    ).orderBy("n_treated_post")
+
+
+@register(
+    "q366",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, c_nationkey, c_acctbal,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+               AS x
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2, 3
+    ),
+    med AS (SELECT median(c_acctbal) AS md FROM spend),
+    lab AS (
+      SELECT c_nationkey,
+             CASE WHEN c_acctbal > md THEN 1 ELSE 0 END AS tr, x
+      FROM spend CROSS JOIN med
+    ),
+    prop AS (
+      SELECT c_nationkey,
+             CAST(SUM(tr) AS DOUBLE) / COUNT(*) AS p
+      FROM lab GROUP BY 1
+      HAVING SUM(tr) > 0 AND SUM(tr) < COUNT(*)
+    ),
+    w AS (
+      SELECT tr, x, p FROM lab JOIN prop USING (c_nationkey)
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(tr) AS BIGINT) AS nt,
+             CAST(SUM(CAST(CASE WHEN tr = 1 THEN x ELSE 0 END
+                           AS DECIMAL(30,10))) AS DOUBLE) AS sxt,
+             CAST(SUM(CAST(CASE WHEN tr = 0 THEN x ELSE 0 END
+                           AS DECIMAL(30,10))) AS DOUBLE) AS sxc,
+             CAST(SUM(CAST(CASE WHEN tr = 1 THEN x / p ELSE 0 END
+                           AS DECIMAL(30,10))) AS DOUBLE) AS swt,
+             CAST(SUM(CAST(CASE WHEN tr = 0 THEN x / (1 - p) ELSE 0 END
+                           AS DECIMAL(30,10))) AS DOUBLE) AS swc
+      FROM w
+    )
+    SELECT n, nt AS n_treated,
+           ROUND(sxt / nt - sxc / (n - nt), 4) AS naive_diff,
+           ROUND(swt / n - swc / n, 4) AS ipw_ate
+    FROM s ORDER BY n
+    """,
+    doc="Inverse-propensity-weighted treatment effect: 'treated' = "
+    "above-median account balance, outcome = customer total spend, "
+    "confounder = nation (balance mix differs by nation) — "
+    "propensity is the within-nation treated share and the "
+    "Horvitz-Thompson estimator reweights each observation by "
+    "1/p or 1/(1-p), closing the causal trio: randomized "
+    "(q242/q355), parallel-trends (q364 DiD), and "
+    "selection-on-observables (this).  Nations with no overlap "
+    "(all or none treated) are excluded by the positivity HAVING "
+    "guard identically in both engines — the textbook overlap "
+    "requirement, not a hack.  Scale shape: one custkey fold, "
+    "exact median on the customer-cardinality frame (documented "
+    "approx swap), a 25-row broadcast propensity join, one "
+    "DECIMAL moment fold.",
+)
+def q366(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    spend = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_custkey", "c_nationkey", "c_acctbal")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("x"))
+    )
+    med = spend.agg(F.median("c_acctbal").alias("md"))
+    lab = spend.crossJoin(F.broadcast(med)).select(
+        "c_nationkey",
+        F.when(F.col("c_acctbal") > F.col("md"), 1).otherwise(0).alias("tr"),
+        "x",
+    )
+    prop = (
+        lab.groupBy("c_nationkey")
+        .agg(
+            F.sum("tr").alias("st"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .where((F.col("st") > 0) & (F.col("st") < F.col("cnt")))
+        .select(
+            "c_nationkey",
+            (F.col("st").cast("double") / F.col("cnt")).alias("p"),
+        )
+    )
+    w = lab.join(F.broadcast(prop), "c_nationkey").select("tr", "x", "p")
+    s = w.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("tr").cast("bigint").alias("nt"),
+        F.sum(F.when(F.col("tr") == 1, F.col("x")).otherwise(0.0).cast(DEC))
+        .cast("double")
+        .alias("sxt"),
+        F.sum(F.when(F.col("tr") == 0, F.col("x")).otherwise(0.0).cast(DEC))
+        .cast("double")
+        .alias("sxc"),
+        F.sum(
+            F.when(F.col("tr") == 1, F.col("x") / F.col("p"))
+            .otherwise(0.0)
+            .cast(DEC)
+        )
+        .cast("double")
+        .alias("swt"),
+        F.sum(
+            F.when(F.col("tr") == 0, F.col("x") / (1 - F.col("p")))
+            .otherwise(0.0)
+            .cast(DEC)
+        )
+        .cast("double")
+        .alias("swc"),
+    )
+    return s.select(
+        "n",
+        F.col("nt").alias("n_treated"),
+        F.round(
+            F.col("sxt") / F.col("nt") - F.col("sxc") / (F.col("n") - F.col("nt")),
+            4,
+        ).alias("naive_diff"),
+        F.round(F.col("swt") / F.col("n") - F.col("swc") / F.col("n"), 4).alias(
+            "ipw_ate"
+        ),
+    ).orderBy("n")
