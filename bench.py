@@ -231,6 +231,14 @@ HEADLINE = [
     "q364",  # difference-in-differences
     "q365",  # precision/recall operating points
     "q366",  # IPW treatment effect
+    "q367",  # distinctive keywords (log-odds z)
+    "q368",  # windowed funnel with timeout
+    "q369",  # Kruskal-Wallis H test
+    "q370",  # extreme-value return levels
+    "q371",  # seasonal/trend strength
+    "q372",  # retention half-life
+    "q373",  # word burstiness
+    "q374",  # Hill tail index
 ]
 
 

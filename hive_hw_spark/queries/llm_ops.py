@@ -4815,3 +4815,191 @@ def q361(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Q367 distinctive keywords per source (Monroe informed Dirichlet log-odds)
+# --------------------------------------------------------------------------
+@register(
+    "q367",
+    oracle="""
+    WITH w AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM w WHERE word <> '' GROUP BY 1, 2
+    ),
+    gw AS (
+      SELECT word, CAST(SUM(c) AS BIGINT) AS g FROM wc GROUP BY 1
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM wc GROUP BY 1
+    ),
+    gtot AS (SELECT CAST(SUM(c) AS BIGINT) AS gn FROM wc),
+    z AS (
+      SELECT wc.source, wc.word, wc.c,
+             (LN((wc.c + 0.01 * gw.g)
+                 / (tot.n + 0.01 * gtot.gn - wc.c - 0.01 * gw.g))
+              - LN((gw.g - wc.c + 0.01 * gw.g)
+                   / (gtot.gn - tot.n + 0.01 * gtot.gn
+                      - (gw.g - wc.c) - 0.01 * gw.g)))
+             / SQRT(1.0 / (wc.c + 0.01 * gw.g)
+                    + 1.0 / (gw.g - wc.c + 0.01 * gw.g)) AS zeta
+      FROM wc JOIN gw USING (word)
+      JOIN tot ON wc.source = tot.source
+      CROSS JOIN gtot
+      WHERE gw.g - wc.c > 0
+    ),
+    rk AS (
+      SELECT source, word, c, zeta,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY zeta DESC, word) AS rnk
+      FROM z
+    )
+    SELECT source, CAST(rnk AS BIGINT) AS rnk, word,
+           c AS n_in_source, ROUND(zeta, 4) AS log_odds_z
+    FROM rk WHERE rnk <= 5 ORDER BY source, rnk
+    """,
+    doc="Distinctive vocabulary per source via Monroe et al.'s "
+    "informed-Dirichlet log-odds z-score ('Fightin' Words', 2008): "
+    "each word's usage in a source vs the REST of the corpus, "
+    "shrunk by a prior proportional to global frequency (alpha = "
+    "0.01 * global count) and standardized by the delta's "
+    "variance — the corpus-comparison tool that beats raw TF-IDF "
+    "(q94c) for 'what makes this source different', because rare "
+    "words get variance-penalized instead of dominating.  Top-5 "
+    "per source with (zeta, word) tie-break.  Words exclusive to "
+    "one source (rest-count 0) are excluded identically via the "
+    "g - c > 0 guard.  Scale shape: one (source, word) fold, the "
+    "global word frame joins on the word key, per-row double "
+    "z-scores, one bounded rank window per source.",
+)
+@plan_cache
+def q367(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    gw = wc.groupBy("word").agg(F.sum("c").cast("bigint").alias("g"))
+    tot = wc.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    gtot = wc.agg(F.sum("c").cast("bigint").alias("gn"))
+    a = 0.01
+    c, g, n, gn = F.col("c"), F.col("g"), F.col("n"), F.col("gn")
+    zeta = (
+        F.log(
+            (c + a * g) / (n + a * gn - c - a * g)
+        )
+        - F.log(
+            (g - c + a * g) / (gn - n + a * gn - (g - c) - a * g)
+        )
+    ) / F.sqrt(1.0 / (c + a * g) + 1.0 / (g - c + a * g))
+    z = (
+        wc.join(gw, "word")
+        .join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(gtot))
+        .where(g - c > 0)
+        .select("source", "word", "c", zeta.alias("zeta"))
+    )
+    wr = Window.partitionBy("source").orderBy(F.col("zeta").desc(), "word")
+    return (
+        z.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "source",
+            "rnk",
+            "word",
+            F.col("c").alias("n_in_source"),
+            F.round("zeta", 4).alias("log_odds_z"),
+        )
+        .orderBy("source", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q373 Church-Gale word burstiness (top words vs Poisson expectation)
+# --------------------------------------------------------------------------
+@register(
+    "q373",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    dw AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM w WHERE word <> '' GROUP BY 1, 2
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS d FROM documents),
+    ws AS (
+      SELECT word, CAST(SUM(c) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(COUNT(CASE WHEN c >= 2 THEN 1 END) AS BIGINT) AS multi
+      FROM dw GROUP BY word
+      ORDER BY total DESC, word LIMIT 20
+    ),
+    x AS (
+      SELECT word, total, df, multi,
+             CAST(multi AS DOUBLE) / df AS obs,
+             (1 - EXP(-(total / d)) - (total / d) * EXP(-(total / d)))
+             / (1 - EXP(-(total / d))) AS poi
+      FROM ws CROSS JOIN nd
+    )
+    SELECT word, total AS n_occurrences, df AS n_docs,
+           ROUND(obs, 4) AS multi_share,
+           ROUND(poi, 4) AS poisson_share,
+           ROUND(obs / poi, 4) AS burstiness
+    FROM x ORDER BY word
+    """,
+    doc="Church-Gale word burstiness for the top-20 corpus words: "
+    "observed P(word appears >= 2x | appears) per document vs the "
+    "Poisson expectation at the word's corpus rate — content words "
+    "are BURSTY (one mention begets more), function words are "
+    "Poisson-ish, and a crawl whose top words all burst like "
+    "content words is template spam ('Adaptive language modeling "
+    "using minimum discriminant estimation' lineage; the "
+    "doc-level companion to q115's within-doc repetition).  "
+    "Deterministic top-20 by (total desc, word).  Scale shape: "
+    "one (doc, word) fold with map-side combine, one word fold, "
+    "TakeOrdered(20) — never a global sort materialized — and the "
+    "Poisson closed form on 20 rows.",
+)
+@plan_cache
+def q373(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    dw = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("double").alias("d"))
+    ws = (
+        dw.groupBy("word")
+        .agg(
+            F.sum("c").cast("bigint").alias("total"),
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.count(F.when(F.col("c") >= 2, 1)).cast("bigint").alias("multi"),
+        )
+        .orderBy(F.col("total").desc(), "word")
+        .limit(20)
+    )
+    lam = F.col("total") / F.col("d")
+    obs = F.col("multi").cast("double") / F.col("df")
+    poi = (1 - F.exp(-lam) - lam * F.exp(-lam)) / (1 - F.exp(-lam))
+    return (
+        ws.crossJoin(F.broadcast(nd))
+        .select(
+            "word",
+            F.col("total").alias("n_occurrences"),
+            F.col("df").alias("n_docs"),
+            F.round(obs, 4).alias("multi_share"),
+            F.round(poi, 4).alias("poisson_share"),
+            F.round(obs / poi, 4).alias("burstiness"),
+        )
+        .orderBy("word")
+    )

@@ -5492,7 +5492,7 @@ def q347(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dashboards test 25 metrics at once.  Scale shape: one "
     "(user,type) fold with map-side combine, one fold to the "
     "|types|-row moment frame (persisted — rank and step-up "
-    "threshold are two branches over it), BIGINT moments safe (n^2 "
+    "threshold are two branches over it), moment sums in DECIMAL(38,0) (n^2 "
     "per user-type bounded by session length), rank window "
     "bucket-partitioned over the tiny frame.",
 )
@@ -5543,26 +5543,26 @@ def q348(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q348_mom",
         ue.groupBy("event_type")
         .agg(
-            F.sum(F.when(F.col("arm") == "A", F.col("n")).otherwise(0))
-            .cast("bigint")
-            .alias("sxa"),
             F.sum(
-                F.when(F.col("arm") == "A", F.col("n") * F.col("n")).otherwise(
-                    0
-                )
-            )
-            .cast("bigint")
-            .alias("sxxa"),
-            F.sum(F.when(F.col("arm") == "B", F.col("n")).otherwise(0))
-            .cast("bigint")
-            .alias("sxb"),
+                F.when(F.col("arm") == "A", F.col("n"))
+                .otherwise(0)
+                .cast("decimal(38,0)")
+            ).alias("sxa"),
             F.sum(
-                F.when(F.col("arm") == "B", F.col("n") * F.col("n")).otherwise(
-                    0
-                )
-            )
-            .cast("bigint")
-            .alias("sxxb"),
+                F.when(F.col("arm") == "A", F.col("n") * F.col("n"))
+                .otherwise(0)
+                .cast("decimal(38,0)")
+            ).alias("sxxa"),
+            F.sum(
+                F.when(F.col("arm") == "B", F.col("n"))
+                .otherwise(0)
+                .cast("decimal(38,0)")
+            ).alias("sxb"),
+            F.sum(
+                F.when(F.col("arm") == "B", F.col("n") * F.col("n"))
+                .otherwise(0)
+                .cast("decimal(38,0)")
+            ).alias("sxxb"),
         )
         .crossJoin(F.broadcast(arms)),
     )
@@ -7246,3 +7246,681 @@ def q366(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ipw_ate"
         ),
     ).orderBy("n")
+
+
+@register(
+    "q368",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
+      FROM events
+    ),
+    base AS (SELECT DISTINCT user_id FROM e),
+    s1 AS (
+      SELECT user_id, MIN(ts_s) AS t1 FROM e
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(ts_s) AS t2
+      FROM e JOIN s1 ON e.user_id = s1.user_id
+      WHERE event_type = 'view'
+        AND ts_s >= t1 AND ts_s <= t1 + 604800
+      GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(ts_s) AS t3
+      FROM e JOIN s2 ON e.user_id = s2.user_id
+      JOIN s1 ON e.user_id = s1.user_id
+      WHERE event_type = 'click'
+        AND ts_s >= t2 AND ts_s <= t1 + 604800
+      GROUP BY 1
+    ),
+    s4 AS (
+      SELECT e.user_id, MIN(ts_s) AS t4
+      FROM e JOIN s3 ON e.user_id = s3.user_id
+      JOIN s1 ON e.user_id = s1.user_id
+      WHERE event_type = 'purchase'
+        AND ts_s >= t3 AND ts_s <= t1 + 604800
+      GROUP BY 1
+    ),
+    lv AS (
+      SELECT base.user_id,
+             CASE WHEN s4.user_id IS NOT NULL THEN 4
+                  WHEN s3.user_id IS NOT NULL THEN 3
+                  WHEN s2.user_id IS NOT NULL THEN 2
+                  WHEN s1.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS level
+      FROM base
+      LEFT JOIN s1 ON base.user_id = s1.user_id
+      LEFT JOIN s2 ON base.user_id = s2.user_id
+      LEFT JOIN s3 ON base.user_id = s3.user_id
+      LEFT JOIN s4 ON base.user_id = s4.user_id
+    )
+    SELECT CAST(level AS BIGINT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM lv GROUP BY level ORDER BY level
+    """,
+    doc="Windowed funnel with timeout (ClickHouse windowFunnel "
+    "semantics): signup -> view -> click -> purchase where each "
+    "next stage's EARLIEST qualifying event must follow the "
+    "previous stage's chosen event AND land within 7 days of the "
+    "funnel's first event — the deadline-bounded variant of "
+    "q129's strict-order funnel and q180's single-edge window "
+    "(a user who converts in month two no longer counts).  "
+    "Greedy earliest-event semantics make the level "
+    "deterministic.  Scale shape: each stage is one type-filtered "
+    "pass over the SAME user_id-partitioned events frame "
+    "(persisted once) joined to the previous stage's per-user "
+    "1-row frame — four co-partitioned joins, no windows, no "
+    "per-user arrays; the level histogram is a 5-row fold.",
+)
+def q368(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    ev = _managed_persist(
+        "q368_events",
+        load_table(spark, sf_dir, "events").select(
+            "user_id",
+            "event_type",
+            F.floor(F.unix_timestamp("ts")).cast("bigint").alias("ts_s"),
+        ),
+    )
+    base = ev.select("user_id").distinct()
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .where((F.col("ts_s") >= F.col("t1")) & (F.col("ts_s") <= F.col("t1") + 604800))
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s2, "user_id")
+        .join(s1, "user_id")
+        .where((F.col("ts_s") >= F.col("t2")) & (F.col("ts_s") <= F.col("t1") + 604800))
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("t3"))
+    )
+    s4 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s3, "user_id")
+        .join(s1, "user_id")
+        .where((F.col("ts_s") >= F.col("t3")) & (F.col("ts_s") <= F.col("t1") + 604800))
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("t4"))
+    )
+    lv = (
+        base.join(s1.select("user_id", F.lit(1).alias("l1")), "user_id", "left")
+        .join(s2.select("user_id", F.lit(1).alias("l2")), "user_id", "left")
+        .join(s3.select("user_id", F.lit(1).alias("l3")), "user_id", "left")
+        .join(s4.select("user_id", F.lit(1).alias("l4")), "user_id", "left")
+        .select(
+            F.when(F.col("l4").isNotNull(), 4)
+            .when(F.col("l3").isNotNull(), 3)
+            .when(F.col("l2").isNotNull(), 2)
+            .when(F.col("l1").isNotNull(), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("level")
+        )
+    )
+    return (
+        lv.groupBy("level")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("level")
+    )
+
+
+@register(
+    "q369",
+    oracle="""
+    WITH ut AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    vf AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM ut GROUP BY 1),
+    pre AS (
+      SELECT a.v,
+             CAST(COALESCE(SUM(b.cnt), 0) AS BIGINT) AS cless,
+             ANY_VALUE(a.cnt) AS cnt
+      FROM vf a LEFT JOIN vf b ON b.v < a.v
+      GROUP BY a.v
+    ),
+    rnk AS (
+      SELECT v, cless + (CAST(cnt AS DOUBLE) + 1) / 2 AS r, cnt
+      FROM pre
+    ),
+    n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vf),
+    grp AS (
+      SELECT ut.event_type,
+             CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(CAST(rnk.r AS DECIMAL(30,10))) AS DOUBLE) AS rs
+      FROM ut JOIN rnk ON ut.v = rnk.v
+      GROUP BY 1
+    ),
+    h AS (
+      SELECT CAST(SUM(CAST(rs * rs / ng AS DECIMAL(30,10))) AS DOUBLE)
+               AS srr
+      FROM grp
+    ),
+    tie AS (
+      SELECT CAST(SUM(CAST(CAST(cnt AS DOUBLE) * cnt * cnt - cnt
+                           AS DECIMAL(30,10))) AS DOUBLE) AS st
+      FROM vf
+    )
+    SELECT event_type, ng AS n_obs,
+           ROUND(rs / ng, 4) AS mean_rank,
+           ROUND(12.0 / (n.n * (CAST(n.n AS DOUBLE) + 1)) * h.srr
+                 - 3 * (CAST(n.n AS DOUBLE) + 1), 4) AS h_stat,
+           ROUND((12.0 / (n.n * (CAST(n.n AS DOUBLE) + 1)) * h.srr
+                  - 3 * (CAST(n.n AS DOUBLE) + 1))
+                 / (1 - tie.st / (CAST(n.n AS DOUBLE) * n.n * n.n - n.n)),
+                 4) AS h_corrected
+    FROM grp CROSS JOIN n CROSS JOIN h CROSS JOIN tie
+    ORDER BY event_type
+    """,
+    doc="Kruskal-Wallis H test — do per-user activity counts differ "
+    "in DISTRIBUTION across event types?  The k-group rank test "
+    "completing the nonparametric battery (q306 Mann-Whitney is "
+    "its 2-group case, q310 ANOVA its parametric twin): H = "
+    "12/(N(N+1)) * sum R_s^2/n_s - 3(N+1) with the exact "
+    "tie-correction 1 - sum(t^3-t)/(N^3-N), which heavy integer "
+    "ties make mandatory here.  Average ranks come from the "
+    "CLOSED FORM over the value-frequency table (rank(v) = "
+    "#less + (t_v+1)/2) — no global sort, no row-level rank "
+    "window, the q255 discipline taken further: the ranking frame "
+    "is value-cardinality (a few hundred distinct counts), "
+    "prefix-summed by triangular broadcast join.  N^3 runs in "
+    "IEEE double (exact to 2^53; BIGINT would overflow first at "
+    "100 TB row counts).  Scale shape: one (user, type) fold, one "
+    "value-frequency fold, tiny joins, 5-row output.",
+)
+@plan_cache
+def q369(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    ut = _managed_persist(
+        "q369_ut",
+        ev.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("v")
+        ),
+    )
+    vf = _managed_persist(
+        "q369_vf",
+        ut.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("cnt")),
+    )
+    b = vf.select(F.col("v").alias("bv"), F.col("cnt").alias("bcnt"))
+    pre = (
+        vf.join(F.broadcast(b), F.col("bv") < F.col("v"), "left")
+        .groupBy("v")
+        .agg(
+            F.coalesce(F.sum("bcnt"), F.lit(0)).cast("bigint").alias("cless"),
+            F.any_value("cnt").alias("cnt"),
+        )
+    )
+    rnk = pre.select(
+        "v",
+        (F.col("cless") + (F.col("cnt").cast("double") + 1) / 2).alias("r"),
+        "cnt",
+    )
+    n = vf.agg(F.sum("cnt").cast("bigint").alias("n"))
+    grp = (
+        ut.join(F.broadcast(rnk.select("v", "r")), "v")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("ng"),
+            F.sum(F.col("r").cast(DEC)).cast("double").alias("rs"),
+        )
+    )
+    h = grp.agg(
+        F.sum((F.col("rs") * F.col("rs") / F.col("ng")).cast(DEC))
+        .cast("double")
+        .alias("srr")
+    )
+    tie = vf.agg(
+        F.sum(
+            (
+                F.col("cnt").cast("double") * F.col("cnt") * F.col("cnt")
+                - F.col("cnt")
+            ).cast(DEC)
+        )
+        .cast("double")
+        .alias("st")
+    )
+    nd = F.col("n").cast("double")
+    hstat = 12.0 / (F.col("n") * (nd + 1)) * F.col("srr") - 3 * (nd + 1)
+    return (
+        grp.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(h))
+        .crossJoin(F.broadcast(tie))
+        .select(
+            "event_type",
+            F.col("ng").alias("n_obs"),
+            F.round(F.col("rs") / F.col("ng"), 4).alias("mean_rank"),
+            F.round(hstat, 4).alias("h_stat"),
+            F.round(
+                hstat / (1 - F.col("st") / (nd * F.col("n") * F.col("n") - F.col("n"))),
+                4,
+            ).alias("h_corrected"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q370",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+               AS y
+      FROM orders GROUP BY 1
+    ),
+    bm AS (
+      SELECT CAST(strftime(day, '%Y-%m') AS VARCHAR) AS mo,
+             MAX(y) AS mx
+      FROM daily GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(mx AS DECIMAL(30,10))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(mx * mx AS DECIMAL(30,10))) AS DOUBLE) AS ss
+      FROM bm
+    ),
+    fit AS (
+      SELECT n,
+             SQRT((ss - s * s / n) / (n - 1)) * 0.7796968012336093
+               AS beta,
+             s / n - SQRT((ss - s * s / n) / (n - 1))
+                     * 0.7796968012336093 * 0.5772156649015329 AS mu
+      FROM m
+    )
+    SELECT n AS n_months, ROUND(mu, 4) AS mu, ROUND(beta, 4) AS beta,
+           ROUND(mu - beta * LN(-LN(1 - 1.0 / 12)), 4)
+             AS return_level_12mo,
+           ROUND(mu - beta * LN(-LN(1 - 1.0 / 60)), 4)
+             AS return_level_60mo
+    FROM fit ORDER BY n_months
+    """,
+    doc="Extreme-value analysis of daily revenue: monthly block "
+    "maxima fitted to a Gumbel distribution by method of moments "
+    "(beta = sd*sqrt(6)/pi, mu = mean - gamma*beta, with sqrt(6)/pi "
+    "and Euler-Mascheroni spelled as identical double literals), "
+    "then the 12- and 60-month return levels mu - beta*ln(-ln(1-1/T)) "
+    "— 'the largest daily revenue we should expect once per year / "
+    "per five years', the capacity-planning tail number that "
+    "q279's within-sample VaR cannot extrapolate.  Scale shape: "
+    "calendar fold, |months|-row block-maxima fold, 1-row moment "
+    "closed form — the entire EVT fit costs two tiny aggs over "
+    "one fact scan.",
+)
+@plan_cache
+def q370(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("y")
+    )
+    bm = daily.groupBy(
+        F.date_format("day", "yyyy-MM").alias("mo")
+    ).agg(F.max("y").alias("mx"))
+    m = bm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("mx").cast(DEC)).cast("double").alias("s"),
+        F.sum((F.col("mx") * F.col("mx")).cast(DEC))
+        .cast("double")
+        .alias("ss"),
+    )
+    sd = F.sqrt(
+        (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    beta = sd * 0.7796968012336093
+    mu = F.col("s") / F.col("n") - sd * 0.7796968012336093 * 0.5772156649015329
+    # ln(-ln(1-1/T)) is spelled as F.log over literals (not a Python
+    # math.log constant) so BOTH engines compute the same expression.
+    return m.select(
+        F.col("n").alias("n_months"),
+        F.round(mu, 4).alias("mu"),
+        F.round(beta, 4).alias("beta"),
+        F.round(
+            mu - beta * F.log(-F.log(F.lit(1) - F.lit(1.0) / 12)), 4
+        ).alias("return_level_12mo"),
+        F.round(
+            mu - beta * F.log(-F.log(F.lit(1) - F.lit(1.0) / 60)), 4
+        ).alias("return_level_60mo"),
+    ).orderBy("n_months")
+
+
+@register(
+    "q371",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+                   AS DOUBLE), 4) AS rev
+      FROM orders GROUP BY 1
+    ),
+    tr AS (
+      SELECT d.day, MAX(d.rev) AS rev,
+             CAST(COUNT(*) AS BIGINT) AS band_n,
+             ROUND(CAST(SUM(CAST(d2.rev AS DECIMAL(30,10))) / 15
+                   AS DOUBLE), 4) AS trend
+      FROM daily d JOIN daily d2
+        ON d2.day BETWEEN d.day - 7 AND d.day + 7
+      GROUP BY d.day
+    ),
+    det AS (
+      SELECT day, rev, trend, ROUND(rev - trend, 4) AS detr,
+             CAST(date_diff('day', DATE '1992-01-01', day) % 7
+                  AS BIGINT) AS dow
+      FROM tr WHERE band_n = 15
+    ),
+    seas AS (
+      SELECT dow,
+             ROUND(CAST(SUM(CAST(detr AS DECIMAL(30,10))) / COUNT(*)
+                   AS DOUBLE), 4) AS seasonal
+      FROM det GROUP BY 1
+    ),
+    js AS (
+      SELECT d.detr - s.seasonal AS r, d.rev - s.seasonal AS u,
+             d.detr AS v
+      FROM det d JOIN seas s ON d.dow = s.dow
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(r AS DECIMAL(30,10))) AS DOUBLE) AS sr,
+             CAST(SUM(CAST(r * r AS DECIMAL(30,10))) AS DOUBLE) AS srr,
+             CAST(SUM(CAST(u AS DECIMAL(30,10))) AS DOUBLE) AS su,
+             CAST(SUM(CAST(u * u AS DECIMAL(30,10))) AS DOUBLE) AS suu,
+             CAST(SUM(CAST(v AS DECIMAL(30,10))) AS DOUBLE) AS sv,
+             CAST(SUM(CAST(v * v AS DECIMAL(30,10))) AS DOUBLE) AS svv
+      FROM js
+    )
+    SELECT n AS n_days,
+           ROUND((srr - sr * sr / n) / (n - 1), 4) AS var_resid,
+           ROUND(GREATEST(0.0, 1 - ((srr - sr * sr / n) / (n - 1))
+                               / ((suu - su * su / n) / (n - 1))), 4)
+             AS f_trend,
+           ROUND(GREATEST(0.0, 1 - ((srr - sr * sr / n) / (n - 1))
+                               / ((svv - sv * sv / n) / (n - 1))), 4)
+             AS f_seasonal
+    FROM m ORDER BY n_days
+    """,
+    doc="Seasonal- and trend-strength indices (Hyndman's F_T/F_S from "
+    "'STL-based features'): over q278's additive decomposition, "
+    "F_trend = max(0, 1 - Var(R)/Var(deseasonalized)) and "
+    "F_seasonal = max(0, 1 - Var(R)/Var(detrended)) — one number "
+    "each in [0,1] saying HOW trended / HOW seasonal the series is, "
+    "the triage that decides whether q299's trend model or q245's "
+    "DOW index is even worth fitting.  Intermediate rounding "
+    "replicates q278 exactly so the decomposition is the SAME one.  "
+    "Scale shape: q278's calendar-frame band join, then ONE 7-moment "
+    "DECIMAL fold over the joined frame, closed forms on one row.",
+)
+@plan_cache
+def q371(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 4
+            ).alias("rev")
+        )
+    )
+    d2 = daily.select(F.col("day").alias("day2"), F.col("rev").alias("rev2"))
+    tr = (
+        daily.join(
+            F.broadcast(d2),
+            (F.col("day2") >= F.date_sub(F.col("day"), 7))
+            & (F.col("day2") <= F.date_add(F.col("day"), 7)),
+        )
+        .groupBy("day")
+        .agg(
+            F.max("rev").alias("rev"),
+            F.count(F.lit(1)).alias("band_n"),
+            F.round(
+                (F.sum(F.col("rev2").cast(DEC)) / 15).cast("double"), 4
+            ).alias("trend"),
+        )
+    )
+    det = tr.where(F.col("band_n") == 15).select(
+        "rev",
+        "trend",
+        F.round(F.col("rev") - F.col("trend"), 4).alias("detr"),
+        F.pmod(
+            F.datediff("day", F.lit("1992-01-01").cast("date")), F.lit(7)
+        )
+        .cast("bigint")
+        .alias("dow"),
+    )
+    seas = det.groupBy("dow").agg(
+        F.round(
+            (F.sum(F.col("detr").cast(DEC)) / F.count(F.lit(1))).cast(
+                "double"
+            ),
+            4,
+        ).alias("seasonal")
+    )
+    js = det.join(F.broadcast(seas), "dow").select(
+        (F.col("detr") - F.col("seasonal")).alias("r"),
+        (F.col("rev") - F.col("seasonal")).alias("u"),
+        F.col("detr").alias("v"),
+    )
+    m = js.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("r").cast(DEC)).cast("double").alias("sr"),
+        F.sum((F.col("r") * F.col("r")).cast(DEC)).cast("double").alias("srr"),
+        F.sum(F.col("u").cast(DEC)).cast("double").alias("su"),
+        F.sum((F.col("u") * F.col("u")).cast(DEC)).cast("double").alias("suu"),
+        F.sum(F.col("v").cast(DEC)).cast("double").alias("sv"),
+        F.sum((F.col("v") * F.col("v")).cast(DEC)).cast("double").alias("svv"),
+    )
+    n = F.col("n")
+    vr = (F.col("srr") - F.col("sr") * F.col("sr") / n) / (n - 1)
+    vu = (F.col("suu") - F.col("su") * F.col("su") / n) / (n - 1)
+    vv = (F.col("svv") - F.col("sv") * F.col("sv") / n) / (n - 1)
+    return m.select(
+        n.alias("n_days"),
+        F.round(vr, 4).alias("var_resid"),
+        F.round(F.greatest(F.lit(0.0), 1 - vr / vu), 4).alias("f_trend"),
+        F.round(F.greatest(F.lit(0.0), 1 - vr / vv), 4).alias("f_seasonal"),
+    ).orderBy("n_days")
+
+
+@register(
+    "q372",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+      FROM events GROUP BY 1
+    ),
+    a AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+      FROM events
+    ),
+    mx AS (SELECT MAX(wk) AS mw FROM a),
+    ages AS (
+      SELECT a.user_id,
+             CAST(date_diff('day', c.cohort, a.wk) // 7 AS BIGINT) AS k
+      FROM a JOIN c ON a.user_id = c.user_id
+    ),
+    poss AS (
+      SELECT k.k,
+             CAST(COUNT(*) AS BIGINT) AS n_possible
+      FROM c CROSS JOIN mx
+      CROSS JOIN (SELECT range AS k FROM range(1, 9)) k
+      WHERE date_diff('day', c.cohort, mw) // 7 >= k.k
+      GROUP BY k.k
+    ),
+    act AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM ages WHERE k BETWEEN 1 AND 8 GROUP BY k
+    ),
+    r AS (
+      SELECT poss.k, n_possible, COALESCE(n_active, 0) AS n_active,
+             CAST(COALESCE(n_active, 0) AS DOUBLE) / n_possible AS rk
+      FROM poss LEFT JOIN act ON poss.k = act.k
+      WHERE n_possible > 0
+    ),
+    fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CAST(k AS DOUBLE) AS DECIMAL(30,10)))
+                  AS DOUBLE) AS sx,
+             CAST(SUM(CAST(LN(rk) AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(CAST(k AS DOUBLE) * k AS DECIMAL(30,10)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(k * LN(rk) AS DECIMAL(30,10))) AS DOUBLE)
+               AS sxy
+      FROM r WHERE rk > 0
+    )
+    SELECT r.k AS age_weeks, n_possible, n_active,
+           ROUND(rk, 4) AS retention,
+           ROUND(-0.6931471805599453
+                 / ((fit.n * sxy - sx * sy) / (fit.n * sxx - sx * sx)),
+                 4) AS half_life_weeks
+    FROM r CROSS JOIN fit ORDER BY age_weeks
+    """,
+    doc="Retention half-life: pooled weekly retention r_k (active "
+    "users at cohort age k over users whose cohort is old enough "
+    "to be observed at age k — the right-censoring denominator "
+    "q130's per-cohort matrix makes you eyeball) for k = 1..8, "
+    "exponential-decay fit ln r_k ~ a + b*k, half-life = -ln2/b — "
+    "the single number behind 'our users decay with a 5-week "
+    "half-life'.  Scale shape: two user-keyed folds (cohort, "
+    "distinct active weeks), one age fold to <=8 rows, the "
+    "possible-denominator from a cohort-frame scan against the "
+    "8-value age spine, 8-point closed-form fit.",
+)
+def q372(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    c = _managed_persist(
+        "q372_cohort",
+        ev.groupBy("user_id").agg(
+            F.date_trunc("week", F.min("ts")).alias("cohort")
+        ),
+    )
+    a = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    mx = a.agg(F.max("wk").alias("mw"))
+    ages = a.join(c, "user_id").select(
+        F.expr("CAST(datediff(wk, cohort) DIV 7 AS BIGINT)").alias("k")
+    )
+    spine = ev.sparkSession.range(1, 9).select(F.col("id").alias("k"))
+    poss = (
+        c.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(spine))
+        .where(F.expr("CAST(datediff(mw, cohort) DIV 7 AS BIGINT)") >= F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_possible"))
+    )
+    act = (
+        ages.where((F.col("k") >= 1) & (F.col("k") <= 8))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    r = _managed_persist(
+        "q372_r",
+        poss.join(act, "k", "left")
+        .where(F.col("n_possible") > 0)
+        .select(
+            "k",
+            "n_possible",
+            F.coalesce("n_active", F.lit(0)).cast("bigint").alias("n_active"),
+            (
+                F.coalesce("n_active", F.lit(0)).cast("double")
+                / F.col("n_possible")
+            ).alias("rk"),
+        ),
+    )
+    kd = F.col("k").cast("double")
+    fit = r.where(F.col("rk") > 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(kd.cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.log("rk").cast(DEC)).cast("double").alias("sy"),
+        F.sum((kd * F.col("k")).cast(DEC)).cast("double").alias("sxx"),
+        F.sum((F.col("k") * F.log("rk")).cast(DEC)).cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        r.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("k").alias("age_weeks"),
+            "n_possible",
+            "n_active",
+            F.round("rk", 4).alias("retention"),
+            F.round(-0.6931471805599453 / slope, 4).alias("half_life_weeks"),
+        )
+        .orderBy("age_weeks")
+    )
+
+
+@register(
+    "q374",
+    oracle="""
+    WITH top AS (
+      SELECT o_totalprice AS x FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 501
+    ),
+    ref AS (SELECT MIN(x) AS xr FROM top),
+    h AS (
+      SELECT CAST(SUM(CAST(LN(x / xr) AS DECIMAL(30,10))) AS DOUBLE)
+               / 500 AS hill
+      FROM top CROSS JOIN ref
+    )
+    SELECT CAST(500 AS BIGINT) AS k, ROUND(ref.xr, 4) AS threshold,
+           ROUND(h.hill, 4) AS hill_mean,
+           ROUND(1.0 / h.hill, 4) AS tail_index
+    FROM ref CROSS JOIN h ORDER BY k
+    """,
+    doc="Hill estimator of the order-value Pareto tail index over the "
+    "top-500 order values (threshold = the 501st): alpha = "
+    "1/mean(ln(x_i/x_ref)) — the EVT peaks-over-threshold sibling "
+    "of q370's block-maxima Gumbel, and the number that says "
+    "whether revenue concentration has finite variance (alpha > 2) "
+    "or whale orders dominate (alpha < 2).  The 501st element "
+    "itself contributes ln(1) = 0, so the sum runs over the whole "
+    "top frame and divides by 500 — no rank window needed.  "
+    "Deterministic membership via the (value desc, key) tie-break.  "
+    "Scale shape: TakeOrdered(501) — per-partition top-k then one "
+    "driver-side merge of 501-row partials, never a global sort — "
+    "then a 1-row closed form.",
+)
+@plan_cache
+def q374(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    top = (
+        o.select(F.col("o_totalprice").alias("x"), "o_orderkey")
+        .orderBy(F.col("x").desc(), "o_orderkey")
+        .limit(501)
+        .select("x")
+    )
+    ref = top.agg(F.min("x").alias("xr"))
+    h = top.crossJoin(F.broadcast(ref)).agg(
+        (
+            F.sum(F.log(F.col("x") / F.col("xr")).cast(DEC)).cast("double")
+            / 500
+        ).alias("hill")
+    )
+    return (
+        ref.crossJoin(F.broadcast(h))
+        .select(
+            F.lit(500).cast("bigint").alias("k"),
+            F.round("xr", 4).alias("threshold"),
+            F.round("hill", 4).alias("hill_mean"),
+            F.round(F.lit(1.0) / F.col("hill"), 4).alias("tail_index"),
+        )
+        .orderBy("k")
+    )
