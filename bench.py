@@ -239,6 +239,10 @@ HEADLINE = [
     "q372",  # retention half-life
     "q373",  # word burstiness
     "q374",  # Hill tail index
+    "q375",  # PCA leading component
+    "q376",  # Q-Q decile table
+    "q377",  # dedup canonical selection
+    "q378",  # Cramer-von Mises two-sample
 ]
 
 

@@ -5003,3 +5003,112 @@ def q373(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("word")
     )
+
+
+# --------------------------------------------------------------------------
+# Q377 dedup canonical selection — which copy of a near-dup cluster to KEEP
+# --------------------------------------------------------------------------
+@register(
+    "q377",
+    oracle="""
+    WITH RECURSIVE
+    t AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(string_split(text,' ')) - 1),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2])) AS sh
+      FROM documents
+    ),
+    p AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    ),
+    e AS (SELECT da AS src, db AS dst FROM p
+          UNION ALL SELECT db, da FROM p),
+    reach AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+    ),
+    rep AS (SELECT src AS doc_id, MIN(dst) AS mn FROM reach GROUP BY 1),
+    cl AS (
+      SELECT d.doc_id, d.n_chars,
+             CAST(COALESCE(LEAST(r.mn, d.doc_id), d.doc_id) AS BIGINT)
+               AS cluster_id
+      FROM documents d LEFT JOIN rep r USING (doc_id)
+    ),
+    mx AS (
+      SELECT cluster_id,
+             CAST(COUNT(*) AS BIGINT) AS size,
+             CAST(MAX(n_chars) AS BIGINT) AS canonical_len,
+             CAST(SUM(n_chars) - MAX(n_chars) AS BIGINT)
+               AS chars_dropped
+      FROM cl GROUP BY cluster_id HAVING COUNT(*) > 1
+    ),
+    can AS (
+      SELECT cl.cluster_id, CAST(MIN(cl.doc_id) AS BIGINT) AS canonical
+      FROM cl JOIN mx ON cl.cluster_id = mx.cluster_id
+                     AND cl.n_chars = mx.canonical_len
+      GROUP BY cl.cluster_id
+    )
+    SELECT mx.cluster_id, size, canonical, canonical_len, chars_dropped
+    FROM mx JOIN can ON mx.cluster_id = can.cluster_id
+    ORDER BY mx.cluster_id
+    """,
+    doc="Canonical-document selection for q118's near-dup clusters: "
+    "within every multi-document cluster keep the LONGEST copy "
+    "(n_chars, doc_id tie-break — the keep-longest heuristic "
+    "RefinedWeb/SlimPajama use, on the theory that truncated "
+    "mirrors are the duplicates), reporting per cluster the "
+    "canonical id, its length, and the characters the dedup "
+    "actually deletes — q125's histogram says how MANY dups exist, "
+    "this says WHICH survive and what the corpus loses.  Scale "
+    "shape: the component build is q118's label propagation "
+    "(memoized — zero marginal cost when q118/q122 already ran), "
+    "two cluster-keyed folds (max-length, then min-id among ties); the oracle restates the "
+    "closure as its recursive CTE.",
+)
+@plan_cache
+def q377(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = q118(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    j = cl.join(docs, "doc_id").localCheckpoint()
+    mx = (
+        j.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("size"),
+            F.max("n_chars").cast("bigint").alias("canonical_len"),
+            (F.sum("n_chars") - F.max("n_chars"))
+            .cast("bigint")
+            .alias("chars_dropped"),
+        )
+        .where(F.col("size") > 1)
+    )
+    can = (
+        j.join(
+            F.broadcast(
+                mx.select(
+                    F.col("cluster_id").alias("cid"),
+                    F.col("canonical_len").alias("ml"),
+                )
+            ),
+            (F.col("cluster_id") == F.col("cid"))
+            & (F.col("n_chars") == F.col("ml")),
+        )
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").cast("bigint").alias("canonical"))
+    )
+    return (
+        mx.join(can, "cluster_id")
+        .select(
+            "cluster_id", "size", "canonical", "canonical_len",
+            "chars_dropped",
+        )
+        .orderBy("cluster_id")
+    )

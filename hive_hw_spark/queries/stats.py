@@ -7924,3 +7924,397 @@ def q374(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@register(
+    "q375",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    mu AS (
+      SELECT i,
+             CAST(SUM(CAST(v AS DECIMAL(30,10))) AS DOUBLE)
+               / (SELECT n FROM nv) AS m
+      FROM x GROUP BY i
+    ),
+    c AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(SUM(CAST(ROUND(a.v * b.v * 1e9) AS BIGINT))
+                  AS DOUBLE) / 1e9 / (SELECT n FROM nv)
+             - ma.m * mb.m AS cij
+      FROM x a JOIN x b ON a.vec_id = b.vec_id
+      JOIN mu ma ON ma.i = a.i JOIN mu mb ON mb.i = b.i
+      GROUP BY a.i, b.i, ma.m, mb.m
+    ),
+    v0 AS (SELECT i, 0.125 AS w FROM mu),
+    r1 AS (
+      SELECT c.i,
+             CAST(SUM(CAST(cij * v0.w AS DECIMAL(30,15))) AS DOUBLE)
+               AS w
+      FROM c JOIN v0 ON c.j = v0.i GROUP BY c.i
+    ),
+    n1 AS (
+      SELECT SQRT(CAST(SUM(CAST(w * w AS DECIMAL(30,15))) AS DOUBLE))
+               AS nm
+      FROM r1
+    ),
+    v1 AS (SELECT i, w / (SELECT nm FROM n1) AS w FROM r1),
+    r2 AS (
+      SELECT c.i,
+             CAST(SUM(CAST(cij * v1.w AS DECIMAL(30,15))) AS DOUBLE)
+               AS w
+      FROM c JOIN v1 ON c.j = v1.i GROUP BY c.i
+    ),
+    n2 AS (
+      SELECT SQRT(CAST(SUM(CAST(w * w AS DECIMAL(30,15))) AS DOUBLE))
+               AS nm
+      FROM r2
+    ),
+    v2 AS (SELECT i, w / (SELECT nm FROM n2) AS w FROM r2),
+    r3 AS (
+      SELECT c.i,
+             CAST(SUM(CAST(cij * v2.w AS DECIMAL(30,15))) AS DOUBLE)
+               AS w
+      FROM c JOIN v2 ON c.j = v2.i GROUP BY c.i
+    ),
+    n3 AS (
+      SELECT SQRT(CAST(SUM(CAST(w * w AS DECIMAL(30,15))) AS DOUBLE))
+               AS nm
+      FROM r3
+    ),
+    v3 AS (SELECT i, w / (SELECT nm FROM n3) AS w FROM r3),
+    lam AS (SELECT nm AS l FROM n3),
+    tr AS (
+      SELECT CAST(SUM(CAST(cij AS DECIMAL(30,15))) AS DOUBLE) AS t
+      FROM c WHERE i = j
+    )
+    SELECT v3.i AS dim, ROUND(v3.w, 4) AS loading,
+           ROUND(lam.l, 6) AS eigenvalue,
+           ROUND(lam.l / tr.t, 4) AS explained_share
+    FROM v3 CROSS JOIN lam CROSS JOIN tr
+    ORDER BY dim
+    """,
+    doc="Leading principal component of the embedding corpus by power "
+    "iteration: the 64x64 covariance matrix from ONE vec-keyed "
+    "self-join fold (E[x_i x_j] - mu_i mu_j), then three "
+    "normalize-and-multiply steps from a uniform start — loadings, "
+    "leading eigenvalue (the final pre-normalization norm, since "
+    "||Cv|| -> lambda for a unit v), and explained-variance share "
+    "vs the trace.  The anisotropy audit for embedding quality "
+    "(one dominant direction = rogue feature or un-centered "
+    "model; Mu & Viswanath's 'all-but-the-top' diagnostic), and "
+    "the q349/q156 iterative-dataflow discipline applied to "
+    "linear algebra.  Scale shape: the covariance fold is "
+    "dim^2-bounded shuffle (map-side combinable products), the "
+    "matrix is a 4096-row broadcast, each iteration two tiny "
+    "aggs.  The product fold quantizes to integer nano-units "
+    "(q206's discipline; per-element |p| <= ~0.2 bounds the BIGINT "
+    "sum to ~4e10 rows per group, with the DECIMAL accumulator as "
+    "the documented swap beyond) — 3x cheaper than a wide-DECIMAL "
+    "accumulator; the iteration folds stay DECIMAL(30,15).",
+)
+@plan_cache
+def q375(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("i", "vf")
+    ).select("vec_id", "i", F.col("vf").cast("double").alias("v"))
+    nv = e.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    mu = (
+        x.groupBy("i")
+        .agg(F.sum(F.col("v").cast(DEC)).cast("double").alias("sm"))
+        .crossJoin(F.broadcast(nv))
+        .select("i", (F.col("sm") / F.col("n")).alias("m"))
+    )
+    b = x.select(
+        F.col("vec_id").alias("vid2"),
+        F.col("i").alias("j"),
+        F.col("v").alias("v2"),
+    )
+    ma = mu.select(F.col("i").alias("mi"), F.col("m").alias("mam"))
+    mb = mu.select(F.col("i").alias("mj"), F.col("m").alias("mbm"))
+    c = (
+        x.join(b, F.col("vec_id") == F.col("vid2"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum(
+                F.round(F.col("v") * F.col("v2") * 1e9, 0).cast("bigint")
+            )
+            .cast("double")
+            .alias("sq")
+        )
+        .crossJoin(F.broadcast(nv))
+        .join(F.broadcast(ma), F.col("mi") == F.col("i"))
+        .join(F.broadcast(mb), F.col("mj") == F.col("j"))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("sq") / 1e9 / F.col("n") - F.col("mam") * F.col("mbm")
+            ).alias("cij"),
+        )
+        .localCheckpoint()
+    )
+    v = mu.select("i", F.lit(0.125).alias("w"))
+    lam = None
+    for _ in range(3):
+        r = (
+            c.join(
+                F.broadcast(v.select(F.col("i").alias("j"), "w")), "j"
+            )
+            .groupBy("i")
+            .agg(
+                F.sum((F.col("cij") * F.col("w")).cast("decimal(30,15)"))
+                .cast("double")
+                .alias("w")
+            )
+        )
+        nm = r.agg(
+            F.sqrt(
+                F.sum((F.col("w") * F.col("w")).cast("decimal(30,15)")).cast(
+                    "double"
+                )
+            ).alias("nm")
+        )
+        v = r.crossJoin(F.broadcast(nm)).select(
+            "i", (F.col("w") / F.col("nm")).alias("w")
+        )
+        lam = nm
+    tr = c.where(F.col("i") == F.col("j")).agg(
+        F.sum(F.col("cij").cast("decimal(30,15)")).cast("double").alias("t")
+    )
+    return (
+        v.crossJoin(F.broadcast(lam.select(F.col("nm").alias("l"))))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            F.col("i").alias("dim"),
+            F.round("w", 4).alias("loading"),
+            F.round("l", 6).alias("eigenvalue"),
+            F.round(F.col("l") / F.col("t"), 4).alias("explained_share"),
+        )
+        .orderBy("dim")
+    )
+
+
+@register(
+    "q376",
+    oracle="""
+    WITH lab AS (
+      SELECT o_totalprice AS x,
+             CASE WHEN r_name = 'ASIA' THEN 1 ELSE 0 END AS grp
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    ),
+    qa AS (
+      SELECT quantile_cont(x, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+               AS qs
+      FROM lab WHERE grp = 1
+    ),
+    qb AS (
+      SELECT quantile_cont(x, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+               AS qs
+      FROM lab WHERE grp = 0
+    ),
+    ua AS (
+      SELECT generate_subscripts(qs, 1) AS d,
+             CAST(unnest(qs) AS DOUBLE) AS va
+      FROM qa
+    ),
+    ub AS (
+      SELECT generate_subscripts(qs, 1) AS d,
+             CAST(unnest(qs) AS DOUBLE) AS vb
+      FROM qb
+    )
+    SELECT CAST(ua.d AS BIGINT) * 10 AS pct,
+           ROUND(va, 4) AS asia, ROUND(vb, 4) AS rest,
+           ROUND(va - vb, 4) AS shift,
+           ROUND(va / vb, 4) AS ratio
+    FROM ua JOIN ub ON ua.d = ub.d
+    ORDER BY pct
+    """,
+    doc="Q-Q decile table: order-value deciles for ASIA-region "
+    "customers vs everyone else, with per-decile shift and ratio — "
+    "a constant ratio says pure scale difference, a ratio growing "
+    "in the tail says the segments differ in SHAPE (which a mean "
+    "comparison like q364's DiD cells cannot distinguish).  The "
+    "distribution-compare communicator beside q254's KS decision "
+    "statistic.  Scale shape: one dim-chain join, two exact "
+    "interpolated quantile aggs (q47 family; approx_percentile is "
+    "the documented 100 TB swap), 9-row output.",
+)
+@plan_cache
+def q376(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    lab = _managed_persist(
+        "q376_lab",
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("o_totalprice").alias("x"),
+            F.when(F.col("r_name") == "ASIA", 1).otherwise(0).alias("grp"),
+        ),
+    )
+    pct = "percentile(x, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+    qa = (
+        lab.where("grp = 1")
+        .agg(F.expr(pct).alias("qs"))
+        .select(F.posexplode("qs").alias("d0", "va"))
+        .select((F.col("d0") + 1).alias("d"), "va")
+    )
+    qb = (
+        lab.where("grp = 0")
+        .agg(F.expr(pct).alias("qs"))
+        .select(F.posexplode("qs").alias("d0", "vb"))
+        .select((F.col("d0") + 1).alias("db"), "vb")
+    )
+    return (
+        qa.join(F.broadcast(qb), F.col("db") == F.col("d"))
+        .select(
+            (F.col("d").cast("bigint") * 10).alias("pct"),
+            F.round("va", 4).alias("asia"),
+            F.round("vb", 4).alias("rest"),
+            F.round(F.col("va") - F.col("vb"), 4).alias("shift"),
+            F.round(F.col("va") / F.col("vb"), 4).alias("ratio"),
+        )
+        .orderBy("pct")
+    )
+
+
+@register(
+    "q378",
+    oracle="""
+    WITH vc AS (
+      SELECT value AS v,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS c2
+      FROM events GROUP BY v
+    ),
+    tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      FROM vc
+    ),
+    cum AS (
+      SELECT v, c1, c2,
+             CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS r1,
+             CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS r2
+      FROM vc
+    ),
+    terms AS (
+      SELECT CAST(SUM(CAST(
+               (c1 + c2)
+               * (CAST(r1 * n2 - r2 * n1 AS DOUBLE) / (n1 * n2))
+               * (CAST(r1 * n2 - r2 * n1 AS DOUBLE) / (n1 * n2))
+               AS DECIMAL(30,10))) AS DOUBLE) AS s
+      FROM cum, tot
+    )
+    SELECT n1, n2,
+           ROUND(CAST(n1 AS DOUBLE) * n2
+                 / (n1 + n2) / (n1 + n2) * terms.s, 4) AS cvm_stat
+    FROM tot CROSS JOIN terms ORDER BY n1
+    """,
+    doc="Two-sample Cramer-von Mises statistic over the same "
+    "error-vs-rest split as q254's KS: T = n1*n2/N^2 * sum over "
+    "POOLED observations of (F1 - F2)^2 — integral-type "
+    "sensitivity that catches distributed small shifts a single "
+    "max-gap (KS) under-weights; run both and disagreement itself "
+    "is diagnostic (KS fires = one localized break, CvM fires = "
+    "broad drift).  ECDF differences stay in the exact "
+    "cross-multiplied integer form r1*n2 - r2*n1, divided ONCE "
+    "per distinct value before the per-row double square (dd^2 "
+    "would overflow BIGINT — the q298 lesson applied at design "
+    "time).  Scale shape: q254's machinery verbatim — per-value "
+    "fold, two-phase bucketed cumulative sums (the oracle states "
+    "the naive global window), one DECIMAL term fold.",
+)
+@plan_cache
+def q378(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    is1 = F.col("event_type") == "error"
+    vc = ev.groupBy(F.col("value").alias("v")).agg(
+        F.sum(F.when(is1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(~is1, 1).otherwise(0)).alias("c2"),
+    )
+    tot = vc.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    bounds = vc.agg(
+        F.expr(
+            "percentile(v, array(0.125,0.25,0.375,0.5,0.625,0.75,0.875))"
+        ).alias("bs")
+    )
+    bucketed = vc.crossJoin(F.broadcast(bounds)).select(
+        "v",
+        "c1",
+        "c2",
+        F.expr("size(filter(bs, b -> b < v))").alias("bk"),
+    )
+    btot = bucketed.groupBy("bk").agg(
+        F.sum("c1").alias("b1"), F.sum("c2").alias("b2")
+    )
+    b2 = btot.select(
+        F.col("bk").alias("bk2"),
+        F.col("b1").alias("e1"),
+        F.col("b2").alias("e2"),
+    )
+    offsets = (
+        btot.join(F.broadcast(b2), F.col("bk2") < F.col("bk"), "left")
+        .groupBy("bk")
+        .agg(
+            F.coalesce(F.sum("e1"), F.lit(0)).alias("o1"),
+            F.coalesce(F.sum("e2"), F.lit(0)).alias("o2"),
+        )
+    )
+    wb = Window.partitionBy("bk").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    delta = (
+        (
+            (F.col("o1") + F.col("w1")) * F.col("n2")
+            - (F.col("o2") + F.col("w2")) * F.col("n1")
+        ).cast("double")
+        / (F.col("n1") * F.col("n2"))
+    )
+    terms = (
+        bucketed.withColumn("w1", F.sum("c1").over(wb))
+        .withColumn("w2", F.sum("c2").over(wb))
+        .join(F.broadcast(offsets), "bk")
+        .crossJoin(F.broadcast(tot))
+        .select(((F.col("c1") + F.col("c2")) * delta * delta).alias("t"))
+        .agg(F.sum(F.col("t").cast(DEC)).cast("double").alias("s"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(terms))
+        .select(
+            "n1",
+            "n2",
+            F.round(
+                F.col("n1").cast("double")
+                * F.col("n2")
+                / (F.col("n1") + F.col("n2"))
+                / (F.col("n1") + F.col("n2"))
+                * F.col("s"),
+                4,
+            ).alias("cvm_stat"),
+        )
+        .orderBy("n1")
+    )
