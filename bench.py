@@ -243,6 +243,10 @@ HEADLINE = [
     "q376",  # Q-Q decile table
     "q377",  # dedup canonical selection
     "q378",  # Cramer-von Mises two-sample
+    "q379",  # BTYD P(alive) grid
+    "q380",  # uncertainty-sampling selection
+    "q381",  # supply-concentration risk
+    "q382",  # duplication attribution by source
 ]
 
 

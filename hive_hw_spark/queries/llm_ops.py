@@ -5112,3 +5112,85 @@ def q377(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "q382",
+    oracle="""
+    WITH RECURSIVE
+    t AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(string_split(text,' ')) - 1),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2])) AS sh
+      FROM documents
+    ),
+    p AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    ),
+    e AS (SELECT da AS src, db AS dst FROM p
+          UNION ALL SELECT db, da FROM p),
+    reach AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+    ),
+    rep AS (SELECT src AS doc_id, MIN(dst) AS mn FROM reach GROUP BY 1),
+    cl AS (
+      SELECT d.doc_id, d.source,
+             CAST(COALESCE(LEAST(r.mn, d.doc_id), d.doc_id) AS BIGINT)
+               AS cluster_id
+      FROM documents d LEFT JOIN rep r USING (doc_id)
+    ),
+    cs AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM cl GROUP BY 1
+    )
+    SELECT cl.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN cs.sz > 1 THEN 1 END) AS BIGINT)
+             AS n_duplicated,
+           ROUND(CAST(COUNT(CASE WHEN cs.sz > 1 THEN 1 END) AS DOUBLE)
+                 / COUNT(*), 4) AS dup_share
+    FROM cl JOIN cs ON cl.cluster_id = cs.cluster_id
+    GROUP BY cl.source ORDER BY cl.source
+    """,
+    doc="Duplication attribution by source: per crawl source, the "
+    "share of its documents sitting in multi-document near-dup "
+    "clusters (q118's components) — the table that answers 'WHICH "
+    "source is producing the duplicates' and decides whether to "
+    "fix extraction or down-weight a feed, where q125's histogram "
+    "only sizes the problem corpus-wide.  Scale shape: the "
+    "component build is q118's memoized label propagation (zero "
+    "marginal cost when q118/q122/q377 already ran), a cluster-"
+    "keyed size fold, one doc-keyed join, |sources|-row output.",
+)
+@plan_cache
+def q382(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = q118(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = cl.join(docs, "doc_id").localCheckpoint()
+    cs = j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return (
+        j.join(F.broadcast(cs), "cluster_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count(F.when(F.col("sz") > 1, 1))
+            .cast("bigint")
+            .alias("n_duplicated"),
+            F.round(
+                F.count(F.when(F.col("sz") > 1, 1)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("dup_share"),
+        )
+        .orderBy("source")
+    )

@@ -946,3 +946,62 @@ def q365(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("f1"),
     ).orderBy("threshold")
+
+
+@register(
+    "q380",
+    oracle="""
+    WITH """ + _SCORE_SQL + """,
+    lab AS (
+      SELECT sc.vec_id, sc.s, ABS(sc.s - 0.5) AS margin,
+             e.label % 4 AS pool
+      FROM sc JOIN embeddings e USING (vec_id)
+    ),
+    rk AS (
+      SELECT vec_id, s, margin, pool,
+             ROW_NUMBER() OVER (PARTITION BY pool
+                                ORDER BY margin, vec_id) AS rnk
+      FROM lab
+    )
+    SELECT CAST(pool AS BIGINT) AS pool, CAST(rnk AS BIGINT) AS rnk,
+           vec_id, ROUND(s, 6) AS score, ROUND(margin, 6) AS margin
+    FROM rk WHERE rnk <= 5 ORDER BY pool, rnk
+    """,
+    doc="Uncertainty-sampling labeling-budget selection: the 5 vectors "
+    "CLOSEST to q178's decision boundary (min |score - 0.5|) per "
+    "annotation pool (label mod 4 — a stand-in for source/batch "
+    "strata), deterministic (margin, vec_id) tie-break — the "
+    "active-learning acquisition step that spends a human-labeling "
+    "budget where the model is least sure, closing the ML loop the "
+    "mlprep module builds (features q332 -> scores q178 -> eval "
+    "q337/q338/q365 -> THIS chooses what to label next).  Scale "
+    "shape: one score fold, a vec-keyed dim join, one bounded "
+    "rank window per pool, 20-row output.",
+)
+@plan_cache
+def q380(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _scored(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    lab = (
+        scored.select("vec_id", "s")
+        .join(emb, "vec_id")
+        .select(
+            "vec_id",
+            "s",
+            F.abs(F.col("s") - 0.5).alias("margin"),
+            (F.col("label") % 4).alias("pool"),
+        )
+    )
+    wr = Window.partitionBy("pool").orderBy("margin", "vec_id")
+    return (
+        lab.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .where(F.col("rnk") <= 5)
+        .select(
+            F.col("pool").cast("bigint").alias("pool"),
+            "rnk",
+            "vec_id",
+            F.round("s", 6).alias("score"),
+            F.round("margin", 6).alias("margin"),
+        )
+        .orderBy("pool", "rnk")
+    )

@@ -8318,3 +8318,179 @@ def q378(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n1")
     )
+
+
+@register(
+    "q379",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS mn,
+             MAX(CAST(o_orderdate AS DATE)) AS mx
+      FROM orders
+    ),
+    cutv AS (
+      SELECT mn + CAST(date_diff('day', mn, mx) * 4 // 5 AS INTEGER)
+               AS c, mx
+      FROM b
+    ),
+    tr AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                            (SELECT c FROM cutv)) AS BIGINT) AS rec
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) < (SELECT c FROM cutv)
+      GROUP BY 1
+    ),
+    hold AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= (SELECT c FROM cutv)
+    ),
+    cells AS (
+      SELECT LEAST(CAST(freq AS BIGINT), 5) AS f_cell,
+             CASE WHEN rec <= 30 THEN 0 WHEN rec <= 90 THEN 1
+                  WHEN rec <= 180 THEN 2 ELSE 3 END AS r_cell,
+             CASE WHEN hold.o_custkey IS NOT NULL THEN 1 ELSE 0 END
+               AS alive
+      FROM tr LEFT JOIN hold ON tr.o_custkey = hold.o_custkey
+    )
+    SELECT f_cell AS frequency_cell, r_cell AS recency_cell,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(alive) AS BIGINT) AS n_alive,
+           ROUND(CAST(SUM(alive) AS DOUBLE) / COUNT(*), 4)
+             AS p_alive
+    FROM cells GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Empirical buy-til-you-die P(alive) grid: customers binned by "
+    "train-period frequency (capped at 5+) x recency band at the "
+    "80% date cut, each cell's 'alive' probability measured as the "
+    "share actually ordering in the holdout — the model-free "
+    "empirical version of BG/NBD (Fader et al.), and the "
+    "calibration table any parametric churn model (q332's features "
+    "feed one) must beat.  The signature BTYD pattern — high "
+    "frequency + long recency = most likely dead — is read "
+    "directly off the grid.  Scale shape: one custkey fold for "
+    "(freq, recency), one distinct fold for holdout membership, a "
+    "custkey LEFT join, <=24-cell output.",
+)
+def q379(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    o = load_table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("mn"),
+        F.max(F.col("o_orderdate").cast("date")).alias("mx"),
+    ).select(
+        F.date_add(
+            F.col("mn"),
+            F.floor(F.datediff("mx", "mn") * 4 / 5).cast("int"),
+        ).alias("c")
+    )
+    od = o.select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("day")
+    ).crossJoin(F.broadcast(b))
+    tr = (
+        od.where(F.col("day") < F.col("c"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.datediff(F.max("c"), F.max("day"))
+            .cast("bigint")
+            .alias("rec"),
+        )
+    )
+    hold = (
+        od.where(F.col("day") >= F.col("c"))
+        .select(F.col("o_custkey").alias("hk"))
+        .distinct()
+    )
+    cells = tr.join(hold, F.col("o_custkey") == F.col("hk"), "left").select(
+        F.least(F.col("freq"), F.lit(5).cast("bigint")).alias("f_cell"),
+        F.when(F.col("rec") <= 30, 0)
+        .when(F.col("rec") <= 90, 1)
+        .when(F.col("rec") <= 180, 2)
+        .otherwise(3)
+        .alias("r_cell"),
+        F.when(F.col("hk").isNotNull(), 1).otherwise(0).alias("alive"),
+    )
+    return (
+        cells.groupBy(
+            F.col("f_cell").alias("frequency_cell"),
+            F.col("r_cell").alias("recency_cell"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("alive").cast("bigint").alias("n_alive"),
+            F.round(
+                F.sum("alive").cast("double") / F.count(F.lit(1)), 4
+            ).alias("p_alive"),
+        )
+        .orderBy("frequency_cell", "recency_cell")
+    )
+
+
+@register(
+    "q381",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)
+               AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             CAST(SUM(CAST(q AS DECIMAL(30,10))) AS DOUBLE) AS tot,
+             MAX(q) AS mx
+      FROM ps GROUP BY 1
+    ),
+    risk AS (
+      SELECT l_partkey, n_suppliers, mx / tot AS top_share
+      FROM agg
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(COUNT(CASE WHEN n_suppliers = 1 THEN 1 END) AS BIGINT)
+             AS single_sourced,
+           CAST(COUNT(CASE WHEN top_share > 0.5 THEN 1 END) AS BIGINT)
+             AS concentrated,
+           ROUND(CAST(SUM(CAST(top_share AS DECIMAL(30,10)))
+                      AS DOUBLE) / COUNT(*), 4) AS avg_top_share
+    FROM risk ORDER BY n_parts
+    """,
+    doc="Supply-concentration risk audit: per part, the top supplier's "
+    "share of shipped quantity — single-sourced parts and parts "
+    "with a >50% dominant supplier are the procurement "
+    "vulnerabilities (the supplier-side mirror of q261's "
+    "customer-side HHI).  Scale shape: one (part, supplier) fold "
+    "with map-side combine, one part fold, a 1-row summary — two "
+    "hash aggs over one fact scan, no joins at all.",
+)
+@plan_cache
+def q381(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("q")
+    )
+    agg = ps.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum(F.col("q").cast(DEC)).cast("double").alias("tot"),
+        F.max("q").alias("mx"),
+    )
+    risk = agg.select(
+        "n_suppliers", (F.col("mx") / F.col("tot")).alias("top_share")
+    )
+    return risk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.count(F.when(F.col("n_suppliers") == 1, 1))
+        .cast("bigint")
+        .alias("single_sourced"),
+        F.count(F.when(F.col("top_share") > 0.5, 1))
+        .cast("bigint")
+        .alias("concentrated"),
+        F.round(
+            F.sum(F.col("top_share").cast(DEC)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_top_share"),
+    ).orderBy("n_parts")
