@@ -247,6 +247,15 @@ HEADLINE = [
     "q380",  # uncertainty-sampling selection
     "q381",  # supply-concentration risk
     "q382",  # duplication attribution by source
+    "q383",  # cross-correlation lead-lag (CCF)
+    "q384",  # ANN recall/cost frontier (IVF sweep)
+    "q385",  # A/B power / MDE planning table
+    "q386",  # log-normal fit + KS GOF
+    "q387",  # Markov next-event backtest
+    "q388",  # error-budget burn rate
+    "q389",  # James-Stein shrinkage
+    "q390",  # farthest-point k-center seeding
+    "q391",  # delta-method ratio A/B
 ]
 
 

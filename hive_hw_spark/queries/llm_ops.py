@@ -5194,3 +5194,486 @@ def q382(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q384",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS lc, pos,
+             ROUND(CAST(SUM(CAST(x AS DECIMAL(30,10))) / COUNT(*)
+                   AS DOUBLE), 6) AS c
+      FROM ex GROUP BY 1, 2
+    ),
+    cnorm AS (
+      SELECT lc, CAST(SUM(CAST(c * c AS DECIMAL(30,10))) AS DOUBLE) AS nn
+      FROM cent GROUP BY 1
+    ),
+    vnorm AS (
+      SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS vn
+      FROM ex GROUP BY 1
+    ),
+    dots AS (
+      SELECT e.vec_id, c.lc,
+             CAST(SUM(CAST(e.x * c.c AS DECIMAL(30,10))) AS DOUBLE) AS dot
+      FROM ex e JOIN cent c ON e.pos = c.pos GROUP BY 1, 2
+    ),
+    vc AS (
+      SELECT d.vec_id, d.lc, ROUND(d.dot / sqrt(v.vn * n.nn), 4) AS cos
+      FROM dots d
+      JOIN vnorm v ON v.vec_id = d.vec_id
+      JOIN cnorm n ON n.lc = d.lc
+    ),
+    cells AS (
+      SELECT vec_id, lc AS cell FROM (
+        SELECT vec_id, lc,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, lc) AS rn
+        FROM vc) WHERE rn = 1
+    ),
+    prk AS (
+      SELECT vec_id AS qid, lc AS cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, lc) AS prank
+      FROM vc WHERE vec_id % 25 = 0
+    ),
+    pairs AS (
+      SELECT q.vec_id AS qid, b.vec_id AS nbr,
+             ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 4) AS cos
+      FROM embeddings q JOIN embeddings b ON b.vec_id <> q.vec_id
+      WHERE q.vec_id % 25 = 0
+    ),
+    exact5 AS (
+      SELECT qid, nbr FROM (
+        SELECT qid, nbr,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, nbr) AS rn
+        FROM pairs) WHERE rn <= 5
+    ),
+    cand AS (
+      SELECT p.qid, p.nbr, p.cos, k.prank
+      FROM pairs p
+      JOIN cells ce ON ce.vec_id = p.nbr
+      JOIN prk k ON k.qid = p.qid AND k.cell = ce.cell
+    ),
+    nps AS (SELECT CAST(np AS BIGINT) AS np
+            FROM (VALUES (1), (2), (3)) v(np)),
+    ivf AS (
+      SELECT n.np, c.qid, c.nbr, c.cos FROM cand c
+      JOIN nps n ON c.prank <= n.np
+    ),
+    ivf5 AS (
+      SELECT np, qid, nbr FROM (
+        SELECT np, qid, nbr,
+               ROW_NUMBER() OVER (PARTITION BY np, qid
+                                  ORDER BY cos DESC, nbr) AS rn
+        FROM ivf) WHERE rn <= 5
+    ),
+    hits AS (
+      SELECT i.np, i.qid, CAST(COUNT(*) AS BIGINT) AS h
+      FROM ivf5 i JOIN exact5 e ON e.qid = i.qid AND e.nbr = i.nbr
+      GROUP BY 1, 2
+    ),
+    sc AS (
+      SELECT np, qid, CAST(COUNT(*) AS BIGINT) AS scn
+      FROM ivf GROUP BY 1, 2
+    ),
+    tot AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS t
+            FROM pairs GROUP BY 1),
+    perq AS (
+      SELECT s.np, s.qid,
+             CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall,
+             CAST(s.scn AS DOUBLE) / t.t AS sfr
+      FROM sc s
+      LEFT JOIN hits h ON h.np = s.np AND h.qid = s.qid
+      JOIN tot t ON t.qid = s.qid
+    )
+    SELECT np AS nprobe, CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(CAST(SUM(CAST(recall AS DECIMAL(30,10))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_recall,
+           ROUND(CAST(SUM(CAST(sfr AS DECIMAL(30,10))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_scanned
+    FROM perq GROUP BY np ORDER BY nprobe
+    """,
+    doc="ANN recall/cost frontier audit — the first ORACLE-CHECKED "
+    "quality measurement of the approximate-search family (q92b/c/d "
+    "carry unit recall bounds only): a deterministic IVF built on "
+    "label-mean coarse centroids is swept at nprobe 1..3 against the "
+    "exact top-5 baseline for a fixed query panel (vec_id % 25 = 0), "
+    "reporting average recall@5 and average scanned-corpus fraction "
+    "per nprobe — the frontier that decides the production nprobe "
+    "knob. Determinism: centroid coordinates round(6) through the "
+    "exact-DECIMAL mean (q296); vector-centroid cosines are DECIMAL "
+    "dot products over the exploded frame divided once and rounded "
+    "to 4 with label tie-break, so cell assignment and probe order "
+    "are engine-identical; pair cosines follow q123's contract "
+    "(numpy unit-dot vs list_cosine_similarity, both round(4), nbr "
+    "tie-break). Scale shape: the pair matrix is bounded by the "
+    "QUERY PANEL (|Q| x N, never N^2) and fans out as one "
+    "Arrow-batched matmul per base block with a per-(query, nprobe) "
+    "window merge; cell assignment is a |labels|-wide broadcast "
+    "join; at 100 TB the panel stays fixed while N grows, and the "
+    "audit's cost is one scan of the corpus per refresh.",
+)
+@plan_cache
+def q384(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("p0", "xf")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("p0") + 1).alias("pos"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    cent = _managed_persist(
+        "q384_centroids",
+        ex.groupBy(F.col("label").alias("lc"), "pos").agg(
+            F.round(
+                (F.sum(F.col("x").cast(DEC)) / F.count(F.lit(1))).cast(
+                    "double"
+                ),
+                6,
+            ).alias("c")
+        ),
+    )
+    cnorm = cent.groupBy("lc").agg(
+        F.sum((F.col("c") * F.col("c")).cast(DEC)).cast("double").alias("nn")
+    )
+    vnorm = ex.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("vn")
+    )
+    dots = (
+        ex.join(
+            F.broadcast(cent.select("lc", F.col("pos").alias("pos_c"), "c")),
+            F.col("pos") == F.col("pos_c"),
+        )
+        .groupBy("vec_id", "lc")
+        .agg(
+            F.sum((F.col("x") * F.col("c")).cast(DEC))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    vc = _managed_persist(
+        "q384_vc",
+        dots.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm), "lc")
+        .select(
+            "vec_id",
+            "lc",
+            F.round(
+                F.col("dot") / F.sqrt(F.col("vn") * F.col("nn")), 4
+            ).alias("cos"),
+        ),
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "lc")
+    cells = (
+        vc.withColumn("rn", F.row_number().over(w_cell))
+        .where(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("nbr"), F.col("lc").alias("cell"))
+    )
+    prk = (
+        vc.where(F.pmod(F.col("vec_id"), F.lit(25)) == 0)
+        .withColumn("prank", F.row_number().over(w_cell))
+        .select(F.col("vec_id").alias("qid"), F.col("lc").alias("cell"), "prank")
+    )
+
+    # |Q| x N pair cosines: one Arrow matmul per base block (q123's
+    # block discipline, probe side fixed to the query panel)
+    unit = _unit_vectors(emb.select("vec_id", "embedding"))
+    qu = (
+        unit.where(F.pmod(F.col("vec_id"), F.lit(25)) == 0)
+        .select(F.struct("vec_id", "u").alias("s"))
+        .agg(F.sort_array(F.collect_list("s")).alias("qs"))
+        .select(
+            F.col("qs.vec_id").alias("pids"), F.col("qs.u").alias("pus")
+        )
+    )
+    b_pack = (
+        unit.groupBy(F.pmod(F.col("vec_id"), F.lit(8)).alias("blk"))
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "u"))).alias("vs"))
+        .select("blk", F.col("vs.vec_id").alias("bids"), F.col("vs.u").alias("bus"))
+    )
+    schema = StructType(
+        [
+            StructField("qid", LongType()),
+            StructField("nbr", LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def all_pairs(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                if len(row["pids"]) == 0 or len(row["bids"]) == 0:
+                    continue
+                pids = np.asarray(row["pids"], dtype=np.int64)
+                P = np.vstack(row["pus"]).astype(np.float64)
+                bids = np.asarray(row["bids"], dtype=np.int64)
+                B = np.vstack(row["bus"]).astype(np.float64)
+                C = np.round(P @ B.T, 4)
+                qq, bb = np.meshgrid(
+                    np.arange(len(pids)), np.arange(len(bids)), indexing="ij"
+                )
+                qv = pids[qq.ravel()]
+                bv = bids[bb.ravel()]
+                cv = C.ravel()
+                keep = qv != bv
+                yield pd.DataFrame(
+                    {"qid": qv[keep], "nbr": bv[keep], "cos": cv[keep]}
+                )
+
+    pairs = _managed_persist(
+        "q384_pairs",
+        qu.crossJoin(b_pack).repartition(8).mapInPandas(all_pairs, schema),
+    )
+    w_q = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nbr")
+    exact5 = (
+        pairs.withColumn("rn", F.row_number().over(w_q))
+        .where(F.col("rn") <= 5)
+        .select("qid", "nbr", F.lit(1).alias("hit"))
+    )
+    cand = pairs.join(cells, "nbr").join(prk, ["qid", "cell"])
+    nps = spark.range(1, 4).select(F.col("id").alias("np"))
+    ivf = cand.crossJoin(F.broadcast(nps)).where(F.col("prank") <= F.col("np"))
+    w_nq = Window.partitionBy("np", "qid").orderBy(F.col("cos").desc(), "nbr")
+    ivf5 = (
+        ivf.withColumn("rn", F.row_number().over(w_nq))
+        .where(F.col("rn") <= 5)
+        .select("np", "qid", "nbr")
+    )
+    hits = (
+        ivf5.join(exact5, ["qid", "nbr"])
+        .groupBy("np", "qid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("h"))
+    )
+    sc = ivf.groupBy("np", "qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("scn")
+    )
+    tot = pairs.groupBy("qid").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    perq = (
+        sc.join(hits, ["np", "qid"], "left")
+        .join(tot, "qid")
+        .select(
+            "np",
+            (F.coalesce(F.col("h"), F.lit(0)).cast("double") / 5.0).alias(
+                "recall"
+            ),
+            (F.col("scn").cast("double") / F.col("t")).alias("sfr"),
+        )
+    )
+    return (
+        perq.groupBy(F.col("np").alias("nprobe"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.round(
+                F.sum(F.col("recall").cast(DEC)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_recall"),
+            F.round(
+                F.sum(F.col("sfr").cast(DEC)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_scanned"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+def _q390_oracle() -> str:
+    """Unrolled 5-step farthest-point SQL, generated so every step uses
+    the IDENTICAL distance expression (exact-DECIMAL dot, round(4)
+    cosine distance) the Spark plan evaluates."""
+    head = """
+    WITH ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    vnorm AS (
+      SELECT vec_id,
+             CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS vn
+      FROM ex GROUP BY 1
+    ),
+    c1 AS (SELECT MIN(vec_id) AS cid FROM embeddings),
+    dot1 AS (
+      SELECT e.vec_id,
+             CAST(SUM(CAST(e.x * c.x AS DECIMAL(30,10))) AS DOUBLE) AS dot
+      FROM ex e JOIN ex c ON c.pos = e.pos
+        AND c.vec_id = (SELECT cid FROM c1)
+      GROUP BY 1
+    ),
+    d1 AS (
+      SELECT t.vec_id,
+             ROUND(1 - t.dot / sqrt(v.vn
+               * (SELECT vn FROM vnorm
+                  WHERE vec_id = (SELECT cid FROM c1))), 4) AS dmin
+      FROM dot1 t JOIN vnorm v ON v.vec_id = t.vec_id
+    )"""
+    steps = []
+    for k in range(2, 6):
+        steps.append(f""",
+    c{k} AS (SELECT vec_id AS cid FROM d{k - 1}
+            ORDER BY dmin DESC, vec_id LIMIT 1),
+    dot{k} AS (
+      SELECT e.vec_id,
+             CAST(SUM(CAST(e.x * c.x AS DECIMAL(30,10))) AS DOUBLE) AS dot
+      FROM ex e JOIN ex c ON c.pos = e.pos
+        AND c.vec_id = (SELECT cid FROM c{k})
+      GROUP BY 1
+    ),
+    d{k} AS (
+      SELECT p.vec_id,
+             LEAST(p.dmin,
+                   ROUND(1 - t.dot / sqrt(v.vn
+                     * (SELECT vn FROM vnorm
+                        WHERE vec_id = (SELECT cid FROM c{k}))), 4)) AS dmin
+      FROM d{k - 1} p
+      JOIN dot{k} t ON t.vec_id = p.vec_id
+      JOIN vnorm v ON v.vec_id = p.vec_id
+    )""")
+    rows = [
+        "SELECT CAST(1 AS BIGINT) AS step, (SELECT cid FROM c1) AS center_id,"
+        " (SELECT ROUND(MAX(dmin), 4) FROM d1) AS coverage_radius"
+    ]
+    for k in range(2, 6):
+        rows.append(
+            f"SELECT CAST({k} AS BIGINT), (SELECT cid FROM c{k}),"
+            f" (SELECT ROUND(MAX(dmin), 4) FROM d{k})"
+        )
+    return (
+        head
+        + "".join(steps)
+        + "\n    "
+        + "\n    UNION ALL ".join(rows)
+        + "\n    ORDER BY step"
+    )
+
+
+@register(
+    "q390",
+    oracle=_q390_oracle(),
+    doc="Farthest-point (k-center / Gonzalez) seeding over the embedding "
+    "corpus — the deterministic k-means++ alternative that maximizes "
+    "coverage: start from the min-vec_id anchor, then 4 rounds of "
+    "'add the vector farthest from every chosen center', reporting "
+    "each round's center and the coverage radius max-min cosine "
+    "distance (the 2-approximation guarantee's certificate, and the "
+    "natural seed set for q92c's IVF or any clustering sweep). "
+    "Determinism: distances are exact-DECIMAL dots divided once and "
+    "ROUNDED to 4 before the (dmin DESC, vec_id) argmax, so both "
+    "engines choose identical centers. Scale shape: each round is "
+    "ONE broadcast join of the corpus against a single 64-row center "
+    "slice plus a running least() fold — O(k·N·dim) total, no N², "
+    "no driver collect; the running min-distance frame "
+    "localCheckpoints per round (the q118/q156 unrolled-loop rule) "
+    "so warm re-runs pay only the final fold.",
+)
+@plan_cache
+def q390(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("p0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("p0") + 1).alias("pos"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    ex = _managed_persist("q390_ex", ex)
+    vnorm = _managed_persist(
+        "q390_vnorm",
+        ex.groupBy("vec_id").agg(
+            F.sum((F.col("x") * F.col("x")).cast(DEC))
+            .cast("double")
+            .alias("vn")
+        ),
+    )
+
+    def dist_to(center_row: DataFrame) -> DataFrame:
+        """Rounded cosine distance of every vector to the 1-row center
+        frame (cid). One broadcast 64-row join + decimal dot."""
+        cdims = (
+            ex.join(
+                F.broadcast(center_row), F.col("vec_id") == F.col("cid")
+            )
+            .select(F.col("pos").alias("cpos"), F.col("x").alias("cx"))
+        )
+        cn = (
+            vnorm.join(
+                F.broadcast(center_row), F.col("vec_id") == F.col("cid")
+            )
+            .select(F.col("vn").alias("cvn"))
+        )
+        dots = (
+            ex.join(F.broadcast(cdims), F.col("pos") == F.col("cpos"))
+            .groupBy("vec_id")
+            .agg(
+                F.sum((F.col("x") * F.col("cx")).cast(DEC))
+                .cast("double")
+                .alias("dot")
+            )
+        )
+        return (
+            dots.join(vnorm, "vec_id")
+            .crossJoin(F.broadcast(cn))
+            .select(
+                "vec_id",
+                F.round(
+                    1 - F.col("dot") / F.sqrt(F.col("vn") * F.col("cvn")), 4
+                ).alias("d"),
+            )
+        )
+
+    c1 = emb.agg(F.min("vec_id").alias("cid"))
+    dmin = dist_to(c1).withColumnRenamed("d", "dmin").localCheckpoint()
+    out = [
+        c1.crossJoin(dmin.agg(F.round(F.max("dmin"), 4).alias("coverage_radius")))
+        .select(
+            F.lit(1).cast("bigint").alias("step"),
+            F.col("cid").alias("center_id"),
+            "coverage_radius",
+        )
+    ]
+    for k in range(2, 6):
+        ck = (
+            dmin.orderBy(F.col("dmin").desc(), "vec_id")
+            .limit(1)
+            .select(F.col("vec_id").alias("cid"))
+            .localCheckpoint()
+        )
+        dk = dist_to(ck)
+        dmin = (
+            dmin.join(dk, "vec_id")
+            .select("vec_id", F.least(F.col("dmin"), F.col("d")).alias("dmin"))
+            .localCheckpoint()
+        )
+        out.append(
+            ck.crossJoin(
+                dmin.agg(F.round(F.max("dmin"), 4).alias("coverage_radius"))
+            ).select(
+                F.lit(k).cast("bigint").alias("step"),
+                F.col("cid").alias("center_id"),
+                "coverage_radius",
+            )
+        )
+    res = out[0]
+    for frame in out[1:]:
+        res = res.unionAll(frame)
+    return res.orderBy("step")

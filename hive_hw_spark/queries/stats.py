@@ -8494,3 +8494,806 @@ def q381(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_top_share"),
     ).orderBy("n_parts")
+
+
+@register(
+    "q383",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS DOUBLE) AS vx,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS DOUBLE) AS py
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(-7, 8)),
+    pairs AS (
+      SELECT l.lag, d1.vx AS x, d2.py AS y
+      FROM lags l
+      JOIN daily d1 ON TRUE
+      JOIN daily d2 ON d2.day = d1.day + CAST(l.lag AS INTEGER)
+    ),
+    s AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(30,10))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sxy
+      FROM pairs GROUP BY lag
+    ),
+    r AS (
+      SELECT lag, n_pairs,
+             ROUND((n_pairs * sxy - sx * sy)
+                   / sqrt((n_pairs * sxx - sx * sx)
+                          * (n_pairs * syy - sy * sy)), 4) AS xcorr
+      FROM s
+    )
+    SELECT lag, n_pairs, xcorr,
+           CAST(CASE WHEN xcorr = (SELECT MAX(xcorr) FROM r)
+                THEN 1 ELSE 0 END AS INTEGER) AS is_peak
+    FROM r ORDER BY lag
+    """,
+    doc="Cross-correlation lead-lag scan (CCF) between the daily view "
+    "and purchase series at lags -7..+7 — the diagnostic that says "
+    "whether views LEAD purchases (and by how many days), which no "
+    "single-series ACF (q252) can answer; the peak-flagged lag is "
+    "the natural feature-engineering offset for q332-style models. "
+    "Scale shape: one partial+final agg folds the events fact to "
+    "<=|calendar| daily rows, the 15 lag pairings come from a "
+    "BROADCAST self-join on day+lag (no window, no sort), and the "
+    "Pearson closed form runs on 15 rows of exact-DECIMAL "
+    "sufficient statistics (q252's discipline). The peak flag "
+    "compares ROUNDED correlations (engine-identical doubles), so "
+    "the argmax is deterministic cross-engine.",
+)
+@plan_cache
+def q383(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("double")
+        .alias("vx"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("py"),
+    )
+    lags = spark.range(-7, 8).select(F.col("id").alias("lag"))
+    d2 = daily.select(F.col("day").alias("day2"), F.col("py").alias("y"))
+    pairs = (
+        daily.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(d2),
+            F.expr("date_add(day, CAST(lag AS INT))") == F.col("day2"),
+        )
+        .select("lag", F.col("vx").alias("x"), "y")
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(DEC)).cast("double").alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
+    )
+    n = F.col("n_pairs")
+    r = s.select(
+        "lag",
+        "n_pairs",
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            4,
+        ).alias("xcorr"),
+    )
+    peak = r.agg(F.max("xcorr").alias("peak"))
+    return (
+        r.crossJoin(F.broadcast(peak))
+        .select(
+            "lag",
+            "n_pairs",
+            "xcorr",
+            F.when(F.col("xcorr") == F.col("peak"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_peak"),
+        )
+        .orderBy("lag")
+    )
+
+
+@register(
+    "q385",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active,
+             CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                        THEN user_id END) AS BIGINT) AS n_conv
+      FROM events GROUP BY 1
+    ),
+    base AS (
+      SELECT CAST(SUM(n_conv) AS DOUBLE) / CAST(SUM(n_active) AS DOUBLE)
+               AS p,
+             CAST(SUM(n_active) AS DOUBLE) / COUNT(*) AS daily_n
+      FROM daily
+    ),
+    h AS (SELECT CAST(horizon AS BIGINT) AS horizon_days
+          FROM (VALUES (7), (14), (28)) v(horizon))
+    SELECT horizon_days,
+           CAST(FLOOR(horizon_days * daily_n / 2) AS BIGINT) AS n_per_arm,
+           ROUND(p, 6) AS baseline_p,
+           ROUND((1.959963984540054 + 0.8416212335729143)
+                 * sqrt(2 * p * (1 - p)
+                        / FLOOR(horizon_days * daily_n / 2)), 6)
+             AS mde_abs,
+           ROUND(ROUND((1.959963984540054 + 0.8416212335729143)
+                 * sqrt(2 * p * (1 - p)
+                        / FLOOR(horizon_days * daily_n / 2)), 6) / p, 4)
+             AS mde_rel
+    FROM h CROSS JOIN base ORDER BY horizon_days
+    """,
+    doc="A/B experiment power planning: the minimum detectable effect "
+    "(80% power, two-sided alpha=0.05, two-proportion z approximation) "
+    "on the daily purchase-conversion metric for 7/14/28-day runtimes "
+    "at observed traffic — the table every experiment review starts "
+    "from (run longer vs accept a coarser MDE), the planning "
+    "counterpart to q242's post-hoc readout and q331's A/A "
+    "calibration. Determinism: p and daily_n derive from integer "
+    "distinct-counts (exact in double); n_per_arm uses FLOOR spelled "
+    "identically in both engines (DuckDB CAST rounds, the q289 "
+    "lesson). Scale shape: one daily distinct-count fold (size fixed "
+    "by the calendar), a 1-row closed form, 3-row output.",
+)
+@plan_cache
+def q385(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_active"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("n_conv"),
+    )
+    base = daily.agg(
+        (
+            F.sum("n_conv").cast("double")
+            / F.sum("n_active").cast("double")
+        ).alias("p"),
+        (F.sum("n_active").cast("double") / F.count(F.lit(1))).alias(
+            "daily_n"
+        ),
+    )
+    h = spark.range(1).select(
+        F.explode(F.array(F.lit(7), F.lit(14), F.lit(28))).alias("hd")
+    ).select(F.col("hd").cast("bigint").alias("horizon_days"))
+    z = F.lit(1.959963984540054 + 0.8416212335729143)
+    n_arm = F.floor(
+        F.col("horizon_days") * F.col("daily_n") / 2
+    )
+    mde = F.round(
+        z
+        * F.sqrt(
+            2 * F.col("p") * (1 - F.col("p")) / n_arm
+        ),
+        6,
+    )
+    return (
+        h.crossJoin(F.broadcast(base))
+        .select(
+            "horizon_days",
+            n_arm.cast("bigint").alias("n_per_arm"),
+            F.round(F.col("p"), 6).alias("baseline_p"),
+            mde.alias("mde_abs"),
+            F.round(mde / F.col("p"), 4).alias("mde_rel"),
+        )
+        .orderBy("horizon_days")
+    )
+
+
+def _phi_sql(z: str) -> str:
+    """Standard-normal CDF as a SQL expression string (Abramowitz-Stegun
+    7.1.26 erf polynomial, |error| < 1.5e-7) — built from the SAME text
+    for the Spark plan (via F.expr) and the DuckDB oracle, so both
+    engines evaluate an identical double expression tree and the
+    round(4) comparison can never diverge structurally."""
+    x = f"(ABS({z}) / 1.4142135623730951)"
+    t = f"(1.0 / (1.0 + 0.3275911 * {x}))"
+    poly = (
+        f"(((((1.061405429 * {t} - 1.453152027) * {t} + 1.421413741)"
+        f" * {t} - 0.284496736) * {t} + 0.254829592) * {t})"
+    )
+    erf = f"(1.0 - {poly} * EXP(-({x} * {x})))"
+    return f"(CASE WHEN {z} >= 0 THEN 0.5 * (1.0 + {erf}) ELSE 0.5 * (1.0 - {erf}) END)"
+
+
+_Q386_Z = "((LN(CAST(v AS DOUBLE)) - mu) / sigma)"
+
+
+@register(
+    "q386",
+    oracle="""
+    WITH vc AS (
+      SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents WHERE n_chars > 0 GROUP BY 1
+    ),
+    fit AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             ROUND(CAST(SUM(CAST(LN(CAST(v AS DOUBLE)) * c
+                                 AS DECIMAL(30,10)))
+                        / SUM(c) AS DOUBLE), 6) AS mu,
+             CAST(SUM(CAST(LN(CAST(v AS DOUBLE)) * c
+                           AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(LN(CAST(v AS DOUBLE))
+                           * LN(CAST(v AS DOUBLE)) * c
+                           AS DECIMAL(30,10))) AS DOUBLE) AS sxx
+      FROM vc
+    ),
+    fit2 AS (
+      SELECT n, mu,
+             ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS sigma
+      FROM fit
+    ),
+    cum AS (
+      SELECT v, c, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS r
+      FROM vc
+    ),
+    d AS (
+      SELECT GREATEST(
+               CAST(r AS DOUBLE) / n - {PHI},
+               {PHI} - CAST(r - c AS DOUBLE) / n) AS dv
+      FROM cum, fit2
+    )
+    SELECT n AS n_docs, mu, sigma,
+           ROUND((SELECT MAX(dv) FROM d), 4) AS ks_d,
+           ROUND(1.3581 / sqrt(n), 4) AS ks_crit,
+           CAST(CASE WHEN ROUND((SELECT MAX(dv) FROM d), 4)
+                          <= ROUND(1.3581 / sqrt(n), 4)
+                THEN 1 ELSE 0 END AS INTEGER) AS lognormal_ok
+    FROM fit2 ORDER BY n_docs
+    """.replace("{PHI}", _phi_sql(_Q386_Z)),
+    doc="Log-normal fit + Kolmogorov-Smirnov goodness-of-fit on document "
+    "lengths — the canonical corpus-shape check (web-text length is "
+    "famously log-normal; a rejected fit flags truncation or a mixed "
+    "extraction pipeline) and the distribution-FITTING counterpart "
+    "to q254's two-sample comparison. mu/sigma are the exact-DECIMAL "
+    "log-moment estimates rounded to 6 BEFORE any z-score; Phi is the "
+    "Abramowitz-Stegun erf polynomial generated from ONE shared SQL "
+    "string (_phi_sql) so both engines evaluate the identical "
+    "expression tree; D uses both ECDF step edges (F_hi and F_lo) as "
+    "the KS definition requires. Scale shape: the corpus folds to "
+    "per-distinct-length counts first (bounded by the length domain, "
+    "not the doc count); the running ECDF cumulates with the q167 "
+    "two-phase discipline (percentile-bound buckets, partitioned "
+    "windows only — the oracle states the naive global-window form); "
+    "the fit itself is one partial+final decimal agg. Single-row "
+    "output; 1.3581/sqrt(n) is the alpha=0.05 large-n critical value.",
+)
+@plan_cache
+def q386(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    vc = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    lx = F.log(F.col("v").cast("double"))
+    fit = vc.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.round(
+            (F.sum((lx * F.col("c")).cast(DEC)) / F.sum("c")).cast("double"),
+            6,
+        ).alias("mu"),
+        F.sum((lx * F.col("c")).cast(DEC)).cast("double").alias("sx"),
+        F.sum((lx * lx * F.col("c")).cast(DEC)).cast("double").alias("sxx"),
+    ).select(
+        "n",
+        "mu",
+        F.round(
+            F.sqrt(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                / (F.col("n") - 1)
+            ),
+            6,
+        ).alias("sigma"),
+    )
+    # two-phase running ECDF (q254's discipline: no unpartitioned window)
+    bounds = vc.agg(
+        F.expr(
+            "percentile(v, array(0.125,0.25,0.375,0.5,0.625,0.75,0.875))"
+        ).alias("bs")
+    )
+    bucketed = vc.crossJoin(F.broadcast(bounds)).select(
+        "v", "c", F.expr("size(filter(bs, b -> b < v))").alias("bk")
+    )
+    btot = bucketed.groupBy("bk").agg(F.sum("c").alias("bc"))
+    b2 = btot.select(F.col("bk").alias("bk2"), F.col("bc").alias("ec"))
+    offsets = (
+        btot.join(F.broadcast(b2), F.col("bk2") < F.col("bk"), "left")
+        .groupBy("bk")
+        .agg(F.coalesce(F.sum("ec"), F.lit(0)).alias("off"))
+    )
+    wb = Window.partitionBy("bk").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        bucketed.withColumn("wc", F.sum("c").over(wb))
+        .join(F.broadcast(offsets), "bk")
+        .select("v", "c", (F.col("off") + F.col("wc")).cast("bigint").alias("r"))
+    )
+    phi = F.expr(_phi_sql(_Q386_Z))
+    d = cum.crossJoin(F.broadcast(fit)).select(
+        F.greatest(
+            F.col("r").cast("double") / F.col("n") - phi,
+            phi - (F.col("r") - F.col("c")).cast("double") / F.col("n"),
+        ).alias("dv")
+    )
+    ks = d.agg(F.round(F.max("dv"), 4).alias("ks_d"))
+    return (
+        fit.crossJoin(F.broadcast(ks))
+        .select(
+            F.col("n").alias("n_docs"),
+            "mu",
+            "sigma",
+            "ks_d",
+            F.round(F.lit(1.3581) / F.sqrt(F.col("n")), 4).alias("ks_crit"),
+            F.when(
+                F.col("ks_d") <= F.round(F.lit(1.3581) / F.sqrt(F.col("n")), 4),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("lognormal_ok"),
+        )
+        .orderBy("n_docs")
+    )
+
+
+@register(
+    "q387",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(FLOOR(MIN(EPOCH(ts))) AS BIGINT) AS mn,
+             CAST(FLOOR(MAX(EPOCH(ts))) AS BIGINT) AS mx
+      FROM events
+    ),
+    tr AS (
+      SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_state,
+             event_type AS next_state,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_s
+      FROM events
+    ),
+    cutv AS (SELECT mn + CAST(FLOOR((mx - mn) * 4.0 / 5) AS BIGINT) AS c
+             FROM b),
+    train AS (
+      SELECT prev_state, next_state, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tr WHERE prev_state IS NOT NULL
+        AND ts_s < (SELECT c FROM cutv)
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT prev_state, next_state AS predicted FROM (
+        SELECT prev_state, next_state,
+               ROW_NUMBER() OVER (PARTITION BY prev_state
+                                  ORDER BY n DESC, next_state) AS rn
+        FROM train) WHERE rn = 1
+    ),
+    test AS (
+      SELECT prev_state, next_state FROM tr
+      WHERE prev_state IS NOT NULL AND ts_s >= (SELECT c FROM cutv)
+    )
+    SELECT t.prev_state,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN t.next_state = p.predicted
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           ROUND(CAST(SUM(CASE WHEN t.next_state = p.predicted
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4)
+             AS top1_acc
+    FROM test t JOIN pred p ON p.prev_state = t.prev_state
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Markov next-event prediction backtest: first-order transition "
+    "counts trained on the first 80% of the event span (epoch-second "
+    "cut, FLOOR spelled identically in both engines — the q289 "
+    "lesson), argmax next-state prediction (count DESC, state ASC "
+    "tie-break), top-1 accuracy measured on the held-out 20% — the "
+    "out-of-sample validation q257's transition matrix and q349's "
+    "stationary analysis never get; per-state accuracy directly "
+    "prices a next-action recommender. Scale shape: transitions come "
+    "from ONE user-partitioned lag window over the fact table, train "
+    "folds to a |states|^2 frame, prediction is a |states|-row "
+    "broadcast join onto the test fold — no N^2, no driver loop.",
+)
+@plan_cache
+def q387(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.lag("event_type").over(w).alias("prev_state"),
+        F.col("event_type").alias("next_state"),
+        F.col("ts").cast("long").alias("ts_s"),
+    ).where(F.col("prev_state").isNotNull())
+    b = ev.agg(
+        F.min(F.col("ts").cast("long")).alias("mn"),
+        F.max(F.col("ts").cast("long")).alias("mx"),
+    ).select(
+        (
+            F.col("mn")
+            + F.floor((F.col("mx") - F.col("mn")) * 4.0 / 5).cast("bigint")
+        ).alias("c")
+    )
+    trc = tr.crossJoin(F.broadcast(b))
+    train = (
+        trc.where(F.col("ts_s") < F.col("c"))
+        .groupBy("prev_state", "next_state")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wp = Window.partitionBy("prev_state").orderBy(
+        F.col("n").desc(), "next_state"
+    )
+    pred = (
+        train.withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") == 1)
+        .select("prev_state", F.col("next_state").alias("predicted"))
+    )
+    test = trc.where(F.col("ts_s") >= F.col("c")).select(
+        "prev_state", "next_state"
+    )
+    return (
+        test.join(F.broadcast(pred), "prev_state")
+        .groupBy("prev_state")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(F.col("next_state") == F.col("predicted"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("next_state") == F.col("predicted"), 1
+                    ).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("top1_acc"),
+        )
+        .orderBy("prev_state")
+    )
+
+
+@register(
+    "q388",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hr,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS errs,
+             CAST(COUNT(*) AS BIGINT) AS total
+      FROM events GROUP BY 1
+    ),
+    roll AS (
+      SELECT h.hr, h.errs, h.total,
+             CAST(SUM(p.errs) AS BIGINT) AS errs6,
+             CAST(SUM(p.total) AS BIGINT) AS total6
+      FROM hourly h JOIN hourly p ON p.hr BETWEEN h.hr - 5 AND h.hr
+      GROUP BY 1, 2, 3
+    )
+    SELECT hr,
+           ROUND(CAST(errs AS DOUBLE) / total / 0.25, 4) AS burn_1h,
+           ROUND(CAST(errs6 AS DOUBLE) / total6 / 0.25, 4) AS burn_6h,
+           CAST(CASE WHEN ROUND(CAST(errs AS DOUBLE) / total / 0.25, 4)
+                          > 1.1
+                      AND ROUND(CAST(errs6 AS DOUBLE) / total6 / 0.25, 4)
+                          > 1.05
+                THEN 1 ELSE 0 END AS INTEGER) AS alert
+    FROM roll ORDER BY hr
+    """,
+    doc="SRE error-budget multi-window burn-rate report (the "
+    "Google-SRE-workbook alerting pattern): hourly error share over a "
+    "25% error budget (the corpus's synthetic error mix is ~20%, so "
+    "burn 1.0 is the expected baseline and the 1.1/1.05 thresholds "
+    "flag genuine bursts), paired with the trailing-6h burn so "
+    "transient blips don't page but sustained burns do — alert only "
+    "when BOTH windows exceed. Scale shape: the fact table folds to "
+    "one calendar-bounded hourly frame; the trailing window is a "
+    "band self-join over that TINY frame (hr BETWEEN hr-5 AND hr), "
+    "never a global-ordered window over raw events; flags compare "
+    "ROUNDED burns so both engines cut identically.",
+)
+@plan_cache
+def q388(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.floor(F.col("ts").cast("long") / 3600).cast("bigint").alias("hr")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("errs"),
+        F.count(F.lit(1)).cast("bigint").alias("total"),
+    )
+    p = hourly.select(
+        F.col("hr").alias("phr"),
+        F.col("errs").alias("perrs"),
+        F.col("total").alias("ptotal"),
+    )
+    roll = (
+        hourly.join(
+            F.broadcast(p),
+            (F.col("phr") >= F.col("hr") - 5) & (F.col("phr") <= F.col("hr")),
+        )
+        .groupBy("hr", "errs", "total")
+        .agg(
+            F.sum("perrs").cast("bigint").alias("errs6"),
+            F.sum("ptotal").cast("bigint").alias("total6"),
+        )
+    )
+    b1 = F.round(F.col("errs").cast("double") / F.col("total") / 0.25, 4)
+    b6 = F.round(F.col("errs6").cast("double") / F.col("total6") / 0.25, 4)
+    return roll.select(
+        "hr",
+        b1.alias("burn_1h"),
+        b6.alias("burn_6h"),
+        F.when((b1 > 1.1) & (b6 > 1.05), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("alert"),
+    ).orderBy("hr")
+
+
+@register(
+    "q389",
+    oracle="""
+    WITH g AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(n_chars AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(CAST(n_chars AS DOUBLE) * n_chars
+                           AS DECIMAL(30,10))) AS DOUBLE) AS sxx
+      FROM documents GROUP BY 1
+    ),
+    m AS (
+      SELECT source, n, sx / n AS xbar,
+             (sxx - sx * sx / n) / (n - 1) AS s2
+      FROM g
+    ),
+    pool AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(CAST(xbar AS DECIMAL(30,10))) AS DOUBLE)
+               / COUNT(*) AS grand,
+             CAST(SUM(CAST(s2 / n AS DECIMAL(30,10))) AS DOUBLE)
+               / COUNT(*) AS v
+      FROM m
+    ),
+    s AS (
+      SELECT k, grand, v,
+             CAST(SUM(CAST((xbar - grand) * (xbar - grand)
+                           AS DECIMAL(30,10))) AS DOUBLE) AS ss
+      FROM m, pool GROUP BY 1, 2, 3
+    ),
+    c AS (
+      SELECT grand,
+             GREATEST(0.0, 1.0 - (k - 3) * v / ss) AS shrink
+      FROM s
+    )
+    SELECT m.source, m.n AS n_docs,
+           ROUND(m.xbar, 4) AS raw_mean,
+           ROUND(c.grand + c.shrink * (m.xbar - c.grand), 4)
+             AS shrunk_mean,
+           ROUND(c.shrink, 4) AS shrink_factor
+    FROM m, c ORDER BY m.source
+    """,
+    doc="James-Stein / Efron-Morris shrinkage of per-source mean "
+    "document length: each source's raw mean is pulled toward the "
+    "grand mean by 1 - (k-3)V/S (V = average squared standard error, "
+    "S = between-group sum of squares, floored at 0) — the "
+    "empirical-Bayes estimator that DOMINATES the raw means for k>=4 "
+    "and the principled answer to 'this tiny source looks anomalous' "
+    "(it is mostly noise, and the shrinkage says how much). The "
+    "corpus's 20 balanced sources are the textbook equal-n case. "
+    "Scale shape: one partial+final decimal agg folds the corpus to "
+    "k group rows; everything after is closed-form arithmetic on a "
+    "broadcast 1-row frame.",
+)
+@plan_cache
+def q389(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("n_chars").cast(DEC)).cast("double").alias("sx"),
+        F.sum(
+            (F.col("n_chars").cast("double") * F.col("n_chars")).cast(DEC)
+        )
+        .cast("double")
+        .alias("sxx"),
+    )
+    m = g.select(
+        "source",
+        "n",
+        (F.col("sx") / F.col("n")).alias("xbar"),
+        (
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("s2"),
+    )
+    pool = m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        (F.sum(F.col("xbar").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "grand"
+        ),
+        (
+            F.sum((F.col("s2") / F.col("n")).cast(DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v"),
+    )
+    s = (
+        m.crossJoin(F.broadcast(pool))
+        .groupBy("k", "grand", "v")
+        .agg(
+            F.sum(
+                (
+                    (F.col("xbar") - F.col("grand"))
+                    * (F.col("xbar") - F.col("grand"))
+                ).cast(DEC)
+            )
+            .cast("double")
+            .alias("ss")
+        )
+    )
+    c = s.select(
+        "grand",
+        F.greatest(
+            F.lit(0.0),
+            F.lit(1.0) - (F.col("k") - 3) * F.col("v") / F.col("ss"),
+        ).alias("shrink"),
+    )
+    return (
+        m.crossJoin(F.broadcast(c))
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.round(F.col("xbar"), 4).alias("raw_mean"),
+            F.round(
+                F.col("grand")
+                + F.col("shrink") * (F.col("xbar") - F.col("grand")),
+                4,
+            ).alias("shrunk_mean"),
+            F.round(F.col("shrink"), 4).alias("shrink_factor"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q391",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN (user_id % 2147483648) * 2654435761 % 100 < 50
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    per_user AS (
+      SELECT e.user_id, a.arm,
+             CAST(SUM(CAST(CASE WHEN e.event_type = 'purchase'
+                           THEN e.value ELSE 0 END AS DECIMAL(30,10)))
+               AS DOUBLE) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events e JOIN assign a ON a.user_id = e.user_id
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(CAST(y AS DOUBLE) * y AS DECIMAL(30,10)))
+               AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sxy
+      FROM per_user GROUP BY 1
+    ),
+    d AS (
+      SELECT arm, n, sx / sy AS r,
+             ((sxx - sx * sx / n) / (n - 1)
+              + (sx / sy) * (sx / sy) * ((syy - sy * sy / n) / (n - 1))
+              - 2 * (sx / sy) * ((sxy - sx * sy / n) / (n - 1)))
+             / ((sy / n) * (sy / n)) / n AS vr
+      FROM s
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN arm = 'A' THEN r END) AS ra,
+             MAX(CASE WHEN arm = 'B' THEN r END) AS rb,
+             MAX(CASE WHEN arm = 'A' THEN vr END) AS va,
+             MAX(CASE WHEN arm = 'B' THEN vr END) AS vb,
+             MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+             MAX(CASE WHEN arm = 'B' THEN n END) AS nb
+      FROM d
+    )
+    SELECT na, nb,
+           ROUND(ra, 6) AS ratio_a, ROUND(rb, 6) AS ratio_b,
+           ROUND(ra - rb, 6) AS diff,
+           ROUND(sqrt(va + vb), 6) AS se,
+           ROUND((ra - rb) / sqrt(va + vb), 4) AS z_score,
+           CAST(CASE WHEN ABS(ROUND((ra - rb) / sqrt(va + vb), 4))
+                          > 1.96
+                THEN 1 ELSE 0 END AS INTEGER) AS significant
+    FROM wide ORDER BY na
+    """,
+    doc="Delta-method A/B readout for a RATIO metric (purchase revenue "
+    "per event) — the experimentation-platform staple q242's "
+    "two-proportion z cannot handle: per-user numerator/denominator "
+    "totals make users the randomization unit, and Var(X̄/Ȳ) is "
+    "linearized as (var_x + R² var_y − 2R cov_xy) / ȳ² / n (Deng et "
+    "al.'s ratio-metric correction; naive per-event variance would "
+    "be anticonservative under within-user correlation). Assignment "
+    "is q242's deterministic hash. Scale shape: one user-keyed "
+    "partial+final decimal fold, then closed-form arithmetic over a "
+    "2-row frame; all float ops run once, identically, in both "
+    "engines.",
+)
+@plan_cache
+def q391(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        (F.col("user_id") % F.lit(2147483648)) * 2654435761 % 100 < 50, "A"
+    ).otherwise("B")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(0.0)
+            .cast(DEC)
+        )
+        .cast("double")
+        .alias("x"),
+        F.count(F.lit(1)).cast("bigint").alias("y"),
+    ).select(arm.alias("arm"), "x", "y")
+    s = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
+        F.sum((F.col("y").cast("double") * F.col("y")).cast(DEC))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
+    )
+    r = F.col("sx") / F.col("sy")
+    n = F.col("n")
+    vr = (
+        (
+            (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+            + r * r * ((F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1))
+            - 2 * r * ((F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1))
+        )
+        / ((F.col("sy") / n) * (F.col("sy") / n))
+        / n
+    )
+    d = s.select("arm", "n", r.alias("r"), vr.alias("vr"))
+    wide = d.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("r"))).alias("ra"),
+        F.max(F.when(F.col("arm") == "B", F.col("r"))).alias("rb"),
+        F.max(F.when(F.col("arm") == "A", F.col("vr"))).alias("va"),
+        F.max(F.when(F.col("arm") == "B", F.col("vr"))).alias("vb"),
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("nb"),
+    )
+    z = F.round(
+        (F.col("ra") - F.col("rb")) / F.sqrt(F.col("va") + F.col("vb")), 4
+    )
+    return wide.select(
+        "na",
+        "nb",
+        F.round(F.col("ra"), 6).alias("ratio_a"),
+        F.round(F.col("rb"), 6).alias("ratio_b"),
+        F.round(F.col("ra") - F.col("rb"), 6).alias("diff"),
+        F.round(F.sqrt(F.col("va") + F.col("vb")), 6).alias("se"),
+        z.alias("z_score"),
+        F.when(F.abs(z) > 1.96, 1).otherwise(0).cast("int").alias("significant"),
+    ).orderBy("na")
