@@ -256,6 +256,15 @@ HEADLINE = [
     "q389",  # James-Stein shrinkage
     "q390",  # farthest-point k-center seeding
     "q391",  # delta-method ratio A/B
+    "q392",  # peeking-bias inflation audit
+    "q393",  # paired pre/post t-test
+    "q394",  # Poisson rate-ratio test
+    "q395",  # capture-recapture estimate
+    "q396",  # Neyman allocation plan
+    "q397",  # co-purchase brand modularity
+    "q398",  # Markov removal-effect attribution
+    "q399",  # price-index chaining
+    "q400",  # LSH banding parameter planner
 ]
 
 

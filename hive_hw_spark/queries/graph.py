@@ -613,3 +613,117 @@ def q362(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("round")
+
+
+@register(
+    "q397",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT d1.l_partkey AS a, d2.l_partkey AS b
+      FROM d d1 JOIN d d2
+        ON d1.l_orderkey = d2.l_orderkey AND d1.l_partkey < d2.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    comm AS (SELECT p_partkey, p_brand FROM part),
+    lab AS (
+      SELECT e.a, e.b, ca.p_brand AS ba, cb.p_brand AS bb
+      FROM e
+      JOIN comm ca ON ca.p_partkey = e.a
+      JOIN comm cb ON cb.p_partkey = e.b
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+    intra AS (
+      SELECT ba AS brand, CAST(COUNT(*) AS BIGINT) AS e_in
+      FROM lab WHERE ba = bb GROUP BY 1
+    ),
+    degs AS (
+      SELECT brand, CAST(SUM(cnt) AS BIGINT) AS d_c FROM (
+        SELECT ba AS brand, COUNT(*) AS cnt FROM lab GROUP BY 1
+        UNION ALL
+        SELECT bb AS brand, COUNT(*) AS cnt FROM lab GROUP BY 1
+      ) GROUP BY 1
+    ),
+    contrib AS (
+      SELECT degs.brand,
+             CAST(COALESCE(intra.e_in, 0) AS DOUBLE) / m.m
+             - (CAST(degs.d_c AS DOUBLE) / (2 * m.m))
+               * (CAST(degs.d_c AS DOUBLE) / (2 * m.m)) AS q
+      FROM degs LEFT JOIN intra ON intra.brand = degs.brand
+      CROSS JOIN m
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+           (SELECT m FROM m) AS n_edges,
+           ROUND(CAST(SUM(CAST(q AS DECIMAL(30,10))) AS DOUBLE), 4)
+             AS modularity
+    FROM contrib ORDER BY n_communities
+    """,
+    doc="Newman modularity of the brand partition over the co-purchase "
+    "graph: Q = Σ_c [e_c/m − (d_c/2m)²] — does the catalog taxonomy "
+    "(p_brand) actually align with purchasing communities, the "
+    "go/no-go check before trusting brand as a segmentation key "
+    "(near 0 = taxonomy and behavior are unrelated); the fifth "
+    "graph statistic next to q215/q156/q118/q341/q362. Scale "
+    "shape: reuses the _managed_persist'd co-purchase edge frame "
+    "(one basket expansion per session); brand labels arrive via a "
+    "BROADCAST dimension join on each endpoint; intra-community and "
+    "degree-mass folds are |communities|-row frames and the Q sum "
+    "is one exact-DECIMAL fold over them.",
+)
+@plan_cache
+def q397(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir)
+    comm = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lab = (
+        edges.join(
+            F.broadcast(
+                comm.select(
+                    F.col("p_partkey").alias("a"), F.col("p_brand").alias("ba")
+                )
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                comm.select(
+                    F.col("p_partkey").alias("b"), F.col("p_brand").alias("bb")
+                )
+            ),
+            "b",
+        )
+        .select("ba", "bb")
+    )
+    m = lab.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    intra = (
+        lab.where(F.col("ba") == F.col("bb"))
+        .groupBy(F.col("ba").alias("brand"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_in"))
+    )
+    degs = (
+        lab.select(F.col("ba").alias("brand"))
+        .unionAll(lab.select(F.col("bb").alias("brand")))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d_c"))
+    )
+    contrib = (
+        degs.join(F.broadcast(intra), "brand", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            (
+                F.coalesce(F.col("e_in"), F.lit(0)).cast("double") / F.col("m")
+                - (F.col("d_c").cast("double") / (2 * F.col("m")))
+                * (F.col("d_c").cast("double") / (2 * F.col("m")))
+            ).alias("q"),
+            "m",
+        )
+    )
+    return contrib.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        F.round(
+            F.sum(F.col("q").cast("decimal(30,10)")).cast("double"), 4
+        ).alias(
+            "modularity"
+        ),
+    ).select(
+        "n_communities", F.col("m").alias("n_edges"), "modularity"
+    ).orderBy("n_communities")

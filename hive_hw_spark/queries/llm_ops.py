@@ -5677,3 +5677,140 @@ def q390(spark: SparkSession, sf_dir: str) -> DataFrame:
     for frame in out[1:]:
         res = res.unionAll(frame)
     return res.orderBy("step")
+
+
+@register(
+    "q400",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, len(string_split(text,' ')) - 1),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2])) AS sh
+      FROM documents
+    ),
+    pairs AS (
+      SELECT ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))), 4)
+               AS jac
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    ),
+    hist AS (
+      SELECT CASE WHEN CAST(ROUND(jac * 10000) AS BIGINT) >= 10000
+                  THEN 9
+                  ELSE CAST(ROUND(jac * 10000) AS BIGINT) // 1000
+             END AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM pairs GROUP BY 1
+    ),
+    cfg AS (SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rpb
+            FROM (VALUES (64, 2), (32, 4), (16, 8), (8, 16), (4, 32))
+                 v(b, r)),
+    scored AS (
+      SELECT c.bands, c.rpb, h.bin, h.n,
+             ROUND(1 - POW(1 - POW(CAST(h.bin AS DOUBLE) / 10 + 0.05,
+                                   c.rpb), c.bands), 6) AS pc
+      FROM hist h CROSS JOIN cfg c
+    )
+    SELECT bands, rpb AS rows_per_band,
+           ROUND(CAST(SUM(CAST(n * pc AS DECIMAL(30,10))) AS DOUBLE), 1)
+             AS exp_candidates,
+           ROUND(CAST(SUM(CAST(CASE WHEN bin >= 8 THEN n * pc
+                               ELSE 0 END AS DECIMAL(30,10))) AS DOUBLE)
+                 / SUM(CASE WHEN bin >= 8 THEN n ELSE 0 END), 4)
+             AS recall_at_08,
+           ROUND(CAST(SUM(CAST(CASE WHEN bin < 8 THEN n * pc
+                               ELSE 0 END AS DECIMAL(30,10))) AS DOUBLE)
+                 / CAST(SUM(CAST(n * pc AS DECIMAL(30,10))) AS DOUBLE),
+                 4) AS waste_share
+    FROM scored GROUP BY 1, 2 ORDER BY bands
+    """,
+    doc="LSH banding parameter planner: for each MinHash configuration "
+    "with 128 signature slots (64x2 ... 4x32 bands x rows), the "
+    "S-curve candidate probability 1-(1-s^r)^b integrated against "
+    "the corpus's MEASURED >=0.5 similarity histogram (q356's exact "
+    "prefix-filter sweep) — expected candidate volume, expected "
+    "recall at the 0.8 production threshold, and the share of "
+    "candidate work wasted on sub-threshold pairs. This is the "
+    "design table that picks q91's (b, r) from data instead of "
+    "folklore; sub-0.5 mass is outside the measured histogram on "
+    "both engines identically (prefix filtering at 0.5 is the "
+    "candidate-generation floor). Determinism: per-bin S-curve "
+    "probabilities round(6) on bin MIDPOINTS before any product "
+    "(libm pow slack is beneath round-6 at these magnitudes); all "
+    "folds exact-DECIMAL. Scale shape: one prefix-filter candidate "
+    "pass (bounded fan-out), a 10-row histogram, a 5x10 planning "
+    "grid — the planner itself costs nothing beyond q356's sweep.",
+)
+@plan_cache
+def q400(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("toks", _toks())
+        .withColumn("sh", _shingles())
+        .select("doc_id", "sh")
+    )
+    pairs = prefix_filter_jaccard_pairs(d, threshold=0.5).localCheckpoint()
+    j4 = F.round(F.col("jac") * 10000, 0).cast("bigint")
+    hist = (
+        pairs.select(
+            F.when(j4 >= 10000, F.lit(9))
+            .otherwise(F.floor(j4 / 1000))
+            .cast("bigint")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    cfg = spark.createDataFrame(
+        [(64, 2), (32, 4), (16, 8), (8, 16), (4, 32)], ["b", "r"]
+    ).select(
+        F.col("b").cast("bigint").alias("bands"),
+        F.col("r").cast("bigint").alias("rpb"),
+    )
+    scored = hist.crossJoin(F.broadcast(cfg)).select(
+        "bands",
+        "rpb",
+        "bin",
+        "n",
+        F.round(
+            1
+            - F.pow(
+                1
+                - F.pow(
+                    F.col("bin").cast("double") / 10 + 0.05, F.col("rpb")
+                ),
+                F.col("bands"),
+            ),
+            6,
+        ).alias("pc"),
+    )
+    npc = (F.col("n") * F.col("pc")).cast(DEC)
+    return (
+        scored.groupBy("bands", F.col("rpb").alias("rows_per_band"))
+        .agg(
+            F.round(F.sum(npc).cast("double"), 1).alias("exp_candidates"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("bin") >= 8, F.col("n") * F.col("pc")
+                    ).otherwise(0.0).cast(DEC)
+                ).cast("double")
+                / F.sum(F.when(F.col("bin") >= 8, F.col("n")).otherwise(0)),
+                4,
+            ).alias("recall_at_08"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("bin") < 8, F.col("n") * F.col("pc")
+                    ).otherwise(0.0).cast(DEC)
+                ).cast("double")
+                / F.sum(npc).cast("double"),
+                4,
+            ).alias("waste_share"),
+        )
+        .orderBy("bands")
+    )

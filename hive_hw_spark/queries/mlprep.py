@@ -1005,3 +1005,96 @@ def q380(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pool", "rnk")
     )
+
+
+@register(
+    "q396",
+    oracle="""
+    WITH g AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(n_chars AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(CAST(n_chars AS DOUBLE) * n_chars
+                           AS DECIMAL(30,10))) AS DOUBLE) AS sxx
+      FROM documents GROUP BY 1
+    ),
+    m AS (
+      SELECT source, n_docs,
+             ROUND(sqrt((sxx - sx * sx / n_docs) / (n_docs - 1)), 6)
+               AS sd
+      FROM g
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(n_docs * sd AS DECIMAL(30,10))) AS DOUBLE)
+               AS sum_ns,
+             CAST(SUM(n_docs) AS BIGINT) AS n_total
+      FROM m
+    )
+    SELECT m.source, m.n_docs, m.sd,
+           ROUND(m.n_docs * m.sd / t.sum_ns, 4) AS neyman_share,
+           CAST(FLOOR(1000 * m.n_docs * m.sd / t.sum_ns) AS BIGINT)
+             AS n_alloc,
+           ROUND(CAST(m.n_docs AS DOUBLE) / t.n_total, 4)
+             AS proportional_share
+    FROM m, tot t ORDER BY m.source
+    """,
+    doc="Neyman-optimal stratified allocation plan for a 1000-document "
+    "labeling budget: per source stratum, the allocation share "
+    "n_h ∝ N_h·S_h (stratum size times within-stratum sd of "
+    "n_chars) next to the naive proportional share — the "
+    "variance-minimizing way to spend an annotation budget, and the "
+    "PLANNING step ahead of q109/q170's executed stratified samples "
+    "and q380's uncertainty selection (high-variance strata deserve "
+    "disproportionate labels). Determinism: per-stratum sd rounds "
+    "to 6 through exact-DECIMAL moments BEFORE the shares; integer "
+    "allocations use FLOOR spelled identically in both engines. "
+    "Scale shape: one partial+final decimal fold to k stratum rows, "
+    "one broadcast total, k-row output.",
+)
+@plan_cache
+def q396(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_chars").cast(DEC)).cast("double").alias("sx"),
+        F.sum(
+            (F.col("n_chars").cast("double") * F.col("n_chars")).cast(DEC)
+        )
+        .cast("double")
+        .alias("sxx"),
+    )
+    m = g.select(
+        "source",
+        "n_docs",
+        F.round(
+            F.sqrt(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n_docs"))
+                / (F.col("n_docs") - 1)
+            ),
+            6,
+        ).alias("sd"),
+    )
+    tot = m.agg(
+        F.sum((F.col("n_docs") * F.col("sd")).cast(DEC))
+        .cast("double")
+        .alias("sum_ns"),
+        F.sum("n_docs").cast("bigint").alias("n_total"),
+    )
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "sd",
+            F.round(
+                F.col("n_docs") * F.col("sd") / F.col("sum_ns"), 4
+            ).alias("neyman_share"),
+            F.floor(1000 * F.col("n_docs") * F.col("sd") / F.col("sum_ns"))
+            .cast("bigint")
+            .alias("n_alloc"),
+            F.round(
+                F.col("n_docs").cast("double") / F.col("n_total"), 4
+            ).alias("proportional_share"),
+        )
+        .orderBy("source")
+    )

@@ -9297,3 +9297,814 @@ def q391(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z_score"),
         F.when(F.abs(z) > 1.96, 1).otherwise(0).cast("int").alias("significant"),
     ).orderBy("na")
+
+
+@register(
+    "q392",
+    oracle="""
+    WITH salts AS (SELECT CAST(range AS BIGINT) AS salt FROM range(0, 20)),
+    ud AS (
+      SELECT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY 1, 2
+    ),
+    assigned AS (
+      SELECT s.salt, u.day, u.conv,
+             CASE WHEN ((u.user_id % 2147483648) * 2654435761
+                        + s.salt * 40503) % 100 < 50
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM ud u JOIN salts s ON TRUE
+    ),
+    daily AS (
+      SELECT salt, arm, day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(conv) AS BIGINT) AS c
+      FROM assigned GROUP BY 1, 2, 3
+    ),
+    cum AS (
+      SELECT salt, arm, day,
+             CAST(SUM(n) OVER w AS BIGINT) AS cn,
+             CAST(SUM(c) OVER w AS BIGINT) AS cc
+      FROM daily
+      WINDOW w AS (PARTITION BY salt, arm ORDER BY day)
+    ),
+    z AS (
+      SELECT a.salt, a.day,
+             ROUND((CAST(a.cc AS DOUBLE) / a.cn
+                    - CAST(b.cc AS DOUBLE) / b.cn)
+                   / sqrt((CAST(a.cc + b.cc AS DOUBLE) / (a.cn + b.cn))
+                          * (1 - CAST(a.cc + b.cc AS DOUBLE)
+                                 / (a.cn + b.cn))
+                          * (1.0 / a.cn + 1.0 / b.cn)), 4) AS zd
+      FROM (SELECT * FROM cum WHERE arm = 'A') a
+      JOIN (SELECT * FROM cum WHERE arm = 'B') b
+        ON b.salt = a.salt AND b.day = a.day
+    ),
+    per_exp AS (
+      SELECT salt,
+             MAX(CASE WHEN ABS(zd) > 1.96 THEN 1 ELSE 0 END) AS anytime,
+             MAX(CASE WHEN day = (SELECT MAX(day) FROM z)
+                      AND ABS(zd) > 1.96 THEN 1 ELSE 0 END) AS final
+      FROM z GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_experiments,
+           CAST(SUM(final) AS BIGINT) AS sig_final,
+           CAST(SUM(anytime) AS BIGINT) AS sig_anytime,
+           ROUND(CAST(SUM(final) AS DOUBLE) / COUNT(*), 4)
+             AS fp_rate_final,
+           ROUND(CAST(SUM(anytime) AS DOUBLE) / COUNT(*), 4)
+             AS fp_rate_anytime
+    FROM per_exp ORDER BY n_experiments
+    """,
+    doc="Peeking-bias (continuous-monitoring) inflation audit: 20 "
+    "deterministic A/A experiments (per-salt hash splits of the same "
+    "traffic), each read with a daily running two-proportion z on "
+    "user-day conversion — comparing the false-positive rate of the "
+    "honest final-day read against 'significant on ANY day' "
+    "(unadjusted sequential peeking). The measured inflation is the "
+    "empirical argument for q385's fixed-horizon planning or a "
+    "proper sequential boundary; it generalizes q331's single-salt "
+    "A/A to the time dimension. Scale shape: one user-day fold, a "
+    "20-salt broadcast fan-out, per-(salt, arm) partitioned running "
+    "sums over the calendar-bounded daily frame, closed-form z per "
+    "row; flags compare ROUNDED z so both engines cut identically.",
+)
+@plan_cache
+def q392(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.groupBy(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    salts = spark.range(0, 20).select(F.col("id").alias("salt"))
+    assigned = ud.crossJoin(F.broadcast(salts)).select(
+        "salt",
+        "day",
+        "conv",
+        F.when(
+            (
+                (F.col("user_id") % F.lit(2147483648)) * 2654435761
+                + F.col("salt") * 40503
+            )
+            % 100
+            < 50,
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm"),
+    )
+    daily = assigned.groupBy("salt", "arm", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("c"),
+    )
+    w = (
+        Window.partitionBy("salt", "arm")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "salt",
+        "arm",
+        "day",
+        F.sum("n").over(w).cast("bigint").alias("cn"),
+        F.sum("c").over(w).cast("bigint").alias("cc"),
+    )
+    a = cum.where(F.col("arm") == "A").select(
+        "salt", "day", F.col("cn").alias("an"), F.col("cc").alias("ac")
+    )
+    b = cum.where(F.col("arm") == "B").select(
+        F.col("salt").alias("salt_b"),
+        F.col("day").alias("day_b"),
+        F.col("cn").alias("bn"),
+        F.col("cc").alias("bc"),
+    )
+    pooled = (F.col("ac") + F.col("bc")).cast("double") / (
+        F.col("an") + F.col("bn")
+    )
+    z = a.join(
+        b,
+        (F.col("salt_b") == F.col("salt")) & (F.col("day_b") == F.col("day")),
+    ).select(
+        "salt",
+        "day",
+        F.round(
+            (
+                F.col("ac").cast("double") / F.col("an")
+                - F.col("bc").cast("double") / F.col("bn")
+            )
+            / F.sqrt(
+                pooled
+                * (1 - pooled)
+                * (1.0 / F.col("an") + 1.0 / F.col("bn"))
+            ),
+            4,
+        ).alias("zd"),
+    )
+    last = z.agg(F.max("day").alias("last_day"))
+    per_exp = (
+        z.crossJoin(F.broadcast(last))
+        .groupBy("salt")
+        .agg(
+            F.max(F.when(F.abs(F.col("zd")) > 1.96, 1).otherwise(0)).alias(
+                "anytime"
+            ),
+            F.max(
+                F.when(
+                    (F.col("day") == F.col("last_day"))
+                    & (F.abs(F.col("zd")) > 1.96),
+                    1,
+                ).otherwise(0)
+            ).alias("final"),
+        )
+    )
+    return per_exp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_experiments"),
+        F.sum("final").cast("bigint").alias("sig_final"),
+        F.sum("anytime").cast("bigint").alias("sig_anytime"),
+        F.round(
+            F.sum("final").cast("double") / F.count(F.lit(1)), 4
+        ).alias("fp_rate_final"),
+        F.round(
+            F.sum("anytime").cast("double") / F.count(F.lit(1)), 4
+        ).alias("fp_rate_anytime"),
+    ).orderBy("n_experiments")
+
+
+@register(
+    "q393",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(FLOOR(MIN(EPOCH(ts))) AS BIGINT) AS mn,
+             CAST(FLOOR(MAX(EPOCH(ts))) AS BIGINT) AS mx
+      FROM events
+    ),
+    cutv AS (SELECT mn + CAST(FLOOR((mx - mn) / 2.0) AS BIGINT) AS c
+             FROM b),
+    halves AS (
+      SELECT user_id,
+             CASE WHEN CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                       < (SELECT c FROM cutv)
+                  THEN 0 ELSE 1 END AS half,
+             value
+      FROM events
+    ),
+    um AS (
+      SELECT user_id, half,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10)))
+                        / COUNT(*) AS DOUBLE), 6) AS mv
+      FROM halves GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT pre.user_id, post.mv - pre.mv AS d
+      FROM (SELECT * FROM um WHERE half = 0) pre
+      JOIN (SELECT * FROM um WHERE half = 1) post
+        ON post.user_id = pre.user_id
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(d AS DECIMAL(30,10))) AS DOUBLE) AS sd_,
+             CAST(SUM(CAST(d * d AS DECIMAL(30,10))) AS DOUBLE) AS sdd
+      FROM paired
+    )
+    SELECT n AS n_users,
+           ROUND(sd_ / n, 6) AS mean_diff,
+           ROUND(sqrt((sdd - sd_ * sd_ / n) / (n - 1)), 6) AS sd_diff,
+           ROUND((sd_ / n) / (sqrt((sdd - sd_ * sd_ / n) / (n - 1))
+                              / sqrt(n)), 4) AS t_stat,
+           CAST(CASE WHEN ABS(ROUND((sd_ / n)
+                  / (sqrt((sdd - sd_ * sd_ / n) / (n - 1))
+                     / sqrt(n)), 4)) > 1.96
+                THEN 1 ELSE 0 END AS INTEGER) AS significant
+    FROM s ORDER BY n_users
+    """,
+    doc="Paired (within-user) pre/post t-test on mean event value across "
+    "the two halves of the observation span — the repeated-measures "
+    "design q304's Welch test cannot express: each user is their own "
+    "control, so between-user variance cancels and the test runs on "
+    "per-user DIFFERENCES (users active in both halves only). "
+    "Determinism: the epoch-second midpoint cut uses FLOOR spelled "
+    "identically (q289), per-user half-means round(6) through the "
+    "exact-DECIMAL divide BEFORE differencing, and the t closed form "
+    "runs once on decimal sufficient statistics. Scale shape: one "
+    "(user, half) fold, a user-keyed self-join, one 1-row moment "
+    "fold.",
+)
+@plan_cache
+def q393(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.col("ts").cast("long")).alias("mn"),
+        F.max(F.col("ts").cast("long")).alias("mx"),
+    ).select(
+        (
+            F.col("mn") + F.floor((F.col("mx") - F.col("mn")) / 2.0).cast("bigint")
+        ).alias("c")
+    )
+    um = (
+        ev.crossJoin(F.broadcast(b))
+        .select(
+            "user_id",
+            F.when(F.col("ts").cast("long") < F.col("c"), 0)
+            .otherwise(1)
+            .alias("half"),
+            "value",
+        )
+        .groupBy("user_id", "half")
+        .agg(
+            F.round(
+                (F.sum(F.col("value").cast(DEC)) / F.count(F.lit(1))).cast(
+                    "double"
+                ),
+                6,
+            ).alias("mv")
+        )
+    )
+    pre = um.where(F.col("half") == 0).select("user_id", F.col("mv").alias("pre"))
+    post = um.where(F.col("half") == 1).select(
+        "user_id", F.col("mv").alias("post")
+    )
+    paired = pre.join(post, "user_id").select(
+        (F.col("post") - F.col("pre")).alias("d")
+    )
+    s = paired.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("d").cast(DEC)).cast("double").alias("sd_"),
+        F.sum((F.col("d") * F.col("d")).cast(DEC)).cast("double").alias("sdd"),
+    )
+    n = F.col("n")
+    sdiff = F.sqrt(
+        (F.col("sdd") - F.col("sd_") * F.col("sd_") / n) / (n - 1)
+    )
+    t = F.round((F.col("sd_") / n) / (sdiff / F.sqrt(n)), 4)
+    return s.select(
+        n.alias("n_users"),
+        F.round(F.col("sd_") / n, 6).alias("mean_diff"),
+        F.round(sdiff, 6).alias("sd_diff"),
+        t.alias("t_stat"),
+        F.when(F.abs(t) > 1.96, 1).otherwise(0).cast("int").alias("significant"),
+    ).orderBy("n_users")
+
+
+@register(
+    "q394",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+               AS d0
+      FROM events
+    ),
+    c AS (
+      SELECT
+        CAST(SUM(CASE WHEN date_diff('day', DATE '1970-01-01',
+                                     CAST(ts AS DATE)) - b.d0
+                           BETWEEN 0 AND 6
+                       AND event_type = 'error'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        CAST(SUM(CASE WHEN date_diff('day', DATE '1970-01-01',
+                                     CAST(ts AS DATE)) - b.d0
+                           BETWEEN 7 AND 13
+                       AND event_type = 'error'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM events, b GROUP BY b.d0
+    )
+    SELECT c1 AS errors_week1, c2 AS errors_week2,
+           ROUND(CAST(c1 AS DOUBLE) / 7, 4) AS rate1_per_day,
+           ROUND(CAST(c2 AS DOUBLE) / 7, 4) AS rate2_per_day,
+           ROUND(CAST(c2 AS DOUBLE) / c1, 4) AS rate_ratio,
+           ROUND((LN(CAST(c2 AS DOUBLE)) - LN(CAST(c1 AS DOUBLE)))
+                 / sqrt(1.0 / c1 + 1.0 / c2), 4) AS z_score,
+           CAST(CASE WHEN ABS(ROUND((LN(CAST(c2 AS DOUBLE))
+                      - LN(CAST(c1 AS DOUBLE)))
+                      / sqrt(1.0 / c1 + 1.0 / c2), 4)) > 1.96
+                THEN 1 ELSE 0 END AS INTEGER) AS significant
+    FROM c ORDER BY errors_week1
+    """,
+    doc="Two-sample Poisson rate-ratio test on error counts, week 1 vs "
+    "week 2 of the span (equal 7-day exposures): z on the log rate "
+    "ratio with Var(ln ĉ) ≈ 1/c — the COUNT-process complement to "
+    "q242's proportion z and q304's mean t (incident rates, crash "
+    "counts, and ingestion-failure monitoring are Poisson, not "
+    "Bernoulli). Scale shape: one conditional fold over the fact "
+    "table (two integers out), closed form on one row; all float "
+    "ops run once, identically, in both engines.",
+)
+@plan_cache
+def q394(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    b = ev.agg(F.min(day).alias("d0"))
+    rel = F.col("dd") - F.col("d0")
+    c = (
+        ev.select(day.alias("dd"), "event_type")
+        .crossJoin(F.broadcast(b))
+        .agg(
+            F.sum(
+                F.when(
+                    rel.between(0, 6) & (F.col("event_type") == "error"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("c1"),
+            F.sum(
+                F.when(
+                    rel.between(7, 13) & (F.col("event_type") == "error"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("c2"),
+        )
+    )
+    z = F.round(
+        (F.log(F.col("c2").cast("double")) - F.log(F.col("c1").cast("double")))
+        / F.sqrt(1.0 / F.col("c1") + 1.0 / F.col("c2")),
+        4,
+    )
+    return c.select(
+        F.col("c1").alias("errors_week1"),
+        F.col("c2").alias("errors_week2"),
+        F.round(F.col("c1").cast("double") / 7, 4).alias("rate1_per_day"),
+        F.round(F.col("c2").cast("double") / 7, 4).alias("rate2_per_day"),
+        F.round(F.col("c2").cast("double") / F.col("c1"), 4).alias(
+            "rate_ratio"
+        ),
+        z.alias("z_score"),
+        F.when(F.abs(z) > 1.96, 1).otherwise(0).cast("int").alias("significant"),
+    ).orderBy("errors_week1")
+
+
+@register(
+    "q395",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+               AS d0
+      FROM events
+    ),
+    w1 AS (
+      SELECT DISTINCT user_id FROM events, b
+      WHERE date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) - b.d0
+            BETWEEN 0 AND 9
+    ),
+    w2 AS (
+      SELECT DISTINCT user_id FROM events, b
+      WHERE date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) - b.d0
+            BETWEEN 10 AND 19
+    ),
+    s AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM w1) AS m,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM w2) AS c,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM w1 JOIN w2 USING (user_id)) AS r,
+             (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+              FROM events) AS observed_total
+    )
+    SELECT m AS captured_w1, c AS captured_w2, r AS recaptured,
+           observed_total,
+           ROUND((m + 1.0) * (c + 1.0) / (r + 1.0) - 1, 2) AS n_hat,
+           ROUND((m + 1.0) * (c + 1.0) / (r + 1.0) - 1
+                 - 1.96 * sqrt((m + 1.0) * (c + 1.0) * (m - r)
+                               * (c - r)
+                               / ((r + 1.0) * (r + 1.0) * (r + 2.0))),
+                 2) AS ci_lo,
+           ROUND((m + 1.0) * (c + 1.0) / (r + 1.0) - 1
+                 + 1.96 * sqrt((m + 1.0) * (c + 1.0) * (m - r)
+                               * (c - r)
+                               / ((r + 1.0) * (r + 1.0) * (r + 2.0))),
+                 2) AS ci_hi
+    FROM s ORDER BY captured_w1
+    """,
+    doc="Capture-recapture (Chapman-corrected Lincoln-Petersen) estimate "
+    "of the true user population from two observation windows (days "
+    "0-9 vs 10-19) — the ecology estimator data teams reuse to "
+    "answer 'how many users/entities exist that we have NOT yet "
+    "observed' (dedup-coverage and entity-resolution completeness "
+    "audits); the observed lifetime distinct count rides along as "
+    "the validation column. Chapman's +1 correction keeps the "
+    "estimator finite and near-unbiased at small recapture counts; "
+    "the CI uses the standard Seber variance. Scale shape: two "
+    "distinct-user folds, one semi-join for the recapture count, "
+    "closed form on one row.",
+)
+@plan_cache
+def q395(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    b = ev.agg(F.min(day).alias("d0"))
+    rel = (
+        ev.select("user_id", day.alias("dd"))
+        .crossJoin(F.broadcast(b))
+        .select("user_id", (F.col("dd") - F.col("d0")).alias("rd"))
+    )
+    w1 = rel.where(F.col("rd").between(0, 9)).select("user_id").distinct()
+    w2 = rel.where(F.col("rd").between(10, 19)).select("user_id").distinct()
+    s = (
+        w1.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+        .crossJoin(w2.agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+        .crossJoin(
+            w1.join(w2, "user_id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("r")
+            )
+        )
+        .crossJoin(
+            ev.agg(
+                F.countDistinct("user_id").cast("bigint").alias(
+                    "observed_total"
+                )
+            )
+        )
+    )
+    m, c, r = F.col("m"), F.col("c"), F.col("r")
+    n_hat = (m + 1.0) * (c + 1.0) / (r + 1.0) - 1
+    se = F.sqrt(
+        (m + 1.0)
+        * (c + 1.0)
+        * (m - r)
+        * (c - r)
+        / ((r + 1.0) * (r + 1.0) * (r + 2.0))
+    )
+    return s.select(
+        m.alias("captured_w1"),
+        c.alias("captured_w2"),
+        r.alias("recaptured"),
+        "observed_total",
+        F.round(n_hat, 2).alias("n_hat"),
+        F.round(n_hat - 1.96 * se, 2).alias("ci_lo"),
+        F.round(n_hat + 1.96 * se, 2).alias("ci_hi"),
+    ).orderBy("captured_w1")
+
+
+def _q398_oracle() -> str:
+    """Unrolled 8-step absorption SQL for the removal-effect chain,
+    generated so every step is the IDENTICAL expression tree the Spark
+    plan evaluates (round(8) per step, exact-DECIMAL folds)."""
+    head = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    raw AS (
+      SELECT event_type AS f,
+             CASE WHEN nxt IS NULL THEN 'NULL'
+                  WHEN nxt = 'purchase' THEN 'CONV' ELSE nxt END AS t
+      FROM seq WHERE event_type <> 'purchase'
+      UNION ALL
+      SELECT 'START' AS f,
+             CASE WHEN event_type = 'purchase' THEN 'CONV'
+                  ELSE event_type END AS t
+      FROM seq WHERE rn = 1
+    ),
+    cnts AS (SELECT f, t, CAST(COUNT(*) AS BIGINT) AS c
+             FROM raw GROUP BY 1, 2),
+    fsum AS (SELECT f, CAST(SUM(c) AS BIGINT) AS tot
+             FROM cnts GROUP BY 1),
+    tp AS (
+      SELECT cnts.f, cnts.t,
+             ROUND(CAST(cnts.c AS DOUBLE) / fsum.tot, 6) AS p
+      FROM cnts JOIN fsum ON fsum.f = cnts.f
+    ),
+    rms AS (SELECT rm FROM (VALUES ('none'), ('click'), ('error'),
+                            ('signup'), ('view')) v(rm)),
+    trm AS (
+      SELECT r.rm, f,
+             CASE WHEN t = r.rm THEN 'NULL' ELSE t END AS t2,
+             CAST(SUM(CAST(p AS DECIMAL(30,10))) AS DOUBLE) AS p
+      FROM tp CROSS JOIN rms r
+      WHERE f <> r.rm
+      GROUP BY 1, 2, 3
+    ),
+    v1 AS (
+      SELECT rm, f AS s,
+             ROUND(CAST(SUM(CAST(p * (CASE WHEN t2 = 'CONV' THEN 1.0
+                                       ELSE 0.0 END)
+                                 AS DECIMAL(30,10))) AS DOUBLE), 8) AS val
+      FROM trm GROUP BY 1, 2
+    )"""
+    steps = []
+    for k in range(2, 9):
+        steps.append(f""",
+    v{k} AS (
+      SELECT m.rm, m.f AS s,
+             ROUND(CAST(SUM(CAST(m.p
+               * (CASE WHEN m.t2 = 'CONV' THEN 1.0
+                       WHEN m.t2 = 'NULL' THEN 0.0
+                       ELSE COALESCE(pv.val, 0.0) END)
+               AS DECIMAL(30,10))) AS DOUBLE), 8) AS val
+      FROM trm m LEFT JOIN v{k - 1} pv
+        ON pv.rm = m.rm AND pv.s = m.t2
+      GROUP BY 1, 2
+    )""")
+    tail = """,
+    base AS (SELECT val AS bc FROM v8 WHERE rm = 'none' AND s = 'START'),
+    re AS (
+      SELECT v.rm AS channel,
+             GREATEST(0.0, ROUND(1 - v.val / b.bc, 6)) AS re
+      FROM v8 v, base b WHERE v.rm <> 'none' AND v.s = 'START'
+    ),
+    tot AS (SELECT CAST(SUM(CAST(re AS DECIMAL(30,10))) AS DOUBLE) AS tre
+            FROM re)
+    SELECT channel, re AS removal_effect,
+           ROUND(re / tre, 4) AS attribution_share,
+           (SELECT ROUND(bc, 6) FROM base) AS base_conv
+    FROM re, tot ORDER BY channel"""
+    return head + "".join(steps) + tail
+
+
+@register(
+    "q398",
+    oracle=_q398_oracle(),
+    doc="Markov removal-effect attribution — the data-driven multi-touch "
+    "model next to q216 (last-touch), q258 (U-shaped) and q268 "
+    "(time-decay), and the only one that prices a channel by what "
+    "conversions would be LOST without it: a first-order journey "
+    "chain (START, 4 channel states, CONV/NULL absorbing; "
+    "transitions from one user-ordered lag pass), conversion "
+    "probability evaluated as 8 unrolled absorption steps, and each "
+    "channel's removal chain redirecting its inbound mass to NULL "
+    "(Anderl et al.'s framework). Determinism: transition probs "
+    "round(6), each absorption step rounds to 8 through exact-"
+    "DECIMAL folds, removal effects clamp at 0 before the share "
+    "normalization. Scale shape: ONE user-partitioned lag window "
+    "over the fact table folds to a <=|states|^2 count frame; the "
+    "5-removal fan-out and all 8 steps run on broadcast-tiny "
+    "frames (the transition frame localCheckpoints first — the "
+    "q118 rule — so the event scan runs once, not per step).",
+)
+@plan_cache
+def q398(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("nxt"),
+        F.row_number().over(w).alias("rn"),
+    )
+    pair = seq.where(F.col("event_type") != "purchase").select(
+        F.col("event_type").alias("f"),
+        F.when(F.col("nxt").isNull(), "NULL")
+        .when(F.col("nxt") == "purchase", "CONV")
+        .otherwise(F.col("nxt"))
+        .alias("t"),
+    )
+    first = seq.where(F.col("rn") == 1).select(
+        F.lit("START").alias("f"),
+        F.when(F.col("event_type") == "purchase", "CONV")
+        .otherwise(F.col("event_type"))
+        .alias("t"),
+    )
+    cnts = pair.unionAll(first).groupBy("f", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    fsum = cnts.groupBy(F.col("f").alias("f2")).agg(
+        F.sum("c").cast("bigint").alias("tot")
+    )
+    tp = cnts.join(F.broadcast(fsum), F.col("f") == F.col("f2")).select(
+        "f", "t", F.round(F.col("c").cast("double") / F.col("tot"), 6).alias("p")
+    )
+    rms = spark.createDataFrame(
+        [("none",), ("click",), ("error",), ("signup",), ("view",)], ["rm"]
+    )
+    trm = (
+        tp.crossJoin(F.broadcast(rms))
+        .where(F.col("f") != F.col("rm"))
+        .groupBy(
+            "rm",
+            "f",
+            F.when(F.col("t") == F.col("rm"), "NULL")
+            .otherwise(F.col("t"))
+            .alias("t2"),
+        )
+        .agg(F.sum(F.col("p").cast(DEC)).cast("double").alias("p"))
+        .localCheckpoint()
+    )
+    v = trm.groupBy("rm", F.col("f").alias("s")).agg(
+        F.round(
+            F.sum(
+                (
+                    F.col("p")
+                    * F.when(F.col("t2") == "CONV", 1.0).otherwise(0.0)
+                ).cast(DEC)
+            ).cast("double"),
+            8,
+        ).alias("val")
+    ).localCheckpoint()
+    for _ in range(2, 9):
+        pv = v.select(
+            F.col("rm").alias("prm"),
+            F.col("s").alias("ps"),
+            F.col("val").alias("pval"),
+        )
+        v = (
+            trm.join(
+                pv,
+                (F.col("prm") == F.col("rm")) & (F.col("ps") == F.col("t2")),
+                "left",
+            )
+            .groupBy("rm", F.col("f").alias("s"))
+            .agg(
+                F.round(
+                    F.sum(
+                        (
+                            F.col("p")
+                            * F.when(F.col("t2") == "CONV", 1.0)
+                            .when(F.col("t2") == "NULL", 0.0)
+                            .otherwise(F.coalesce(F.col("pval"), F.lit(0.0)))
+                        ).cast(DEC)
+                    ).cast("double"),
+                    8,
+                ).alias("val")
+            )
+            .localCheckpoint()
+        )
+    base = v.where((F.col("rm") == "none") & (F.col("s") == "START")).select(
+        F.col("val").alias("bc")
+    )
+    re = (
+        v.where((F.col("rm") != "none") & (F.col("s") == "START"))
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("rm").alias("channel"),
+            F.greatest(
+                F.lit(0.0), F.round(1 - F.col("val") / F.col("bc"), 6)
+            ).alias("re"),
+            F.round(F.col("bc"), 6).alias("base_conv"),
+        )
+    )
+    tot = re.agg(
+        F.sum(F.col("re").cast(DEC)).cast("double").alias("tre")
+    )
+    return (
+        re.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            F.col("re").alias("removal_effect"),
+            F.round(F.col("re") / F.col("tre"), 4).alias("attribution_share"),
+            "base_conv",
+        )
+        .orderBy("channel")
+    )
+
+
+@register(
+    "q399",
+    oracle="""
+    WITH pm AS (
+      SELECT CAST(YEAR(CAST(o.o_orderdate AS DATE)) * 100
+                  + MONTH(CAST(o.o_orderdate AS DATE)) AS BIGINT)
+               AS month_id,
+             l.l_partkey,
+             ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,10)))
+                        AS DOUBLE)
+                   / CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,10)))
+                          AS DOUBLE), 6) AS price,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,10))) AS DOUBLE)
+               AS qty
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    b0 AS (SELECT MIN(month_id) AS m0 FROM pm),
+    base AS (
+      SELECT l_partkey, price AS p0, qty AS q0
+      FROM pm, b0 WHERE month_id = m0
+    ),
+    j AS (
+      SELECT pm.month_id, pm.price AS p1, pm.qty AS q1, b.p0, b.q0
+      FROM pm JOIN base b ON b.l_partkey = pm.l_partkey
+    )
+    SELECT month_id,
+           CAST(COUNT(*) AS BIGINT) AS n_common_parts,
+           ROUND(CAST(SUM(CAST(p1 * q0 AS DECIMAL(30,10))) AS DOUBLE)
+                 / CAST(SUM(CAST(p0 * q0 AS DECIMAL(30,10))) AS DOUBLE),
+                 4) AS laspeyres,
+           ROUND(CAST(SUM(CAST(p1 * q1 AS DECIMAL(30,10))) AS DOUBLE)
+                 / CAST(SUM(CAST(p0 * q1 AS DECIMAL(30,10))) AS DOUBLE),
+                 4) AS paasche,
+           ROUND(sqrt(
+             (CAST(SUM(CAST(p1 * q0 AS DECIMAL(30,10))) AS DOUBLE)
+              / CAST(SUM(CAST(p0 * q0 AS DECIMAL(30,10))) AS DOUBLE))
+             * (CAST(SUM(CAST(p1 * q1 AS DECIMAL(30,10))) AS DOUBLE)
+                / CAST(SUM(CAST(p0 * q1 AS DECIMAL(30,10))) AS DOUBLE))),
+             4) AS fisher
+    FROM j GROUP BY month_id ORDER BY month_id
+    """,
+    doc="Chained price-index family per month against the first month's "
+    "basket: Laspeyres (base-weighted), Paasche (current-weighted) "
+    "and Fisher (their geometric mean, the 'ideal' index) over parts "
+    "traded in BOTH periods — the macro-style inflation readout of "
+    "the catalog that q276's price/volume/mix bridge decomposes "
+    "period-to-period but never levels into an index series. "
+    "Determinism: per-(month, part) unit prices round(6) through "
+    "exact-DECIMAL spend/qty folds BEFORE any cross-period product; "
+    "index numerators/denominators are DECIMAL folds of identical "
+    "doubles. Scale shape: one (month, part) partial+final fold "
+    "over the fact join, the base-month slice broadcast to the "
+    "period join, |months|-row output.",
+)
+@plan_cache
+def q399(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    pm = _managed_persist(
+        "q399_pm",
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            (F.year("od") * 100 + F.month("od"))
+            .cast("bigint")
+            .alias("month_id"),
+            "l_partkey",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+                / F.sum(F.col("l_quantity").cast(DEC)).cast("double"),
+                6,
+            ).alias("price"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("qty"),
+        ),
+    )
+    b0 = pm.agg(F.min("month_id").alias("m0"))
+    base = (
+        pm.crossJoin(F.broadcast(b0))
+        .where(F.col("month_id") == F.col("m0"))
+        .select(
+            F.col("l_partkey").alias("bk"),
+            F.col("price").alias("p0"),
+            F.col("qty").alias("q0"),
+        )
+    )
+    j = pm.join(F.broadcast(base), F.col("l_partkey") == F.col("bk")).select(
+        "month_id",
+        F.col("price").alias("p1"),
+        F.col("qty").alias("q1"),
+        "p0",
+        "q0",
+    )
+    lnum = F.sum((F.col("p1") * F.col("q0")).cast(DEC)).cast("double")
+    lden = F.sum((F.col("p0") * F.col("q0")).cast(DEC)).cast("double")
+    pnum = F.sum((F.col("p1") * F.col("q1")).cast(DEC)).cast("double")
+    pden = F.sum((F.col("p0") * F.col("q1")).cast(DEC)).cast("double")
+    return (
+        j.groupBy("month_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common_parts"),
+            F.round(lnum / lden, 4).alias("laspeyres"),
+            F.round(pnum / pden, 4).alias("paasche"),
+            F.round(F.sqrt((lnum / lden) * (pnum / pden)), 4).alias("fisher"),
+        )
+        .orderBy("month_id")
+    )
