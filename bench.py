@@ -265,6 +265,10 @@ HEADLINE = [
     "q398",  # Markov removal-effect attribution
     "q399",  # price-index chaining
     "q400",  # LSH banding parameter planner
+    "q401",  # column-profile drift audit
+    "q402",  # group-sequential OBF readout
+    "q403",  # rec coverage/diversity audit
+    "q404",  # log-bucket quantile sketch audit
 ]
 
 

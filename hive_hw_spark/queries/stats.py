@@ -10108,3 +10108,640 @@ def q399(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month_id")
     )
+
+
+@register(
+    "q401",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(date_diff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE))) AS mn,
+             MAX(date_diff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE))) AS mx
+      FROM orders
+    ),
+    oh AS (
+      SELECT CASE WHEN date_diff('day', DATE '1970-01-01',
+                                 CAST(o_orderdate AS DATE))
+                       < b.mn + CAST(FLOOR((b.mx - b.mn) / 2.0) AS BIGINT)
+                  THEN 0 ELSE 1 END AS half,
+             o_totalprice AS tp, o_orderpriority AS pri, o_custkey AS ck,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS day
+      FROM orders, b
+    ),
+    hs AS (
+      SELECT half, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT ck) AS BIGINT) AS dk,
+             CAST(COUNT(DISTINCT day) AS BIGINT) AS days,
+             CAST(SUM(CAST(tp AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(tp * tp AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+             ROUND(quantile_cont(CAST(tp AS DOUBLE), 0.5), 4) AS med
+      FROM oh GROUP BY 1
+    ),
+    w AS (
+      SELECT MAX(CASE WHEN half = 0 THEN n END) AS n1,
+             MAX(CASE WHEN half = 1 THEN n END) AS n2,
+             MAX(CASE WHEN half = 0 THEN dk END) AS d1,
+             MAX(CASE WHEN half = 1 THEN dk END) AS d2,
+             MAX(CASE WHEN half = 0 THEN days END) AS dy1,
+             MAX(CASE WHEN half = 1 THEN days END) AS dy2,
+             MAX(CASE WHEN half = 0 THEN sx END) AS sx1,
+             MAX(CASE WHEN half = 1 THEN sx END) AS sx2,
+             MAX(CASE WHEN half = 0 THEN sxx END) AS sxx1,
+             MAX(CASE WHEN half = 1 THEN sxx END) AS sxx2,
+             MAX(CASE WHEN half = 0 THEN med END) AS med1,
+             MAX(CASE WHEN half = 1 THEN med END) AS med2
+      FROM hs
+    ),
+    pm AS (
+      SELECT pri,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS c1,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS c2
+      FROM oh GROUP BY 1
+    ),
+    jsd AS (
+      SELECT CAST(SUM(CAST(
+               (CASE WHEN p1 > 0
+                     THEN 0.5 * p1 * LN(p1 / ((p1 + p2) / 2)) ELSE 0 END)
+             + (CASE WHEN p2 > 0
+                     THEN 0.5 * p2 * LN(p2 / ((p1 + p2) / 2)) ELSE 0 END)
+             AS DECIMAL(30,10))) AS DOUBLE) AS v
+      FROM (SELECT c1 / (SELECT SUM(c1) FROM pm) AS p1,
+                   c2 / (SELECT SUM(c2) FROM pm) AS p2
+            FROM pm)
+    )
+    SELECT metric, value FROM (
+      SELECT 'custkey_distinct_ratio' AS metric,
+             ROUND((CAST(d2 AS DOUBLE) / n2)
+                   / (CAST(d1 AS DOUBLE) / n1), 4) AS value FROM w
+      UNION ALL
+      SELECT 'daily_volume_ratio',
+             ROUND((CAST(n2 AS DOUBLE) / dy2)
+                   / (CAST(n1 AS DOUBLE) / dy1), 4) FROM w
+      UNION ALL
+      SELECT 'priority_mix_jsd', ROUND(v, 6) FROM jsd
+      UNION ALL
+      SELECT 'totalprice_mean_z',
+             ROUND((sx2 / n2 - sx1 / n1)
+                   / sqrt(((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1
+                          + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2),
+                   4) FROM w
+      UNION ALL
+      SELECT 'totalprice_p50_ratio', ROUND(med2 / med1, 4) FROM w
+    ) ORDER BY metric
+    """,
+    doc="Column-profile drift audit between the two halves of the order "
+    "history — the schema-contract monitor that diffs PROFILES over "
+    "time where q112 audits one snapshot and q302's PSI tracks one "
+    "categorical stream: daily-volume ratio, customer-cardinality "
+    "rate ratio, Welch z on the price mean, exact-median ratio, and "
+    "Jensen-Shannon divergence of the priority mix — the five "
+    "signals a pipeline regression (dropped feed, duplicated load, "
+    "mix shift) shows first. Determinism: decimal moment folds, "
+    "exact interpolated medians (q47 family), JSD terms as "
+    "identical per-row doubles summed in DECIMAL. Scale shape: ONE "
+    "labeled pass over the fact table feeds five "
+    "cardinality-bounded folds; output is a fixed 5-row report.",
+)
+@plan_cache
+def q401(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+    b = o.agg(F.min(day).alias("mn"), F.max(day).alias("mx")).select(
+        (F.col("mn") + F.floor((F.col("mx") - F.col("mn")) / 2.0)).alias("c")
+    )
+    oh = _managed_persist(
+        "q401_oh",
+        o.select(
+            day.alias("day"),
+            F.col("o_totalprice").alias("tp"),
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_custkey").alias("ck"),
+        )
+        .crossJoin(F.broadcast(b))
+        .select(
+            F.when(F.col("day") < F.col("c"), 0).otherwise(1).alias("half"),
+            "tp",
+            "pri",
+            "ck",
+            "day",
+        ),
+    )
+    hs = oh.groupBy("half").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("ck").cast("bigint").alias("dk"),
+        F.countDistinct("day").cast("bigint").alias("days"),
+        F.sum(F.col("tp").cast(DEC)).cast("double").alias("sx"),
+        F.sum((F.col("tp") * F.col("tp")).cast(DEC))
+        .cast("double")
+        .alias("sxx"),
+        F.round(F.expr("percentile(CAST(tp AS DOUBLE), 0.5)"), 4).alias(
+            "med"
+        ),
+    )
+
+    def side(h: int, col: str, alias: str):
+        return F.max(F.when(F.col("half") == h, F.col(col))).alias(alias)
+
+    w = hs.agg(
+        side(0, "n", "n1"), side(1, "n", "n2"),
+        side(0, "dk", "d1"), side(1, "dk", "d2"),
+        side(0, "days", "dy1"), side(1, "days", "dy2"),
+        side(0, "sx", "sx1"), side(1, "sx", "sx2"),
+        side(0, "sxx", "sxx1"), side(1, "sxx", "sxx2"),
+        side(0, "med", "med1"), side(1, "med", "med2"),
+    )
+    pm = oh.groupBy("pri").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("c1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("c2"),
+    )
+    tots = pm.agg(
+        F.sum("c1").alias("t1"), F.sum("c2").alias("t2")
+    )
+    probs = pm.crossJoin(F.broadcast(tots)).select(
+        (F.col("c1") / F.col("t1")).alias("p1"),
+        (F.col("c2") / F.col("t2")).alias("p2"),
+    )
+    mmix = (F.col("p1") + F.col("p2")) / 2
+    jsd = probs.agg(
+        F.sum(
+            (
+                F.when(
+                    F.col("p1") > 0,
+                    0.5 * F.col("p1") * F.log(F.col("p1") / mmix),
+                ).otherwise(0.0)
+                + F.when(
+                    F.col("p2") > 0,
+                    0.5 * F.col("p2") * F.log(F.col("p2") / mmix),
+                ).otherwise(0.0)
+            ).cast(DEC)
+        )
+        .cast("double")
+        .alias("v")
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    rows = [
+        w.select(
+            F.lit("custkey_distinct_ratio").alias("metric"),
+            F.round(
+                (F.col("d2").cast("double") / n2)
+                / (F.col("d1").cast("double") / n1),
+                4,
+            ).alias("value"),
+        ),
+        w.select(
+            F.lit("daily_volume_ratio").alias("metric"),
+            F.round(
+                (n2.cast("double") / F.col("dy2"))
+                / (n1.cast("double") / F.col("dy1")),
+                4,
+            ).alias("value"),
+        ),
+        jsd.select(
+            F.lit("priority_mix_jsd").alias("metric"),
+            F.round(F.col("v"), 6).alias("value"),
+        ),
+        w.select(
+            F.lit("totalprice_mean_z").alias("metric"),
+            F.round(
+                (F.col("sx2") / n2 - F.col("sx1") / n1)
+                / F.sqrt(
+                    ((F.col("sxx1") - F.col("sx1") * F.col("sx1") / n1) / (n1 - 1))
+                    / n1
+                    + ((F.col("sxx2") - F.col("sx2") * F.col("sx2") / n2) / (n2 - 1))
+                    / n2
+                ),
+                4,
+            ).alias("value"),
+        ),
+        w.select(
+            F.lit("totalprice_p50_ratio").alias("metric"),
+            F.round(F.col("med2") / F.col("med1"), 4).alias("value"),
+        ),
+    ]
+    res = rows[0]
+    for fr in rows[1:]:
+        res = res.unionAll(fr)
+    return res.orderBy("metric")
+
+
+@register(
+    "q402",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+               AS d0
+      FROM events
+    ),
+    ud AS (
+      SELECT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               - b.d0 AS rd,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events, b GROUP BY 1, 2
+    ),
+    looks AS (SELECT CAST(k AS BIGINT) AS look
+              FROM (VALUES (1), (2), (3), (4)) v(k)),
+    arms AS (
+      SELECT l.look, u.rd, u.conv,
+             CASE WHEN (u.user_id % 2147483648) * 2654435761 % 100 < 50
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM ud u JOIN looks l ON u.rd < l.look * 7
+    ),
+    cum AS (
+      SELECT look, arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(conv) AS BIGINT) AS c
+      FROM arms GROUP BY 1, 2
+    ),
+    z AS (
+      SELECT a.look, a.n AS n_a, b2.n AS n_b,
+             ROUND((CAST(a.c AS DOUBLE) / a.n
+                    - CAST(b2.c AS DOUBLE) / b2.n)
+                   / sqrt((CAST(a.c + b2.c AS DOUBLE) / (a.n + b2.n))
+                          * (1 - CAST(a.c + b2.c AS DOUBLE)
+                                 / (a.n + b2.n))
+                          * (1.0 / a.n + 1.0 / b2.n)), 4) AS z
+      FROM (SELECT * FROM cum WHERE arm = 'A') a
+      JOIN (SELECT * FROM cum WHERE arm = 'B') b2 ON b2.look = a.look
+    )
+    SELECT look, look * 7 - 1 AS through_day, n_a, n_b, z,
+           ROUND(2.024 * sqrt(4.0 / look), 4) AS obf_boundary,
+           CAST(CASE WHEN ABS(z) > ROUND(2.024 * sqrt(4.0 / look), 4)
+                THEN 1 ELSE 0 END AS INTEGER) AS crossed
+    FROM z ORDER BY look
+    """,
+    doc="Group-sequential A/B readout with O'Brien-Fleming-style "
+    "boundaries: four weekly interim looks at the q242-hash split "
+    "(user-day conversion trials), each compared against the "
+    "spending-function boundary c·sqrt(K/k) (C = 2.024, the standard "
+    "K=4 two-sided-0.05 OBF constant) — the PRINCIPLED way to peek "
+    "that q392 shows naive peeking needs: early looks demand ~4 "
+    "sigma, the final look spends almost the full alpha. Scale "
+    "shape: one user-day fold, a 4-look broadcast fan-out folded to "
+    "a 4x2 frame, closed-form z per look; flags compare ROUNDED "
+    "values so both engines cut identically.",
+)
+@plan_cache
+def q402(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    b = ev.agg(F.min(day).alias("d0"))
+    ud = (
+        ev.select("user_id", day.alias("dd"), "event_type")
+        .crossJoin(F.broadcast(b))
+        .groupBy("user_id", (F.col("dd") - F.col("d0")).alias("rd"))
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+    )
+    looks = spark.range(1, 5).select(F.col("id").alias("look"))
+    arms = ud.join(
+        F.broadcast(looks), F.col("rd") < F.col("look") * 7
+    ).select(
+        "look",
+        "conv",
+        F.when(
+            (F.col("user_id") % F.lit(2147483648)) * 2654435761 % 100 < 50,
+            "A",
+        )
+        .otherwise("B")
+        .alias("arm"),
+    )
+    cum = arms.groupBy("look", "arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("c"),
+    )
+    a = cum.where(F.col("arm") == "A").select(
+        "look", F.col("n").alias("n_a"), F.col("c").alias("ca")
+    )
+    bb = cum.where(F.col("arm") == "B").select(
+        F.col("look").alias("look_b"),
+        F.col("n").alias("n_b"),
+        F.col("c").alias("cb"),
+    )
+    pooled = (F.col("ca") + F.col("cb")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = F.round(
+        (
+            F.col("ca").cast("double") / F.col("n_a")
+            - F.col("cb").cast("double") / F.col("n_b")
+        )
+        / F.sqrt(
+            pooled * (1 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+        ),
+        4,
+    )
+    bound = F.round(2.024 * F.sqrt(4.0 / F.col("look")), 4)
+    return (
+        a.join(bb, F.col("look_b") == F.col("look"))
+        .select(
+            "look",
+            (F.col("look") * 7 - 1).alias("through_day"),
+            "n_a",
+            "n_b",
+            z.alias("z"),
+            bound.alias("obf_boundary"),
+            F.when(F.abs(z) > bound, 1).otherwise(0).cast("int").alias(
+                "crossed"
+            ),
+        )
+        .orderBy("look")
+    )
+
+
+@register(
+    "q403",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    s1 AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS s
+           FROM d GROUP BY 1),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nb FROM d),
+    p AS (
+      SELECT d1.l_partkey AS a, d2.l_partkey AS b,
+             CAST(COUNT(*) AS BIGINT) AS supp
+      FROM d d1 JOIN d d2
+        ON d1.l_orderkey = d2.l_orderkey AND d1.l_partkey < d2.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    rules AS (
+      SELECT a AS ante, b AS cons, supp,
+             ROUND(CAST(supp * n.nb AS DOUBLE) / (sa.s * sb.s), 4) AS lift
+      FROM p JOIN s1 sa ON sa.k = a JOIN s1 sb ON sb.k = b CROSS JOIN n
+      UNION ALL
+      SELECT b AS ante, a AS cons, supp,
+             ROUND(CAST(supp * n.nb AS DOUBLE) / (sa.s * sb.s), 4) AS lift
+      FROM p JOIN s1 sa ON sa.k = a JOIN s1 sb ON sb.k = b CROSS JOIN n
+    ),
+    owned AS (
+      SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE (o_custkey % 2147483648) * 2654435761 % 100 < 1
+    ),
+    cand AS (
+      SELECT ck, cons AS rec, MAX(lift) AS lift, MAX(supp) AS supp
+      FROM owned JOIN rules ON pk = ante
+      WHERE NOT EXISTS (SELECT 1 FROM owned o2
+                        WHERE o2.ck = owned.ck AND o2.pk = cons)
+      GROUP BY 1, 2
+    ),
+    recs AS (
+      SELECT ck, rec FROM (
+        SELECT ck, rec, supp,
+               ROW_NUMBER() OVER (PARTITION BY ck
+                                  ORDER BY lift DESC, supp DESC, rec)
+                 AS rnk
+        FROM cand) WHERE rnk <= 3
+    ),
+    rc AS (SELECT rec, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM recs GROUP BY 1),
+    rtot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nr,
+                    CAST(COUNT(*) AS BIGINT) AS dp FROM rc),
+    ent AS (
+      SELECT CAST(SUM(CAST(-(CAST(cnt AS DOUBLE) / t.nr)
+                           * LN(CAST(cnt AS DOUBLE) / t.nr)
+                           AS DECIMAL(30,10))) AS DOUBLE) AS h
+      FROM rc, rtot t
+    ),
+    top10 AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS tc FROM (
+        SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, rec) AS rn
+        FROM rc) WHERE rn <= 10
+    ),
+    pop AS (
+      SELECT CAST(SUM(CAST(r.cnt * s1.s AS DECIMAL(30,10))) AS DOUBLE)
+               / (SELECT nr FROM rtot) AS rec_pop,
+             (SELECT CAST(SUM(CAST(s AS DECIMAL(30,10))) AS DOUBLE)
+                     / COUNT(*) FROM s1) AS cat_pop
+      FROM rc r JOIN s1 ON s1.k = r.rec
+    ),
+    cat AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM part)
+    SELECT (SELECT CAST(COUNT(DISTINCT ck) AS BIGINT) FROM recs)
+             AS n_users,
+           t.nr AS n_recs, t.dp AS distinct_parts,
+           ROUND(CAST(t.dp AS DOUBLE) / c.np, 4) AS catalog_coverage,
+           ROUND(EXP(e.h), 2) AS effective_catalog,
+           ROUND(CAST(tt.tc AS DOUBLE) / t.nr, 4) AS top10_share,
+           ROUND(p2.rec_pop / p2.cat_pop, 4) AS popularity_bias
+    FROM rtot t, ent e, top10 tt, pop p2, cat c
+    ORDER BY n_users
+    """,
+    doc="Recommendation coverage/diversity audit over q291's "
+    "next-best-offer table — the serving-quality counterpart to "
+    "q353's accuracy backtest (accuracy alone rewards recommending "
+    "bestsellers to everyone): catalog coverage, effective catalog "
+    "size exp(H) of the recommendation distribution, top-10-item "
+    "concentration, and popularity bias (mean basket-support of "
+    "recommended parts vs the catalog mean, >1 = popular-skewed). "
+    "Scale shape: composes q291's pipeline (persisted rules, "
+    "broadcast joins), then folds the rec table to per-part counts "
+    "— every audit stat runs on |recommended parts| rows.",
+)
+@plan_cache
+def q403(spark: SparkSession, sf_dir: str) -> DataFrame:
+    recs = q291(spark, sf_dir).select("custkey", "rec_part").localCheckpoint()
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    s1 = d.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("s")
+    )
+    rc = recs.groupBy(F.col("rec_part").alias("rec")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    rtot = rc.agg(
+        F.sum("cnt").cast("bigint").alias("nr"),
+        F.count(F.lit(1)).cast("bigint").alias("dp"),
+    )
+    ent = (
+        rc.crossJoin(F.broadcast(rtot))
+        .agg(
+            F.sum(
+                (
+                    -(F.col("cnt").cast("double") / F.col("nr"))
+                    * F.log(F.col("cnt").cast("double") / F.col("nr"))
+                ).cast(DEC)
+            )
+            .cast("double")
+            .alias("h")
+        )
+    )
+    top10 = (
+        rc.orderBy(F.col("cnt").desc(), "rec")
+        .limit(10)
+        .agg(F.sum("cnt").cast("bigint").alias("tc"))
+    )
+    rec_pop = (
+        rc.join(F.broadcast(s1), F.col("rec") == F.col("k"))
+        .crossJoin(F.broadcast(rtot))
+        .agg(
+            (
+                F.sum((F.col("cnt") * F.col("s")).cast(DEC)).cast("double")
+                / F.max("nr")
+            ).alias("rec_pop")
+        )
+    )
+    cat_pop = s1.agg(
+        (F.sum(F.col("s").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "cat_pop"
+        )
+    )
+    nu = recs.agg(
+        F.countDistinct("custkey").cast("bigint").alias("n_users")
+    )
+    cat = load_table(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).cast("bigint").alias("np")
+    )
+    return (
+        nu.crossJoin(F.broadcast(rtot))
+        .crossJoin(F.broadcast(ent))
+        .crossJoin(F.broadcast(top10))
+        .crossJoin(F.broadcast(rec_pop))
+        .crossJoin(F.broadcast(cat_pop))
+        .crossJoin(F.broadcast(cat))
+        .select(
+            "n_users",
+            F.col("nr").alias("n_recs"),
+            F.col("dp").alias("distinct_parts"),
+            F.round(F.col("dp").cast("double") / F.col("np"), 4).alias(
+                "catalog_coverage"
+            ),
+            F.round(F.exp(F.col("h")), 2).alias("effective_catalog"),
+            F.round(F.col("tc").cast("double") / F.col("nr"), 4).alias(
+                "top10_share"
+            ),
+            F.round(F.col("rec_pop") / F.col("cat_pop"), 4).alias(
+                "popularity_bias"
+            ),
+        )
+        .orderBy("n_users")
+    )
+
+
+@register(
+    "q404",
+    oracle="""
+    WITH src AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+    bk AS (
+      SELECT CAST(FLOOR(LN(v) / LN(1.1)) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM src GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM bk),
+    cum AS (
+      SELECT b.bucket, CAST(SUM(p.c) AS BIGINT) AS r
+      FROM bk b JOIN bk p ON p.bucket <= b.bucket
+      GROUP BY 1
+    ),
+    qs AS (SELECT q FROM (VALUES (0.5), (0.9), (0.99)) v(q)),
+    ranks AS (
+      SELECT q, CAST(FLOOR(q * (n - 1)) AS BIGINT) + 1 AS rk
+      FROM qs, tot
+    ),
+    est AS (
+      SELECT r2.q, MIN(cum.bucket) AS bucket
+      FROM ranks r2 JOIN cum ON cum.r >= r2.rk
+      GROUP BY 1
+    ),
+    ex AS (
+      SELECT ROUND(quantile_cont(v, 0.50), 4) AS e50,
+             ROUND(quantile_cont(v, 0.90), 4) AS e90,
+             ROUND(quantile_cont(v, 0.99), 4) AS e99
+      FROM src
+    )
+    SELECT est.q AS quantile,
+           ROUND(POW(1.1, est.bucket), 4) AS sketch_est,
+           CASE est.q WHEN 0.5 THEN ex.e50 WHEN 0.9 THEN ex.e90
+                      ELSE ex.e99 END AS exact_value,
+           ROUND(POW(1.1, est.bucket)
+                 / (CASE est.q WHEN 0.5 THEN ex.e50
+                         WHEN 0.9 THEN ex.e90 ELSE ex.e99 END) - 1,
+                 4) AS rel_err,
+           CAST(CASE WHEN ABS(ROUND(POW(1.1, est.bucket)
+                 / (CASE est.q WHEN 0.5 THEN ex.e50
+                         WHEN 0.9 THEN ex.e90 ELSE ex.e99 END) - 1,
+                 4)) <= 0.1 THEN 1 ELSE 0 END AS INTEGER)
+             AS within_bound
+    FROM est, ex ORDER BY quantile
+    """,
+    doc="HDR-style log-bucketed quantile sketch + error audit (the 5th "
+    "mergeable-sketch family after q140 HLL, q111 count-min, q174 "
+    "bitmaps and q175 equi-width histograms, and the VARIABLE-RANGE "
+    "complement to q175: log base 1.1 buckets give a ~10% relative-"
+    "error guarantee at ANY magnitude, where equi-width bins blow up "
+    "on heavy tails): bucket counts fold map-side-combinably, each "
+    "target quantile reads the first bucket whose cumulative count "
+    "reaches floor(q(n-1))+1, and the audit row compares against the "
+    "exact interpolated quantile with the guarantee flag. Scale "
+    "shape: one integer-bucket fold (|buckets| ~ 70 for this "
+    "domain), a triangular join over that tiny frame for the "
+    "cumsum, exact quantiles once for the audit column; at 100 TB "
+    "only the bucket fold touches the corpus and merges "
+    "associatively across executors.",
+)
+@plan_cache
+def q404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("v")
+    )
+    bk = o.groupBy(
+        F.floor(F.log("v") / F.log(F.lit(1.1))).cast("bigint").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = bk.agg(F.sum("c").cast("bigint").alias("n"))
+    p = bk.select(F.col("bucket").alias("pb"), F.col("c").alias("pc"))
+    cum = (
+        bk.join(F.broadcast(p), F.col("pb") <= F.col("bucket"))
+        .groupBy("bucket")
+        .agg(F.sum("pc").cast("bigint").alias("r"))
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("q")
+    )
+    ranks = qs.crossJoin(F.broadcast(tot)).select(
+        "q",
+        (F.floor(F.col("q") * (F.col("n") - 1)).cast("bigint") + 1).alias(
+            "rk"
+        ),
+    )
+    est = (
+        ranks.join(F.broadcast(cum), F.col("r") >= F.col("rk"))
+        .groupBy("q")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    ex = o.agg(
+        F.round(F.expr("percentile(v, 0.50)"), 4).alias("e50"),
+        F.round(F.expr("percentile(v, 0.90)"), 4).alias("e90"),
+        F.round(F.expr("percentile(v, 0.99)"), 4).alias("e99"),
+    )
+    exact = (
+        F.when(F.col("q") == 0.5, F.col("e50"))
+        .when(F.col("q") == 0.9, F.col("e90"))
+        .otherwise(F.col("e99"))
+    )
+    rel = F.round(F.pow(F.lit(1.1), F.col("bucket")) / exact - 1, 4)
+    return (
+        est.crossJoin(F.broadcast(ex))
+        .select(
+            F.col("q").alias("quantile"),
+            F.round(F.pow(F.lit(1.1), F.col("bucket")), 4).alias(
+                "sketch_est"
+            ),
+            exact.alias("exact_value"),
+            rel.alias("rel_err"),
+            F.when(F.abs(rel) <= 0.1, 1).otherwise(0).cast("int").alias(
+                "within_bound"
+            ),
+        )
+        .orderBy("quantile")
+    )
