@@ -269,6 +269,9 @@ HEADLINE = [
     "q402",  # group-sequential OBF readout
     "q403",  # rec coverage/diversity audit
     "q404",  # log-bucket quantile sketch audit
+    "q405",  # embedding label-noise audit
+    "q406",  # weekly motif + discord
+    "q407",  # top-movers rank-change report
 ]
 
 

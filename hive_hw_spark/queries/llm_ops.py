@@ -5196,6 +5196,68 @@ def q382(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _label_centroid_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounded cosine of EVERY vector against every label-mean centroid
+    (vec_id, lc, cos) — the |N| x |labels| frame behind q384's IVF cell
+    assignment and q405's label-noise audit. Persisted once per
+    session+input (shared keys), exact-DECIMAL dots, round(4) with the
+    oracle's identical exploded arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("p0", "xf")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("p0") + 1).alias("pos"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    cent = _managed_persist(
+        "q384_centroids",
+        ex.groupBy(F.col("label").alias("lc"), "pos").agg(
+            F.round(
+                (F.sum(F.col("x").cast(DEC)) / F.count(F.lit(1))).cast(
+                    "double"
+                ),
+                6,
+            ).alias("c")
+        ),
+    )
+    cnorm = cent.groupBy("lc").agg(
+        F.sum((F.col("c") * F.col("c")).cast(DEC)).cast("double").alias("nn")
+    )
+    vnorm = ex.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("vn")
+    )
+    dots = (
+        ex.join(
+            F.broadcast(cent.select("lc", F.col("pos").alias("pos_c"), "c")),
+            F.col("pos") == F.col("pos_c"),
+        )
+        .groupBy("vec_id", "lc")
+        .agg(
+            F.sum((F.col("x") * F.col("c")).cast(DEC))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    return _managed_persist(
+        "q384_vc",
+        dots.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm), "lc")
+        .select(
+            "vec_id",
+            "lc",
+            F.round(
+                F.col("dot") / F.sqrt(F.col("vn") * F.col("nn")), 4
+            ).alias("cos"),
+        ),
+    )
+
+
+
+
 @register(
     "q384",
     oracle="""
@@ -5333,55 +5395,7 @@ def q384(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", "label"
     )
-    ex = emb.select(
-        "vec_id", "label", F.posexplode("embedding").alias("p0", "xf")
-    ).select(
-        "vec_id",
-        "label",
-        (F.col("p0") + 1).alias("pos"),
-        F.col("xf").cast("double").alias("x"),
-    )
-    cent = _managed_persist(
-        "q384_centroids",
-        ex.groupBy(F.col("label").alias("lc"), "pos").agg(
-            F.round(
-                (F.sum(F.col("x").cast(DEC)) / F.count(F.lit(1))).cast(
-                    "double"
-                ),
-                6,
-            ).alias("c")
-        ),
-    )
-    cnorm = cent.groupBy("lc").agg(
-        F.sum((F.col("c") * F.col("c")).cast(DEC)).cast("double").alias("nn")
-    )
-    vnorm = ex.groupBy("vec_id").agg(
-        F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("vn")
-    )
-    dots = (
-        ex.join(
-            F.broadcast(cent.select("lc", F.col("pos").alias("pos_c"), "c")),
-            F.col("pos") == F.col("pos_c"),
-        )
-        .groupBy("vec_id", "lc")
-        .agg(
-            F.sum((F.col("x") * F.col("c")).cast(DEC))
-            .cast("double")
-            .alias("dot")
-        )
-    )
-    vc = _managed_persist(
-        "q384_vc",
-        dots.join(vnorm, "vec_id")
-        .join(F.broadcast(cnorm), "lc")
-        .select(
-            "vec_id",
-            "lc",
-            F.round(
-                F.col("dot") / F.sqrt(F.col("vn") * F.col("nn")), 4
-            ).alias("cos"),
-        ),
-    )
+    vc = _label_centroid_cosines(spark, sf_dir)
     w_cell = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "lc")
     cells = (
         vc.withColumn("rn", F.row_number().over(w_cell))
@@ -5813,4 +5827,156 @@ def q400(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("waste_share"),
         )
         .orderBy("bands")
+    )
+
+
+@register(
+    "q405",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS lc, pos,
+             ROUND(CAST(SUM(CAST(x AS DECIMAL(30,10))) / COUNT(*)
+                   AS DOUBLE), 6) AS c
+      FROM ex GROUP BY 1, 2
+    ),
+    cnorm AS (
+      SELECT lc, CAST(SUM(CAST(c * c AS DECIMAL(30,10))) AS DOUBLE) AS nn
+      FROM cent GROUP BY 1
+    ),
+    vnorm AS (
+      SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS vn
+      FROM ex GROUP BY 1
+    ),
+    dots AS (
+      SELECT e.vec_id, c.lc,
+             CAST(SUM(CAST(e.x * c.c AS DECIMAL(30,10))) AS DOUBLE) AS dot
+      FROM ex e JOIN cent c ON e.pos = c.pos GROUP BY 1, 2
+    ),
+    vc AS (
+      SELECT d.vec_id, d.lc, ROUND(d.dot / sqrt(v.vn * n.nn), 4) AS cos
+      FROM dots d
+      JOIN vnorm v ON v.vec_id = d.vec_id
+      JOIN cnorm n ON n.lc = d.lc
+    ),
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    own AS (
+      SELECT vc.vec_id, l.label, vc.cos AS cos_own
+      FROM vc JOIN lbl l ON l.vec_id = vc.vec_id AND vc.lc = l.label
+    ),
+    other AS (
+      SELECT vec_id, lc AS best_other_label, cos AS cos_other FROM (
+        SELECT vc.vec_id, vc.lc, vc.cos,
+               ROW_NUMBER() OVER (PARTITION BY vc.vec_id
+                                  ORDER BY vc.cos DESC, vc.lc) AS rn
+        FROM vc JOIN lbl l ON l.vec_id = vc.vec_id AND vc.lc <> l.label)
+      WHERE rn = 1
+    ),
+    marg AS (
+      SELECT o.vec_id, o.label, o.cos_own,
+             t.best_other_label, t.cos_other,
+             ROUND(o.cos_own - t.cos_other, 4) AS margin
+      FROM own o JOIN other t ON t.vec_id = o.vec_id
+    ),
+    rob AS (
+      SELECT label,
+             ROUND(quantile_cont(margin, 0.5), 6) AS med
+      FROM marg GROUP BY 1
+    ),
+    mad AS (
+      SELECT m.label,
+             ROUND(quantile_cont(ABS(m.margin - r.med), 0.5), 6) AS mad
+      FROM marg m JOIN rob r ON r.label = m.label GROUP BY 1
+    )
+    SELECT m.vec_id, CAST(m.label AS BIGINT) AS label,
+           m.cos_own, CAST(m.best_other_label AS BIGINT)
+             AS best_other_label, m.cos_other, m.margin,
+           ROUND((m.margin - r.med)
+                 / (1.4826 * GREATEST(d.mad, 0.000000001)), 4)
+             AS robust_z
+    FROM marg m
+    JOIN rob r ON r.label = m.label
+    JOIN mad d ON d.label = m.label
+    ORDER BY m.margin, m.vec_id LIMIT 20
+    """,
+    doc="Embedding label-noise audit (Confident-Learning-style, "
+    "centroid margin variant): for every vector, the cosine to its "
+    "OWN label centroid minus the best OTHER centroid — a negative "
+    "margin says the vector sits closer to another class, the "
+    "classic mislabel signal — robust-scored within each label "
+    "(median/MAD, q246's discipline) and reported as the 20 most "
+    "suspect rows for human review; the label-QUALITY counterpart "
+    "to q161's cohesion and q328's geometry audit. Determinism: "
+    "all cosines from the shared _label_centroid_cosines frame "
+    "(exact-DECIMAL dots, round 4, label tie-break); medians/MADs "
+    "exact interpolated round(6); MAD floored at 1e-9 before the z "
+    "divide. Scale shape: the |N| x |labels| cosine frame is built "
+    "once per session (shared with q384's IVF); the audit itself is "
+    "two per-label percentile folds and one vec-keyed join, with a "
+    "global top-20 via ordered limit.",
+)
+@plan_cache
+def q405(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vc = _label_centroid_cosines(spark, sf_dir)
+    lbl = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    j = vc.join(F.broadcast(lbl.withColumnRenamed("vec_id", "vid")),
+                F.col("vec_id") == F.col("vid"))
+    own = j.where(F.col("lc") == F.col("label")).select(
+        "vec_id", "label", F.col("cos").alias("cos_own")
+    )
+    w_o = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "lc")
+    other = (
+        j.where(F.col("lc") != F.col("label"))
+        .withColumn("rn", F.row_number().over(w_o))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("vec_id").alias("ov"),
+            F.col("lc").alias("best_other_label"),
+            F.col("cos").alias("cos_other"),
+        )
+    )
+    marg = own.join(other, F.col("vec_id") == F.col("ov")).select(
+        "vec_id",
+        "label",
+        "cos_own",
+        "best_other_label",
+        "cos_other",
+        F.round(F.col("cos_own") - F.col("cos_other"), 4).alias("margin"),
+    )
+    rob = marg.groupBy(F.col("label").alias("rl")).agg(
+        F.round(F.expr("percentile(margin, 0.5)"), 6).alias("med")
+    )
+    mad = (
+        marg.join(F.broadcast(rob), F.col("label") == F.col("rl"))
+        .groupBy(F.col("label").alias("ml"))
+        .agg(
+            F.round(
+                F.expr("percentile(ABS(margin - med), 0.5)"), 6
+            ).alias("mad")
+        )
+    )
+    return (
+        marg.join(F.broadcast(rob), F.col("label") == F.col("rl"))
+        .join(F.broadcast(mad), F.col("label") == F.col("ml"))
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            "cos_own",
+            F.col("best_other_label").cast("bigint").alias(
+                "best_other_label"
+            ),
+            "cos_other",
+            "margin",
+            F.round(
+                (F.col("margin") - F.col("med"))
+                / (1.4826 * F.greatest(F.col("mad"), F.lit(1e-9))),
+                4,
+            ).alias("robust_z"),
+        )
+        .orderBy("margin", "vec_id")
+        .limit(20)
     )

@@ -10745,3 +10745,307 @@ def q404(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quantile")
     )
+
+
+@register(
+    "q406",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(date_diff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE))) AS d0,
+             MAX(date_diff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE))) AS d1
+      FROM orders
+    ),
+    daily AS (
+      SELECT (date_diff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) - b.d0) // 7 AS wk,
+             (date_diff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) - b.d0) % 7 AS dow,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+               AS rev
+      FROM orders, b
+      WHERE date_diff('day', DATE '1970-01-01',
+                      CAST(o_orderdate AS DATE)) - b.d0
+            < ((b.d1 - b.d0 + 1) // 7) * 7
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT w.wk, d.dow, COALESCE(daily.rev, 0.0) AS rev
+      FROM (SELECT DISTINCT wk FROM daily) w
+      CROSS JOIN (SELECT CAST(range AS BIGINT) AS dow FROM range(0, 7)) d
+      LEFT JOIN daily ON daily.wk = w.wk AND daily.dow = d.dow
+    ),
+    st AS (
+      SELECT wk,
+             CAST(SUM(CAST(rev AS DECIMAL(30,10))) AS DOUBLE) / 7 AS mu,
+             sqrt((CAST(SUM(CAST(rev * rev AS DECIMAL(30,10))) AS DOUBLE)
+                   - CAST(SUM(CAST(rev AS DECIMAL(30,10))) AS DOUBLE)
+                     * CAST(SUM(CAST(rev AS DECIMAL(30,10))) AS DOUBLE)
+                     / 7) / 6) AS sd
+      FROM grid GROUP BY 1
+    ),
+    z AS (
+      SELECT g.wk, g.dow, ROUND((g.rev - st.mu) / st.sd, 6) AS z
+      FROM grid g JOIN st ON st.wk = g.wk WHERE st.sd > 0
+    ),
+    pairs AS (
+      SELECT a.wk AS w1, b2.wk AS w2,
+             ROUND(CAST(SUM(CAST((a.z - b2.z) * (a.z - b2.z)
+                                 AS DECIMAL(30,10))) AS DOUBLE), 6) AS dist
+      FROM z a JOIN z b2 ON b2.dow = a.dow AND b2.wk > a.wk
+      GROUP BY 1, 2
+    ),
+    motif AS (
+      SELECT w1, w2, dist FROM pairs
+      ORDER BY dist, w1, w2 LIMIT 1
+    ),
+    nn AS (
+      SELECT wk, MIN(dist) AS nn_dist FROM (
+        SELECT w1 AS wk, dist FROM pairs
+        UNION ALL SELECT w2 AS wk, dist FROM pairs
+      ) GROUP BY 1
+    ),
+    discord AS (
+      SELECT wk, nn_dist FROM nn ORDER BY nn_dist DESC, wk LIMIT 1
+    )
+    SELECT m.w1 AS motif_week_a, m.w2 AS motif_week_b,
+           m.dist AS motif_dist,
+           d.wk AS discord_week, d.nn_dist AS discord_nn_dist
+    FROM motif m, discord d ORDER BY motif_week_a
+    """,
+    doc="Matrix-profile-lite over the weekly revenue series: z-normalize "
+    "each complete calendar week's 7-day shape, compute all pairwise "
+    "distances, and report the MOTIF (the two most similar weeks — "
+    "the recurring regime) and the DISCORD (the week farthest from "
+    "its nearest neighbor — the strongest shape anomaly, which a "
+    "point-wise detector like q142/q286 misses when every individual "
+    "day is in range but the WEEK's profile is wrong). Keogh's "
+    "matrix-profile primitive restricted to non-overlapping calendar "
+    "windows. Determinism: zero-filled day grid, per-week z round(6) "
+    "through decimal folds, pair distances decimal-summed and "
+    "rounded before the ordered-limit argmin/argmax. Scale shape: "
+    "the fact table folds to a CALENDAR-bounded (week, dow) frame — "
+    "series length is fixed by the date range, not the corpus — so "
+    "the |weeks|^2/2 pair fold (~59k pairs here) costs the same at "
+    "100 TB; the dow-keyed join broadcasts one tiny side.",
+)
+@plan_cache
+def q406(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+    b = o.agg(F.min(day).alias("d0"), F.max(day).alias("d1"))
+    rel = o.select(day.alias("dd"), "o_totalprice").crossJoin(
+        F.broadcast(b)
+    ).select(
+        (F.col("dd") - F.col("d0")).alias("rd"),
+        "o_totalprice",
+        (((F.col("d1") - F.col("d0") + 1) / 7).cast("bigint") * 7).alias(
+            "cap"
+        ),
+    )
+    daily = (
+        rel.where(F.col("rd") < F.col("cap"))
+        .groupBy(
+            F.expr("rd DIV 7").alias("wk"), F.expr("rd % 7").alias("dow")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    wks = daily.select("wk").distinct()
+    dows = spark.range(0, 7).select(F.col("id").alias("dow"))
+    grid = (
+        wks.crossJoin(F.broadcast(dows))
+        .join(daily, ["wk", "dow"], "left")
+        .select("wk", "dow", F.coalesce(F.col("rev"), F.lit(0.0)).alias("rev"))
+    )
+    st = grid.groupBy("wk").agg(
+        (F.sum(F.col("rev").cast(DEC)).cast("double") / 7).alias("mu"),
+        F.sqrt(
+            (
+                F.sum((F.col("rev") * F.col("rev")).cast(DEC)).cast("double")
+                - F.sum(F.col("rev").cast(DEC)).cast("double")
+                * F.sum(F.col("rev").cast(DEC)).cast("double")
+                / 7
+            )
+            / 6
+        ).alias("sd"),
+    )
+    z = (
+        grid.join(st, "wk")
+        .where(F.col("sd") > 0)
+        .select(
+            "wk", "dow", F.round((F.col("rev") - F.col("mu")) / F.col("sd"), 6).alias("z")
+        )
+        .localCheckpoint()
+    )
+    z2 = z.select(
+        F.col("wk").alias("w2"), F.col("dow").alias("dow2"), F.col("z").alias("zb")
+    )
+    pairs = (
+        z.join(
+            F.broadcast(z2),
+            (F.col("dow2") == F.col("dow")) & (F.col("w2") > F.col("wk")),
+        )
+        .groupBy(F.col("wk").alias("w1"), "w2")
+        .agg(
+            F.round(
+                F.sum(
+                    ((F.col("z") - F.col("zb")) * (F.col("z") - F.col("zb"))).cast(
+                        DEC
+                    )
+                ).cast("double"),
+                6,
+            ).alias("dist")
+        )
+        .localCheckpoint()
+    )
+    motif = pairs.orderBy("dist", "w1", "w2").limit(1)
+    nn = (
+        pairs.select(F.col("w1").alias("wk"), "dist")
+        .unionAll(pairs.select(F.col("w2").alias("wk"), "dist"))
+        .groupBy("wk")
+        .agg(F.min("dist").alias("nn_dist"))
+    )
+    discord = nn.orderBy(F.col("nn_dist").desc(), "wk").limit(1)
+    return (
+        motif.select(
+            F.col("w1").alias("motif_week_a"),
+            F.col("w2").alias("motif_week_b"),
+            F.col("dist").alias("motif_dist"),
+        )
+        .crossJoin(
+            F.broadcast(
+                discord.select(
+                    F.col("wk").alias("discord_week"),
+                    F.col("nn_dist").alias("discord_nn_dist"),
+                )
+            )
+        )
+        .orderBy("motif_week_a")
+    )
+
+
+@register(
+    "q407",
+    oracle="""
+    WITH pm AS (
+      SELECT CAST(YEAR(CAST(o.o_orderdate AS DATE)) * 100
+                  + MONTH(CAST(o.o_orderdate AS DATE)) AS BIGINT)
+               AS month_id,
+             l.l_partkey,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,10)))
+                  AS DOUBLE) AS rev
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    mm AS (SELECT MAX(month_id) AS m_last FROM pm),
+    mp AS (SELECT MAX(month_id) AS m_prev FROM pm, mm
+           WHERE month_id < m_last),
+    rk AS (
+      SELECT month_id, l_partkey,
+             ROW_NUMBER() OVER (PARTITION BY month_id
+                                ORDER BY rev DESC, l_partkey) AS rnk
+      FROM pm, mm, mp WHERE month_id IN (m_last, m_prev)
+    ),
+    j AS (
+      SELECT c.l_partkey AS partkey,
+             CAST(p.rnk AS BIGINT) AS rank_prev,
+             CAST(c.rnk AS BIGINT) AS rank_curr,
+             CAST(p.rnk - c.rnk AS BIGINT) AS delta
+      FROM rk c JOIN rk p ON p.l_partkey = c.l_partkey, mm, mp
+      WHERE c.month_id = m_last AND p.month_id = m_prev
+    )
+    SELECT direction, partkey, rank_prev, rank_curr, delta FROM (
+      SELECT 'riser' AS direction, * FROM
+        (SELECT * FROM j ORDER BY delta DESC, partkey LIMIT 10)
+      UNION ALL
+      SELECT 'faller' AS direction, * FROM
+        (SELECT * FROM j ORDER BY delta ASC, partkey LIMIT 10)
+    ) ORDER BY direction, partkey
+    """,
+    doc="Top-movers report: the 10 biggest revenue-rank risers and "
+    "fallers among parts traded in BOTH of the two most recent "
+    "months — the month-over-month 'what changed' BI staple that "
+    "q222's period-over-period totals and q167's static ABC classes "
+    "don't surface (a part can grow in absolute terms and still "
+    "fall 50 ranks). Determinism: ranks are row_numbers over "
+    "(exact-decimal revenue DESC, partkey) so ties and the top-10 "
+    "cuts are engine-identical. Scale shape: one (month, part) "
+    "partial+final fold; ranking windows partition per month; the "
+    "two month slices join on partkey and the top-10 cuts are "
+    "ordered limits (no global window).",
+)
+@plan_cache
+def q407(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    pm = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            (F.year("od") * 100 + F.month("od"))
+            .cast("bigint")
+            .alias("month_id"),
+            "l_partkey",
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC))
+            .cast("double")
+            .alias("rev")
+        )
+        .localCheckpoint()
+    )
+    mm = pm.agg(F.max("month_id").alias("m_last"))
+    mp = (
+        pm.crossJoin(F.broadcast(mm))
+        .where(F.col("month_id") < F.col("m_last"))
+        .agg(F.max("month_id").alias("m_prev"))
+    )
+    wr = Window.partitionBy("month_id").orderBy(
+        F.col("rev").desc(), "l_partkey"
+    )
+    rk = (
+        pm.crossJoin(F.broadcast(mm))
+        .crossJoin(F.broadcast(mp))
+        .where(
+            (F.col("month_id") == F.col("m_last"))
+            | (F.col("month_id") == F.col("m_prev"))
+        )
+        .withColumn("rnk", F.row_number().over(wr))
+    )
+    c = rk.where(F.col("month_id") == F.col("m_last")).select(
+        F.col("l_partkey").alias("partkey"), F.col("rnk").alias("rank_curr")
+    )
+    p = rk.where(F.col("month_id") == F.col("m_prev")).select(
+        F.col("l_partkey").alias("pk2"), F.col("rnk").alias("rank_prev")
+    )
+    j = (
+        c.join(p, F.col("pk2") == F.col("partkey"))
+        .select(
+            "partkey",
+            F.col("rank_prev").cast("bigint").alias("rank_prev"),
+            F.col("rank_curr").cast("bigint").alias("rank_curr"),
+            (F.col("rank_prev") - F.col("rank_curr"))
+            .cast("bigint")
+            .alias("delta"),
+        )
+        .localCheckpoint()
+    )
+    risers = (
+        j.orderBy(F.col("delta").desc(), "partkey")
+        .limit(10)
+        .select(F.lit("riser").alias("direction"), "*")
+    )
+    fallers = (
+        j.orderBy(F.col("delta").asc(), "partkey")
+        .limit(10)
+        .select(F.lit("faller").alias("direction"), "*")
+    )
+    return risers.unionAll(fallers).orderBy("direction", "partkey")
