@@ -272,6 +272,14 @@ HEADLINE = [
     "q405",  # embedding label-noise audit
     "q406",  # weekly motif + discord
     "q407",  # top-movers rank-change report
+    "q408",  # semi-Markov dwell-time profile
+    "q409",  # feature-importance screen
+    "q410",  # temporal scan statistic
+    "q411",  # Kish effective sample size
+    "q412",  # incremental dedup audit
+    "q413",  # Bayesian A/B readout
+    "q414",  # autocorr-adjusted mean CI
+    "q415",  # Heaps-law 10x extrapolation
 ]
 
 

@@ -5980,3 +5980,224 @@ def q405(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("margin", "vec_id")
         .limit(20)
     )
+
+
+@register(
+    "q411",
+    oracle="""
+    WITH lc AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ),
+    w AS (
+      SELECT lang, n_docs,
+             sqrt(CAST(n_docs AS DOUBLE)) AS wl,
+             CAST(SUM(CAST(sqrt(CAST(n_docs AS DOUBLE))
+                           AS DECIMAL(30,10))) OVER () AS DOUBLE) AS wsum,
+             CAST(SUM(n_docs) OVER () AS DOUBLE) AS total
+      FROM lc
+    ),
+    r AS (
+      SELECT lang, n_docs,
+             ROUND((wl / wsum) * total / CAST(n_docs AS DOUBLE), 6) AS wt
+      FROM w
+    ),
+    k AS (
+      SELECT CAST(SUM(CAST(n_docs * wt AS DECIMAL(30,10))) AS DOUBLE)
+               AS sw,
+             CAST(SUM(CAST(n_docs * wt * wt AS DECIMAL(30,10)))
+                  AS DOUBLE) AS sw2,
+             CAST(SUM(n_docs) AS BIGINT) AS n
+      FROM r
+    )
+    SELECT r.lang, r.n_docs, r.wt AS weight,
+           ROUND(k.sw * k.sw / k.sw2, 2) AS corpus_n_eff,
+           ROUND(k.n / (k.sw * k.sw / k.sw2), 4) AS design_effect
+    FROM r, k ORDER BY r.lang
+    """,
+    doc="Kish effective sample size / design effect of the "
+    "temperature-resampled language mixture (q166's alpha=0.5 "
+    "weights): n_eff = (Σw)²/Σw² tells how many EQUALLY-weighted "
+    "documents the reweighted corpus is statistically worth, and "
+    "the design effect n/n_eff is the variance inflation every "
+    "downstream estimate pays for the rebalancing — the standard "
+    "survey-statistics audit that decides whether a mixture's tail "
+    "upweighting has destroyed its statistical power. Weights are "
+    "per-language constants (round 6 through the exact-DECIMAL "
+    "share fold), so the Kish sums fold per language, never per "
+    "document. Scale shape: one language fold, closed form on "
+    "|langs| rows.",
+)
+@plan_cache
+def q411(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lc = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tots = lc.agg(
+        F.sum(F.sqrt(F.col("n_docs").cast("double")).cast(DEC))
+        .cast("double")
+        .alias("wsum"),
+        F.sum("n_docs").cast("double").alias("total"),
+    )
+    r = lc.crossJoin(F.broadcast(tots)).select(
+        "lang",
+        "n_docs",
+        F.round(
+            (F.sqrt(F.col("n_docs").cast("double")) / F.col("wsum"))
+            * F.col("total")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("wt"),
+    )
+    k = r.agg(
+        F.sum((F.col("n_docs") * F.col("wt")).cast(DEC))
+        .cast("double")
+        .alias("sw"),
+        F.sum((F.col("n_docs") * F.col("wt") * F.col("wt")).cast(DEC))
+        .cast("double")
+        .alias("sw2"),
+        F.sum("n_docs").cast("bigint").alias("n"),
+    )
+    return (
+        r.crossJoin(F.broadcast(k))
+        .select(
+            "lang",
+            "n_docs",
+            F.col("wt").alias("weight"),
+            F.round(F.col("sw") * F.col("sw") / F.col("sw2"), 2).alias(
+                "corpus_n_eff"
+            ),
+            F.round(
+                F.col("n") / (F.col("sw") * F.col("sw") / F.col("sw2")), 4
+            ).alias("design_effect"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q412",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CASE WHEN (doc_id % 2147483648) * 2654435761 % 10 = 0
+                  THEN 1 ELSE 0 END AS is_batch,
+             list_distinct(list_transform(
+               range(1, len(string_split(text,' ')) - 1),
+               i -> string_split(text,' ')[i] || ' ' ||
+                    string_split(text,' ')[i+1] || ' ' ||
+                    string_split(text,' ')[i+2])) AS sh
+      FROM documents
+    ),
+    hits AS (
+      SELECT b.doc_id
+      FROM t b JOIN t c
+        ON b.is_batch = 1 AND c.is_batch = 0
+      WHERE len(list_intersect(b.sh, c.sh))::DOUBLE
+            / len(list_distinct(list_concat(b.sh, c.sh))) >= 0.8
+      GROUP BY 1
+    )
+    SELECT b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_batch,
+           CAST(COUNT(h.doc_id) AS BIGINT) AS n_already_present,
+           ROUND(CAST(COUNT(h.doc_id) AS DOUBLE) / COUNT(*), 4)
+             AS dup_rate
+    FROM t b LEFT JOIN hits h ON h.doc_id = b.doc_id
+    WHERE b.is_batch = 1
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Incremental-ingestion dedup audit: a deterministic ~10% "
+    "doc_id-hash slice plays the 'new crawl batch' and is probed "
+    "against the remaining 90% 'existing corpus' for near-duplicates "
+    "(word-trigram Jaccard >= 0.8), reporting per-source batch "
+    "duplication — the PRODUCTION dedup shape (today's batch vs the "
+    "index), where q132/q356 answer the one-shot all-pairs form. "
+    "The Spark plan is genuinely ASYMMETRIC: gram document "
+    "frequencies and the inverted prefix index come from the CORPUS "
+    "side only, the small batch probes it (batch grams absent from "
+    "the index default to df 0 = rarest-first), so the candidate "
+    "join is |batch prefix| x index — at 100 TB the recurring cost "
+    "scales with the BATCH, the corpus contributes one standing "
+    "index. Verification is the exact rounded Jaccard (q132's "
+    "contract); the oracle states the brute-force cross-split form.",
+)
+@plan_cache
+def q412(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = 0.8
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("toks", _toks())
+        .withColumn("sh", _shingles())
+        .select(
+            "doc_id",
+            "source",
+            "sh",
+            (
+                (F.col("doc_id") % F.lit(2147483648)) * 2654435761 % 10 == 0
+            ).alias("is_batch"),
+        )
+        .filter(F.size("sh") > 0)
+    )
+    d = _managed_persist("q412_sets", d)
+    corpus = d.where(~F.col("is_batch"))
+    batch = d.where(F.col("is_batch"))
+    cgrams = corpus.select("doc_id", F.explode("sh").alias("g"))
+    gram_df = cgrams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id")
+
+    def prefix(side: DataFrame) -> DataFrame:
+        grams = side.select("doc_id", F.explode("sh").alias("g"))
+        ranked = (
+            grams.join(gram_df, "g", "left")
+            .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
+            .withColumn("sz", F.count(F.lit(1)).over(wdoc))
+            .withColumn("rn", F.row_number().over(wdoc.orderBy("df", "g")))
+        )
+        return ranked.filter(
+            F.col("rn") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+        ).select("doc_id", "g", "sz")
+    bp = prefix(batch).select(
+        F.col("doc_id").alias("doc_b"), "g", F.col("sz").alias("szb")
+    )
+    cp = prefix(corpus).select(
+        F.col("doc_id").alias("doc_c"), "g", F.col("sz").alias("szc")
+    )
+    cand = (
+        bp.join(cp, "g")
+        .filter(
+            F.least("szb", "szc") >= F.lit(t) * F.greatest("szb", "szc")
+        )
+        .select("doc_b", "doc_c")
+        .distinct()
+    )
+    sb = batch.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    sc_ = corpus.select(
+        F.col("doc_id").alias("doc_c"), F.col("sh").alias("shc")
+    )
+    inter = F.size(F.array_intersect("shb", "shc"))
+    uni = F.size("shb") + F.size("shc") - inter
+    hits = (
+        cand.join(sb, "doc_b")
+        .join(sc_, "doc_c")
+        .filter(inter.cast("double") / uni >= t)
+        .select("doc_b")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+        # tiny frame, but its subtree is the whole two-sided prefix
+        # pipeline — checkpoint so warm re-executions pay only the
+        # final per-source fold (q118's unrolled-loop rule)
+        .localCheckpoint()
+    )
+    return (
+        batch.join(hits, F.col("doc_id") == F.col("doc_b"), "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_batch"),
+            F.count(F.col("hit")).cast("bigint").alias("n_already_present"),
+            F.round(
+                F.count(F.col("hit")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

@@ -11049,3 +11049,721 @@ def q407(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("faller").alias("direction"), "*")
     )
     return risers.unionAll(fallers).orderBy("direction", "partkey")
+
+
+@register(
+    "q408",
+    oracle="""
+    WITH tr AS (
+      SELECT event_type AS state,
+             CAST(FLOOR(EPOCH(LEAD(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)))
+                  AS BIGINT)
+             - CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS gap
+      FROM events
+    ),
+    g AS (SELECT state, gap FROM tr WHERE gap IS NOT NULL)
+    SELECT state,
+           CAST(COUNT(*) AS BIGINT) AS n_dwells,
+           ROUND(CAST(SUM(CAST(gap AS DECIMAL(30,10))) AS DOUBLE)
+                 / COUNT(*), 2) AS mean_gap_s,
+           ROUND(quantile_cont(CAST(gap AS DOUBLE), 0.5), 2)
+             AS median_gap_s,
+           ROUND(quantile_cont(CAST(gap AS DOUBLE), 0.9), 2)
+             AS p90_gap_s
+    FROM g GROUP BY state ORDER BY state
+    """,
+    doc="Semi-Markov state dwell-time profile: per event-type state, "
+    "the distribution of time spent before the user's NEXT event "
+    "(mean / median / p90 of within-user gaps) — the HOLDING-TIME "
+    "half of the behavior model whose jump chain q257/q349/q387 "
+    "already cover (a transition matrix alone can't distinguish a "
+    "5-second bounce state from a 5-minute engagement state). "
+    "Epoch-second gaps FLOOR'd identically (q289). Scale shape: "
+    "one user-partitioned lead window over the fact table, one "
+    "|states|-row fold with exact-decimal mean and interpolated "
+    "percentiles.",
+)
+@plan_cache
+def q408(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        F.col("event_type").alias("state"),
+        (
+            F.lead(F.col("ts").cast("long")).over(w)
+            - F.col("ts").cast("long")
+        ).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    return (
+        g.groupBy("state")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dwells"),
+            F.round(
+                F.sum(F.col("gap").cast(DEC)).cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ).alias("mean_gap_s"),
+            F.round(
+                F.expr("percentile(CAST(gap AS DOUBLE), 0.5)"), 2
+            ).alias("median_gap_s"),
+            F.round(
+                F.expr("percentile(CAST(gap AS DOUBLE), 0.9)"), 2
+            ).alias("p90_gap_s"),
+        )
+        .orderBy("state")
+    )
+
+
+@register(
+    "q409",
+    oracle="""
+    WITH uf AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS DOUBLE) AS f_freq,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) / COUNT(*)
+                   AS DOUBLE), 6) AS f_value_mean,
+             CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS DOUBLE)
+               AS f_days_active,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS label
+      FROM events GROUP BY 1
+    ),
+    melted AS (
+      SELECT 'f_days_active' AS feature, f_days_active AS x, label
+      FROM uf
+      UNION ALL
+      SELECT 'f_freq', f_freq, label FROM uf
+      UNION ALL
+      SELECT 'f_value_mean', f_value_mean, label FROM uf
+    ),
+    gs AS (
+      SELECT feature, label, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx
+      FROM melted GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT feature, CAST(COUNT(*) AS BIGINT) AS nt,
+             CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sxt,
+             CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS sxx
+      FROM melted GROUP BY 1
+    ),
+    ssb AS (
+      SELECT g.feature,
+             CAST(SUM(CAST(
+               g.n * (g.sx / g.n - t.sxt / t.nt)
+                   * (g.sx / g.n - t.sxt / t.nt)
+               AS DECIMAL(30,10))) AS DOUBLE) AS ssb
+      FROM gs g JOIN tot t ON t.feature = g.feature
+      GROUP BY 1
+    )
+    SELECT b.feature,
+           ROUND(b.ssb / (t.sxx - t.sxt * t.sxt / t.nt), 6) AS eta_sq
+    FROM ssb b JOIN tot t ON t.feature = b.feature
+    ORDER BY b.feature
+    """,
+    doc="Univariate feature-importance screen (correlation-ratio "
+    "eta-squared): for each candidate churn feature — activity "
+    "frequency, mean event value, active days — the share of its "
+    "variance explained by the engaged/not-engaged label (binary "
+    "groups: eta^2 equals the point-biserial r^2), the classic "
+    "FILTER-method triage run before any model training (q308's OLS "
+    "and q334's target encoding assume you already chose features). "
+    "Determinism: per-user means round(6) through exact-DECIMAL "
+    "folds; SSB/SST from decimal sufficient statistics. Scale "
+    "shape: one user fold, a 3-way melt of the TINY user-feature "
+    "frame, per-(feature, label) partial+final folds — feature "
+    "count scales the melt linearly, never the fact scan.",
+)
+@plan_cache
+def q409(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    uf = _managed_persist(
+        "q409_uf",
+        ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("double").alias("f_freq"),
+            F.round(
+                (F.sum(F.col("value").cast(DEC)) / F.count(F.lit(1))).cast(
+                    "double"
+                ),
+                6,
+            ).alias("f_value_mean"),
+            F.countDistinct(F.to_date("ts")).cast("double").alias(
+                "f_days_active"
+            ),
+            F.when(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                >= 14,
+                1,
+            )
+            .otherwise(0)
+            .alias("label"),
+        ),
+    )
+    melted = None
+    for feat in ["f_days_active", "f_freq", "f_value_mean"]:
+        part = uf.select(
+            F.lit(feat).alias("feature"),
+            F.col(feat).alias("x"),
+            "label",
+        )
+        melted = part if melted is None else melted.unionAll(part)
+    gs = melted.groupBy("feature", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+    )
+    tot = melted.groupBy(F.col("feature").alias("ft")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nt"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sxt"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
+    )
+    ssb = (
+        gs.join(F.broadcast(tot), F.col("feature") == F.col("ft"))
+        .groupBy("feature")
+        .agg(
+            F.sum(
+                (
+                    F.col("n")
+                    * (F.col("sx") / F.col("n") - F.col("sxt") / F.col("nt"))
+                    * (F.col("sx") / F.col("n") - F.col("sxt") / F.col("nt"))
+                ).cast(DEC)
+            )
+            .cast("double")
+            .alias("ssb"),
+        )
+    )
+    return (
+        ssb.join(F.broadcast(tot), F.col("feature") == F.col("ft"))
+        .select(
+            "feature",
+            F.round(
+                F.col("ssb")
+                / (F.col("sxx") - F.col("sxt") * F.col("sxt") / F.col("nt")),
+                6,
+            ).alias("eta_sq"),
+        )
+        .orderBy("feature")
+    )
+
+
+@register(
+    "q410",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hr,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS e,
+             CAST(COUNT(*) AS BIGINT) AS t
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(e) AS BIGINT) AS ce,
+                   CAST(SUM(t) AS BIGINT) AS ct FROM hourly),
+    durs AS (SELECT CAST(d AS BIGINT) AS dur
+             FROM (VALUES (1), (6), (24), (72)) v(d)),
+    wins AS (
+      SELECT s.hr AS start_hr, d.dur,
+             CAST(SUM(p.e) AS BIGINT) AS c,
+             CAST(SUM(p.t) AS BIGINT) AS n
+      FROM hourly s
+      CROSS JOIN durs d
+      JOIN hourly p ON p.hr BETWEEN s.hr AND s.hr + d.dur - 1
+      GROUP BY 1, 2
+    ),
+    llr AS (
+      SELECT start_hr, dur, c, n,
+             ROUND(CAST(c AS DOUBLE) / n, 4) AS window_rate,
+             ROUND(c * LN((CAST(c AS DOUBLE) / n)
+                          / (CAST(ce AS DOUBLE) / ct))
+                   + (ce - c) * LN(((CAST(ce AS DOUBLE) - c)
+                                    / (ct - n))
+                                   / (CAST(ce AS DOUBLE) / ct)), 4)
+               AS llr
+      FROM wins, tot
+      WHERE CAST(c AS DOUBLE) / n > CAST(ce AS DOUBLE) / ct
+        AND c < ce AND n < ct
+    )
+    SELECT start_hr, dur, c AS errors_in_window, window_rate, llr
+    FROM llr ORDER BY llr DESC, start_hr, dur LIMIT 5
+    """,
+    doc="Retrospective scan statistic (Kulldorff-style, 1-D temporal): "
+    "over all windows of 1/6/24/72 hours, the Poisson-binomial "
+    "likelihood-ratio score for 'error rate inside the window "
+    "exceeds the global rate', reporting the top-5 scoring windows "
+    "— WHEN the incident was, found after the fact, where q253's "
+    "CUSUM and q388's burn rate watch the stream forward; the scan "
+    "statistic corrects for trying every window (the max-LLR "
+    "form is the multiple-testing-honest burst detector). "
+    "Determinism: LLR per window from integer counts in identical "
+    "double expressions, round(4), (start, dur) tie-break on the "
+    "ordered-limit cut. Scale shape: the fact table folds to the "
+    "calendar-bounded hourly frame once; all ~74k (start, dur) "
+    "windows come from a band self-join over that tiny frame.",
+)
+@plan_cache
+def q410(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.floor(F.col("ts").cast("long") / 3600).cast("bigint").alias("hr")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("e"),
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+    )
+    tot = hourly.agg(
+        F.sum("e").cast("bigint").alias("ce"),
+        F.sum("t").cast("bigint").alias("ct"),
+    )
+    durs = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(6), F.lit(24), F.lit(72))).alias(
+            "d0"
+        )
+    ).select(F.col("d0").cast("bigint").alias("dur"))
+    p = hourly.select(
+        F.col("hr").alias("phr"), F.col("e").alias("pe"), F.col("t").alias("pt")
+    )
+    wins = (
+        hourly.select(F.col("hr").alias("start_hr"))
+        .crossJoin(F.broadcast(durs))
+        .join(
+            F.broadcast(p),
+            (F.col("phr") >= F.col("start_hr"))
+            & (F.col("phr") <= F.col("start_hr") + F.col("dur") - 1),
+        )
+        .groupBy("start_hr", "dur")
+        .agg(
+            F.sum("pe").cast("bigint").alias("c"),
+            F.sum("pt").cast("bigint").alias("n"),
+        )
+    )
+    c, n, ce, ct = F.col("c"), F.col("n"), F.col("ce"), F.col("ct")
+    wr = c.cast("double") / n
+    gr = ce.cast("double") / ct
+    llr = F.round(
+        c * F.log(wr / gr)
+        + (ce - c)
+        * F.log(((ce.cast("double") - c) / (ct - n)) / gr),
+        4,
+    )
+    return (
+        wins.crossJoin(F.broadcast(tot))
+        .where((wr > gr) & (c < ce) & (n < ct))
+        .select(
+            "start_hr",
+            "dur",
+            c.alias("errors_in_window"),
+            F.round(wr, 4).alias("window_rate"),
+            llr.alias("llr"),
+        )
+        .orderBy(F.col("llr").desc(), "start_hr", "dur")
+        .limit(5)
+    )
+
+
+_Q413_Z = "((mb - ma) / SQRT(va + vb))"
+
+
+@register(
+    "q413",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN (user_id % 2147483648) * 2654435761 % 100 < 50
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    conv AS (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id HAVING COUNT(*) >= 14
+    ),
+    arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(conv.user_id) AS BIGINT) AS c
+      FROM assign LEFT JOIN conv USING (user_id) GROUP BY arm
+    ),
+    post AS (
+      SELECT
+        MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+        MAX(CASE WHEN arm = 'A' THEN c END) AS ca,
+        MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+        MAX(CASE WHEN arm = 'B' THEN c END) AS cb
+      FROM arms
+    ),
+    p AS (
+      SELECT na, ca, nb, cb,
+             (ca + 1.0) / (na + 2.0) AS ma,
+             (cb + 1.0) / (nb + 2.0) AS mb,
+             (ca + 1.0) * (na - ca + 1.0)
+               / ((na + 2.0) * (na + 2.0) * (na + 3.0)) AS va,
+             (cb + 1.0) * (nb - cb + 1.0)
+               / ((nb + 2.0) * (nb + 2.0) * (nb + 3.0)) AS vb
+      FROM post
+    )
+    SELECT na, ca, nb, cb,
+           ROUND(ma, 6) AS posterior_a,
+           ROUND(mb, 6) AS posterior_b,
+           ROUND({PHI}, 4) AS p_b_beats_a,
+           CAST(CASE WHEN ROUND({PHI}, 4) > 0.95 OR
+                          ROUND({PHI}, 4) < 0.05
+                THEN 1 ELSE 0 END AS INTEGER) AS decisive
+    FROM p ORDER BY na
+    """.replace("{PHI}", _phi_sql(_Q413_Z)),
+    doc="Bayesian A/B readout: Beta(1+c, 1+n-c) posteriors on each "
+    "arm's engaged-conversion rate (q242's split and conversion "
+    "definition) and P(B > A) via the normal approximation of the "
+    "posterior difference — the 'probability B is better' number "
+    "stakeholders actually ask for, where q242 answers with a "
+    "p-value; decisive at 95% either way. Phi comes from the SAME "
+    "shared Abramowitz-Stegun SQL string as q386, so both engines "
+    "evaluate one expression tree (the normal approximation is "
+    "exact enough at these n that the betainc integral is "
+    "unnecessary — documented). Scale shape: one distinct-user "
+    "fold + one engaged fold, closed form on a 1-row frame.",
+)
+@plan_cache
+def q413(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    arm = F.when(
+        (F.col("user_id") % F.lit(2147483648)) * 2654435761 % 100 < 50, "A"
+    ).otherwise("B")
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("np"))
+        .where(F.col("np") >= 14)
+        .select("user_id", F.lit(1).alias("cv"))
+    )
+    arms = (
+        users.join(conv, "user_id", "left")
+        .groupBy(arm.alias("arm"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count("cv").cast("bigint").alias("c"),
+        )
+    )
+    post = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("c"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("c"))).alias("cb"),
+    )
+    p = post.select(
+        "na",
+        "ca",
+        "nb",
+        "cb",
+        ((F.col("ca") + 1.0) / (F.col("na") + 2.0)).alias("ma"),
+        ((F.col("cb") + 1.0) / (F.col("nb") + 2.0)).alias("mb"),
+        (
+            (F.col("ca") + 1.0)
+            * (F.col("na") - F.col("ca") + 1.0)
+            / ((F.col("na") + 2.0) * (F.col("na") + 2.0) * (F.col("na") + 3.0))
+        ).alias("va"),
+        (
+            (F.col("cb") + 1.0)
+            * (F.col("nb") - F.col("cb") + 1.0)
+            / ((F.col("nb") + 2.0) * (F.col("nb") + 2.0) * (F.col("nb") + 3.0))
+        ).alias("vb"),
+    )
+    phi = F.expr(_phi_sql(_Q413_Z))
+    pr = F.round(phi, 4)
+    return p.select(
+        "na",
+        "ca",
+        "nb",
+        "cb",
+        F.round(F.col("ma"), 6).alias("posterior_a"),
+        F.round(F.col("mb"), 6).alias("posterior_b"),
+        pr.alias("p_b_beats_a"),
+        F.when((pr > 0.95) | (pr < 0.05), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("decisive"),
+    ).orderBy("na")
+
+
+@register(
+    "q414",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+               AS rev
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(rev AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(rev * rev AS DECIMAL(30,10))) AS DOUBLE)
+               AS sxx
+      FROM daily
+    ),
+    pairs AS (
+      SELECT d1.rev AS x, d2.rev AS y
+      FROM daily d1 JOIN daily d2 ON d2.day = d1.day + 1
+    ),
+    ac AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS np,
+             CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS px,
+             CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS py,
+             CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS pxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(30,10))) AS DOUBLE) AS pyy,
+             CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS pxy
+      FROM pairs
+    ),
+    d2 AS (
+      SELECT n, sx / n AS mean_rev,
+             sqrt((sxx - sx * sx / n) / (n - 1)) AS sd,
+             ROUND((np * pxy - px * py)
+                   / sqrt((np * pxx - px * px) * (np * pyy - py * py)),
+                   6) AS rho
+      FROM s, ac
+    ),
+    d3 AS (
+      SELECT n, mean_rev, sd, rho,
+             n * (1 - rho) / (1 + rho) AS n_eff
+      FROM d2
+    )
+    SELECT n AS n_days, ROUND(mean_rev, 2) AS mean_rev,
+           ROUND(sd, 2) AS sd, rho AS rho1,
+           ROUND(n_eff, 2) AS n_eff,
+           ROUND(mean_rev - 1.96 * sd / sqrt(n_eff), 2) AS ci_lo,
+           ROUND(mean_rev + 1.96 * sd / sqrt(n_eff), 2) AS ci_hi,
+           ROUND(mean_rev - 1.96 * sd / sqrt(n), 2) AS naive_ci_lo,
+           ROUND(mean_rev + 1.96 * sd / sqrt(n), 2) AS naive_ci_hi
+    FROM d3 ORDER BY n_days
+    """,
+    doc="Autocorrelation-adjusted confidence interval for mean daily "
+    "revenue: the AR(1) effective-sample-size correction "
+    "n_eff = n(1-rho)/(1+rho) — time-series observations are not "
+    "independent, and the naive CI (shown alongside) is "
+    "anticonservative exactly when momentum is positive; this is "
+    "the inference-hygiene twin of q252's descriptive ACF and the "
+    "time-series sibling of q411's design effect. Scale shape: the "
+    "fact table folds to the calendar-bounded daily frame; rho "
+    "comes from a broadcast day+1 self-join; one closed form.",
+)
+@plan_cache
+def q414(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("rev")
+    )
+    s = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("rev").cast(DEC)).cast("double").alias("sx"),
+        F.sum((F.col("rev") * F.col("rev")).cast(DEC))
+        .cast("double")
+        .alias("sxx"),
+    )
+    d2f = daily.select(F.col("day").alias("day2"), F.col("rev").alias("y"))
+    pairs = daily.join(
+        F.broadcast(d2f), F.expr("date_add(day, 1)") == F.col("day2")
+    ).select(F.col("rev").alias("x"), "y")
+    ac = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("px"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("py"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("pxx"),
+        F.sum((F.col("y") * F.col("y")).cast(DEC)).cast("double").alias("pyy"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("pxy"),
+    )
+    np_, n = F.col("np"), F.col("n")
+    j = s.crossJoin(F.broadcast(ac)).select(
+        "n",
+        (F.col("sx") / n).alias("mean_rev"),
+        F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)).alias(
+            "sd"
+        ),
+        F.round(
+            (np_ * F.col("pxy") - F.col("px") * F.col("py"))
+            / F.sqrt(
+                (np_ * F.col("pxx") - F.col("px") * F.col("px"))
+                * (np_ * F.col("pyy") - F.col("py") * F.col("py"))
+            ),
+            6,
+        ).alias("rho"),
+    )
+    ne = F.col("n") * (1 - F.col("rho")) / (1 + F.col("rho"))
+    return j.select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("mean_rev"), 2).alias("mean_rev"),
+        F.round(F.col("sd"), 2).alias("sd"),
+        F.col("rho").alias("rho1"),
+        F.round(ne, 2).alias("n_eff"),
+        F.round(F.col("mean_rev") - 1.96 * F.col("sd") / F.sqrt(ne), 2).alias(
+            "ci_lo"
+        ),
+        F.round(F.col("mean_rev") + 1.96 * F.col("sd") / F.sqrt(ne), 2).alias(
+            "ci_hi"
+        ),
+        F.round(
+            F.col("mean_rev") - 1.96 * F.col("sd") / F.sqrt(F.col("n")), 2
+        ).alias("naive_ci_lo"),
+        F.round(
+            F.col("mean_rev") + 1.96 * F.col("sd") / F.sqrt(F.col("n")), 2
+        ).alias("naive_ci_hi"),
+    ).orderBy("n_days")
+
+
+@register(
+    "q415",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+               AS d0
+      FROM events
+    ),
+    fs AS (
+      SELECT user_id,
+             MIN(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                 - b.d0) AS first_day
+      FROM events, b GROUP BY 1
+    ),
+    de AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               - b.d0 AS day,
+             CAST(COUNT(*) AS BIGINT) AS ne
+      FROM events, b GROUP BY 1
+    ),
+    nu AS (
+      SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS nw
+      FROM fs GROUP BY 1
+    ),
+    cum AS (
+      SELECT d.day,
+             CAST(SUM(p.ne) AS BIGINT) AS cum_events,
+             CAST(SUM(COALESCE(u.nw, 0)) AS BIGINT) AS cum_users
+      FROM de d
+      JOIN de p ON p.day <= d.day
+      LEFT JOIN nu u ON u.day = p.day
+      GROUP BY 1
+    ),
+    pts AS (
+      SELECT LN(CAST(cum_events AS DOUBLE)) AS x,
+             LN(CAST(cum_users AS DOUBLE)) AS y
+      FROM cum
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(30,10))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sxy
+      FROM pts
+    ),
+    fit AS (
+      SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+             sy / n - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+               * sx / n AS alpha,
+             (n * sxy - sx * sy) * (n * sxy - sx * sy)
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+      FROM s
+    ),
+    tot AS (
+      SELECT MAX(cum_events) AS e_tot, MAX(cum_users) AS u_tot FROM cum
+    )
+    SELECT t.e_tot AS total_events,
+           t.u_tot AS observed_users,
+           ROUND(f.beta, 4) AS heaps_beta,
+           ROUND(f.r2, 4) AS r_squared,
+           ROUND(EXP(f.alpha + f.beta
+                     * LN(10.0 * CAST(t.e_tot AS DOUBLE))), 2)
+             AS predicted_users_at_10x
+    FROM fit f, tot t ORDER BY total_events
+    """,
+    doc="Heaps'-law growth fit + 10x extrapolation: cumulative distinct "
+    "users vs cumulative events on the log-log scale (U ~ alpha·E^beta, "
+    "the vocabulary-growth law), OLS slope beta with R², and the "
+    "predicted distinct-user count if the corpus grew 10x — the "
+    "capacity question ('how many uniques at the next order of "
+    "magnitude') that a 100 TB planner asks before sizing identity "
+    "stores and HLL registers; the growth-curve complement to q395's "
+    "closed-population estimate and q351's richness estimators. "
+    "Scale shape: distinct-cardinality series comes from a "
+    "first-seen-day fold (one user fold + calendar cumsum via a "
+    "triangular join over ~30 day rows — never a giant distinct per "
+    "prefix), OLS on decimal sufficient statistics.",
+)
+@plan_cache
+def q415(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    b = ev.agg(F.min(day).alias("d0"))
+    rel = ev.select("user_id", day.alias("dd")).crossJoin(
+        F.broadcast(b)
+    ).select("user_id", (F.col("dd") - F.col("d0")).alias("day"))
+    fs = rel.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    de = rel.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("ne"))
+    nu = fs.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nw")
+    )
+    p = de.join(nu, "day", "left").select(
+        F.col("day").alias("pd"),
+        F.col("ne").alias("pe"),
+        F.coalesce(F.col("nw"), F.lit(0)).alias("pw"),
+    )
+    cum = (
+        de.select("day")
+        .join(F.broadcast(p), F.col("pd") <= F.col("day"))
+        .groupBy("day")
+        .agg(
+            F.sum("pe").cast("bigint").alias("cum_events"),
+            F.sum("pw").cast("bigint").alias("cum_users"),
+        )
+    )
+    pts = cum.select(
+        F.log(F.col("cum_events").cast("double")).alias("x"),
+        F.log(F.col("cum_users").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(DEC)).cast("double").alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    beta = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = s.select(
+        beta.alias("beta"),
+        (F.col("sy") / n - beta * F.col("sx") / n).alias("alpha"),
+        (
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("r2"),
+    )
+    tot = cum.agg(
+        F.max("cum_events").alias("e_tot"), F.max("cum_users").alias("u_tot")
+    )
+    return (
+        fit.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("e_tot").alias("total_events"),
+            F.col("u_tot").alias("observed_users"),
+            F.round(F.col("beta"), 4).alias("heaps_beta"),
+            F.round(F.col("r2"), 4).alias("r_squared"),
+            F.round(
+                F.exp(
+                    F.col("alpha")
+                    + F.col("beta") * F.log(10.0 * F.col("e_tot").cast("double"))
+                ),
+                2,
+            ).alias("predicted_users_at_10x"),
+        )
+        .orderBy("total_events")
+    )
