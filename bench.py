@@ -280,6 +280,9 @@ HEADLINE = [
     "q413",  # Bayesian A/B readout
     "q414",  # autocorr-adjusted mean CI
     "q415",  # Heaps-law 10x extrapolation
+    "q416",  # hierarchical rollup top-k
+    "q417",  # sequential-pattern support
+    "q418",  # zone-map skipping audit
 ]
 
 

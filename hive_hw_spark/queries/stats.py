@@ -11767,3 +11767,297 @@ def q415(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("total_events")
     )
+
+
+@register(
+    "q416",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand AS brand,
+             CAST(YEAR(CAST(o.o_orderdate AS DATE)) * 100
+                  + MONTH(CAST(o.o_orderdate AS DATE)) AS BIGINT)
+               AS month_id,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,10)))
+                  AS DOUBLE) AS r
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    ru AS (
+      SELECT COALESCE(brand, 'ALL') AS brand,
+             COALESCE(month_id, -1) AS month_id,
+             CAST(GROUPING(brand) * 2 + GROUPING(month_id) AS BIGINT)
+               AS lvl,
+             ROUND(CAST(SUM(CAST(r AS DECIMAL(30,10))) AS DOUBLE), 2)
+               AS revenue
+      FROM rev GROUP BY ROLLUP (brand, month_id)
+    ),
+    rk AS (
+      SELECT lvl, brand, month_id, revenue,
+             ROW_NUMBER() OVER (PARTITION BY lvl
+                                ORDER BY revenue DESC, brand, month_id)
+               AS rnk
+      FROM ru
+    )
+    SELECT CAST(lvl AS BIGINT) AS lvl, brand, month_id, revenue,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM rk WHERE rnk <= 10
+    ORDER BY lvl, rnk
+    """,
+    doc="Hierarchical top-k over a ROLLUP (TPC-DS Q67 shape): revenue "
+    "rolled up through (brand, month) -> (brand) -> grand total, then "
+    "the top 10 rows WITHIN EACH rollup level — the 'best sellers at "
+    "every level of the hierarchy in one pass' report that composes "
+    "q33's rollup with q52's per-group top-k (one aggregate scan "
+    "serves every level; re-running one query per level would scan "
+    "the fact table three times). Determinism: level key from "
+    "GROUPING() bits, ranks on exact-decimal revenue with "
+    "(brand, month) tie-break. Scale shape: one fact join + ONE "
+    "rollup agg (partial+final, map-side combinable); the rank "
+    "window partitions by level over the |brands|x|months| rollup "
+    "frame, never the fact table.",
+)
+@plan_cache
+def q416(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            (F.year("od") * 100 + F.month("od"))
+            .cast("bigint")
+            .alias("month_id"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC))
+            .cast("double")
+            .alias("r")
+        )
+    )
+    ru = rev.rollup("brand", "month_id").agg(
+        F.round(F.sum(F.col("r").cast(DEC)).cast("double"), 2).alias(
+            "revenue"
+        ),
+        (F.grouping("brand") * 2 + F.grouping("month_id"))
+        .cast("bigint")
+        .alias("lvl"),
+    ).select(
+        "lvl",
+        F.coalesce(F.col("brand"), F.lit("ALL")).alias("brand"),
+        F.coalesce(F.col("month_id"), F.lit(-1)).alias("month_id"),
+        "revenue",
+    )
+    w = Window.partitionBy("lvl").orderBy(
+        F.col("revenue").desc(), "brand", "month_id"
+    )
+    return (
+        ru.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 10)
+        .select("lvl", "brand", "month_id", "revenue", "rnk")
+        .orderBy("lvl", "rnk")
+    )
+
+
+@register(
+    "q417",
+    oracle="""
+    WITH fo AS (
+      SELECT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             event_type,
+             MIN(ts) AS ft
+      FROM events GROUP BY 1, 2, 3
+    ),
+    rked AS (
+      SELECT user_id, day, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                ORDER BY ft, event_type) AS rn
+      FROM fo
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_seq
+      FROM (SELECT DISTINCT user_id, day FROM fo)
+    ),
+    trip AS (
+      SELECT a.event_type || '>' || b.event_type || '>' || c.event_type
+               AS pattern,
+             CAST(COUNT(*) AS BIGINT) AS n_sequences
+      FROM rked a
+      JOIN rked b ON b.user_id = a.user_id AND b.day = a.day
+                 AND b.rn > a.rn
+      JOIN rked c ON c.user_id = a.user_id AND c.day = a.day
+                 AND c.rn > b.rn
+      GROUP BY 1
+    )
+    SELECT pattern, n_sequences,
+           ROUND(CAST(n_sequences AS DOUBLE) / t.n_seq, 4) AS support
+    FROM trip, tot t ORDER BY pattern
+    """,
+    doc="Sequential-pattern support mining (PrefixSpan-style, "
+    "first-occurrence ordering): for every ordered triple of DISTINCT "
+    "event types, the share of user-day sequences containing it as a "
+    "subsequence — 'view before signup before purchase' behavioral "
+    "grammar with GAPS allowed, which q145's contiguous trigrams "
+    "cannot see. Reducing each sequence to its first-occurrence type "
+    "ordering bounds the per-sequence pattern count at C(|types|,3) "
+    "combinations — the classic closed-world trick that keeps "
+    "subsequence mining linear in sequences instead of exponential "
+    "in length. Scale shape: one (user, day, type) fold, a per-"
+    "sequence rank window over <=|types| rows, two co-partitioned "
+    "self-joins with bounded fan-out, one pattern fold.",
+)
+@plan_cache
+def q417(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+    fo = ev.groupBy("user_id", day.alias("day"), "event_type").agg(
+        F.min("ts").alias("ft")
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ft", "event_type")
+    rked = fo.select(
+        "user_id", "day", "event_type", F.row_number().over(w).alias("rn")
+    ).localCheckpoint()
+    tot = rked.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seq")
+    )
+    b = rked.select(
+        F.col("user_id").alias("ub"),
+        F.col("day").alias("db"),
+        F.col("event_type").alias("tb"),
+        F.col("rn").alias("rb"),
+    )
+    c = rked.select(
+        F.col("user_id").alias("uc"),
+        F.col("day").alias("dc"),
+        F.col("event_type").alias("tc"),
+        F.col("rn").alias("rc"),
+    )
+    trip = (
+        rked.join(
+            b,
+            (F.col("ub") == F.col("user_id"))
+            & (F.col("db") == F.col("day"))
+            & (F.col("rb") > F.col("rn")),
+        )
+        .join(
+            c,
+            (F.col("uc") == F.col("user_id"))
+            & (F.col("dc") == F.col("day"))
+            & (F.col("rc") > F.col("rb")),
+        )
+        .groupBy(
+            F.concat_ws(
+                ">", F.col("event_type"), F.col("tb"), F.col("tc")
+            ).alias("pattern")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sequences"))
+    )
+    return (
+        trip.crossJoin(F.broadcast(tot))
+        .select(
+            "pattern",
+            "n_sequences",
+            F.round(
+                F.col("n_sequences").cast("double") / F.col("n_seq"), 4
+            ).alias("support"),
+        )
+        .orderBy("pattern")
+    )
+
+
+@register(
+    "q418",
+    oracle="""
+    WITH rows_ AS (
+      SELECT l_orderkey // 512 AS page_ins,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(l_shipdate AS DATE)) // 4 AS page_sorted,
+             CAST(l_shipdate AS DATE) AS sd
+      FROM lineitem
+    ),
+    pred AS (
+      SELECT DATE '1997-03-01' AS lo, DATE '1997-04-01' AS hi
+    ),
+    ins AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pages,
+             CAST(SUM(CASE WHEN mn < hi AND mx >= lo THEN 1 ELSE 0 END)
+               AS BIGINT) AS scanned
+      FROM (SELECT page_ins, MIN(sd) AS mn, MAX(sd) AS mx
+            FROM rows_ GROUP BY 1), pred
+    ),
+    srt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pages,
+             CAST(SUM(CASE WHEN mn < hi AND mx >= lo THEN 1 ELSE 0 END)
+               AS BIGINT) AS scanned
+      FROM (SELECT page_sorted, MIN(sd) AS mn, MAX(sd) AS mx
+            FROM rows_ GROUP BY 1), pred
+    )
+    SELECT layout, n_pages, scanned AS pages_scanned,
+           ROUND(1 - CAST(scanned AS DOUBLE) / n_pages, 4) AS skip_rate
+    FROM (
+      SELECT 'insertion' AS layout, * FROM ins
+      UNION ALL
+      SELECT 'shipdate_sorted', * FROM srt
+    ) ORDER BY layout
+    """,
+    doc="Zone-map skipping effectiveness audit: simulate per-page "
+    "min/max statistics for a one-month shipdate predicate under two "
+    "physical layouts — insertion order (pages = orderkey ranges; "
+    "orderkey and shipdate are uncorrelated here, so zone maps skip "
+    "nothing) vs shipdate-clustered (pages = date ranges; ~97% of "
+    "pages skip) — the quantified WHY behind q159's sorted layout, "
+    "q210's Z-order and q146's partition pruning: it prices the "
+    "re-cluster before you pay for it. Page ids are PURE FUNCTIONS "
+    "of row values (orderkey DIV 512, epoch-day DIV 4 — never "
+    "row_number over a global sort, the q45 rule), so the audit "
+    "itself needs no global ordering. Scale shape: two "
+    "(page -> min/max) partial+final folds over one scan, 2-row "
+    "output.",
+)
+@plan_cache
+def q418(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("l_orderkey DIV 512").alias("page_ins"),
+        F.expr(
+            "datediff(to_date(l_shipdate), DATE '1970-01-01') DIV 4"
+        ).alias("page_sorted"),
+        F.to_date("l_shipdate").alias("sd"),
+    )
+    lo, hi = F.lit("1997-03-01").cast("date"), F.lit("1997-04-01").cast(
+        "date"
+    )
+
+    def audit(page_col: str, name: str) -> DataFrame:
+        pages = li.groupBy(page_col).agg(
+            F.min("sd").alias("mn"), F.max("sd").alias("mx")
+        )
+        return pages.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pages"),
+            F.sum(
+                F.when((F.col("mn") < hi) & (F.col("mx") >= lo), 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("scanned"),
+        ).select(F.lit(name).alias("layout"), "n_pages", "scanned")
+
+    both = audit("page_ins", "insertion").unionAll(
+        audit("page_sorted", "shipdate_sorted")
+    )
+    return both.select(
+        "layout",
+        "n_pages",
+        F.col("scanned").alias("pages_scanned"),
+        F.round(
+            1 - F.col("scanned").cast("double") / F.col("n_pages"), 4
+        ).alias("skip_rate"),
+    ).orderBy("layout")
