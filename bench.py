@@ -283,6 +283,8 @@ HEADLINE = [
     "q416",  # hierarchical rollup top-k
     "q417",  # sequential-pattern support
     "q418",  # zone-map skipping audit
+    "q419",  # per-source KS drift + BH
+    "q420",  # Tukey median polish
 ]
 
 

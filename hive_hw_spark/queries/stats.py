@@ -12061,3 +12061,362 @@ def q418(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 - F.col("scanned").cast("double") / F.col("n_pages"), 4
         ).alias("skip_rate"),
     ).orderBy("layout")
+
+
+@register(
+    "q419",
+    oracle="""
+    WITH sc AS (
+      SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ),
+    av AS (SELECT v, CAST(SUM(c) AS BIGINT) AS ca FROM sc GROUP BY 1),
+    srcs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n1 FROM sc
+             GROUP BY 1),
+    ntot AS (SELECT CAST(SUM(ca) AS BIGINT) AS nt FROM av),
+    grid AS (
+      SELECT s.source, a.v, COALESCE(sc.c, 0) AS cs, a.ca
+      FROM srcs s CROSS JOIN av a
+      LEFT JOIN sc ON sc.source = s.source AND sc.v = a.v
+    ),
+    cum AS (
+      SELECT source, v,
+             CAST(SUM(cs) OVER w AS BIGINT) AS r1,
+             CAST(SUM(ca - cs) OVER w AS BIGINT) AS r2
+      FROM grid
+      WINDOW w AS (PARTITION BY source ORDER BY v)
+    ),
+    dmax AS (
+      SELECT c.source,
+             MAX(ABS(c.r1 * (t.nt - s.n1) - c.r2 * s.n1)) AS dd
+      FROM cum c
+      JOIN srcs s ON s.source = c.source
+      CROSS JOIN ntot t
+      GROUP BY 1
+    ),
+    ks AS (
+      SELECT d.source, s.n1,
+             ROUND(CAST(d.dd AS DOUBLE)
+                   / (s.n1 * (t.nt - s.n1)), 6) AS ks_d,
+             sqrt(CAST(s.n1 AS DOUBLE) * (t.nt - s.n1) / t.nt) AS sne
+      FROM dmax d JOIN srcs s ON s.source = d.source CROSS JOIN ntot t
+    ),
+    pv AS (
+      SELECT source, n1, ks_d,
+             ROUND(LEAST(1.0, GREATEST(0.0,
+               2 * (EXP(-2 * ((sne + 0.12 + 0.11 / sne) * ks_d)
+                        * ((sne + 0.12 + 0.11 / sne) * ks_d))
+                    - EXP(-8 * ((sne + 0.12 + 0.11 / sne) * ks_d)
+                          * ((sne + 0.12 + 0.11 / sne) * ks_d))
+                    + EXP(-18 * ((sne + 0.12 + 0.11 / sne) * ks_d)
+                          * ((sne + 0.12 + 0.11 / sne) * ks_d))))),
+               6) AS p_value
+      FROM ks
+    ),
+    rked AS (
+      SELECT source, n1, ks_d, p_value,
+             ROW_NUMBER() OVER (ORDER BY p_value, source) AS rnk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM pv
+    ),
+    kmax AS (
+      SELECT COALESCE(MAX(CASE WHEN p_value <= rnk * 0.05 / m
+                           THEN rnk END), 0) AS k
+      FROM rked
+    )
+    SELECT r.source, r.n1 AS n_docs, r.ks_d, r.p_value,
+           CAST(r.rnk AS BIGINT) AS p_rank,
+           CAST(CASE WHEN r.rnk <= k.k THEN 1 ELSE 0 END AS INTEGER)
+             AS bh_reject
+    FROM rked r, kmax k ORDER BY r.source
+    """,
+    doc="Stratified distribution-drift screen with FDR control: each "
+    "source's document-length distribution is KS-tested against the "
+    "REST of the corpus (cross-multiplied integer ECDFs on a shared "
+    "value grid — q254's exactness, per-source), p-values from the "
+    "asymptotic Kolmogorov series (3 terms, identical expression "
+    "both engines), then Benjamini-Hochberg at q=0.05 across the 20 "
+    "strata (q348's step-up) — the honest 'WHICH feeds changed' "
+    "screen: 20 marginal tests at 0.05 would false-alarm once per "
+    "run by design. Scale shape: one (source, length) fold, a "
+    "sources x values broadcast grid, running ECDFs partitioned per "
+    "source, BH over a 20-row frame (non-foldable constant "
+    "partition for the rank — the q348 device).",
+)
+@plan_cache
+def q419(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sc_ = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    av = sc_.groupBy("v").agg(F.sum("c").cast("bigint").alias("ca"))
+    srcs = sc_.groupBy("source").agg(F.sum("c").cast("bigint").alias("n1"))
+    ntot = av.agg(F.sum("ca").cast("bigint").alias("nt"))
+    grid = (
+        srcs.select("source", "n1")
+        .crossJoin(F.broadcast(av))
+        .join(sc_, ["source", "v"], "left")
+        .select(
+            "source",
+            "n1",
+            "v",
+            F.coalesce(F.col("c"), F.lit(0)).alias("cs"),
+            "ca",
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "source",
+        "n1",
+        F.sum("cs").over(w).cast("bigint").alias("r1"),
+        F.sum(F.col("ca") - F.col("cs")).over(w).cast("bigint").alias("r2"),
+    )
+    dmax = (
+        cum.crossJoin(F.broadcast(ntot))
+        .groupBy("source", "n1", "nt")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("r1") * (F.col("nt") - F.col("n1"))
+                    - F.col("r2") * F.col("n1")
+                )
+            ).alias("dd")
+        )
+    )
+    sne = F.sqrt(
+        F.col("n1").cast("double") * (F.col("nt") - F.col("n1")) / F.col("nt")
+    )
+    ks = dmax.select(
+        "source",
+        "n1",
+        F.round(
+            F.col("dd").cast("double")
+            / (F.col("n1") * (F.col("nt") - F.col("n1"))),
+            6,
+        ).alias("ks_d"),
+        sne.alias("sne"),
+    )
+    lam = (F.col("sne") + 0.12 + 0.11 / F.col("sne")) * F.col("ks_d")
+    pv = ks.select(
+        "source",
+        "n1",
+        "ks_d",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.greatest(
+                    F.lit(0.0),
+                    2
+                    * (
+                        F.exp(-2 * lam * lam)
+                        - F.exp(-8 * lam * lam)
+                        + F.exp(-18 * lam * lam)
+                    ),
+                ),
+            ),
+            6,
+        ).alias("p_value"),
+    )
+    wr = Window.partitionBy(
+        F.pmod(F.xxhash64("source"), F.lit(1))
+    ).orderBy("p_value", "source")
+    rked = pv.select(
+        "source",
+        "n1",
+        "ks_d",
+        "p_value",
+        F.row_number().over(wr).alias("rnk"),
+    ).localCheckpoint()
+    m = rked.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    kmax = (
+        rked.crossJoin(F.broadcast(m))
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("p_value") <= F.col("rnk") * 0.05 / F.col("m"),
+                        F.col("rnk"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("k")
+        )
+    )
+    return (
+        rked.crossJoin(F.broadcast(kmax))
+        .select(
+            "source",
+            F.col("n1").alias("n_docs"),
+            "ks_d",
+            "p_value",
+            F.col("rnk").cast("bigint").alias("p_rank"),
+            F.when(F.col("rnk") <= F.col("k"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("bh_reject"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q420",
+    oracle="""
+    WITH cells AS (
+      SELECT p.p_brand AS brand,
+             CAST(YEAR(CAST(o.o_orderdate AS DATE)) * 100
+                  + MONTH(CAST(o.o_orderdate AS DATE)) AS BIGINT)
+               AS month_id,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,10)))
+                  AS DECIMAL(38,10)) AS rev
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    m0 AS (
+      SELECT rev AS g FROM (
+        SELECT rev, ROW_NUMBER() OVER (ORDER BY rev) AS rn,
+               COUNT(*) OVER () AS n
+        FROM cells) WHERE rn = (n + 1) // 2
+    ),
+    r0 AS (SELECT brand, month_id, CAST(rev - g AS DECIMAL(38,10)) AS r
+           FROM cells, m0),
+    re1 AS (
+      SELECT brand, r AS e FROM (
+        SELECT brand, r, ROW_NUMBER() OVER (PARTITION BY brand
+                                            ORDER BY r) AS rn,
+               COUNT(*) OVER (PARTITION BY brand) AS n
+        FROM r0) WHERE rn = (n + 1) // 2
+    ),
+    r1 AS (SELECT r0.brand, r0.month_id,
+                  CAST(r0.r - re1.e AS DECIMAL(38,10)) AS r
+           FROM r0 JOIN re1 ON re1.brand = r0.brand),
+    ce1 AS (
+      SELECT month_id, r AS e FROM (
+        SELECT month_id, r, ROW_NUMBER() OVER (PARTITION BY month_id
+                                               ORDER BY r) AS rn,
+               COUNT(*) OVER (PARTITION BY month_id) AS n
+        FROM r1) WHERE rn = (n + 1) // 2
+    ),
+    r2 AS (SELECT r1.brand, r1.month_id,
+                  CAST(r1.r - ce1.e AS DECIMAL(38,10)) AS r
+           FROM r1 JOIN ce1 ON ce1.month_id = r1.month_id),
+    re2 AS (
+      SELECT brand, r AS e FROM (
+        SELECT brand, r, ROW_NUMBER() OVER (PARTITION BY brand
+                                            ORDER BY r) AS rn,
+               COUNT(*) OVER (PARTITION BY brand) AS n
+        FROM r2) WHERE rn = (n + 1) // 2
+    ),
+    r3 AS (SELECT r2.brand, r2.month_id,
+                  CAST(r2.r - re2.e AS DECIMAL(38,10)) AS r
+           FROM r2 JOIN re2 ON re2.brand = r2.brand),
+    ce2 AS (
+      SELECT month_id, r AS e FROM (
+        SELECT month_id, r, ROW_NUMBER() OVER (PARTITION BY month_id
+                                               ORDER BY r) AS rn,
+               COUNT(*) OVER (PARTITION BY month_id) AS n
+        FROM r3) WHERE rn = (n + 1) // 2
+    ),
+    r4 AS (SELECT r3.brand, r3.month_id,
+                  CAST(ROUND(r3.r - ce2.e, 2) AS DOUBLE) AS residual
+           FROM r3 JOIN ce2 ON ce2.month_id = r3.month_id)
+    SELECT brand, month_id, residual
+    FROM r4 ORDER BY ABS(residual) DESC, brand, month_id LIMIT 10
+    """,
+    doc="Tukey median polish of the brand x month revenue table (two "
+    "full row/column sweeps), reporting the 10 largest surviving "
+    "residuals — the ROBUST two-way decomposition: medians absorb "
+    "the additive brand and month effects without letting a single "
+    "outlier cell drag them (a mean-based two-way fit smears exactly "
+    "those cells), so what remains IS the anomaly list ('this brand "
+    "in this month, net of both effects'). Determinism: the entire "
+    "polish runs in EXACT DECIMAL — each sweep's median is the "
+    "LOWER median picked by rank (an actual cell value, no "
+    "interpolated float), so the subtraction chain never touches "
+    "IEEE doubles until the final round(2) (an interpolated-median "
+    "variant flaked on a .xx5 rounding boundary — caught in "
+    "development). Scale shape: one fact fold to the "
+    "|brands| x |months| cell frame; all four sweeps are per-key "
+    "rank windows over that tiny frame.",
+)
+@plan_cache
+def q420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cells = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            (F.year("od") * 100 + F.month("od"))
+            .cast("bigint")
+            .alias("month_id"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC))
+            .cast("decimal(38,10)")
+            .alias("rev")
+        )
+        .localCheckpoint()
+    )
+    wg = Window.partitionBy(
+        F.pmod(F.xxhash64("brand"), F.lit(1))
+    ).orderBy("rev")
+    m0 = (
+        cells.select(
+            "rev",
+            F.row_number().over(wg).alias("rn"),
+            F.count(F.lit(1)).over(
+                Window.partitionBy(F.pmod(F.xxhash64("brand"), F.lit(1)))
+            ).alias("n"),
+        )
+        .where(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select(F.col("rev").alias("g"))
+    )
+    r = cells.crossJoin(F.broadcast(m0)).select(
+        "brand",
+        "month_id",
+        (F.col("rev") - F.col("g")).cast("decimal(38,10)").alias("r"),
+    )
+    for key in ["brand", "month_id", "brand", "month_id"]:
+        wk = Window.partitionBy(key).orderBy("r")
+        wc = Window.partitionBy(key)
+        eff = (
+            r.select(
+                F.col(key).alias("k"),
+                "r",
+                F.row_number().over(wk).alias("rn"),
+                F.count(F.lit(1)).over(wc).alias("n"),
+            )
+            .where(F.col("rn") == F.expr("(n + 1) DIV 2"))
+            .select("k", F.col("r").alias("e"))
+        )
+        r = (
+            r.join(F.broadcast(eff), F.col(key) == F.col("k"))
+            .select(
+                "brand",
+                "month_id",
+                (F.col("r") - F.col("e")).cast("decimal(38,10)").alias("r"),
+            )
+        )
+    return (
+        r.select(
+            "brand",
+            "month_id",
+            F.round(F.col("r"), 2).cast("double").alias("residual"),
+        )
+        .orderBy(F.abs(F.col("residual")).desc(), "brand", "month_id")
+        .limit(10)
+        .orderBy(F.abs(F.col("residual")).desc(), "brand", "month_id")
+    )
