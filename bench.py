@@ -285,6 +285,8 @@ HEADLINE = [
     "q418",  # zone-map skipping audit
     "q419",  # per-source KS drift + BH
     "q420",  # Tukey median polish
+    "q421",  # indirect standardization (SMR)
+    "q422",  # raking / IPF reweighting
 ]
 
 

@@ -12420,3 +12420,225 @@ def q420(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .orderBy(F.abs(F.col("residual")).desc(), "brand", "month_id")
     )
+
+
+@register(
+    "q421",
+    oracle="""
+    WITH cs AS (
+      SELECT c.c_custkey, c.c_mktsegment AS seg, n.n_name AS nation
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+               AS r
+      FROM orders GROUP BY 1
+    ),
+    cust AS (
+      SELECT cs.nation, cs.seg, COALESCE(rev.r, 0.0) AS r
+      FROM cs LEFT JOIN rev ON rev.o_custkey = cs.c_custkey
+    ),
+    rate AS (
+      SELECT seg,
+             ROUND(CAST(SUM(CAST(r AS DECIMAL(30,10))) AS DOUBLE)
+                   / COUNT(*), 6) AS rps
+      FROM cust GROUP BY 1
+    ),
+    nat AS (
+      SELECT nation, seg, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(r AS DECIMAL(30,10))) AS DOUBLE) AS obs
+      FROM cust GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT nation, CAST(SUM(n) AS BIGINT) AS n_customers,
+             CAST(SUM(CAST(obs AS DECIMAL(30,10))) AS DOUBLE)
+               AS observed,
+             CAST(SUM(CAST(n * rps AS DECIMAL(30,10))) AS DOUBLE)
+               AS expected
+      FROM nat JOIN rate USING (seg) GROUP BY 1
+    )
+    SELECT nation, n_customers,
+           ROUND(observed, 2) AS observed_rev,
+           ROUND(expected, 2) AS expected_rev,
+           ROUND(observed / expected, 4) AS smr
+    FROM agg ORDER BY nation
+    """,
+    doc="Indirect standardization (SMR) of per-nation revenue: each "
+    "nation's observed customer revenue against the revenue EXPECTED "
+    "from its market-segment mix at corpus-wide per-segment rates — "
+    "the epidemiology-grade answer to 'is this nation actually "
+    "under-performing, or does it just have a cheap segment mix?', "
+    "which raw per-nation comparisons (q152's volumes, q235's "
+    "shares) conflate. SMR > 1 = outperforms its mix. Determinism: "
+    "per-segment rates round(6) through exact-DECIMAL folds before "
+    "the expectation products. Scale shape: one per-customer "
+    "revenue fold, a broadcast nation/segment dim join, "
+    "|nations| x |segments| intermediate, closed form per nation.",
+)
+@plan_cache
+def q421(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg"), "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    rev = load_table(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("r")
+    )
+    cust = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(rev, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .select("nation", "seg", F.coalesce(F.col("r"), F.lit(0.0)).alias("r"))
+    )
+    rate = cust.groupBy(F.col("seg").alias("seg_r")).agg(
+        F.round(
+            F.sum(F.col("r").cast(DEC)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("rps")
+    )
+    nat = cust.groupBy("nation", "seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("r").cast(DEC)).cast("double").alias("obs"),
+    )
+    agg = (
+        nat.join(F.broadcast(rate), F.col("seg") == F.col("seg_r"))
+        .groupBy("nation")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_customers"),
+            F.sum(F.col("obs").cast(DEC)).cast("double").alias("observed"),
+            F.sum((F.col("n") * F.col("rps")).cast(DEC))
+            .cast("double")
+            .alias("expected"),
+        )
+    )
+    return agg.select(
+        "nation",
+        "n_customers",
+        F.round(F.col("observed"), 2).alias("observed_rev"),
+        F.round(F.col("expected"), 2).alias("expected_rev"),
+        F.round(F.col("observed") / F.col("expected"), 4).alias("smr"),
+    ).orderBy("nation")
+
+
+def _q422_oracle() -> str:
+    """Unrolled 2-iteration IPF SQL (4 alternating marginal steps),
+    generated so each step is the identical expression tree the Spark
+    loop builds (weight round(8) per step, exact-DECIMAL folds)."""
+    head = """
+    WITH cells AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    dims AS (
+      SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS nl,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS ns,
+             CAST(COUNT(*) AS BIGINT) AS nt
+      FROM documents
+    ),
+    w0 AS (SELECT lang, source, n, 1.0 AS w FROM cells)"""
+    steps = []
+    for i, (key, tgt) in enumerate(
+        [("lang", "nl"), ("source", "ns"), ("lang", "nl"), ("source", "ns")],
+        start=1,
+    ):
+        steps.append(f""",
+    f{i} AS (
+      SELECT {key},
+             (SELECT CAST(nt AS DOUBLE) / {tgt} FROM dims)
+             / CAST(SUM(CAST(w * n AS DECIMAL(30,10))) AS DOUBLE)
+               AS fac
+      FROM w{i - 1} GROUP BY 1
+    ),
+    w{i} AS (
+      SELECT p.lang, p.source, p.n, ROUND(p.w * f.fac, 8) AS w
+      FROM w{i - 1} p JOIN f{i} f ON f.{key} = p.{key}
+    )""")
+    tail = """,
+    achieved AS (
+      SELECT lang,
+             CAST(SUM(CAST(w * n AS DECIMAL(30,10))) AS DOUBLE) AS wl
+      FROM w4 GROUP BY 1
+    )
+    SELECT w4.lang, w4.source, w4.n AS n_docs,
+           ROUND(w4.w, 6) AS weight,
+           ROUND(a.wl / (SELECT CAST(nt AS DOUBLE) FROM dims), 4)
+             AS lang_share_achieved
+    FROM w4 JOIN achieved a ON a.lang = w4.lang
+    ORDER BY w4.lang, w4.source"""
+    return head + "".join(steps) + tail
+
+
+@register(
+    "q422",
+    oracle=_q422_oracle(),
+    doc="Raking / iterative proportional fitting of corpus weights: two "
+    "full IPF iterations (lang step, source step, twice) drive the "
+    "weighted lang x source table toward UNIFORM marginals on both "
+    "axes — the survey-statistics way to reweight a skewed corpus so "
+    "every language AND every feed speak with equal total voice, "
+    "where q166's temperature sampling balances one margin only and "
+    "q411 prices the result; the achieved lang share rides along as "
+    "the convergence check. Determinism: weights round(8) after "
+    "every multiplicative step, all marginal folds exact-DECIMAL. "
+    "Scale shape: ONE (lang, source) fold touches the corpus; the "
+    "IPF loop runs entirely on that |langs| x |sources| frame "
+    "(broadcast factor joins), and the final weights apply to the "
+    "corpus as a pure broadcast-joinable function of (lang, source).",
+)
+@plan_cache
+def q422(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).localCheckpoint()
+    dims = docs.agg(
+        F.countDistinct("lang").cast("bigint").alias("nl"),
+        F.countDistinct("source").cast("bigint").alias("ns"),
+        F.count(F.lit(1)).cast("bigint").alias("nt"),
+    )
+    w = cells.select("lang", "source", "n", F.lit(1.0).alias("w"))
+    for key, tgt in [
+        ("lang", "nl"),
+        ("source", "ns"),
+        ("lang", "nl"),
+        ("source", "ns"),
+    ]:
+        fac = (
+            w.groupBy(F.col(key).alias("k"))
+            .agg(
+                F.sum((F.col("w") * F.col("n")).cast(DEC))
+                .cast("double")
+                .alias("cur")
+            )
+            .crossJoin(F.broadcast(dims))
+            .select(
+                "k",
+                (
+                    F.col("nt").cast("double") / F.col(tgt) / F.col("cur")
+                ).alias("fac"),
+            )
+        )
+        w = w.join(F.broadcast(fac), F.col(key) == F.col("k")).select(
+            "lang",
+            "source",
+            "n",
+            F.round(F.col("w") * F.col("fac"), 8).alias("w"),
+        )
+    achieved = w.groupBy(F.col("lang").alias("la")).agg(
+        F.sum((F.col("w") * F.col("n")).cast(DEC)).cast("double").alias("wl")
+    )
+    return (
+        w.join(F.broadcast(achieved), F.col("lang") == F.col("la"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "lang",
+            "source",
+            F.col("n").alias("n_docs"),
+            F.round(F.col("w"), 6).alias("weight"),
+            F.round(F.col("wl") / F.col("nt").cast("double"), 4).alias(
+                "lang_share_achieved"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
