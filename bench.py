@@ -287,6 +287,10 @@ HEADLINE = [
     "q420",  # Tukey median polish
     "q421",  # indirect standardization (SMR)
     "q422",  # raking / IPF reweighting
+    "q423",  # Wasserstein-1 drift distance
+    "q424",  # quantile treatment effects
+    "q425",  # pass@k estimator
+    "q426",  # join-cardinality estimator audit
 ]
 
 

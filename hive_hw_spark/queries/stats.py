@@ -12642,3 +12642,395 @@ def q422(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "q423",
+    oracle="""
+    WITH vc AS (
+      SELECT ROUND(value, 2) AS v,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS c2
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                   CAST(SUM(c2) AS BIGINT) AS n2 FROM vc),
+    cum AS (
+      SELECT v,
+             CAST(SUM(c1) OVER w AS BIGINT) AS r1,
+             CAST(SUM(c2) OVER w AS BIGINT) AS r2,
+             LEAD(v) OVER (ORDER BY v) AS nxt
+      FROM vc WINDOW w AS (ORDER BY v)
+    ),
+    seg AS (
+      SELECT ABS(r1 * n2 - r2 * n1) * (nxt - v) AS contrib
+      FROM cum, tot WHERE nxt IS NOT NULL
+    )
+    SELECT n1, n2,
+           ROUND(CAST(SUM(CAST(contrib AS DECIMAL(38,10))) AS DOUBLE)
+                 / (n1 * n2), 6) AS wasserstein_1
+    FROM seg, tot GROUP BY n1, n2 ORDER BY n1
+    """,
+    doc="Wasserstein-1 (earth-mover) distance between error-event and "
+    "other-event value distributions — the ML-monitoring drift metric "
+    "that INTEGRATES the ECDF gap over the value axis (KS q254 takes "
+    "the max, CvM q378 squares at jump points; W1 alone is in the "
+    "metric's units and sees slow wide drift). Exact arithmetic: "
+    "per-segment contribution |r1·n2 − r2·n1|·(v_next − v) on "
+    "round(2)-bucketed values, one DECIMAL fold, a single divide by "
+    "n1·n2. Scale shape: the corpus folds to the bounded rounded-"
+    "value frame; the running ECDFs and the next-value lookup both "
+    "follow the q167/q254 two-phase bucket discipline (percentile-"
+    "bound buckets, partitioned windows, bucket-head stitch join — "
+    "the oracle states the naive global-window form).",
+)
+@plan_cache
+def q423(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    is1 = F.col("event_type") == "error"
+    vc = ev.groupBy(F.round("value", 2).alias("v")).agg(
+        F.sum(F.when(is1, 1).otherwise(0)).cast("bigint").alias("c1"),
+        F.sum(F.when(~is1, 1).otherwise(0)).cast("bigint").alias("c2"),
+    )
+    tot = vc.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    bounds = vc.agg(
+        F.expr(
+            "percentile(v, array(0.125,0.25,0.375,0.5,0.625,0.75,0.875))"
+        ).alias("bs")
+    )
+    bucketed = vc.crossJoin(F.broadcast(bounds)).select(
+        "v", "c1", "c2", F.expr("size(filter(bs, b -> b < v))").alias("bk")
+    )
+    btot = bucketed.groupBy("bk").agg(
+        F.sum("c1").alias("b1"), F.sum("c2").alias("b2")
+    )
+    b2 = btot.select(
+        F.col("bk").alias("bk2"), F.col("b1").alias("e1"), F.col("b2").alias("e2")
+    )
+    offsets = (
+        btot.join(F.broadcast(b2), F.col("bk2") < F.col("bk"), "left")
+        .groupBy("bk")
+        .agg(
+            F.coalesce(F.sum("e1"), F.lit(0)).alias("o1"),
+            F.coalesce(F.sum("e2"), F.lit(0)).alias("o2"),
+        )
+    )
+    wb = Window.partitionBy("bk").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # bucket-head stitch: the last value of bucket k needs bucket k+1's
+    # first value as its segment end
+    heads = bucketed.groupBy(F.col("bk").alias("hbk")).agg(
+        F.min("v").alias("head_v")
+    )
+    cum = (
+        bucketed.withColumn("r1w", F.sum("c1").over(wb))
+        .withColumn("r2w", F.sum("c2").over(wb))
+        .withColumn("nxt_in", F.lead("v").over(Window.partitionBy("bk").orderBy("v")))
+        .join(F.broadcast(offsets), "bk")
+        .join(
+            F.broadcast(heads), F.col("hbk") == F.col("bk") + 1, "left"
+        )
+        .select(
+            "v",
+            (F.col("o1") + F.col("r1w")).cast("bigint").alias("r1"),
+            (F.col("o2") + F.col("r2w")).cast("bigint").alias("r2"),
+            F.coalesce(F.col("nxt_in"), F.col("head_v")).alias("nxt"),
+        )
+    )
+    seg = (
+        cum.where(F.col("nxt").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.abs(F.col("r1") * F.col("n2") - F.col("r2") * F.col("n1"))
+                * (F.col("nxt") - F.col("v"))
+            ).alias("contrib"),
+            "n1",
+            "n2",
+        )
+    )
+    return (
+        seg.groupBy("n1", "n2")
+        .agg(
+            F.round(
+                F.sum(F.col("contrib").cast("decimal(38,10)")).cast("double")
+                / (F.col("n1") * F.col("n2")),
+                6,
+            ).alias("wasserstein_1")
+        )
+        .select("n1", "n2", "wasserstein_1")
+        .orderBy("n1")
+    )
+
+
+@register(
+    "q424",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id,
+             CASE WHEN (user_id % 2147483648) * 2654435761 % 100 < 50
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS tv
+      FROM events GROUP BY 1
+    ),
+    qa AS (
+      SELECT arm,
+             quantile_cont(tv, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+               AS qs
+      FROM pu GROUP BY 1
+    ),
+    ex AS (
+      SELECT arm, generate_subscripts(qs, 1) AS d,
+             ROUND(CAST(unnest(qs) AS DOUBLE), 4) AS q
+      FROM qa
+    )
+    SELECT a.d AS decile,
+           a.q AS val_a, b.q AS val_b,
+           ROUND(b.q - a.q, 4) AS qte
+    FROM (SELECT * FROM ex WHERE arm = 'A') a
+    JOIN (SELECT * FROM ex WHERE arm = 'B') b ON b.d = a.d
+    ORDER BY decile
+    """,
+    doc="Quantile treatment effects: decile-by-decile difference of the "
+    "per-user total-value distribution between the q242 hash arms — "
+    "WHERE in the distribution the treatment acts (a mean effect of "
+    "zero can hide a tail gain funding a median loss; q391's "
+    "delta-method mean and q376's two-group Q-Q are the neighbors). "
+    "Exact interpolated quantiles (q47 family) rounded to 4 before "
+    "differencing. Scale shape: one user fold, two 9-element "
+    "quantile aggs, a 9-row join.",
+)
+@plan_cache
+def q424(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        (F.col("user_id") % F.lit(2147483648)) * 2654435761 % 100 < 50, "A"
+    ).otherwise("B")
+    pu = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("tv")
+    ).select(arm.alias("arm"), "tv")
+    qa = pu.groupBy("arm").agg(
+        F.expr(
+            "percentile(tv, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("qs")
+    )
+    ex = qa.select(
+        "arm", F.posexplode("qs").alias("d0", "qv")
+    ).select(
+        "arm",
+        (F.col("d0") + 1).alias("d"),
+        F.round(F.col("qv").cast("double"), 4).alias("q"),
+    )
+    a = ex.where(F.col("arm") == "A").select(
+        F.col("d").alias("decile"), F.col("q").alias("val_a")
+    )
+    b = ex.where(F.col("arm") == "B").select(
+        F.col("d").alias("db"), F.col("q").alias("val_b")
+    )
+    return (
+        a.join(b, F.col("db") == F.col("decile"))
+        .select(
+            "decile",
+            "val_a",
+            "val_b",
+            F.round(F.col("val_b") - F.col("val_a"), 4).alias("qte"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "q425",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS c
+      FROM events GROUP BY 1 HAVING COUNT(*) >= 5
+    ),
+    pk AS (
+      SELECT CAST(c AS DOUBLE) / n AS p1,
+             CASE WHEN n - c < 5 THEN 1.0
+                  ELSE 1.0
+                    - (CAST(n - c AS DOUBLE) / n)
+                    * (CAST(n - c - 1 AS DOUBLE) / (n - 1))
+                    * (CAST(n - c - 2 AS DOUBLE) / (n - 2))
+                    * (CAST(n - c - 3 AS DOUBLE) / (n - 3))
+                    * (CAST(n - c - 4 AS DOUBLE) / (n - 4))
+             END AS p5
+      FROM pu
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_tasks,
+           ROUND(CAST(SUM(CAST(p1 AS DECIMAL(30,10))) AS DOUBLE)
+                 / COUNT(*), 6) AS pass_at_1,
+           ROUND(CAST(SUM(CAST(p5 AS DECIMAL(30,10))) AS DOUBLE)
+                 / COUNT(*), 6) AS pass_at_5,
+           ROUND((CAST(SUM(CAST(p5 AS DECIMAL(30,10))) AS DOUBLE)
+                  / COUNT(*))
+                 / (CAST(SUM(CAST(p1 AS DECIMAL(30,10))) AS DOUBLE)
+                    / COUNT(*)), 4) AS lift_5_over_1
+    FROM pk ORDER BY n_tasks
+    """,
+    doc="Unbiased pass@k estimator (Chen et al., the Codex/HumanEval "
+    "formula): per task with n samples and c successes, "
+    "pass@k = 1 − C(n−c,k)/C(n,k), evaluated as the exact telescoped "
+    "product Π(n−c−i)/(n−i) — the LLM-eval aggregation primitive, "
+    "here over users-as-tasks (n events, purchases as successes, "
+    "k=5; n>=k tasks only, C(n−c,k)=0 → pass=1 when fewer than k "
+    "failures exist). The naive (c/n)^-based estimate is biased at "
+    "small n — this form is not, which is the entire point of the "
+    "operator. Determinism: per-task doubles from identical integer "
+    "products, corpus averages through exact-DECIMAL folds. Scale "
+    "shape: one task-keyed fold, per-row closed form, 1-row output.",
+)
+@plan_cache
+def q425(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("c"),
+        )
+        .where(F.col("n") >= 5)
+    )
+    n, c = F.col("n"), F.col("c")
+    fail = n - c
+    prod = (
+        (fail.cast("double") / n)
+        * ((fail - 1).cast("double") / (n - 1))
+        * ((fail - 2).cast("double") / (n - 2))
+        * ((fail - 3).cast("double") / (n - 3))
+        * ((fail - 4).cast("double") / (n - 4))
+    )
+    pk = pu.select(
+        (c.cast("double") / n).alias("p1"),
+        F.when(fail < 5, F.lit(1.0)).otherwise(1.0 - prod).alias("p5"),
+    )
+    a1 = F.sum(F.col("p1").cast(DEC)).cast("double") / F.count(F.lit(1))
+    a5 = F.sum(F.col("p5").cast(DEC)).cast("double") / F.count(F.lit(1))
+    return pk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tasks"),
+        F.round(a1, 6).alias("pass_at_1"),
+        F.round(a5, 6).alias("pass_at_5"),
+        F.round(a5 / a1, 4).alias("lift_5_over_1"),
+    ).orderBy("n_tasks")
+
+
+@register(
+    "q426",
+    oracle="""
+    WITH stats AS (
+      SELECT 'lineitem_orders' AS join_name,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_a,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_b,
+             (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+              FROM lineitem) AS ndv_a,
+             (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)
+              FROM orders) AS ndv_b,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+              JOIN orders o ON o.o_orderkey = l.l_orderkey) AS actual
+      UNION ALL
+      SELECT 'lineitem_part',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM part),
+             (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+              FROM lineitem),
+             (SELECT CAST(COUNT(DISTINCT p_partkey) AS BIGINT)
+              FROM part),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+              JOIN part p ON p.p_partkey = l.l_partkey)
+      UNION ALL
+      SELECT 'orders_customer',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+             (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+              FROM orders),
+             (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT)
+              FROM customer),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+              JOIN customer c ON c.c_custkey = o.o_custkey)
+    )
+    SELECT join_name, n_a, n_b, ndv_a, ndv_b, actual,
+           CAST(FLOOR(CAST(n_a AS DOUBLE) * n_b
+                      / GREATEST(ndv_a, ndv_b)) AS BIGINT) AS estimated,
+           ROUND(CAST(FLOOR(CAST(n_a AS DOUBLE) * n_b
+                            / GREATEST(ndv_a, ndv_b)) AS DOUBLE)
+                 / actual, 4) AS est_over_actual
+    FROM stats ORDER BY join_name
+    """,
+    doc="Join-cardinality estimator audit: for the three core FK joins, "
+    "the textbook CBO estimate |A||B| / max(ndv_a, ndv_b) (uniform-"
+    "containment assumption — what q230's ANALYZE statistics feed "
+    "the optimizer) against the TRUE join cardinality, with the "
+    "over/under ratio — the audit that tells you where the "
+    "optimizer's selectivity model will misplan (ratio far from 1 = "
+    "skewed or filtered keys; pair with q263's skew diagnosis). "
+    "Scale shape: exact distinct counts and join counts are one "
+    "co-partitioned pass each; output is 3 rows.",
+)
+@plan_cache
+def q426(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+
+    def one(name, a, b, ka, kb):
+        sa = a.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_a"),
+            F.countDistinct(ka).cast("bigint").alias("ndv_a"),
+        )
+        sb = b.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_b"),
+            F.countDistinct(kb).cast("bigint").alias("ndv_b"),
+        )
+        act = (
+            a.join(b, F.col(ka) == F.col(kb))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("actual"))
+        )
+        return (
+            sa.crossJoin(F.broadcast(sb))
+            .crossJoin(F.broadcast(act))
+            .select(
+                F.lit(name).alias("join_name"),
+                "n_a",
+                "n_b",
+                "ndv_a",
+                "ndv_b",
+                "actual",
+            )
+        )
+
+    stats = (
+        one("lineitem_orders", li, o, "l_orderkey", "o_orderkey")
+        .unionAll(one("lineitem_part", li, p, "l_partkey", "p_partkey"))
+        .unionAll(one("orders_customer", o, c, "o_custkey", "c_custkey"))
+    )
+    est = F.floor(
+        F.col("n_a").cast("double")
+        * F.col("n_b")
+        / F.greatest(F.col("ndv_a"), F.col("ndv_b"))
+    ).cast("bigint")
+    return stats.select(
+        "join_name",
+        "n_a",
+        "n_b",
+        "ndv_a",
+        "ndv_b",
+        "actual",
+        est.alias("estimated"),
+        F.round(est.cast("double") / F.col("actual"), 4).alias(
+            "est_over_actual"
+        ),
+    ).orderBy("join_name")
