@@ -291,6 +291,9 @@ HEADLINE = [
     "q424",  # quantile treatment effects
     "q425",  # pass@k estimator
     "q426",  # join-cardinality estimator audit
+    "q427",  # BM25 lexical retrieval
+    "q428",  # hybrid retrieval (RRF fusion)
+    "q429",  # MMR diversified re-rank
 ]
 
 

@@ -6201,3 +6201,484 @@ def q412(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# shared fixed query for the retrieval stack (q427/q428/q429): three
+# common corpus terms; deterministic, engine-neutral
+_RETRIEVAL_TERMS = ("hash", "join", "scan")
+
+
+@register(
+    "q427",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len
+           FROM words GROUP BY 1),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(CAST(SUM(CAST(len AS DECIMAL(30,10))) AS DOUBLE)
+                   / COUNT(*), 6) AS avglen
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM words WHERE w IN ('hash', 'join', 'scan')
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             LN((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.len / s.avglen))
+               AS term_score
+      FROM tf
+      JOIN df ON df.w = tf.w
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           ROUND(CAST(SUM(CAST(term_score AS DECIMAL(30,10)))
+                 AS DOUBLE), 4) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    doc="BM25 lexical retrieval — top-10 documents for the fixed query "
+    "{hash, join, scan} under Okapi BM25 (k1=1.2, b=0.75, Lucene's "
+    "ln(1 + (N-df+.5)/(df+.5)) idf): THE first-stage ranker of every "
+    "RAG stack, completing the lexical side the engine's q205 "
+    "TF-IDF-cosine join and q206 bigram LM bracket. Determinism: "
+    "avg doc length round(6) through the exact-DECIMAL fold; "
+    "per-(doc, term) scores are identical doubles summed in DECIMAL "
+    "and rounded before the ordered-limit cut (doc_id tie-break). "
+    "Scale shape: term filter pushes to the posting build (only "
+    "query-term rows survive the explode), doc-length and df sides "
+    "are broadcast-tiny, top-k is an ordered limit "
+    "(TakeOrderedAndProject) — no global window, no full sort.",
+)
+@plan_cache
+def q427(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bm25_scores(spark, sf_dir).orderBy(
+        F.col("bm25").desc(), "doc_id"
+    ).limit(10)
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 scores (doc_id, bm25 round 4) for the fixed retrieval query
+    over every matching document — shared by q427 (top-k) and q428
+    (hybrid fusion)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    dl = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.col("len").cast(DEC)).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("avglen"),
+    )
+    tf = (
+        words.where(F.col("w").isin(*_RETRIEVAL_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy(F.col("w").alias("wd")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(df), F.col("w") == F.col("wd"))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2 * (0.25 + 0.75 * F.col("len") / F.col("avglen"))
+                )
+            ).alias("term_score"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.col("term_score").cast(DEC)).cast("double"), 4
+        ).alias("bm25")
+    )
+
+
+_Q428_DENSE_SQL = """
+    ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    vnorm AS (
+      SELECT vec_id,
+             CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS vn
+      FROM ex GROUP BY 1
+    ),
+    dense AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND(CAST(SUM(CAST(e.x * q.x AS DECIMAL(30,10)))
+                        AS DOUBLE)
+                   / sqrt(v.vn * (SELECT vn FROM vnorm
+                                  WHERE vec_id = 0)), 4) AS cos
+      FROM ex e
+      JOIN ex q ON q.pos = e.pos AND q.vec_id = 0
+      JOIN vnorm v ON v.vec_id = e.vec_id
+      GROUP BY e.vec_id, v.vn
+    )"""
+
+
+@register(
+    "q428",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len
+           FROM words GROUP BY 1),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(CAST(SUM(CAST(len AS DECIMAL(30,10))) AS DOUBLE)
+                   / COUNT(*), 6) AS avglen
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM words WHERE w IN ('hash', 'join', 'scan')
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    bm AS (
+      SELECT tf.doc_id,
+             ROUND(CAST(SUM(CAST(
+               LN((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.len / s.avglen))
+               AS DECIMAL(30,10))) AS DOUBLE), 4) AS bm25
+      FROM tf
+      JOIN df ON df.w = tf.w
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    ),
+    lex AS (
+      SELECT doc_id, rnk AS lex_rank FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                 AS rnk
+        FROM bm) WHERE rnk <= 50
+    ),""" + _Q428_DENSE_SQL + """,
+    den AS (
+      SELECT doc_id, rnk AS dense_rank_ FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id)
+                 AS rnk
+        FROM dense) WHERE rnk <= 50
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             COALESCE(l.lex_rank, -1) AS lex_rank,
+             COALESCE(d.dense_rank_, -1) AS dense_rank,
+             ROUND(
+               (CASE WHEN l.lex_rank IS NULL THEN 0.0
+                     ELSE 1.0 / (60 + l.lex_rank) END)
+               + (CASE WHEN d.dense_rank_ IS NULL THEN 0.0
+                       ELSE 1.0 / (60 + d.dense_rank_) END), 6)
+               AS rrf_score
+      FROM lex l FULL OUTER JOIN den d ON d.doc_id = l.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(dense_rank AS BIGINT) AS dense_rank, rrf_score
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+    doc="Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical "
+    "ranking (q427, query {hash, join, scan}) fused with the dense "
+    "cosine ranking against document 0's embedding by "
+    "RRF = Σ 1/(60 + rank) over both top-50 lists — the standard "
+    "lexical+vector hybrid every production RAG retriever runs "
+    "(rank-based fusion needs no score calibration between "
+    "incomparable scorers, which is exactly why RRF won). "
+    "Determinism: both ranks break ties on doc_id over round(4) "
+    "scores; 1/(60+r) terms are identical doubles. Scale shape: the "
+    "lexical side is q427's pushed-down posting build; the dense "
+    "side is one broadcast 64-row query-slice join (exact-DECIMAL "
+    "dots); rank windows run on the two top-50 frames only "
+    "(non-foldable constant partition), fusion is a 50x50 full "
+    "outer join.",
+)
+@plan_cache
+def q428(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bm = _bm25_scores(spark, sf_dir)
+    w1 = Window.partitionBy(
+        F.pmod(F.xxhash64("doc_id"), F.lit(1))
+    ).orderBy(F.col("bm25").desc(), "doc_id")
+    lex = (
+        bm.select("doc_id", F.row_number().over(w1).alias("lex_rank"))
+        .where(F.col("lex_rank") <= 50)
+    )
+    dense = _dense_scores_vs_doc0(spark, sf_dir)
+    w2 = Window.partitionBy(
+        F.pmod(F.xxhash64("doc_id"), F.lit(1))
+    ).orderBy(F.col("cos").desc(), "doc_id")
+    den = (
+        dense.select("doc_id", F.row_number().over(w2).alias("dr"))
+        .where(F.col("dr") <= 50)
+        .withColumnRenamed("doc_id", "doc_d")
+    )
+    fused = lex.join(
+        den, F.col("doc_d") == F.col("doc_id"), "full_outer"
+    ).select(
+        F.coalesce(F.col("doc_id"), F.col("doc_d")).alias("doc_id"),
+        F.coalesce(F.col("lex_rank"), F.lit(-1)).cast("bigint").alias(
+            "lex_rank"
+        ),
+        F.coalesce(F.col("dr"), F.lit(-1)).cast("bigint").alias(
+            "dense_rank"
+        ),
+        F.round(
+            F.when(F.col("lex_rank").isNull(), 0.0).otherwise(
+                1.0 / (60 + F.col("lex_rank"))
+            )
+            + F.when(F.col("dr").isNull(), 0.0).otherwise(
+                1.0 / (60 + F.col("dr"))
+            ),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(10)
+
+
+def _dense_scores_vs_doc0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounded cosine of every embedding against vec 0 (doc_id, cos) —
+    the dense side of q428's fusion and q429's candidate generator.
+    One broadcast 64-row query-slice join, exact-DECIMAL dots."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("p0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("p0") + 1).alias("pos"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    ex = _managed_persist("q428_ex", ex)
+    vnorm = _managed_persist(
+        "q428_vnorm",
+        ex.groupBy("vec_id").agg(
+            F.sum((F.col("x") * F.col("x")).cast(DEC))
+            .cast("double")
+            .alias("vn")
+        ),
+    )
+    q = ex.where(F.col("vec_id") == 0).select(
+        F.col("pos").alias("qpos"), F.col("x").alias("qx")
+    )
+    qn = vnorm.where(F.col("vec_id") == 0).select(F.col("vn").alias("qn"))
+    return (
+        ex.join(F.broadcast(q), F.col("pos") == F.col("qpos"))
+        .groupBy("vec_id")
+        .agg(
+            F.sum((F.col("x") * F.col("qx")).cast(DEC))
+            .cast("double")
+            .alias("dot")
+        )
+        .join(vnorm, "vec_id")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                F.col("dot") / F.sqrt(F.col("vn") * F.col("qn")), 4
+            ).alias("cos"),
+        )
+    )
+
+
+def _q429_oracle() -> str:
+    """Unrolled 5-step MMR SQL, generated so each selection step is the
+    identical expression tree the Spark loop builds (round(4) per
+    step, doc_id tie-breaks)."""
+    head = """
+    WITH""" + _Q428_DENSE_SQL + """,
+    cand AS (
+      SELECT doc_id, cos AS rel FROM dense
+      ORDER BY cos DESC, doc_id LIMIT 20
+    ),
+    cex AS (
+      SELECT e.vec_id, e.pos, e.x FROM ex e
+      JOIN cand c ON c.doc_id = e.vec_id
+    ),
+    sims AS (
+      SELECT a.vec_id AS da, b.vec_id AS db,
+             ROUND(CAST(SUM(CAST(a.x * b.x AS DECIMAL(30,10)))
+                        AS DOUBLE)
+                   / sqrt(va.vn * vb.vn), 4) AS sim
+      FROM cex a
+      JOIN cex b ON b.pos = a.pos AND b.vec_id <> a.vec_id
+      JOIN vnorm va ON va.vec_id = a.vec_id
+      JOIN vnorm vb ON vb.vec_id = b.vec_id
+      GROUP BY a.vec_id, b.vec_id, va.vn, vb.vn
+    ),
+    s1 AS (
+      SELECT doc_id, ROUND(0.7 * rel, 4) AS mmr FROM cand
+      ORDER BY ROUND(0.7 * rel, 4) DESC, doc_id LIMIT 1
+    )"""
+    steps = []
+    for k in range(2, 6):
+        prev = " UNION ALL ".join(
+            f"SELECT doc_id FROM s{j}" for j in range(1, k)
+        )
+        steps.append(f""",
+    s{k} AS (
+      SELECT c.doc_id,
+             ROUND(0.7 * c.rel - 0.3 * MAX(s.sim), 4) AS mmr
+      FROM cand c
+      JOIN sims s ON s.da = c.doc_id
+        AND s.db IN ({prev})
+      WHERE c.doc_id NOT IN ({prev})
+      GROUP BY c.doc_id, c.rel
+      ORDER BY ROUND(0.7 * c.rel - 0.3 * MAX(s.sim), 4) DESC, c.doc_id
+      LIMIT 1
+    )""")
+    rows = ["SELECT CAST(1 AS BIGINT) AS step, doc_id, mmr FROM s1"]
+    for k in range(2, 6):
+        rows.append(f"SELECT CAST({k} AS BIGINT), doc_id, mmr FROM s{k}")
+    return (
+        head
+        + "".join(steps)
+        + "\n    "
+        + "\n    UNION ALL ".join(rows)
+        + "\n    ORDER BY step"
+    )
+
+
+@register(
+    "q429",
+    oracle=_q429_oracle(),
+    doc="Maximal-marginal-relevance diversified re-rank: from the dense "
+    "top-20 candidates for document 0's query vector, pick 5 results "
+    "greedily maximizing 0.7·relevance − 0.3·max-similarity-to-"
+    "already-selected — the diversity pass a RAG context builder "
+    "runs after q428's fusion so five near-duplicate chunks don't "
+    "crowd the context window (the canonical Carbonell-Goldstein "
+    "formulation). Determinism: relevance, candidate-pair "
+    "similarities and every step's MMR score round(4) with doc_id "
+    "tie-breaks on each ordered-limit selection. Scale shape: "
+    "candidates come from the shared dense scorer (broadcast "
+    "query-slice join); the 20x20 similarity matrix and all 5 "
+    "unrolled selection steps run on checkpointed broadcast-tiny "
+    "frames — the corpus is touched once.",
+)
+@plan_cache
+def q429(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dense = _dense_scores_vs_doc0(spark, sf_dir)
+    cand = (
+        dense.orderBy(F.col("cos").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", F.col("cos").alias("rel"))
+        .localCheckpoint()
+    )
+    ex = _managed_persist(
+        "q428_ex",
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .select("vec_id", F.posexplode("embedding").alias("p0", "xf"))
+        .select(
+            "vec_id",
+            (F.col("p0") + 1).alias("pos"),
+            F.col("xf").cast("double").alias("x"),
+        ),
+    )
+    vnorm = _managed_persist(
+        "q428_vnorm",
+        ex.groupBy("vec_id").agg(
+            F.sum((F.col("x") * F.col("x")).cast(DEC))
+            .cast("double")
+            .alias("vn")
+        ),
+    )
+    cex = ex.join(
+        F.broadcast(cand.select(F.col("doc_id").alias("cid"))),
+        F.col("vec_id") == F.col("cid"),
+    ).select("vec_id", "pos", "x")
+    b = cex.select(
+        F.col("vec_id").alias("vb"), F.col("pos").alias("pb"), F.col("x").alias("xb")
+    )
+    va = vnorm.select(F.col("vec_id").alias("na"), F.col("vn").alias("vna"))
+    vb = vnorm.select(F.col("vec_id").alias("nb"), F.col("vn").alias("vnb"))
+    sims = (
+        cex.join(
+            F.broadcast(b),
+            (F.col("pb") == F.col("pos")) & (F.col("vb") != F.col("vec_id")),
+        )
+        .groupBy("vec_id", "vb")
+        .agg(
+            F.sum((F.col("x") * F.col("xb")).cast(DEC))
+            .cast("double")
+            .alias("dot")
+        )
+        .join(F.broadcast(va), F.col("na") == F.col("vec_id"))
+        .join(F.broadcast(vb), F.col("nb") == F.col("vb"))
+        .select(
+            F.col("vec_id").alias("da"),
+            F.col("vb").alias("db"),
+            F.round(
+                F.col("dot") / F.sqrt(F.col("vna") * F.col("vnb")), 4
+            ).alias("sim"),
+        )
+        .localCheckpoint()
+    )
+    sel = (
+        cand.select(
+            "doc_id", F.round(0.7 * F.col("rel"), 4).alias("mmr")
+        )
+        .orderBy(F.col("mmr").desc(), "doc_id")
+        .limit(1)
+        .select(F.lit(1).cast("bigint").alias("step"), "doc_id", "mmr")
+        .localCheckpoint()
+    )
+    out = sel
+    for k in range(2, 6):
+        chosen = out.select(F.col("doc_id").alias("ch"))
+        pick = (
+            cand.join(
+                F.broadcast(chosen),
+                F.col("ch") == F.col("doc_id"),
+                "left_anti",
+            )
+            .join(F.broadcast(sims), F.col("da") == F.col("doc_id"))
+            .join(
+                F.broadcast(chosen.withColumnRenamed("ch", "ch2")),
+                F.col("db") == F.col("ch2"),
+            )
+            .groupBy("doc_id", "rel")
+            .agg(F.max("sim").alias("ms"))
+            .select(
+                "doc_id",
+                F.round(0.7 * F.col("rel") - 0.3 * F.col("ms"), 4).alias(
+                    "mmr"
+                ),
+            )
+            .orderBy(F.col("mmr").desc(), "doc_id")
+            .limit(1)
+            .select(
+                F.lit(k).cast("bigint").alias("step"), "doc_id", "mmr"
+            )
+            .localCheckpoint()
+        )
+        out = out.unionAll(pick)
+    return out.orderBy("step")
