@@ -294,6 +294,8 @@ HEADLINE = [
     "q427",  # BM25 lexical retrieval
     "q428",  # hybrid retrieval (RRF fusion)
     "q429",  # MMR diversified re-rank
+    "q430",  # retrieval-quality evaluation
+    "q431",  # RM3 pseudo-relevance feedback
 ]
 
 

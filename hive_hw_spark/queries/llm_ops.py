@@ -6682,3 +6682,430 @@ def q429(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.unionAll(pick)
     return out.orderBy("step")
+
+
+_Q430_RANKINGS_SQL = """
+    words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len
+           FROM words GROUP BY 1),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(CAST(SUM(CAST(len AS DECIMAL(30,10))) AS DOUBLE)
+                   / COUNT(*), 6) AS avglen
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM words WHERE w IN ('hash', 'join', 'scan')
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    bm AS (
+      SELECT tf.doc_id,
+             ROUND(CAST(SUM(CAST(
+               LN((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.len / s.avglen))
+               AS DECIMAL(30,10))) AS DOUBLE), 4) AS bm25
+      FROM tf
+      JOIN df ON df.w = tf.w
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    ),""" + _Q428_DENSE_SQL + """,
+    lex10 AS (
+      SELECT doc_id, rnk FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                 AS rnk
+        FROM bm WHERE doc_id <> 0) WHERE rnk <= 10
+    ),
+    den10 AS (
+      SELECT doc_id, rnk FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id)
+                 AS rnk
+        FROM dense WHERE doc_id <> 0) WHERE rnk <= 10
+    ),
+    lex50 AS (
+      SELECT doc_id, rnk FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                 AS rnk
+        FROM bm WHERE doc_id <> 0) WHERE rnk <= 50
+    ),
+    den50 AS (
+      SELECT doc_id, rnk FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id)
+                 AS rnk
+        FROM dense WHERE doc_id <> 0) WHERE rnk <= 50
+    ),
+    rrf10 AS (
+      SELECT doc_id, rnk FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+        FROM (
+          SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+                 ROUND(
+                   (CASE WHEN l.rnk IS NULL THEN 0.0
+                         ELSE 1.0 / (60 + l.rnk) END)
+                   + (CASE WHEN d.rnk IS NULL THEN 0.0
+                           ELSE 1.0 / (60 + d.rnk) END), 6) AS rrf
+          FROM lex50 l FULL OUTER JOIN den50 d ON d.doc_id = l.doc_id
+        )) WHERE rnk <= 10
+    ),
+    ranked AS (
+      SELECT 'bm25' AS ranking, doc_id, rnk FROM lex10
+      UNION ALL SELECT 'dense', doc_id, rnk FROM den10
+      UNION ALL SELECT 'rrf', doc_id, rnk FROM rrf10
+    )"""
+
+
+@register(
+    "q430",
+    oracle="""
+    WITH""" + _Q430_RANKINGS_SQL + """,
+    gold AS (
+      SELECT e.vec_id AS doc_id,
+             CASE WHEN e.label = (SELECT label FROM embeddings
+                                  WHERE vec_id = 0)
+                   AND e.vec_id <> 0 THEN 1 ELSE 0 END AS rel
+      FROM embeddings e
+    ),
+    nrel AS (SELECT CAST(SUM(rel) AS BIGINT) AS nr FROM gold),
+    scored AS (
+      SELECT r.ranking, r.rnk, g.rel
+      FROM ranked r JOIN gold g ON g.doc_id = r.doc_id
+    ),
+    idcg AS (
+      SELECT CAST(SUM(CAST(LN(2.0) / LN(CAST(p + 1 AS DOUBLE))
+               AS DECIMAL(30,10))) AS DOUBLE) AS v
+      FROM (SELECT CAST(range AS BIGINT) + 1 AS p FROM range(0, 10)),
+           nrel
+      WHERE p <= LEAST(10, nr)
+    )
+    SELECT ranking,
+           ROUND(CAST(SUM(rel) AS DOUBLE) / 10, 4) AS p_at_10,
+           ROUND(COALESCE(MAX(CASE WHEN rel = 1
+                            THEN 1.0 / rnk END), 0.0), 4) AS mrr,
+           ROUND(CAST(SUM(CAST(rel * LN(2.0)
+                   / LN(CAST(rnk + 1 AS DOUBLE))
+                   AS DECIMAL(30,10))) AS DOUBLE)
+                 / (SELECT v FROM idcg), 4) AS ndcg_at_10
+    FROM scored GROUP BY ranking ORDER BY ranking
+    """,
+    doc="Retrieval-quality evaluation: precision@10, MRR and nDCG@10 "
+    "for the three rankers (q427 BM25, q428's dense side, their RRF "
+    "fusion) against label-match relevance to the query document — "
+    "the scorecard that closes the retrieval loop and justifies the "
+    "hybrid (fusion should dominate both single rankers or it isn't "
+    "earning its keep). Query doc excluded from every list; "
+    "DCG = Σ rel·ln2/ln(rank+1), ideal DCG over min(10, |relevant|). "
+    "Determinism: the three lists inherit their parents' round(4)/"
+    "doc_id tie-break contracts; eval terms are identical doubles "
+    "folded in DECIMAL. Scale shape: everything downstream of the "
+    "two scorers runs on top-50 frames; gold is one broadcast "
+    "label lookup.",
+)
+@plan_cache
+def q430(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bm = _bm25_scores(spark, sf_dir).where(F.col("doc_id") != 0)
+    dense = _dense_scores_vs_doc0(spark, sf_dir).where(F.col("doc_id") != 0)
+    wl = Window.partitionBy(
+        F.pmod(F.xxhash64("doc_id"), F.lit(1))
+    ).orderBy(F.col("bm25").desc(), "doc_id")
+    wd = Window.partitionBy(
+        F.pmod(F.xxhash64("doc_id"), F.lit(1))
+    ).orderBy(F.col("cos").desc(), "doc_id")
+    lex = bm.select("doc_id", F.row_number().over(wl).alias("rnk"))
+    den = dense.select("doc_id", F.row_number().over(wd).alias("rnk"))
+    lex50 = lex.where(F.col("rnk") <= 50)
+    den50 = den.where(F.col("rnk") <= 50).withColumnsRenamed(
+        {"doc_id": "doc_d", "rnk": "rnk_d"}
+    )
+    rrf = (
+        lex50.join(den50, F.col("doc_d") == F.col("doc_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("doc_id"), F.col("doc_d")).alias("doc_id"),
+            F.round(
+                F.when(F.col("rnk").isNull(), 0.0).otherwise(
+                    1.0 / (60 + F.col("rnk"))
+                )
+                + F.when(F.col("rnk_d").isNull(), 0.0).otherwise(
+                    1.0 / (60 + F.col("rnk_d"))
+                ),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    wr = Window.partitionBy(
+        F.pmod(F.xxhash64("doc_id"), F.lit(1))
+    ).orderBy(F.col("rrf").desc(), "doc_id")
+    rrf10 = rrf.select(
+        "doc_id", F.row_number().over(wr).alias("rnk")
+    ).where(F.col("rnk") <= 10)
+    ranked = (
+        lex.where(F.col("rnk") <= 10)
+        .select(F.lit("bm25").alias("ranking"), "doc_id", "rnk")
+        .unionAll(
+            den.where(F.col("rnk") <= 10).select(
+                F.lit("dense").alias("ranking"), "doc_id", "rnk"
+            )
+        )
+        .unionAll(
+            rrf10.select(F.lit("rrf").alias("ranking"), "doc_id", "rnk")
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    q0 = emb.where(F.col("vec_id") == 0).select(
+        F.col("label").alias("qlabel")
+    )
+    gold = emb.crossJoin(F.broadcast(q0)).select(
+        F.col("vec_id").alias("gd"),
+        F.when(
+            (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != 0), 1
+        )
+        .otherwise(0)
+        .alias("rel"),
+    )
+    nrel = gold.agg(F.sum("rel").cast("bigint").alias("nr"))
+    pos = spark.range(1, 11).select(F.col("id").alias("p"))
+    idcg = (
+        pos.crossJoin(F.broadcast(nrel))
+        .where(F.col("p") <= F.least(F.lit(10), F.col("nr")))
+        .agg(
+            F.sum(
+                (
+                    F.log(F.lit(2.0))
+                    / F.log((F.col("p") + 1).cast("double"))
+                ).cast(DEC)
+            )
+            .cast("double")
+            .alias("v")
+        )
+    )
+    scored = ranked.join(gold, F.col("gd") == F.col("doc_id"))
+    return (
+        scored.groupBy("ranking")
+        .agg(
+            F.round(F.sum("rel").cast("double") / 10, 4).alias("p_at_10"),
+            F.round(
+                F.coalesce(
+                    F.max(
+                        F.when(F.col("rel") == 1, 1.0 / F.col("rnk"))
+                    ),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("mrr"),
+            F.sum(
+                (
+                    F.col("rel")
+                    * F.log(F.lit(2.0))
+                    / F.log((F.col("rnk") + 1).cast("double"))
+                ).cast(DEC)
+            )
+            .cast("double")
+            .alias("dcg"),
+        )
+        .crossJoin(F.broadcast(idcg))
+        .select(
+            "ranking",
+            "p_at_10",
+            "mrr",
+            F.round(F.col("dcg") / F.col("v"), 4).alias("ndcg_at_10"),
+        )
+        .orderBy("ranking")
+    )
+
+
+@register(
+    "q431",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len
+           FROM words GROUP BY 1),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(CAST(SUM(CAST(len AS DECIMAL(30,10))) AS DOUBLE)
+                   / COUNT(*), 6) AS avglen
+      FROM dl
+    ),
+    df_all AS (
+      SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM words GROUP BY 1
+    ),
+    tf0 AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM words WHERE w IN ('hash', 'join', 'scan')
+      GROUP BY 1, 2
+    ),
+    bm0 AS (
+      SELECT t.doc_id,
+             ROUND(CAST(SUM(CAST(
+               LN((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (0.25 + 0.75 * dl.len / s.avglen))
+               AS DECIMAL(30,10))) AS DOUBLE), 4) AS bm25
+      FROM tf0 t
+      JOIN df_all d ON d.w = t.w
+      JOIN dl ON dl.doc_id = t.doc_id
+      CROSS JOIN stats s
+      GROUP BY t.doc_id
+    ),
+    top5 AS (SELECT doc_id FROM bm0
+             ORDER BY bm25 DESC, doc_id LIMIT 5),
+    fb AS (
+      SELECT w, weight FROM (
+        SELECT wo.w,
+               ROUND(CAST(SUM(CAST(1 AS DECIMAL(30,10))) AS DOUBLE)
+                     * LN(CAST((SELECT n FROM stats) AS DOUBLE)
+                          / d.df), 4) AS weight
+        FROM words wo
+        JOIN top5 t ON t.doc_id = wo.doc_id
+        JOIN df_all d ON d.w = wo.w
+        WHERE wo.w NOT IN ('hash', 'join', 'scan')
+        GROUP BY wo.w, d.df
+      ) ORDER BY weight DESC, w LIMIT 3
+    ),
+    terms AS (
+      SELECT w, 1.0 AS wt
+      FROM (VALUES ('hash'), ('join'), ('scan')) v(w)
+      UNION ALL SELECT w, 0.5 AS wt FROM fb
+    ),
+    tf2 AS (
+      SELECT wo.doc_id, wo.w, t.wt, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM words wo JOIN terms t ON t.w = wo.w
+      GROUP BY 1, 2, 3
+    )
+    SELECT t.doc_id,
+           ROUND(CAST(SUM(CAST(
+             t.wt
+             * LN((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+             * (t.tf * 2.2)
+             / (t.tf + 1.2 * (0.25 + 0.75 * dl.len / s.avglen))
+             AS DECIMAL(30,10))) AS DOUBLE), 4) AS rm3_score
+    FROM tf2 t
+    JOIN df_all d ON d.w = t.w
+    JOIN dl ON dl.doc_id = t.doc_id
+    CROSS JOIN stats s
+    GROUP BY t.doc_id
+    ORDER BY rm3_score DESC, t.doc_id LIMIT 10
+    """,
+    doc="Pseudo-relevance feedback (RM3-style) query expansion: run the "
+    "base BM25 query {hash, join, scan}, harvest the 3 highest "
+    "tf·idf terms from its top-5 documents, and re-rank with the "
+    "expanded weighted query (originals 1.0, feedback 0.5) — the "
+    "classic zero-supervision recall booster between q427's single "
+    "pass and q428's hybrid (it finds documents that never mention "
+    "the literal query terms). Determinism: feedback-term weights "
+    "round(4) with term tie-break on the top-3 cut; final scores "
+    "follow q427's contract. Scale shape: both passes push the "
+    "term filter into the posting build (pass 2's terms arrive as a "
+    "6-row broadcast join, not a re-scan per term); the feedback "
+    "harvest folds only the top-5 documents' postings.",
+)
+@plan_cache
+def q431(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = _managed_persist(
+        "q431_words",
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w")),
+    )
+    dl = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.col("len").cast(DEC)).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("avglen"),
+    )
+    df_all = _managed_persist(
+        "q431_df",
+        words.groupBy("w").agg(
+            F.countDistinct("doc_id").cast("bigint").alias("df")
+        ),
+    )
+
+    def bm25_for(tf: DataFrame, weighted: bool) -> DataFrame:
+        base = (
+            tf.join(
+                F.broadcast(df_all.withColumnRenamed("w", "wd")),
+                F.col("w") == F.col("wd"),
+            )
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+        )
+        term = (
+            F.log(
+                (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+            )
+            * (F.col("tf") * 2.2)
+            / (
+                F.col("tf")
+                + 1.2 * (0.25 + 0.75 * F.col("len") / F.col("avglen"))
+            )
+        )
+        if weighted:
+            term = F.col("wt") * term
+        return base.groupBy("doc_id").agg(
+            F.round(F.sum(term.cast(DEC)).cast("double"), 4).alias("score")
+        )
+
+    tf0 = (
+        words.where(F.col("w").isin(*_RETRIEVAL_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    top5 = (
+        bm25_for(tf0, weighted=False)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(5)
+        .select(F.col("doc_id").alias("t5"))
+        .localCheckpoint()
+    )
+    fb = (
+        words.join(F.broadcast(top5), F.col("t5") == F.col("doc_id"))
+        .where(~F.col("w").isin(*_RETRIEVAL_TERMS))
+        .groupBy("w")
+        .agg(F.sum(F.lit(1).cast(DEC)).cast("double").alias("tfsum"))
+        .join(
+            F.broadcast(df_all.withColumnRenamed("w", "wd")),
+            F.col("w") == F.col("wd"),
+        )
+        .crossJoin(F.broadcast(stats.select("n")))
+        .select(
+            "w",
+            F.round(
+                F.col("tfsum")
+                * F.log(F.col("n").cast("double") / F.col("df")),
+                4,
+            ).alias("weight"),
+        )
+        .orderBy(F.col("weight").desc(), "w")
+        .limit(3)
+        .localCheckpoint()
+    )
+    orig = spark.createDataFrame(
+        [(t,) for t in _RETRIEVAL_TERMS], ["w"]
+    ).select("w", F.lit(1.0).alias("wt"))
+    terms = orig.unionAll(fb.select("w", F.lit(0.5).alias("wt")))
+    tf2 = (
+        words.join(
+            F.broadcast(terms.withColumnRenamed("w", "wt_w")),
+            F.col("wt_w") == F.col("w"),
+        )
+        .groupBy("doc_id", "w", "wt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    return (
+        bm25_for(tf2, weighted=True)
+        .withColumnRenamed("score", "rm3_score")
+        .orderBy(F.col("rm3_score").desc(), "doc_id")
+        .limit(10)
+    )
