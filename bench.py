@@ -296,6 +296,8 @@ HEADLINE = [
     "q429",  # MMR diversified re-rank
     "q430",  # retrieval-quality evaluation
     "q431",  # RM3 pseudo-relevance feedback
+    "q432",  # revenue-decile mobility matrix
+    "q433",  # price-dispersion audit
 ]
 
 

@@ -13034,3 +13034,230 @@ def q426(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_over_actual"
         ),
     ).orderBy("join_name")
+
+
+@register(
+    "q432",
+    oracle="""
+    WITH b AS (
+      SELECT MIN(date_diff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE))) AS mn,
+             MAX(date_diff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE))) AS mx
+      FROM orders
+    ),
+    pr AS (
+      SELECT o_custkey AS ck,
+             CASE WHEN date_diff('day', DATE '1970-01-01',
+                                 CAST(o_orderdate AS DATE))
+                       < b.mn + CAST(FLOOR((b.mx - b.mn) / 2.0)
+                                     AS BIGINT)
+                  THEN 0 ELSE 1 END AS period,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+               AS rev
+      FROM orders, b GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT period,
+             quantile_cont(rev, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+               AS bs
+      FROM pr GROUP BY 1
+    ),
+    dec_ AS (
+      SELECT pr.ck, pr.period,
+             CAST(len(list_filter(bounds.bs, x -> x < pr.rev))
+                  AS BIGINT) AS d
+      FROM pr JOIN bounds ON bounds.period = pr.period
+    ),
+    mat AS (
+      SELECT a.d AS d1, c.d AS d2, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT * FROM dec_ WHERE period = 0) a
+      JOIN (SELECT * FROM dec_ WHERE period = 1) c ON c.ck = a.ck
+      GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT d1, CAST(SUM(n) AS BIGINT) AS rn FROM mat
+              GROUP BY 1),
+    sh AS (
+      SELECT ROUND((10.0 - CAST(SUM(CAST(
+               CASE WHEN m.d1 = m.d2
+                    THEN CAST(m.n AS DOUBLE) / r.rn ELSE 0 END
+               AS DECIMAL(30,10))) AS DOUBLE)) / 9.0, 4) AS mob
+      FROM mat m JOIN rows_ r ON r.d1 = m.d1
+    )
+    SELECT m.d1 AS decile_from, m.d2 AS decile_to,
+           m.n AS n_customers,
+           ROUND(CAST(m.n AS DOUBLE) / r.rn, 4) AS row_share,
+           (SELECT mob FROM sh) AS shorrocks_mobility
+    FROM mat m JOIN rows_ r ON r.d1 = m.d1
+    ORDER BY decile_from, decile_to
+    """,
+    doc="Revenue-decile mobility matrix between the two halves of the "
+    "order history, with the Shorrocks mobility index "
+    "(k − trace(P))/(k−1) — the customer-dynamics view RFM snapshots "
+    "(q259) and cohort LTV curves (q240) both miss: a business can "
+    "hold every aggregate steady while customers churn violently "
+    "between value tiers. Decile assignment is the q45 "
+    "percentile-bound discipline (bounds per period, bucket = a "
+    "PURE comparison function of the row's revenue — never ntile "
+    "over a 2-partition window, which would serialize at scale). "
+    "Scale shape: one (customer, period) fold, two 9-element "
+    "quantile aggs broadcast to the assignment, a customer-keyed "
+    "self-join, 100-cell output.",
+)
+@plan_cache
+def q432(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+    b = o.agg(F.min(day).alias("mn"), F.max(day).alias("mx")).select(
+        (F.col("mn") + F.floor((F.col("mx") - F.col("mn")) / 2.0)).alias("c")
+    )
+    pr = (
+        o.select("o_custkey", day.alias("dd"), "o_totalprice")
+        .crossJoin(F.broadcast(b))
+        .groupBy(
+            F.col("o_custkey").alias("ck"),
+            F.when(F.col("dd") < F.col("c"), 0).otherwise(1).alias("period"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    bounds = pr.groupBy(F.col("period").alias("pb")).agg(
+        F.expr(
+            "percentile(rev, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("bs")
+    )
+    dec_ = pr.join(
+        F.broadcast(bounds), F.col("pb") == F.col("period")
+    ).select(
+        "ck",
+        "period",
+        F.expr("CAST(size(filter(bs, x -> x < rev)) AS BIGINT)").alias("d"),
+    )
+    a = dec_.where(F.col("period") == 0).select("ck", F.col("d").alias("d1"))
+    c2 = dec_.where(F.col("period") == 1).select(
+        F.col("ck").alias("ck2"), F.col("d").alias("d2")
+    )
+    mat = (
+        a.join(c2, F.col("ck2") == F.col("ck"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint()
+    )
+    rows_ = mat.groupBy(F.col("d1").alias("rd")).agg(
+        F.sum("n").cast("bigint").alias("rn")
+    )
+    withr = mat.join(F.broadcast(rows_), F.col("rd") == F.col("d1"))
+    sh = withr.agg(
+        F.round(
+            (
+                10.0
+                - F.sum(
+                    F.when(
+                        F.col("d1") == F.col("d2"),
+                        F.col("n").cast("double") / F.col("rn"),
+                    )
+                    .otherwise(0.0)
+                    .cast(DEC)
+                )
+                .cast("double")
+            )
+            / 9.0,
+            4,
+        ).alias("mob")
+    )
+    return (
+        withr.crossJoin(F.broadcast(sh))
+        .select(
+            F.col("d1").alias("decile_from"),
+            F.col("d2").alias("decile_to"),
+            F.col("n").alias("n_customers"),
+            F.round(F.col("n").cast("double") / F.col("rn"), 4).alias(
+                "row_share"
+            ),
+            F.col("mob").alias("shorrocks_mobility"),
+        )
+        .orderBy("decile_from", "decile_to")
+    )
+
+
+@register(
+    "q433",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10)))
+                        AS DOUBLE)
+                   / CAST(SUM(CAST(l_quantity AS DECIMAL(30,10)))
+                          AS DOUBLE), 6) AS price
+      FROM lineitem GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             CAST(SUM(CAST(price AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(price * price AS DECIMAL(30,10))) AS DOUBLE)
+               AS sxx
+      FROM ps GROUP BY 1 HAVING COUNT(*) >= 3
+    )
+    SELECT l_partkey AS partkey, n_suppliers,
+           ROUND(sx / n_suppliers, 4) AS mean_price,
+           ROUND(sqrt((sxx - sx * sx / n_suppliers)
+                      / (n_suppliers - 1))
+                 / (sx / n_suppliers), 4) AS price_cv
+    FROM agg
+    ORDER BY ROUND(sqrt((sxx - sx * sx / n_suppliers)
+                        / (n_suppliers - 1))
+                   / (sx / n_suppliers), 4) DESC, partkey
+    LIMIT 15
+    """,
+    doc="Law-of-one-price dispersion audit: for every part sourced from "
+    ">= 3 suppliers, the coefficient of variation of per-supplier "
+    "unit prices — the 15 most dispersed parts are where procurement "
+    "is leaving money on the table (or where the 'same' part number "
+    "hides different goods); the PRICE-side mirror of q381's "
+    "volume-concentration risk. Determinism: per-(part, supplier) "
+    "unit prices round(6) through exact-DECIMAL spend/qty folds "
+    "before the moment fold; CV round(4) with partkey tie-break on "
+    "the ordered-limit cut. Scale shape: two partial+final hash "
+    "folds over one fact scan, no joins; top-15 is an ordered limit.",
+)
+@plan_cache
+def q433(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+            / F.sum(F.col("l_quantity").cast(DEC)).cast("double"),
+            6,
+        ).alias("price")
+    )
+    agg = (
+        ps.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.sum(F.col("price").cast(DEC)).cast("double").alias("sx"),
+            F.sum((F.col("price") * F.col("price")).cast(DEC))
+            .cast("double")
+            .alias("sxx"),
+        )
+        .where(F.col("n_suppliers") >= 3)
+    )
+    n = F.col("n_suppliers")
+    cv = F.round(
+        F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1))
+        / (F.col("sx") / n),
+        4,
+    )
+    return (
+        agg.select(
+            F.col("l_partkey").alias("partkey"),
+            "n_suppliers",
+            F.round(F.col("sx") / n, 4).alias("mean_price"),
+            cv.alias("price_cv"),
+        )
+        .orderBy(F.col("price_cv").desc(), "partkey")
+        .limit(15)
+    )
