@@ -298,6 +298,8 @@ HEADLINE = [
     "q431",  # RM3 pseudo-relevance feedback
     "q432",  # revenue-decile mobility matrix
     "q433",  # price-dispersion audit
+    "q434",  # Cohen's kappa agreement
+    "q435",  # decision-stump induction
 ]
 
 

@@ -11115,6 +11115,41 @@ def q408(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user churn-feature frame (f_freq, f_value_mean,
+    f_days_active, engaged label) shared by q409's eta-squared screen
+    and q435's stump induction — one events fold, persisted."""
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    return _managed_persist(
+        "q409_uf",
+        ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("double").alias("f_freq"),
+            F.round(
+                (F.sum(F.col("value").cast(DEC)) / F.count(F.lit(1))).cast(
+                    "double"
+                ),
+                6,
+            ).alias("f_value_mean"),
+            F.countDistinct(F.to_date("ts")).cast("double").alias(
+                "f_days_active"
+            ),
+            F.when(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                >= 14,
+                1,
+            )
+            .otherwise(0)
+            .alias("label"),
+        ),
+    )
+
+
+
+
 @register(
     "q409",
     oracle="""
@@ -11178,33 +11213,7 @@ def q408(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 @plan_cache
 def q409(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hive_hw_spark.queries.llm_ops import _managed_persist
-
-    ev = load_table(spark, sf_dir, "events")
-    uf = _managed_persist(
-        "q409_uf",
-        ev.groupBy("user_id").agg(
-            F.count(F.lit(1)).cast("double").alias("f_freq"),
-            F.round(
-                (F.sum(F.col("value").cast(DEC)) / F.count(F.lit(1))).cast(
-                    "double"
-                ),
-                6,
-            ).alias("f_value_mean"),
-            F.countDistinct(F.to_date("ts")).cast("double").alias(
-                "f_days_active"
-            ),
-            F.when(
-                F.sum(
-                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-                )
-                >= 14,
-                1,
-            )
-            .otherwise(0)
-            .alias("label"),
-        ),
-    )
+    uf = _user_features(spark, sf_dir)
     melted = None
     for feat in ["f_days_active", "f_freq", "f_value_mean"]:
         part = uf.select(
@@ -13260,4 +13269,259 @@ def q433(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("price_cv").desc(), "partkey")
         .limit(15)
+    )
+
+
+@register(
+    "q434",
+    oracle="""
+    WITH maj AS (
+      SELECT source, lang AS pred FROM (
+        SELECT source, lang,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY COUNT(*) DESC, lang) AS rn
+        FROM documents GROUP BY source, lang
+      ) WHERE rn = 1
+    ),
+    lab AS (
+      SELECT d.lang AS a, m.pred AS b
+      FROM documents d JOIN maj m ON m.source = d.source
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lab),
+    po AS (
+      SELECT CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS DOUBLE)
+               / (SELECT n FROM n) AS po
+      FROM lab
+    ),
+    ma AS (SELECT a AS lang, CAST(COUNT(*) AS BIGINT) AS ca
+           FROM lab GROUP BY 1),
+    mb AS (SELECT b AS lang, CAST(COUNT(*) AS BIGINT) AS cb
+           FROM lab GROUP BY 1),
+    pe AS (
+      SELECT CAST(SUM(CAST(
+               (CAST(ma.ca AS DOUBLE) / n.n)
+               * (CAST(mb.cb AS DOUBLE) / n.n)
+               AS DECIMAL(30,10))) AS DOUBLE) AS pe
+      FROM ma JOIN mb ON mb.lang = ma.lang CROSS JOIN n
+    )
+    SELECT (SELECT n FROM n) AS n_docs,
+           ROUND(po.po, 4) AS observed_agreement,
+           ROUND(pe.pe, 4) AS chance_agreement,
+           ROUND((po.po - pe.pe) / (1 - pe.pe), 4) AS cohens_kappa
+    FROM po, pe ORDER BY n_docs
+    """,
+    doc="Cohen's kappa inter-annotator agreement: the document's true "
+    "lang tag against a source-majority heuristic labeler, "
+    "chance-corrected — the annotation-pipeline QA metric raw "
+    "percent-agreement inflates whenever classes are imbalanced "
+    "(here chance agreement is high because one lang dominates, so "
+    "kappa is the honest number); the labeling-quality sibling of "
+    "q405's embedding-side noise screen. Determinism: majority "
+    "labels break ties lexicographically; marginal products are "
+    "identical doubles folded in DECIMAL. Scale shape: one "
+    "(source, lang) fold for the labeler, a broadcast prediction "
+    "join, two marginal folds, closed form on one row.",
+)
+@plan_cache
+def q434(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), "lang"
+    )
+    maj = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("source").alias("msrc"), F.col("lang").alias("pred"))
+    )
+    lab = docs.join(
+        F.broadcast(maj), F.col("msrc") == F.col("source")
+    ).select(F.col("lang").alias("a"), F.col("pred").alias("b"))
+    n = lab.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    po = lab.agg(
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0)).alias("agree")
+    )
+    ma = lab.groupBy(F.col("a").alias("lang")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ca")
+    )
+    mb = lab.groupBy(F.col("b").alias("lang_b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cb")
+    )
+    pe = (
+        ma.join(F.broadcast(mb), F.col("lang_b") == F.col("lang"))
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(
+                (
+                    (F.col("ca").cast("double") / F.col("n"))
+                    * (F.col("cb").cast("double") / F.col("n"))
+                ).cast(DEC)
+            )
+            .cast("double")
+            .alias("pe")
+        )
+    )
+    return (
+        n.crossJoin(F.broadcast(po))
+        .crossJoin(F.broadcast(pe))
+        .select(
+            F.col("n").alias("n_docs"),
+            F.round(F.col("agree").cast("double") / F.col("n"), 4).alias(
+                "observed_agreement"
+            ),
+            F.round(F.col("pe"), 4).alias("chance_agreement"),
+            F.round(
+                (F.col("agree").cast("double") / F.col("n") - F.col("pe"))
+                / (1 - F.col("pe")),
+                4,
+            ).alias("cohens_kappa"),
+        )
+        .orderBy("n_docs")
+    )
+
+
+@register(
+    "q435",
+    oracle="""
+    WITH uf AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS DOUBLE) AS f_freq,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) / COUNT(*)
+                   AS DOUBLE), 6) AS f_value_mean,
+             CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS DOUBLE)
+               AS f_days_active,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS label
+      FROM events GROUP BY 1
+    ),
+    melted AS (
+      SELECT 'f_days_active' AS feature, f_days_active AS x, label
+      FROM uf
+      UNION ALL SELECT 'f_freq', f_freq, label FROM uf
+      UNION ALL SELECT 'f_value_mean', f_value_mean, label FROM uf
+    ),
+    th AS (
+      SELECT feature,
+             ROUND(CAST(unnest(
+               quantile_cont(x, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]))
+               AS DOUBLE), 4) AS t
+      FROM melted GROUP BY feature
+    ),
+    splits AS (
+      SELECT m.feature, th.t,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(m.label) AS BIGINT) AS pos,
+             CAST(SUM(CASE WHEN m.x <= th.t THEN 1 ELSE 0 END)
+               AS BIGINT) AS nl,
+             CAST(SUM(CASE WHEN m.x <= th.t THEN m.label ELSE 0 END)
+               AS BIGINT) AS pl
+      FROM melted m JOIN th ON th.feature = m.feature
+      GROUP BY 1, 2
+    ),
+    gains AS (
+      SELECT feature, t, nl, n - nl AS nr,
+             ROUND(
+               (1 - POW(CAST(pos AS DOUBLE) / n, 2)
+                  - POW(1 - CAST(pos AS DOUBLE) / n, 2))
+               - (CAST(nl AS DOUBLE) / n)
+                 * (1 - POW(CAST(pl AS DOUBLE) / nl, 2)
+                      - POW(1 - CAST(pl AS DOUBLE) / nl, 2))
+               - (CAST(n - nl AS DOUBLE) / n)
+                 * (1 - POW(CAST(pos - pl AS DOUBLE) / (n - nl), 2)
+                      - POW(1 - CAST(pos - pl AS DOUBLE) / (n - nl),
+                            2)), 6) AS gain,
+             ROUND(CAST(pl AS DOUBLE) / nl, 4) AS left_rate,
+             ROUND(CAST(pos - pl AS DOUBLE) / (n - nl), 4) AS right_rate
+      FROM splits WHERE nl > 0 AND nl < n
+    )
+    SELECT feature, t AS best_threshold, gain AS gini_gain,
+           left_rate, right_rate
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY feature
+                                   ORDER BY gain DESC, t) AS rn
+      FROM gains) WHERE rn = 1
+    ORDER BY feature
+    """,
+    doc="Decision-stump induction (CART's single split): for each churn "
+    "feature, the Gini-impurity-optimal threshold among its deciles "
+    "— weighted child impurity vs root, best split per feature with "
+    "its leaf conversion rates — the actual TREE-LEARNING primitive "
+    "(q409's eta² ranks features; this one yields a deployable "
+    "rule, and boosting is this step on residuals). Determinism: "
+    "thresholds are exact interpolated deciles round(4); gains "
+    "round(6) with threshold tie-break. Scale shape: one user fold "
+    "(the shared q409 feature frame), a 27-row threshold broadcast "
+    "fanned against the melted frame in ONE pass (every split's "
+    "counts from a single conditional fold — no per-threshold "
+    "re-scan), per-feature argmax windows over 9 rows.",
+)
+@plan_cache
+def q435(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uf = _user_features(spark, sf_dir)
+    melted = None
+    for feat in ["f_days_active", "f_freq", "f_value_mean"]:
+        part = uf.select(
+            F.lit(feat).alias("feature"), F.col(feat).alias("x"), "label"
+        )
+        melted = part if melted is None else melted.unionAll(part)
+    th = (
+        melted.groupBy(F.col("feature").alias("tf"))
+        .agg(
+            F.expr(
+                "percentile(x, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+            ).alias("qs")
+        )
+        .select("tf", F.explode("qs").alias("t0"))
+        .select("tf", F.round(F.col("t0").cast("double"), 4).alias("t"))
+    )
+    splits = (
+        melted.join(F.broadcast(th), F.col("tf") == F.col("feature"))
+        .groupBy("feature", "t")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("label").cast("bigint").alias("pos"),
+            F.sum(F.when(F.col("x") <= F.col("t"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("nl"),
+            F.sum(
+                F.when(F.col("x") <= F.col("t"), F.col("label")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("pl"),
+        )
+        .where((F.col("nl") > 0) & (F.col("nl") < F.col("n")))
+    )
+    n, pos, nl, pl = F.col("n"), F.col("pos"), F.col("nl"), F.col("pl")
+
+    def gini(p):
+        return 1 - F.pow(p, 2) - F.pow(1 - p, 2)
+
+    gain = F.round(
+        gini(pos.cast("double") / n)
+        - (nl.cast("double") / n) * gini(pl.cast("double") / nl)
+        - ((n - nl).cast("double") / n)
+        * gini((pos - pl).cast("double") / (n - nl)),
+        6,
+    )
+    gains = splits.select(
+        "feature",
+        "t",
+        gain.alias("gain"),
+        F.round(pl.cast("double") / nl, 4).alias("left_rate"),
+        F.round((pos - pl).cast("double") / (n - nl), 4).alias("right_rate"),
+    )
+    w = Window.partitionBy("feature").orderBy(F.col("gain").desc(), "t")
+    return (
+        gains.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "feature",
+            F.col("t").alias("best_threshold"),
+            F.col("gain").alias("gini_gain"),
+            "left_rate",
+            "right_rate",
+        )
+        .orderBy("feature")
     )
