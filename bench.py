@@ -300,6 +300,8 @@ HEADLINE = [
     "q433",  # price-dispersion audit
     "q434",  # Cohen's kappa agreement
     "q435",  # decision-stump induction
+    "q436",  # gradient-boosting step
+    "q437",  # learning curve
 ]
 
 

@@ -13525,3 +13525,476 @@ def q435(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feature")
     )
+
+
+_Q43X_UF_SQL = """
+    uf AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS DOUBLE) AS f_freq,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) / COUNT(*)
+                   AS DOUBLE), 6) AS f_value_mean,
+             CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS DOUBLE)
+               AS f_days_active,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) >= 14
+                  THEN 1 ELSE 0 END AS label
+      FROM events GROUP BY 1
+    )"""
+
+
+@register(
+    "q436",
+    oracle="""
+    WITH""" + _Q43X_UF_SQL + """,
+    melted AS (
+      SELECT user_id, 'f_days_active' AS feature, f_days_active AS x,
+             label FROM uf
+      UNION ALL SELECT user_id, 'f_freq', f_freq, label FROM uf
+      UNION ALL SELECT user_id, 'f_value_mean', f_value_mean, label
+        FROM uf
+    ),
+    th AS (
+      SELECT feature,
+             ROUND(CAST(unnest(
+               quantile_cont(x, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]))
+               AS DOUBLE), 4) AS t
+      FROM melted GROUP BY feature
+    ),
+    sp1 AS (
+      SELECT m.feature, th.t,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(m.label) AS BIGINT) AS pos,
+             CAST(SUM(CASE WHEN m.x <= th.t THEN 1 ELSE 0 END)
+               AS BIGINT) AS nl,
+             CAST(SUM(CASE WHEN m.x <= th.t THEN m.label ELSE 0 END)
+               AS BIGINT) AS pl
+      FROM melted m JOIN th ON th.feature = m.feature
+      GROUP BY 1, 2
+    ),
+    g1 AS (
+      SELECT feature, t, nl, n, pl, pos,
+             ROUND(
+               (1 - POW(CAST(pos AS DOUBLE) / n, 2)
+                  - POW(1 - CAST(pos AS DOUBLE) / n, 2))
+               - (CAST(nl AS DOUBLE) / n)
+                 * (1 - POW(CAST(pl AS DOUBLE) / nl, 2)
+                      - POW(1 - CAST(pl AS DOUBLE) / nl, 2))
+               - (CAST(n - nl AS DOUBLE) / n)
+                 * (1 - POW(CAST(pos - pl AS DOUBLE) / (n - nl), 2)
+                      - POW(1 - CAST(pos - pl AS DOUBLE) / (n - nl),
+                            2)), 6) AS gain
+      FROM sp1 WHERE nl > 0 AND nl < n
+    ),
+    s1 AS (
+      SELECT feature, t, gain,
+             ROUND(CAST(pl AS DOUBLE) / nl, 6) AS lr,
+             ROUND(CAST(pos - pl AS DOUBLE) / (n - nl), 6) AS rr
+      FROM g1 ORDER BY gain DESC, feature, t LIMIT 1
+    ),
+    res AS (
+      SELECT m.user_id, m2.feature AS f2, m2.x,
+             m.label - (CASE WHEN m.x <= s1.t THEN s1.lr
+                             ELSE s1.rr END) AS r
+      FROM melted m
+      JOIN s1 ON s1.feature = m.feature
+      JOIN melted m2 ON m2.user_id = m.user_id
+    ),
+    sp2 AS (
+      SELECT r.f2 AS feature, th.t,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(r.r AS DECIMAL(30,10))) AS DOUBLE) AS sr,
+             CAST(SUM(CAST(r.r * r.r AS DECIMAL(30,10))) AS DOUBLE)
+               AS srr,
+             CAST(SUM(CASE WHEN r.x <= th.t THEN 1 ELSE 0 END)
+               AS BIGINT) AS nl,
+             CAST(SUM(CAST(CASE WHEN r.x <= th.t THEN r.r ELSE 0 END
+                           AS DECIMAL(30,10))) AS DOUBLE) AS srl,
+             CAST(SUM(CAST(CASE WHEN r.x <= th.t THEN r.r * r.r
+                           ELSE 0 END AS DECIMAL(30,10))) AS DOUBLE)
+               AS srrl
+      FROM res r JOIN th ON th.feature = r.f2
+      GROUP BY 1, 2
+    ),
+    g2 AS (
+      SELECT feature, t,
+             ROUND((srr - sr * sr / n)
+                   - (srrl - srl * srl / nl)
+                   - ((srr - srrl)
+                      - (sr - srl) * (sr - srl) / (n - nl)), 6)
+               AS gain
+      FROM sp2 WHERE nl > 0 AND nl < n
+    ),
+    s2 AS (
+      SELECT feature, t, gain FROM g2
+      ORDER BY gain DESC, feature, t LIMIT 1
+    )
+    SELECT CAST(1 AS BIGINT) AS stage, feature, t AS best_threshold,
+           'gini_gain' AS criterion, gain
+    FROM s1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), feature, t, 'sse_gain', gain FROM s2
+    ORDER BY stage
+    """,
+    doc="Gradient-boosting step: stage 1 is the global Gini-best stump "
+    "(q435's winner across features, leaf rates as predictions); "
+    "stage 2 fits a second stump to the RESIDUALS by SSE reduction "
+    "— the literal first boosting iteration (GBM with squared loss "
+    "= fit trees to residuals), showing which feature carries the "
+    "signal the first split left behind. Determinism: stage-1 leaf "
+    "rates round(6) before residuals; both stage selections on "
+    "round(6) gains with (feature, threshold) tie-breaks; residual "
+    "moments fold in exact DECIMAL. Scale shape: the same "
+    "one-pass-per-stage conditional fold as q435 (27 splits per "
+    "stage from one scan of the tiny melted user frame); the "
+    "residual join is user-keyed over that frame.",
+)
+@plan_cache
+def q436(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uf = _user_features(spark, sf_dir)
+    melted = None
+    for feat in ["f_days_active", "f_freq", "f_value_mean"]:
+        part = uf.select(
+            "user_id",
+            F.lit(feat).alias("feature"),
+            F.col(feat).alias("x"),
+            "label",
+        )
+        melted = part if melted is None else melted.unionAll(part)
+    melted = melted.localCheckpoint()
+    th = (
+        melted.groupBy(F.col("feature").alias("tf"))
+        .agg(
+            F.expr(
+                "percentile(x, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+            ).alias("qs")
+        )
+        .select("tf", F.explode("qs").alias("t0"))
+        .select("tf", F.round(F.col("t0").cast("double"), 4).alias("t"))
+        .localCheckpoint()
+    )
+    n, pos, nl, pl = F.col("n"), F.col("pos"), F.col("nl"), F.col("pl")
+    sp1 = (
+        melted.join(F.broadcast(th), F.col("tf") == F.col("feature"))
+        .groupBy("feature", "t")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("label").cast("bigint").alias("pos"),
+            F.sum(F.when(F.col("x") <= F.col("t"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("nl"),
+            F.sum(
+                F.when(F.col("x") <= F.col("t"), F.col("label")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("pl"),
+        )
+        .where((nl > 0) & (nl < n))
+    )
+
+    def gini(p):
+        return 1 - F.pow(p, 2) - F.pow(1 - p, 2)
+
+    g1 = sp1.select(
+        "feature",
+        "t",
+        F.round(
+            gini(pos.cast("double") / n)
+            - (nl.cast("double") / n) * gini(pl.cast("double") / nl)
+            - ((n - nl).cast("double") / n)
+            * gini((pos - pl).cast("double") / (n - nl)),
+            6,
+        ).alias("gain"),
+        F.round(pl.cast("double") / nl, 6).alias("lr"),
+        F.round((pos - pl).cast("double") / (n - nl), 6).alias("rr"),
+    )
+    s1 = (
+        g1.orderBy(F.col("gain").desc(), "feature", "t")
+        .limit(1)
+        .localCheckpoint()
+    )
+    chosen = melted.join(
+        F.broadcast(
+            s1.select(
+                F.col("feature").alias("cf"),
+                F.col("t").alias("ct"),
+                "lr",
+                "rr",
+            )
+        ),
+        F.col("cf") == F.col("feature"),
+    ).select(
+        "user_id",
+        (
+            F.col("label")
+            - F.when(F.col("x") <= F.col("ct"), F.col("lr")).otherwise(
+                F.col("rr")
+            )
+        ).alias("r"),
+    )
+    res = melted.join(
+        chosen.withColumnRenamed("user_id", "u2"),
+        F.col("u2") == F.col("user_id"),
+    ).select("feature", "x", "r")
+    sr, srr, srl, srrl = (
+        F.col("sr"),
+        F.col("srr"),
+        F.col("srl"),
+        F.col("srrl"),
+    )
+    sp2 = (
+        res.join(F.broadcast(th), F.col("tf") == F.col("feature"))
+        .groupBy("feature", "t")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("r").cast(DEC)).cast("double").alias("sr"),
+            F.sum((F.col("r") * F.col("r")).cast(DEC))
+            .cast("double")
+            .alias("srr"),
+            F.sum(F.when(F.col("x") <= F.col("t"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("nl"),
+            F.sum(
+                F.when(F.col("x") <= F.col("t"), F.col("r"))
+                .otherwise(0.0)
+                .cast(DEC)
+            )
+            .cast("double")
+            .alias("srl"),
+            F.sum(
+                F.when(F.col("x") <= F.col("t"), F.col("r") * F.col("r"))
+                .otherwise(0.0)
+                .cast(DEC)
+            )
+            .cast("double")
+            .alias("srrl"),
+        )
+        .where((nl > 0) & (nl < n))
+    )
+    g2 = sp2.select(
+        "feature",
+        "t",
+        F.round(
+            (srr - sr * sr / n)
+            - (srrl - srl * srl / nl)
+            - ((srr - srrl) - (sr - srl) * (sr - srl) / (n - nl)),
+            6,
+        ).alias("gain"),
+    )
+    s2 = g2.orderBy(F.col("gain").desc(), "feature", "t").limit(1)
+    return (
+        s1.select(
+            F.lit(1).cast("bigint").alias("stage"),
+            "feature",
+            F.col("t").alias("best_threshold"),
+            F.lit("gini_gain").alias("criterion"),
+            "gain",
+        )
+        .unionAll(
+            s2.select(
+                F.lit(2).cast("bigint").alias("stage"),
+                "feature",
+                F.col("t").alias("best_threshold"),
+                F.lit("sse_gain").alias("criterion"),
+                "gain",
+            )
+        )
+        .orderBy("stage")
+    )
+
+
+@register(
+    "q437",
+    oracle="""
+    WITH""" + _Q43X_UF_SQL + """,
+    split_ AS (
+      SELECT user_id, f_freq AS x, label,
+             (user_id % 2147483648) * 2654435761 % 100 AS h
+      FROM uf
+    ),
+    fr AS (SELECT CAST(pct AS BIGINT) AS pct
+           FROM (VALUES (10), (30), (60)) v(pct)),
+    th AS (
+      SELECT fr.pct,
+             ROUND(CAST(unnest(quantile_cont(s.x,
+               [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS DOUBLE), 4)
+               AS t
+      FROM split_ s JOIN fr ON s.h < fr.pct
+      GROUP BY fr.pct
+    ),
+    sp AS (
+      SELECT th.pct, th.t,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(s.label) AS BIGINT) AS pos,
+             CAST(SUM(CASE WHEN s.x <= th.t THEN 1 ELSE 0 END)
+               AS BIGINT) AS nl,
+             CAST(SUM(CASE WHEN s.x <= th.t THEN s.label ELSE 0 END)
+               AS BIGINT) AS pl
+      FROM split_ s JOIN th ON s.h < th.pct
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT pct, t, nl, n, pl, pos,
+             ROUND(
+               (1 - POW(CAST(pos AS DOUBLE) / n, 2)
+                  - POW(1 - CAST(pos AS DOUBLE) / n, 2))
+               - (CAST(nl AS DOUBLE) / n)
+                 * (1 - POW(CAST(pl AS DOUBLE) / nl, 2)
+                      - POW(1 - CAST(pl AS DOUBLE) / nl, 2))
+               - (CAST(n - nl AS DOUBLE) / n)
+                 * (1 - POW(CAST(pos - pl AS DOUBLE) / (n - nl), 2)
+                      - POW(1 - CAST(pos - pl AS DOUBLE) / (n - nl),
+                            2)), 6) AS gain
+      FROM sp WHERE nl > 0 AND nl < n
+    ),
+    best AS (
+      SELECT pct, t, gain, n AS train_n,
+             CASE WHEN CAST(pl AS DOUBLE) / nl >= 0.5
+                  THEN 1 ELSE 0 END AS pred_left,
+             CASE WHEN CAST(pos - pl AS DOUBLE) / (n - nl) >= 0.5
+                  THEN 1 ELSE 0 END AS pred_right
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY pct
+                                     ORDER BY gain DESC, t) AS rn
+        FROM g) WHERE rn = 1
+    ),
+    test_ AS (SELECT x, label FROM split_ WHERE h >= 60),
+    acc AS (
+      SELECT b.pct, b.t, b.gain, b.train_n,
+             ROUND(CAST(SUM(CASE WHEN te.label =
+                        (CASE WHEN te.x <= b.t THEN b.pred_left
+                              ELSE b.pred_right END)
+                        THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4)
+               AS test_accuracy
+      FROM best b JOIN test_ te ON TRUE
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT pct AS train_pct, train_n, t AS best_threshold,
+           gain AS train_gain, test_accuracy
+    FROM acc ORDER BY train_pct
+    """,
+    doc="Learning curve for the f_freq decision stump: train on nested "
+    "10%/30%/60% hash slices (thresholds re-derived from each "
+    "slice's own deciles, Gini-best split, majority-leaf "
+    "prediction), evaluate all three on the SAME fixed 40% holdout "
+    "— the does-more-data-help curve that decides whether to buy "
+    "labels or buy features, and the sample-efficiency counterpart "
+    "to q336's temporal CV and q385's power planning. Determinism: "
+    "deterministic hash slices (q105's convention), round(4) "
+    "thresholds, round(6) gains with threshold tie-breaks, "
+    "prediction from rounded-rate majority. Scale shape: one user "
+    "fold; all 27 (fraction, threshold) split stats from one "
+    "conditional fold over the sliced frame; evaluation is a "
+    "3-row broadcast against the holdout.",
+)
+@plan_cache
+def q437(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uf = _user_features(spark, sf_dir)
+    split_ = uf.select(
+        "user_id",
+        F.col("f_freq").alias("x"),
+        "label",
+        (
+            (F.col("user_id") % F.lit(2147483648)) * 2654435761 % 100
+        ).alias("h"),
+    ).localCheckpoint()
+    fr = spark.range(1).select(
+        F.explode(F.array(F.lit(10), F.lit(30), F.lit(60))).alias("p0")
+    ).select(F.col("p0").cast("bigint").alias("pct"))
+    th = (
+        split_.crossJoin(F.broadcast(fr))
+        .where(F.col("h") < F.col("pct"))
+        .groupBy("pct")
+        .agg(
+            F.expr(
+                "percentile(x, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+            ).alias("qs")
+        )
+        .select("pct", F.explode("qs").alias("t0"))
+        .select(
+            F.col("pct").alias("tpct"),
+            F.round(F.col("t0").cast("double"), 4).alias("t"),
+        )
+    )
+    sp = (
+        split_.crossJoin(F.broadcast(th))
+        .where(F.col("h") < F.col("tpct"))
+        .groupBy(F.col("tpct").alias("pct"), "t")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("label").cast("bigint").alias("pos"),
+            F.sum(F.when(F.col("x") <= F.col("t"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("nl"),
+            F.sum(
+                F.when(F.col("x") <= F.col("t"), F.col("label")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("pl"),
+        )
+        .where((F.col("nl") > 0) & (F.col("nl") < F.col("n")))
+    )
+    n, pos, nl, pl = F.col("n"), F.col("pos"), F.col("nl"), F.col("pl")
+
+    def gini(p):
+        return 1 - F.pow(p, 2) - F.pow(1 - p, 2)
+
+    g = sp.select(
+        "pct",
+        "t",
+        "n",
+        "nl",
+        "pl",
+        "pos",
+        F.round(
+            gini(pos.cast("double") / n)
+            - (nl.cast("double") / n) * gini(pl.cast("double") / nl)
+            - ((n - nl).cast("double") / n)
+            * gini((pos - pl).cast("double") / (n - nl)),
+            6,
+        ).alias("gain"),
+    )
+    w = Window.partitionBy("pct").orderBy(F.col("gain").desc(), "t")
+    best = (
+        g.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "pct",
+            "t",
+            "gain",
+            F.col("n").alias("train_n"),
+            F.when(pl.cast("double") / nl >= 0.5, 1).otherwise(0).alias(
+                "pred_left"
+            ),
+            F.when((pos - pl).cast("double") / (n - nl) >= 0.5, 1)
+            .otherwise(0)
+            .alias("pred_right"),
+        )
+        .localCheckpoint()
+    )
+    test_ = split_.where(F.col("h") >= 60).select(
+        F.col("x").alias("tx"), F.col("label").alias("tl")
+    )
+    pred = F.when(
+        F.col("tx") <= F.col("t"), F.col("pred_left")
+    ).otherwise(F.col("pred_right"))
+    return (
+        test_.crossJoin(F.broadcast(best))
+        .groupBy("pct", "t", "gain", "train_n")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("tl") == pred, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("test_accuracy")
+        )
+        .select(
+            F.col("pct").alias("train_pct"),
+            "train_n",
+            F.col("t").alias("best_threshold"),
+            F.col("gain").alias("train_gain"),
+            "test_accuracy",
+        )
+        .orderBy("train_pct")
+    )
