@@ -48,6 +48,14 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 _PLAN_CACHE: dict = {}
 
 
+def plan_cache_clear() -> None:
+    """Drop every memoized analyzed frame (long-sweep memory hygiene:
+    the memo pins DataFrames — and any localCheckpoint RDD blocks they
+    reference — for session lifetime; a full-registry sweep releases
+    them periodically so one session's storage stays bounded)."""
+    _PLAN_CACHE.clear()
+
+
 def plan_cache(fn: QueryFn) -> QueryFn:
     """Session-scope prepared-plan reuse for PURE query fns (no DML or
     catalog side effects): re-invoking with the same (session, sf_dir)

@@ -1,4 +1,18 @@
-"""Driver-style verification: vanilla session, entry smoke + full oracle sweep."""
+"""Driver-style verification: vanilla session, entry smoke + full oracle sweep.
+
+The session stays semantically vanilla (no engine-behavior configs the
+query fns could lean on) but gets an explicit driver heap: the default
+1g JVM survives ~330 registry queries in one sweep and then OOMs on
+accumulated storage (persisted shared frames, localCheckpoint blocks,
+broadcasts) — the 383-query sweep crashed at q423 with
+"Task serialization failed: java.lang.OutOfMemoryError: Java heap
+space" (round-8 continuation). Heap size is an infrastructure knob,
+not query semantics, so raising it does not weaken the vanilla-session
+contract; the real driver checks 50 queries/round and never hits this.
+As a second guard the sweep releases ALL cached/persisted state every
+150 queries — each query must therefore rebuild its shared frames cold,
+which is a stricter check than a warm sweep, at ~2x wall cost.
+"""
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -10,12 +24,32 @@ from tests.oracle_harness import compare, duckdb_conn  # noqa: E402
 
 spark = (
     SparkSession.builder.master("local[8]")
+    .config("spark.driver.memory", "8g")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")
+
+
+def _release_all_cached_state() -> None:
+    """Drop every persisted frame, checkpoint block and memo so the
+    sweep's storage footprint stays bounded. Queries rebuild their
+    shared frames on next use — correctness-neutral, memory-bounded."""
+    from hive_hw_spark.queries import llm_ops, plan_cache_clear
+
+    for key in list(llm_ops._PERSIST_CACHE):
+        _, frame = llm_ops._PERSIST_CACHE.pop(key)
+        try:
+            if frame is not None:
+                frame.unpersist()
+        except Exception:  # noqa: BLE001 — dead frames are fine to skip
+            pass
+    llm_ops._COMPONENT_CACHE.clear()
+    plan_cache_clear()
+    spark.catalog.clearCache()
+
 
 df = e.entry(spark)
 rows = df.collect()
@@ -26,7 +60,9 @@ sf = "/root/testdata/sf0.01"
 qs, osql = e.queries(), e.oracle_sql()
 con = duckdb_conn(sf)
 ok, bad, noracle = [], [], []
-for name in sorted(qs):
+for i, name in enumerate(sorted(qs)):
+    if i > 0 and i % 150 == 0:
+        _release_all_cached_state()
     try:
         sdf = qs[name](spark, sf)
         if name in osql:
