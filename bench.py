@@ -302,6 +302,8 @@ HEADLINE = [
     "q435",  # decision-stump induction
     "q436",  # gradient-boosting step
     "q437",  # learning curve
+    "q438",  # power sensitivity curve
+    "q439",  # exact Shapley attribution
 ]
 
 

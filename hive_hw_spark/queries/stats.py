@@ -13998,3 +13998,243 @@ def q437(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("train_pct")
     )
+
+
+_Q438_Z = "(es / se - 1.959963984540054)"
+
+
+@register(
+    "q438",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active,
+             CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                        THEN user_id END) AS BIGINT) AS n_conv
+      FROM events GROUP BY 1
+    ),
+    base AS (
+      SELECT CAST(SUM(n_conv) AS DOUBLE) / CAST(SUM(n_active) AS DOUBLE)
+               AS p,
+             CAST(SUM(n_active) AS DOUBLE) / COUNT(*) AS daily_n
+      FROM daily
+    ),
+    es_grid AS (SELECT CAST(e AS DOUBLE) / 1000 AS rel_effect
+                FROM (VALUES (10), (20), (30), (50), (100)) v(e)),
+    terms AS (
+      SELECT g.rel_effect,
+             p * g.rel_effect AS es,
+             sqrt(2 * p * (1 - p)
+                  / FLOOR(14 * daily_n / 2)) AS se,
+             CAST(FLOOR(14 * daily_n / 2) AS BIGINT) AS n_per_arm,
+             ROUND(p, 6) AS baseline_p
+      FROM es_grid g CROSS JOIN base
+    )
+    SELECT rel_effect, n_per_arm, baseline_p,
+           ROUND(es, 6) AS abs_effect,
+           ROUND({PHI}, 4) AS power
+    FROM terms ORDER BY rel_effect
+    """.replace("{PHI}", _phi_sql(_Q438_Z)),
+    doc="Statistical-power sensitivity curve: for relative effect sizes "
+    "of 1/2/3/5/10% on the daily purchase-conversion metric at a "
+    "fixed 14-day runtime, the achieved power "
+    "Phi(effect/SE − z_0.975) — the other axis of q385's MDE table "
+    "(q385 fixes power and solves for the effect; this fixes the "
+    "effect and reports the power, which is how 'can we even detect "
+    "a 2% lift?' actually gets asked). Phi is the shared "
+    "Abramowitz-Stegun SQL string (q386/q413); FLOOR spelled "
+    "identically for the arm size (q289). Scale shape: one daily "
+    "distinct fold, a 5-row effect grid, closed form per row.",
+)
+@plan_cache
+def q438(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_active"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("n_conv"),
+    )
+    base = daily.agg(
+        (
+            F.sum("n_conv").cast("double") / F.sum("n_active").cast("double")
+        ).alias("p"),
+        (F.sum("n_active").cast("double") / F.count(F.lit(1))).alias(
+            "daily_n"
+        ),
+    )
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(10), F.lit(20), F.lit(30), F.lit(50), F.lit(100))
+        ).alias("e")
+    ).select((F.col("e").cast("double") / 1000).alias("rel_effect"))
+    n_arm = F.floor(14 * F.col("daily_n") / 2)
+    terms = grid.crossJoin(F.broadcast(base)).select(
+        "rel_effect",
+        (F.col("p") * F.col("rel_effect")).alias("es"),
+        F.sqrt(2 * F.col("p") * (1 - F.col("p")) / n_arm).alias("se"),
+        n_arm.cast("bigint").alias("n_per_arm"),
+        F.round(F.col("p"), 6).alias("baseline_p"),
+    )
+    return terms.select(
+        "rel_effect",
+        "n_per_arm",
+        "baseline_p",
+        F.round(F.col("es"), 6).alias("abs_effect"),
+        F.round(F.expr(_phi_sql(_Q438_Z)), 4).alias("power"),
+    ).orderBy("rel_effect")
+
+
+@register(
+    "q439",
+    oracle="""
+    WITH ud AS (
+      SELECT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             CAST(MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT)
+             + 2 * CAST(MAX(CASE WHEN event_type = 'view' THEN 1
+                            ELSE 0 END) AS BIGINT)
+             + 4 * CAST(MAX(CASE WHEN event_type = 'signup' THEN 1
+                            ELSE 0 END) AS BIGINT) AS s,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY 1, 2
+    ),
+    subsets AS (SELECT CAST(range AS BIGINT) AS s FROM range(0, 8)),
+    v AS (
+      SELECT sub.s,
+             COALESCE(ROUND(CAST(SUM(ud.conv) AS DOUBLE)
+                            / COUNT(ud.conv), 6), 0.0) AS rate
+      FROM subsets sub LEFT JOIN ud ON ud.s = sub.s
+      GROUP BY 1
+    ),
+    chans AS (
+      SELECT ch, bit FROM (VALUES ('click', 1), ('view', 2),
+                                  ('signup', 4)) c(ch, bit)
+    ),
+    contribs AS (
+      SELECT c.ch,
+             CASE WHEN
+               CAST(v0.s // c.bit AS BIGINT) % 2 = 0
+             THEN (CASE WHEN v0.s IN (0, 7 - c.bit)
+                        THEN 1.0 / 3 ELSE 1.0 / 6 END)
+                  * (v1.rate - v0.rate)
+             ELSE 0.0 END AS w
+      FROM chans c
+      JOIN v v0 ON CAST(v0.s // c.bit AS BIGINT) % 2 = 0
+      JOIN v v1 ON v1.s = v0.s + c.bit
+    ),
+    shap AS (
+      SELECT ch,
+             ROUND(CAST(SUM(CAST(w AS DECIMAL(30,10))) AS DOUBLE), 6)
+               AS shapley
+      FROM contribs GROUP BY 1
+    ),
+    tot AS (
+      SELECT GREATEST(CAST(SUM(CAST(ABS(shapley) AS DECIMAL(30,10)))
+                  AS DOUBLE), 0.000000000001) AS t
+      FROM shap
+    )
+    SELECT s.ch AS channel, s.shapley,
+           ROUND(s.shapley / t.t, 4) AS attribution_share
+    FROM shap s, tot t ORDER BY channel
+    """,
+    doc="Exact Shapley-value attribution over channel-presence "
+    "coalitions: with 3 marketing touch types (click / view / "
+    "signup) per user-day, the characteristic function v(S) = "
+    "conversion rate of user-days with presence set exactly S is "
+    "fully observable (8 coalitions), so each channel's Shapley "
+    "value — the UNIQUE fair credit split — computes in closed form "
+    "with the k=3 weights (1/3 for the empty and complement-of-"
+    "singleton margins, 1/6 for the middle) — the attribution gold "
+    "standard next to q216/q258/q268's heuristics and q398's Markov "
+    "removal effect, exact precisely because the channel count is "
+    "small (the 2^k wall is documented: beyond ~10 channels you "
+    "sample permutations). Determinism: subset rates round(6), "
+    "absent coalitions rate 0, DECIMAL folds, shares normalize by "
+    "total ABSOLUTE credit (epsilon-guarded: a saturated corpus can "
+    "zero every margin — observed here, conversion ~1 regardless of "
+    "touches, making near-zero signed values the HONEST readout). Scale shape: one user-day bitmask fold; "
+    "everything after runs on an 8-row frame.",
+)
+@plan_cache
+def q439(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+
+    def has(t):
+        return F.max(
+            F.when(F.col("event_type") == t, 1).otherwise(0)
+        ).cast("bigint")
+
+    ud = ev.groupBy("user_id", day.alias("day")).agg(
+        (has("click") + 2 * has("view") + 4 * has("signup")).alias("s"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    subsets = spark.range(0, 8).select(F.col("id").alias("sub"))
+    v = (
+        subsets.join(ud, F.col("s") == F.col("sub"), "left")
+        .groupBy("sub")
+        .agg(
+            # absent coalition -> rate 0 (ANSI: guard the 0-count divide)
+            F.when(
+                F.count("conv") > 0,
+                F.round(
+                    F.sum("conv").cast("double") / F.count("conv"), 6
+                ),
+            )
+            .otherwise(0.0)
+            .alias("rate")
+        )
+        .localCheckpoint()
+    )
+    chans = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("signup", 4)], ["ch", "bit"]
+    )
+    v0 = v.select(F.col("sub").alias("s0"), F.col("rate").alias("r0"))
+    v1 = v.select(F.col("sub").alias("s1"), F.col("rate").alias("r1"))
+    contribs = (
+        chans.join(
+            F.broadcast(v0),
+            F.expr("CAST(s0 DIV bit AS BIGINT) % 2 = 0"),
+        )
+        .join(F.broadcast(v1), F.col("s1") == F.col("s0") + F.col("bit"))
+        .select(
+            "ch",
+            (
+                F.when(
+                    (F.col("s0") == 0)
+                    | (F.col("s0") == 7 - F.col("bit")),
+                    1.0 / 3,
+                ).otherwise(1.0 / 6)
+                * (F.col("r1") - F.col("r0"))
+            ).alias("w"),
+        )
+    )
+    shap = contribs.groupBy("ch").agg(
+        F.round(F.sum(F.col("w").cast(DEC)).cast("double"), 6).alias(
+            "shapley"
+        )
+    )
+    tot = shap.agg(
+        F.greatest(
+            F.sum(F.abs(F.col("shapley")).cast(DEC)).cast("double"),
+            F.lit(1e-12),
+        ).alias("t")
+    )
+    return (
+        shap.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("ch").alias("channel"),
+            "shapley",
+            F.round(F.col("shapley") / F.col("t"), 4).alias(
+                "attribution_share"
+            ),
+        )
+        .orderBy("channel")
+    )
