@@ -304,6 +304,7 @@ HEADLINE = [
     "q437",  # learning curve
     "q438",  # power sensitivity curve
     "q439",  # exact Shapley attribution
+    "q440",  # sessionization sensitivity sweep
 ]
 
 

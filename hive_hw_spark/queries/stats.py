@@ -14238,3 +14238,92 @@ def q439(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "q440",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+             - CAST(FLOOR(EPOCH(LAG(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)))
+                    AS BIGINT) AS gap
+      FROM events
+    ),
+    th AS (SELECT CAST(m AS BIGINT) * 60 AS gap_s,
+                  CAST(m AS BIGINT) AS gap_min
+           FROM (VALUES (15), (30), (60)) v(m)),
+    agg AS (
+      SELECT th.gap_min,
+             CAST(SUM(CASE WHEN g.gap IS NULL OR g.gap > th.gap_s
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT g.user_id) AS BIGINT) AS n_users
+      FROM gaps g CROSS JOIN th
+      GROUP BY 1
+    )
+    SELECT gap_min, n_sessions,
+           ROUND(CAST(n_events AS DOUBLE) / n_sessions, 4)
+             AS avg_events_per_session,
+           ROUND(CAST(n_sessions AS DOUBLE) / n_users, 4)
+             AS sessions_per_user
+    FROM agg ORDER BY gap_min
+    """,
+    doc="Sessionization parameter-sensitivity sweep: session counts, "
+    "mean session length and sessions-per-user under 15/30/60-minute "
+    "inactivity gaps — the audit that says whether the 30-minute "
+    "industry convention actually matters on THIS corpus before "
+    "q135's materialized sessions and q241's bounce rates inherit "
+    "it (a flat curve means any threshold works; a steep one means "
+    "the metric suite is an artifact of the knob). Session starts "
+    "count as NULL-or-exceeding lag gaps — one number per "
+    "threshold, no per-session materialization. Epoch-second gaps "
+    "FLOOR'd identically (q289); new-session boundary uses STRICTLY "
+    "greater, matching the session-window merge contract. Scale "
+    "shape: ONE user-partitioned lag pass fans against a 3-row "
+    "broadcast threshold grid; one conditional fold.",
+)
+@plan_cache
+def q440(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long")).over(w)
+        ).alias("gap"),
+    )
+    th = spark.range(1).select(
+        F.explode(F.array(F.lit(15), F.lit(30), F.lit(60))).alias("m")
+    ).select(
+        (F.col("m").cast("bigint") * 60).alias("gap_s"),
+        F.col("m").cast("bigint").alias("gap_min"),
+    )
+    agg = (
+        gaps.crossJoin(F.broadcast(th))
+        .groupBy("gap_min")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("gap").isNull() | (F.col("gap") > F.col("gap_s")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_sessions"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+    return agg.select(
+        "gap_min",
+        "n_sessions",
+        F.round(
+            F.col("n_events").cast("double") / F.col("n_sessions"), 4
+        ).alias("avg_events_per_session"),
+        F.round(
+            F.col("n_sessions").cast("double") / F.col("n_users"), 4
+        ).alias("sessions_per_user"),
+    ).orderBy("gap_min")
