@@ -305,6 +305,7 @@ HEADLINE = [
     "q438",  # power sensitivity curve
     "q439",  # exact Shapley attribution
     "q440",  # sessionization sensitivity sweep
+    "q441",  # rank-stability series (Spearman MoM)
 ]
 
 

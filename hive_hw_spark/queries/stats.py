@@ -14327,3 +14327,149 @@ def q440(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_sessions").cast("double") / F.col("n_users"), 4
         ).alias("sessions_per_user"),
     ).orderBy("gap_min")
+
+
+@register(
+    "q441",
+    oracle="""
+    WITH pm AS (
+      SELECT CAST(YEAR(CAST(o.o_orderdate AS DATE)) * 100
+                  + MONTH(CAST(o.o_orderdate AS DATE)) AS BIGINT)
+               AS month_id,
+             l.l_partkey,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,10)))
+                  AS DOUBLE) AS rev
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT month_id, l_partkey,
+             CAST(ROW_NUMBER() OVER (PARTITION BY month_id
+                                     ORDER BY rev DESC, l_partkey)
+                  AS DOUBLE) AS r
+      FROM pm
+    ),
+    nxt AS (
+      SELECT DISTINCT a.month_id AS m1, b.month_id AS m2
+      FROM (SELECT DISTINCT month_id FROM pm) a
+      JOIN (SELECT DISTINCT month_id FROM pm) b
+        ON b.month_id = (SELECT MIN(month_id) FROM pm p
+                         WHERE p.month_id > a.month_id)
+    ),
+    pairs AS (
+      SELECT n.m2 AS month_id, ra.r AS x, rb.r AS y
+      FROM nxt n
+      JOIN rk ra ON ra.month_id = n.m1
+      JOIN rk rb ON rb.month_id = n.m2
+               AND rb.l_partkey = ra.l_partkey
+    ),
+    s AS (
+      SELECT month_id, CAST(COUNT(*) AS BIGINT) AS n_common,
+             CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(30,10))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sxy
+      FROM pairs GROUP BY 1
+    )
+    SELECT month_id, n_common,
+           ROUND((n_common * sxy - sx * sy)
+                 / sqrt((n_common * sxx - sx * sx)
+                        * (n_common * syy - sy * sy)), 4)
+             AS rank_stability
+    FROM s WHERE n_common >= 3 ORDER BY month_id
+    """,
+    doc="Month-over-month rank-stability series: Spearman correlation "
+    "(Pearson on revenue ranks) between each month's part ranking "
+    "and the previous month's, over parts traded in both — the "
+    "TIME-SERIES of ranking churn whose single-step extremes q407's "
+    "top-movers report names (a falling stability series says the "
+    "catalog's competitive order itself is destabilizing — a leading "
+    "indicator no level metric shows). Determinism: ranks are "
+    "row_numbers on exact-decimal revenue with partkey tie-break; "
+    "per-pair rank products are exact-in-double integers summed in "
+    "DECIMAL. Scale shape: one (month, part) fold, per-month rank "
+    "windows over the rollup frame, consecutive months linked by a "
+    "distinct-months self-join, one moment fold per month pair.",
+)
+@plan_cache
+def q441(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    pm = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            (F.year("od") * 100 + F.month("od"))
+            .cast("bigint")
+            .alias("month_id"),
+            "l_partkey",
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC))
+            .cast("double")
+            .alias("rev")
+        )
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("month_id").orderBy(
+        F.col("rev").desc(), "l_partkey"
+    )
+    rk = pm.select(
+        "month_id",
+        "l_partkey",
+        F.row_number().over(w).cast("double").alias("r"),
+    )
+    months = pm.select("month_id").distinct()
+    m2 = months.select(F.col("month_id").alias("mb"))
+    nxt = (
+        months.join(F.broadcast(m2), F.col("mb") > F.col("month_id"))
+        .groupBy(F.col("month_id").alias("m1"))
+        .agg(F.min("mb").alias("m2"))
+    )
+    ra = rk.select(
+        F.col("month_id").alias("ma"),
+        F.col("l_partkey").alias("ka"),
+        F.col("r").alias("x"),
+    )
+    rb = rk.select(
+        F.col("month_id").alias("mbb"),
+        F.col("l_partkey").alias("kb"),
+        F.col("r").alias("y"),
+    )
+    pairs = (
+        nxt.join(ra, F.col("ma") == F.col("m1"))
+        .join(
+            rb,
+            (F.col("mbb") == F.col("m2")) & (F.col("kb") == F.col("ka")),
+        )
+        .select(F.col("m2").alias("month_id"), "x", "y")
+    )
+    s = pairs.groupBy("month_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(DEC)).cast("double").alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
+    )
+    n = F.col("n_common")
+    return (
+        s.where(n >= 3)
+        .select(
+            "month_id",
+            "n_common",
+            F.round(
+                (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / F.sqrt(
+                    (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+                ),
+                4,
+            ).alias("rank_stability"),
+        )
+        .orderBy("month_id")
+    )
