@@ -306,6 +306,7 @@ HEADLINE = [
     "q439",  # exact Shapley attribution
     "q440",  # sessionization sensitivity sweep
     "q441",  # rank-stability series (Spearman MoM)
+    "q442",  # Wilson-lower-bound leaderboard
 ]
 
 

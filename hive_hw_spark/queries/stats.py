@@ -14473,3 +14473,75 @@ def q441(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month_id")
     )
+
+
+@register(
+    "q442",
+    oracle="""
+    WITH s AS (
+      SELECT l_suppkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS r
+      FROM lineitem GROUP BY 1
+    ),
+    w AS (
+      SELECT l_suppkey, n, r,
+             CAST(r AS DOUBLE) / n AS p,
+             (CAST(r AS DOUBLE) / n + 1.9208 / n
+              - 1.96 * sqrt((CAST(r AS DOUBLE) / n)
+                            * (1 - CAST(r AS DOUBLE) / n) / n
+                            + 0.9604 / (n * n)))
+             / (1 + 3.8416 / n) AS lb
+      FROM s WHERE n >= 10
+    )
+    SELECT l_suppkey AS suppkey, n AS n_lineitems, r AS n_returned,
+           ROUND(p, 4) AS return_rate,
+           ROUND(lb, 6) AS wilson_lower_bound
+    FROM w ORDER BY ROUND(lb, 6) DESC, suppkey LIMIT 10
+    """,
+    doc="Supplier quality leaderboard ranked by the WILSON LOWER BOUND "
+    "of the return rate (z=1.96; the 'how not to sort by average' "
+    "correction): a supplier with 3/5 returns must NOT outrank one "
+    "with 400/1000, and the raw rate sorts exactly that way — the "
+    "lower confidence bound is the principled small-n ranking, here "
+    "surfacing the 10 suppliers whose HIGH return rate is "
+    "statistically confident (>=10 lineitems); composes q319's "
+    "Wilson interval into a ranking decision. Determinism: per-row "
+    "closed form from integer counts (z constants pre-squared as "
+    "literals so both engines evaluate the identical tree), "
+    "round(6) bound with suppkey tie-break on the ordered-limit "
+    "cut. Scale shape: one supplier fold, per-row arithmetic, "
+    "ordered-limit top-10.",
+)
+@plan_cache
+def q442(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("r"),
+        )
+        .where(F.col("n") >= 10)
+    )
+    n = F.col("n")
+    p = F.col("r").cast("double") / n
+    lb = (
+        p
+        + 1.9208 / n
+        - 1.96 * F.sqrt(p * (1 - p) / n + 0.9604 / (n * n))
+    ) / (1 + 3.8416 / n)
+    return (
+        s.select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("n").alias("n_lineitems"),
+            F.col("r").alias("n_returned"),
+            F.round(p, 4).alias("return_rate"),
+            F.round(lb, 6).alias("wilson_lower_bound"),
+        )
+        .orderBy(F.col("wilson_lower_bound").desc(), "suppkey")
+        .limit(10)
+    )
