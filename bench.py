@@ -307,6 +307,8 @@ HEADLINE = [
     "q440",  # sessionization sensitivity sweep
     "q441",  # rank-stability series (Spearman MoM)
     "q442",  # Wilson-lower-bound leaderboard
+    "q443",  # LSH recall/cost frontier (Hamming-radius sweep)
+    "q444",  # PQ/ADC recall vs re-rank-depth frontier
 ]
 
 
@@ -363,8 +365,20 @@ def main() -> None:
             t0 = time.perf_counter()
             run(name)
             best = min(best, time.perf_counter() - t0)
+        ld = load1()
+        # r8 hygiene rule: a committed record must not carry a number
+        # taken entirely under a load transient (q165 shipped 7.43 s at
+        # load 4.81 in r8 — 0.87 s clean). When the 1-min load at sample
+        # time exceeds 3, take up to 2 extra reps so the min has a shot
+        # at a calmer window, and record the FINAL load sample.
+        if ld is not None and ld > 3.0:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                run(name)
+                best = min(best, time.perf_counter() - t0)
+            ld = load1()
         timings[name] = round(best, 3)
-        per_query_load[name] = load1()
+        per_query_load[name] = ld
 
     # 1/5/15-min load averages from the shared host — bench numbers swing
     # ±30% with machine load, so the reader needs this to adjudicate noise.
@@ -373,17 +387,55 @@ def main() -> None:
     except OSError:
         load = None
 
+    # BENCH_r08 lesson: the single stdout line grew past the driver's
+    # capture window (188-entry queries map + 188-entry load map) and the
+    # official record landed as `"parsed": null` with only the line's tail
+    # retained. Two fixes: (1) gate fields lead the object, so even a
+    # truncated capture keeps the cross-round comparator; (2) the stdout
+    # line carries only the 22-query baseline-gate timings (~0.5 KB) and
+    # the FULL per-query timing + load maps go to a side file committed
+    # alongside the round's local records.
+    # Gate integrity (r8 advice): subset22_wall_sec silently deflating
+    # when a member is missing from the registry would pass the 14.5 s
+    # BASELINE gate spuriously — emit null instead so the comparator
+    # reads as broken, not fast.
+    subset_missing = [q for q in SUBSET22 if q not in timings]
+    subset22 = (
+        None
+        if subset_missing
+        else round(sum(timings[q] for q in SUBSET22), 3)
+    )
+
+    detail_file = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_detail_local.json"
+    )
+    try:
+        with open(detail_file, "w") as fh:
+            json.dump(
+                {
+                    "queries": timings,
+                    "query_load1": per_query_load,
+                    "load": load,
+                    "sf": _sf_from_dir(sf_dir),
+                    "n_queries": len(timings),
+                },
+                fh,
+                indent=1,
+            )
+    except OSError:
+        detail_file = None
+
     out = {
         "metric": "headline_wall_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "subset22_wall_sec": subset22,
+        "subset22_missing": subset_missing,
         "sf": _sf_from_dir(sf_dir),
         "load": load,
-        "query_load1": per_query_load,
-        "subset22_wall_sec": round(
-            sum(timings.get(q, 0.0) for q in SUBSET22), 3
-        ),
+        "n_queries": len(timings),
+        "queries": {q: timings[q] for q in SUBSET22 if q in timings},
+        "detail_file": detail_file,
     }
     print(json.dumps(out), flush=True)
 

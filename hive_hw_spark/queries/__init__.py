@@ -149,6 +149,14 @@ _ATTESTED = frozenset(
         "q221", "q222", "q223", "q224", "q227", "q233", "q234", "q235",
         "q238", "q239", "q240", "q241", "q242", "q243", "q244", "q245",
         "q246", "q249",
+        # r8 sweep (CORRECTNESS_r08.json, all 50 green)
+        "q63", "q71", "q72", "q78", "q114", "q132", "q133", "q134",
+        "q135", "q136", "q137", "q138", "q139", "q141", "q142", "q143",
+        "q144", "q145", "q146", "q148", "q149", "q151", "q152", "q153",
+        "q154", "q155", "q156", "q157", "q158", "q160", "q161", "q162",
+        "q163", "q164", "q165", "q166", "q167", "q170", "q172", "q173",
+        "q174", "q175", "q176", "q177", "q178", "q180", "q285", "q294",
+        "q298", "q302",
     }
 )
 
@@ -191,31 +199,39 @@ _ATTESTED = frozenset(
 # at 217/222/227/229/234/236 oracle entries) in the session that
 # added it, so the marginal value of an r7 sweep slot is no higher
 # than for the other never-checked entries already listed here.
-# Round-8 rotation (exactly 50 — the sweep cap; over-filling hands slot
-# choice to registration order). Composition per the r7 verdict's item 4:
-# (a) q298 — its r7 BIGINT-overflow rewrite (DECIMAL sufficient stats)
-#     needs a driver row post-fix; q285/q294/q302 were rewritten in the
-#     same hardening pass (overflow twin / lead-window tiebreak / PSI
-#     epsilon) and re-enter the queue under the rewritten-outranks-stale
-#     policy;
-# (b) the events-reading stale five (q63, q71, q72, q78, q114) — they
-#     cross catalog.decode_event_ts's dtype branch, which the round-6
-#     testdata regeneration changed; their last driver rows predate it;
-# (c) the oldest never-driver-swept block q132–q180 (q140 excluded:
-#     rows-only defer) — pytest-parity-only since rounds 5-6.
+# Round-9 rotation (exactly 50 — the sweep cap; over-filling hands slot
+# choice to registration order). Per the r8 verdict's items 2-3, every
+# slot goes to the never-driver-attested backlog (181 oracle entries as
+# of r8), oldest registration first: q182/q184, the q250–q303
+# parity-only block, then the head of the q304+ wave.
+#
+# Multi-round burn-down plan (attestation depth is the currency — the
+# driver samples 50/round, so the 183-entry backlog plus the 54
+# pre-regeneration-stale re-attestations take four rounds):
+#   r9  — q182..q307 oldest never-attested + the two BRAND-NEW r9
+#         oracle entries q443/q444 (new machinery outranks stale:
+#         first driver row should land the round after an op ships)
+#   r10 — q308..q362 never-attested continuation (next 50 by ID)
+#   r11 — q363..q412 never-attested continuation (next 50 by ID)
+#   r12 — q413..q442 never-attested remainder (~31) + the oldest
+#         pre-regen-stale re-attestations (q40/q42/q43/q44/q45/q50/
+#         q51/q52/q64..q69 window/scalar families, last driver-green
+#         r4-r5 on PRE-regeneration testdata) to fill the 50.
+# After r12, every oracle entry has a driver row, and rotation returns
+# to freshness order (oldest attestation first, rewrites outrank).
 _PRIORITY = frozenset(
     {
-        # (a) rewritten this round
-        "q298", "q285", "q294", "q302",
-        # (b) events-decode stale
-        "q63", "q71", "q72", "q78", "q114",
-        # (c) oldest never-swept block
-        "q132", "q133", "q134", "q135", "q136", "q137", "q138", "q139",
-        "q141", "q142", "q143", "q144", "q145", "q146", "q148", "q149",
-        "q151", "q152", "q153", "q154", "q155", "q156", "q157", "q158",
-        "q160", "q161", "q162", "q163", "q164", "q165", "q166", "q167",
-        "q170", "q172", "q173", "q174", "q175", "q176", "q177", "q178",
-        "q180",
+        # oldest never-attested: pre-q304 parity-only pool (44)
+        "q182", "q184", "q250", "q251", "q252", "q253", "q254", "q255",
+        "q256", "q257", "q258", "q259", "q260", "q261", "q262", "q263",
+        "q264", "q265", "q266", "q267", "q268", "q269", "q270", "q271",
+        "q272", "q274", "q276", "q277", "q278", "q279", "q286", "q288",
+        "q289", "q290", "q291", "q292", "q293", "q295", "q296", "q297",
+        "q299", "q300", "q301", "q303",
+        # head of the q304+ wave (4)
+        "q304", "q305", "q306", "q307",
+        # brand-new this round (first driver row for new machinery)
+        "q443", "q444",
     }
 )
 

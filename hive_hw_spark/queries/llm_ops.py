@@ -106,6 +106,23 @@ def _managed_persist(key: str, df: DataFrame) -> DataFrame:
     return df
 
 
+def release_all_cached() -> None:
+    """Unpersist and forget every frame this module manages — the one
+    place the cache's value shape and its release logic live together,
+    so long-sweep callers (scripts/drive.py's every-150-queries purge)
+    never depend on ``_PERSIST_CACHE``'s internals. Queries rebuild
+    their shared frames cold on next use: correctness-neutral,
+    storage-bounded."""
+    for key in list(_PERSIST_CACHE):
+        _, frame = _PERSIST_CACHE.pop(key)
+        try:
+            if frame is not None:
+                frame.unpersist()
+        except Exception:  # noqa: BLE001 — dead sessions/frames skip fine
+            pass
+    _COMPONENT_CACHE.clear()
+
+
 # --------------------------------------------------------------------------
 # Q90 exact dedup
 # --------------------------------------------------------------------------
@@ -5196,16 +5213,14 @@ def q382(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _label_centroid_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rounded cosine of EVERY vector against every label-mean centroid
-    (vec_id, lc, cos) — the |N| x |labels| frame behind q384's IVF cell
-    assignment and q405's label-noise audit. Persisted once per
-    session+input (shared keys), exact-DECIMAL dots, round(4) with the
-    oracle's identical exploded arithmetic."""
+def _exploded_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, pos 1-based, x double) — the exploded embedding
+    frame every DECIMAL-exact ANN audit arithmetic runs over, matching
+    the oracles' generate_subscripts/unnest shape."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", "label"
     )
-    ex = emb.select(
+    return emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("p0", "xf")
     ).select(
         "vec_id",
@@ -5213,8 +5228,16 @@ def _label_centroid_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p0") + 1).alias("pos"),
         F.col("xf").cast("double").alias("x"),
     )
-    cent = _managed_persist(
-        "q384_centroids",
+
+
+def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-mean centroids (lc, pos, c) — coordinates round(6) through
+    the exact-DECIMAL mean so cell assignment (q384), PQ codebooks
+    (q444) and the oracle's cent CTE see bit-identical values.
+    Persisted once per session+input."""
+    ex = _exploded_embeddings(spark, sf_dir)
+    return _managed_persist(
+        "label_centroids",
         ex.groupBy(F.col("label").alias("lc"), "pos").agg(
             F.round(
                 (F.sum(F.col("x").cast(DEC)) / F.count(F.lit(1))).cast(
@@ -5224,6 +5247,16 @@ def _label_centroid_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c")
         ),
     )
+
+
+def _label_centroid_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounded cosine of EVERY vector against every label-mean centroid
+    (vec_id, lc, cos) — the |N| x |labels| frame behind q384's IVF cell
+    assignment and q405's label-noise audit. Persisted once per
+    session+input (shared keys), exact-DECIMAL dots, round(4) with the
+    oracle's identical exploded arithmetic."""
+    ex = _exploded_embeddings(spark, sf_dir)
+    cent = _label_centroids(spark, sf_dir)
     cnorm = cent.groupBy("lc").agg(
         F.sum((F.col("c") * F.col("c")).cast(DEC)).cast("double").alias("nn")
     )
@@ -5256,6 +5289,72 @@ def _label_centroid_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _panel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact |panel| x N pair cosines (qid, nbr, cos) for the fixed ANN
+    audit query panel (vec_id % 25 = 0) — the shared ground-truth frame
+    behind the q384 IVF, q443 LSH and q444 PQ recall/cost frontiers.
+    One Arrow-batched numpy matmul per base block (q123's block
+    discipline, probe side pinned to the panel), round(4) with nbr
+    tie-break matching the oracle's list_cosine_similarity contract.
+    Persisted once per session+input: the three frontier audits reuse
+    the SAME materialized frame instead of recomputing the matmul."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    unit = _unit_vectors(emb)
+    qu = (
+        unit.where(F.pmod(F.col("vec_id"), F.lit(25)) == 0)
+        .select(F.struct("vec_id", "u").alias("s"))
+        .agg(F.sort_array(F.collect_list("s")).alias("qs"))
+        .select(
+            F.col("qs.vec_id").alias("pids"), F.col("qs.u").alias("pus")
+        )
+    )
+    b_pack = (
+        unit.groupBy(F.pmod(F.col("vec_id"), F.lit(8)).alias("blk"))
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "u"))).alias("vs"))
+        .select("blk", F.col("vs.vec_id").alias("bids"), F.col("vs.u").alias("bus"))
+    )
+    schema = StructType(
+        [
+            StructField("qid", LongType()),
+            StructField("nbr", LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def all_pairs(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                if len(row["pids"]) == 0 or len(row["bids"]) == 0:
+                    continue
+                pids = np.asarray(row["pids"], dtype=np.int64)
+                P = np.vstack(row["pus"]).astype(np.float64)
+                bids = np.asarray(row["bids"], dtype=np.int64)
+                B = np.vstack(row["bus"]).astype(np.float64)
+                C = np.round(P @ B.T, 4)
+                qq, bb = np.meshgrid(
+                    np.arange(len(pids)), np.arange(len(bids)), indexing="ij"
+                )
+                qv = pids[qq.ravel()]
+                bv = bids[bb.ravel()]
+                cv = C.ravel()
+                keep = qv != bv
+                yield pd.DataFrame(
+                    {"qid": qv[keep], "nbr": bv[keep], "cos": cv[keep]}
+                )
+
+    return _managed_persist(
+        "panel_pairs",
+        qu.crossJoin(b_pack).repartition(8).mapInPandas(all_pairs, schema),
+    )
 
 
 @register(
@@ -5385,16 +5484,6 @@ def _label_centroid_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 @plan_cache
 def q384(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", "label"
-    )
     vc = _label_centroid_cosines(spark, sf_dir)
     w_cell = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "lc")
     cells = (
@@ -5408,55 +5497,7 @@ def q384(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("qid"), F.col("lc").alias("cell"), "prank")
     )
 
-    # |Q| x N pair cosines: one Arrow matmul per base block (q123's
-    # block discipline, probe side fixed to the query panel)
-    unit = _unit_vectors(emb.select("vec_id", "embedding"))
-    qu = (
-        unit.where(F.pmod(F.col("vec_id"), F.lit(25)) == 0)
-        .select(F.struct("vec_id", "u").alias("s"))
-        .agg(F.sort_array(F.collect_list("s")).alias("qs"))
-        .select(
-            F.col("qs.vec_id").alias("pids"), F.col("qs.u").alias("pus")
-        )
-    )
-    b_pack = (
-        unit.groupBy(F.pmod(F.col("vec_id"), F.lit(8)).alias("blk"))
-        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "u"))).alias("vs"))
-        .select("blk", F.col("vs.vec_id").alias("bids"), F.col("vs.u").alias("bus"))
-    )
-    schema = StructType(
-        [
-            StructField("qid", LongType()),
-            StructField("nbr", LongType()),
-            StructField("cos", DoubleType()),
-        ]
-    )
-
-    def all_pairs(batches):
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                if len(row["pids"]) == 0 or len(row["bids"]) == 0:
-                    continue
-                pids = np.asarray(row["pids"], dtype=np.int64)
-                P = np.vstack(row["pus"]).astype(np.float64)
-                bids = np.asarray(row["bids"], dtype=np.int64)
-                B = np.vstack(row["bus"]).astype(np.float64)
-                C = np.round(P @ B.T, 4)
-                qq, bb = np.meshgrid(
-                    np.arange(len(pids)), np.arange(len(bids)), indexing="ij"
-                )
-                qv = pids[qq.ravel()]
-                bv = bids[bb.ravel()]
-                cv = C.ravel()
-                keep = qv != bv
-                yield pd.DataFrame(
-                    {"qid": qv[keep], "nbr": bv[keep], "cos": cv[keep]}
-                )
-
-    pairs = _managed_persist(
-        "q384_pairs",
-        qu.crossJoin(b_pack).repartition(8).mapInPandas(all_pairs, schema),
-    )
+    pairs = _panel_pairs(spark, sf_dir)
     w_q = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nbr")
     exact5 = (
         pairs.withColumn("rn", F.row_number().over(w_q))
@@ -5508,6 +5549,421 @@ def q384(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_scanned"),
         )
         .orderBy("nprobe")
+    )
+
+
+# Shared oracle CTE text for the ANN frontier audits: the exact panel
+# pair cosines and their top-5 ground truth (mirrors _panel_pairs /
+# the q384 pairs contract: vec_id % 25 panel, list_cosine_similarity
+# round(4), nbr tie-break).
+_PANEL_PAIRS_SQL = """
+    pairs AS (
+      SELECT q.vec_id AS qid, b.vec_id AS nbr,
+             ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 4) AS cos
+      FROM embeddings q JOIN embeddings b ON b.vec_id <> q.vec_id
+      WHERE q.vec_id % 25 = 0
+    ),
+    exact5 AS (
+      SELECT qid, nbr FROM (
+        SELECT qid, nbr,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, nbr) AS rn
+        FROM pairs) WHERE rn <= 5
+    )
+"""
+
+
+@register(
+    "q443",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    js AS (SELECT CAST(j AS BIGINT) AS j FROM range(1, 9) t(j)),
+    sig AS (
+      SELECT e.vec_id, j.j,
+             SUM(CAST(e.x * (CAST(((1103515245 * e.pos + 12345 * j.j)
+                                   % 2001) - 1000 AS DOUBLE) / 1000.0)
+                      AS DECIMAL(30,10))) AS dot
+      FROM ex e CROSS JOIN js j GROUP BY 1, 2
+    ),
+    bk AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN dot >= 0
+                           THEN (CAST(1 AS BIGINT) << CAST(8 - j AS INT))
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM sig GROUP BY 1
+    ),
+    """
+    + _PANEL_PAIRS_SQL.strip()
+    + """,
+    radii AS (SELECT CAST(r AS BIGINT) AS r
+              FROM (VALUES (0), (1), (2), (3)) v(r)),
+    cand AS (
+      SELECT rr.r, p.qid, p.nbr, p.cos
+      FROM pairs p
+      JOIN bk qb ON qb.vec_id = p.qid
+      JOIN bk nb ON nb.vec_id = p.nbr
+      JOIN radii rr ON bit_count(xor(qb.bucket, nb.bucket)) <= rr.r
+    ),
+    top5 AS (
+      SELECT r, qid, nbr FROM (
+        SELECT r, qid, nbr,
+               ROW_NUMBER() OVER (PARTITION BY r, qid
+                                  ORDER BY cos DESC, nbr) AS rn
+        FROM cand) WHERE rn <= 5
+    ),
+    hits AS (
+      SELECT t.r, t.qid, CAST(COUNT(*) AS BIGINT) AS h
+      FROM top5 t JOIN exact5 e ON e.qid = t.qid AND e.nbr = t.nbr
+      GROUP BY 1, 2
+    ),
+    sc AS (
+      SELECT r, qid, CAST(COUNT(*) AS BIGINT) AS scn
+      FROM cand GROUP BY 1, 2
+    ),
+    tot AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS t
+            FROM pairs GROUP BY 1),
+    perq AS (
+      SELECT s.r, s.qid,
+             CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall,
+             CAST(s.scn AS DOUBLE) / t.t AS sfr
+      FROM sc s
+      LEFT JOIN hits h ON h.r = s.r AND h.qid = s.qid
+      JOIN tot t ON t.qid = s.qid
+    )
+    SELECT r AS radius, CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(CAST(SUM(CAST(recall AS DECIMAL(30,10))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_recall,
+           ROUND(CAST(SUM(CAST(sfr AS DECIMAL(30,10))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_scanned
+    FROM perq GROUP BY r ORDER BY radius
+    """,
+    doc="LSH recall/cost frontier audit — the ORACLE-CHECKED quality "
+    "measurement of the hyperplane-LSH family (q92b carries a unit "
+    "recall bound only), the second of the three ANN frontiers "
+    "(q384 IVF nprobe / q443 LSH radius / q444 PQ re-rank depth). "
+    "Eight deterministic pseudo-hyperplanes — weight(j, dim) = "
+    "(((1103515245*dim + 12345*j) mod 2001) - 1000)/1000, a seed-free "
+    "integer LCG both engines evaluate identically — give every vector "
+    "an 8-bit sign bucket; the multiprobe Hamming radius is swept "
+    "0..3 against the exact top-5 for the fixed query panel "
+    "(vec_id mod 25 = 0), reporting avg recall@5 and avg "
+    "scanned-corpus fraction per radius — the frontier that decides "
+    "the production probe-radius knob. Determinism: plane dots are "
+    "exact-DECIMAL sums (order-free, so the sign bit never flips on "
+    "float association), pair cosines follow the shared _panel_pairs "
+    "contract. Scale shape: bucket assignment is one exploded "
+    "scan + 8-way broadcast fanout with a map-side-combinable "
+    "DECIMAL fold; candidate generation joins the (qid, bucket) "
+    "panel against the corpus bucket column — never all-pairs; the "
+    "pair matrix is panel-bounded (|Q| x N) and shared (persisted) "
+    "across the three frontier audits.",
+)
+@plan_cache
+def q443(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = _exploded_embeddings(spark, sf_dir)
+    planes = spark.range(1, 9).select(F.col("id").alias("j"))
+    # weight(j, pos): seed-free LCG in [-1, 1], integer arithmetic only —
+    # evaluates bit-identically in DuckDB (positive operands, so % agrees)
+    w = (
+        F.expr("CAST(((1103515245L * pos + 12345L * j) % 2001L) - 1000L AS DOUBLE)")
+        / F.lit(1000.0)
+    )
+    sig = (
+        ex.crossJoin(F.broadcast(planes))
+        .groupBy("vec_id", "j")
+        .agg(F.sum((F.col("x") * w).cast(DEC)).alias("dot"))
+    )
+    buckets = _managed_persist(
+        "q443_buckets",
+        sig.groupBy("vec_id").agg(
+            F.sum(
+                F.when(
+                    F.col("dot") >= 0,
+                    F.expr("shiftleft(1L, CAST(8 - j AS INT))"),
+                ).otherwise(F.lit(0).cast("bigint"))
+            )
+            .cast("bigint")
+            .alias("bucket")
+        ),
+    )
+    pairs = _panel_pairs(spark, sf_dir)
+    qb = buckets.select(
+        F.col("vec_id").alias("qid"), F.col("bucket").alias("qbk")
+    )
+    nb = buckets.select(
+        F.col("vec_id").alias("nbr"), F.col("bucket").alias("nbk")
+    )
+    radii = spark.range(0, 4).select(F.col("id").alias("r"))
+    cand = (
+        pairs.join(nb, "nbr")
+        .join(F.broadcast(qb), "qid")
+        .crossJoin(F.broadcast(radii))
+        .where(F.expr("bit_count(qbk ^ nbk)") <= F.col("r"))
+    )
+    w_q = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nbr")
+    exact5 = (
+        pairs.withColumn("rn", F.row_number().over(w_q))
+        .where(F.col("rn") <= 5)
+        .select("qid", "nbr")
+    )
+    w_rq = Window.partitionBy("r", "qid").orderBy(F.col("cos").desc(), "nbr")
+    top5 = (
+        cand.withColumn("rn", F.row_number().over(w_rq))
+        .where(F.col("rn") <= 5)
+        .select("r", "qid", "nbr")
+    )
+    hits = (
+        top5.join(exact5, ["qid", "nbr"])
+        .groupBy("r", "qid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("h"))
+    )
+    sc = cand.groupBy("r", "qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("scn")
+    )
+    tot = pairs.groupBy("qid").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    perq = (
+        sc.join(hits, ["r", "qid"], "left")
+        .join(tot, "qid")
+        .select(
+            "r",
+            (F.coalesce(F.col("h"), F.lit(0)).cast("double") / 5.0).alias(
+                "recall"
+            ),
+            (F.col("scn").cast("double") / F.col("t")).alias("sfr"),
+        )
+    )
+    return (
+        perq.groupBy(F.col("r").alias("radius"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.round(
+                F.sum(F.col("recall").cast(DEC)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_recall"),
+            F.round(
+                F.sum(F.col("sfr").cast(DEC)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_scanned"),
+        )
+        .orderBy("radius")
+    )
+
+
+@register(
+    "q444",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS lc, pos,
+             ROUND(CAST(SUM(CAST(x AS DECIMAL(30,10))) / COUNT(*)
+                   AS DOUBLE), 6) AS c
+      FROM ex GROUP BY 1, 2
+    ),
+    encd AS (
+      SELECT e.vec_id, ((e.pos - 1) // 8) + 1 AS m, c.lc,
+             SUM(CAST((e.x - c.c) * (e.x - c.c) AS DECIMAL(30,10))) AS d2
+      FROM ex e JOIN cent c ON c.pos = e.pos GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, m, lc AS code FROM (
+        SELECT vec_id, m, lc,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2, lc) AS rn
+        FROM encd) WHERE rn = 1
+    ),
+    contrib AS (
+      SELECT e.vec_id AS qid, ((e.pos - 1) // 8) + 1 AS m, c.lc,
+             SUM(CAST(e.x * c.c AS DECIMAL(30,10))) AS ct
+      FROM ex e JOIN cent c ON c.pos = e.pos
+      WHERE e.vec_id % 25 = 0 GROUP BY 1, 2, 3
+    ),
+    adc AS (
+      SELECT t.qid, k.vec_id AS nbr, SUM(t.ct) AS score
+      FROM codes k JOIN contrib t ON t.m = k.m AND t.lc = k.code
+      WHERE k.vec_id <> t.qid GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT qid, nbr,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, nbr) AS arank
+      FROM adc
+    ),
+    rs AS (SELECT CAST(r AS BIGINT) AS rd
+           FROM (VALUES (5), (10), (20), (50)) v(r)),
+    short AS (
+      SELECT rs.rd, r.qid, r.nbr FROM ranked r
+      JOIN rs ON r.arank <= rs.rd
+    ),
+    """
+    + _PANEL_PAIRS_SQL.strip()
+    + """,
+    rr AS (
+      SELECT s.rd, s.qid, s.nbr, p.cos FROM short s
+      JOIN pairs p ON p.qid = s.qid AND p.nbr = s.nbr
+    ),
+    final5 AS (
+      SELECT rd, qid, nbr FROM (
+        SELECT rd, qid, nbr,
+               ROW_NUMBER() OVER (PARTITION BY rd, qid
+                                  ORDER BY cos DESC, nbr) AS rn
+        FROM rr) WHERE rn <= 5
+    ),
+    hits AS (
+      SELECT f.rd, f.qid, CAST(COUNT(*) AS BIGINT) AS h
+      FROM final5 f JOIN exact5 e ON e.qid = f.qid AND e.nbr = f.nbr
+      GROUP BY 1, 2
+    ),
+    scn AS (
+      SELECT rd, qid, CAST(COUNT(*) AS BIGINT) AS scn
+      FROM short GROUP BY 1, 2
+    ),
+    tot AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS t
+            FROM pairs GROUP BY 1),
+    perq AS (
+      SELECT s.rd, s.qid,
+             CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall,
+             CAST(s.scn AS DOUBLE) / t.t AS sfr
+      FROM scn s
+      LEFT JOIN hits h ON h.rd = s.rd AND h.qid = s.qid
+      JOIN tot t ON t.qid = s.qid
+    )
+    SELECT rd AS rerank_depth, CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(CAST(SUM(CAST(recall AS DECIMAL(30,10))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_recall,
+           ROUND(CAST(SUM(CAST(sfr AS DECIMAL(30,10))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_scanned
+    FROM perq GROUP BY rd ORDER BY rerank_depth
+    """,
+    doc="PQ/ADC recall vs re-rank-depth frontier audit — the "
+    "ORACLE-CHECKED quality measurement of the product-quantization "
+    "family (q92d carries a unit recall bound only), completing the "
+    "three ANN frontiers (q384 IVF nprobe / q443 LSH radius / q444 PQ "
+    "re-rank depth). Deterministic PQ: 8 subspaces of 8 dims; the "
+    "per-subspace codebook is the 10 label-mean sub-centroids "
+    "(coordinates round(6) through the exact-DECIMAL mean, shared with "
+    "q384's coarse quantizer via _label_centroids); vectors encode to "
+    "the L2-nearest sub-centroid per subspace (exact-DECIMAL squared "
+    "distance, label tie-break); ADC scores each corpus vector as the "
+    "sum over subspaces of the query x sub-centroid DECIMAL dot looked "
+    "up by code. The ADC shortlist depth is swept 5/10/20/50, each "
+    "shortlist exactly re-ranked (shared _panel_pairs cosines) and "
+    "compared to the exact top-5 — avg recall@5 vs avg "
+    "scanned-fraction per depth is the production shortlist knob. "
+    "Scale shape: encode is one exploded scan folding |labels| x 8 "
+    "DECIMAL partials per vector (map-side combinable) against a "
+    "broadcast codebook; ADC is a code-column join against a "
+    "panel x 8 x |labels| broadcast lookup — the corpus-sized frame "
+    "carries only (vec_id, m, code), PQ's 64x-narrower scan; nothing "
+    "all-pairs, the exact matmul is panel-bounded and shared.",
+)
+@plan_cache
+def q444(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = _exploded_embeddings(spark, sf_dir)
+    cent = _label_centroids(spark, sf_dir)
+    sub_m = (F.expr("(pos - 1) DIV 8") + 1).alias("m")
+    encd = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", sub_m, "lc")
+        .agg(
+            F.sum(
+                ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast(
+                    DEC
+                )
+            ).alias("d2")
+        )
+    )
+    w_code = Window.partitionBy("vec_id", "m").orderBy("d2", "lc")
+    codes = (
+        encd.withColumn("rn", F.row_number().over(w_code))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("lc").alias("code"))
+    )
+    contrib = (
+        ex.where(F.pmod(F.col("vec_id"), F.lit(25)) == 0)
+        .join(F.broadcast(cent), "pos")
+        .groupBy(F.col("vec_id").alias("qid"), sub_m, "lc")
+        .agg(F.sum((F.col("x") * F.col("c")).cast(DEC)).alias("ct"))
+    )
+    adc = (
+        codes.join(
+            F.broadcast(contrib),
+            (codes["m"] == contrib["m"]) & (codes["code"] == contrib["lc"]),
+        )
+        .where(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("nbr"))
+        .agg(F.sum("ct").alias("score"))
+    )
+    w_adc = Window.partitionBy("qid").orderBy(F.col("score").desc(), "nbr")
+    ranked = adc.withColumn("arank", F.row_number().over(w_adc)).select(
+        "qid", "nbr", "arank"
+    )
+    rs = spark.createDataFrame(
+        [(5,), (10,), (20,), (50,)], "rd bigint"
+    )
+    short = ranked.crossJoin(F.broadcast(rs)).where(
+        F.col("arank") <= F.col("rd")
+    )
+    pairs = _panel_pairs(spark, sf_dir)
+    w_q = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "nbr")
+    exact5 = (
+        pairs.withColumn("rn", F.row_number().over(w_q))
+        .where(F.col("rn") <= 5)
+        .select("qid", "nbr")
+    )
+    rr = short.join(pairs, ["qid", "nbr"])
+    w_rq = Window.partitionBy("rd", "qid").orderBy(F.col("cos").desc(), "nbr")
+    final5 = (
+        rr.withColumn("rn", F.row_number().over(w_rq))
+        .where(F.col("rn") <= 5)
+        .select("rd", "qid", "nbr")
+    )
+    hits = (
+        final5.join(exact5, ["qid", "nbr"])
+        .groupBy("rd", "qid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("h"))
+    )
+    scn = short.groupBy("rd", "qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("scn")
+    )
+    tot = pairs.groupBy("qid").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    perq = (
+        scn.join(hits, ["rd", "qid"], "left")
+        .join(tot, "qid")
+        .select(
+            "rd",
+            (F.coalesce(F.col("h"), F.lit(0)).cast("double") / 5.0).alias(
+                "recall"
+            ),
+            (F.col("scn").cast("double") / F.col("t")).alias("sfr"),
+        )
+    )
+    return (
+        perq.groupBy(F.col("rd").alias("rerank_depth"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.round(
+                F.sum(F.col("recall").cast(DEC)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_recall"),
+            F.round(
+                F.sum(F.col("sfr").cast(DEC)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_scanned"),
+        )
+        .orderBy("rerank_depth")
     )
 
 

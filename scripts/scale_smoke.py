@@ -26,12 +26,33 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from hive_hw_spark.queries import all_queries  # noqa: E402
-from hive_hw_spark.session import get_spark  # noqa: E402
+
+
+def _vanilla_spark():
+    """Same explicit-minimal session shape as scripts/drive.py (r8 advice):
+    vanilla engine defaults — no AQE/shuffle-partition/timestamp configs a
+    query fn could lean on — plus the two infrastructure knobs the sweep
+    needs (driver heap for 440+ queries of accumulated storage, UI off).
+    Magnitude-dependent failures that only manifest under vanilla
+    defaults (e.g. default shuffle-partition sizing changing per-task
+    volumes) now hit this gate instead of passing on get_spark's tuning."""
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    return (
+        SparkSession.builder.appName("hive_hw_scale_smoke")
+        .master(master)
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
 
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="hive_hw_scale_smoke")
+    spark = _vanilla_spark()
     registry = all_queries()
     names = sys.argv[1:] or sorted(registry)
     failed: list[str] = []

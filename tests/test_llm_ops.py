@@ -590,3 +590,37 @@ def test_q102_threshold_pairs_multiblock_equals_singleblock(spark, sf_dir):
             .select("vec_a", "vec_b").collect())
     )
     assert multi == single and len(single) > 0
+
+
+def test_release_all_cached_empties_module_caches():
+    """scripts/drive.py's every-150-queries purge calls this one helper;
+    it must unpersist every managed frame and clear the component memo
+    regardless of what shape the cache values take (r8 advice: the purge
+    previously unpacked _PERSIST_CACHE tuples itself and would silently
+    skip unpersists after any refactor of the value shape)."""
+    from hive_hw_spark.queries import llm_ops
+
+    class FakeFrame:
+        def __init__(self):
+            self.released = False
+
+        def unpersist(self, *a):
+            self.released = True
+
+    f1, f2 = FakeFrame(), FakeFrame()
+    saved_p = dict(llm_ops._PERSIST_CACHE)
+    saved_c = dict(llm_ops._COMPONENT_CACHE)
+    try:
+        llm_ops._PERSIST_CACHE.clear()
+        llm_ops._COMPONENT_CACHE.clear()
+        llm_ops._PERSIST_CACHE["a"] = ("pk1", f1)
+        llm_ops._PERSIST_CACHE["b"] = (None, f2)
+        llm_ops._COMPONENT_CACHE["k"] = ("sess", "frame")
+        llm_ops.release_all_cached()
+        assert llm_ops._PERSIST_CACHE == {}
+        assert llm_ops._COMPONENT_CACHE == {}
+        assert f1.released and f2.released
+    finally:
+        llm_ops._PERSIST_CACHE.clear()
+        llm_ops._PERSIST_CACHE.update(saved_p)
+        llm_ops._COMPONENT_CACHE.update(saved_c)
