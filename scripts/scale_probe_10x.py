@@ -29,7 +29,12 @@ from hive_hw_spark.session import get_spark  # noqa: E402
 SRC_DIR = "/root/testdata/sf0.1"
 SF_DIR = "/tmp/scale1x"
 X10_DIR = "/tmp/scale10x"
-QUERIES = ("q321", "q308", "q133")
+# the heavy DECIMAL sufficient-stat folds (the r8 verdict's ask) plus one
+# representative per core family over lineitem: q213 predicate-pushdown
+# scan, q30 TPC-H-Q1 hash agg, q151 3-table join->agg->top-k (orders/
+# customer stay 1x behind the symlinks, so the join fans out 10x on the
+# probe side — the shuffle-scaling signal we want)
+QUERIES = ("q321", "q308", "q133", "q213", "q30", "q151")
 COPIES = 10
 
 

@@ -624,3 +624,27 @@ def test_release_all_cached_empties_module_caches():
         llm_ops._PERSIST_CACHE.clear()
         llm_ops._PERSIST_CACHE.update(saved_p)
         llm_ops._COMPONENT_CACHE.update(saved_c)
+
+
+def test_ann_frontier_monotonicity(spark, sf_dir):
+    """The three ANN frontier audits must be monotone in their knob:
+    widening the search (more probes / larger radius / deeper shortlist)
+    can only add candidates, so avg_recall and avg_scanned are
+    non-decreasing — a violated monotonicity means the candidate set is
+    not actually nested (a banding/ranking bug the hash-parity oracle
+    could only catch if DuckDB made the identical mistake)."""
+    from hive_hw_spark.queries import all_queries
+
+    reg = all_queries()
+    for name, knob in (("q384", "nprobe"), ("q443", "radius"),
+                       ("q444", "rerank_depth")):
+        rows = reg[name].fn(spark, sf_dir).orderBy(knob).collect()
+        assert len(rows) >= 2, name
+        recalls = [r["avg_recall"] for r in rows]
+        scanned = [r["avg_scanned"] for r in rows]
+        assert recalls == sorted(recalls), (name, recalls)
+        assert scanned == sorted(scanned), (name, scanned)
+        assert all(0.0 <= v <= 1.0 for v in recalls + scanned), name
+        # the widest setting must achieve meaningful recall on this
+        # corpus, else the audit is vacuous
+        assert recalls[-1] >= 0.5, (name, recalls)

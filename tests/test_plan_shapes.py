@@ -539,3 +539,23 @@ def test_q237_multi_format_federated_union(spark, sf_dir, tmp_path):
     assert [(r.n_regionkey, r.n) for r in got] == [
         (r.n_regionkey, r.n) for r in want
     ]
+
+
+def test_ann_frontiers_share_one_panel_pairs_persist(spark, sf_dir):
+    """q384/q443/q444 must all search over ONE persisted ground-truth
+    pair matrix (the |Q| x N matmul is the expensive part of every
+    frontier audit): after running all three, the managed-persist cache
+    holds exactly one panel_pairs entry, and each executed plan reads
+    it as an InMemoryTableScan rather than recomputing the matmul."""
+    from hive_hw_spark.queries import all_queries
+    from hive_hw_spark.queries import llm_ops
+
+    llm_ops.release_all_cached()
+    reg = all_queries()
+    for name in ("q384", "q443", "q444"):
+        df = reg[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, name
+    keys = [k for k in llm_ops._PERSIST_CACHE if "panel_pairs" in k]
+    assert keys == ["panel_pairs"], keys
