@@ -442,7 +442,8 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
     "production near-dup corpus (cosine ≥ 0.9 targets) concentrates "
     "probability in the exact bucket, letting more planes + radius 1-2 "
     "probe a far smaller corpus fraction. Unit test asserts recall@10 "
-    "≥ 0.9 vs exact q92.",
+    "≥ 0.9 vs exact q92; q443 is this family's ORACLE-CHECKED "
+    "recall-vs-scanned frontier over the radius knob.",
 )
 def q92b(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -1415,7 +1416,8 @@ def pq_index(
     "200 ≈ 10% of this sf0.1 corpus, vanishing at real scale; uniform-"
     "random data is PQ's worst case — clustered corpora need far less). "
     "Deterministic "
-    "end to end. Unit test: recall@10 ≥ 0.9 vs exact q92.",
+    "end to end. Unit test: recall@10 ≥ 0.9 vs exact q92; q444 is this "
+    "family's ORACLE-CHECKED recall-vs-re-rank-depth frontier.",
 )
 def q92d(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf

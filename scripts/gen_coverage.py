@@ -29,7 +29,7 @@ UNIT_ONLY = {
     "Q76b": "idempotent exactly-once foreachBatch sink — tests/test_streaming.py::test_q76b_idempotent_foreachbatch_sink",
     "Q112b": "observe() ride-along quality metrics — tests/test_quality.py::test_observe_metrics_ride_along_one_scan",
     "Q111b": "count-min sketch mergeability — tests/test_llm_ops.py::test_cms_sketch_merges_across_shards",
-    "Q147": "transformWithStateInPandas threshold alerts — hive_hw_spark/stateful_v2.py + tests/test_stateful_v2.py (plan/schema contract runs; semantics test skip-gated on the container's missing python protobuf)",
+    "Q147": "transformWithStateInPandas threshold alerts — hive_hw_spark/stateful_v2.py + tests/test_stateful_v2.py (plan/schema contract + mock-state SEMANTICS drive of the shipped processor both green; only the protobuf state-server wire protocol remains env-blocked, e2e test skip-gated)",
     "Q150": "small-file compaction (table maintenance) — hive_hw_spark/tables.py::compact_parquet_dir + tests/test_tables.py::test_compact_parquet_dir_rewrites_to_target_file_count",
     "Q159": "sorted data layout for zone-map skipping — hive_hw_spark/tables.py::sort_parquet_dir + tests/test_tables.py::test_sort_parquet_dir_produces_disjoint_zone_maps",
     "Q168": "bucketed co-located join (exchange-free plan) — hive_hw_spark/tables.py::write_bucketed_table + tests/test_tables.py::test_bucketed_join_plans_without_exchange",

@@ -134,3 +134,89 @@ def _drive(spark, tmp_path):
         for r in spark.table("q147_sink_b").collect()
     }
     assert got2 == {(1, 4): 405.0}, got2
+
+
+class _FakeValueState:
+    """In-memory stand-in for the state-server-backed ValueState: same
+    get/exists/update surface the processor uses, backed by a dict that
+    plays the role of the checkpoint (survives processor re-creation)."""
+
+    def __init__(self, store: dict, key):
+        self._store, self._key = store, key
+
+    def exists(self) -> bool:
+        return self._key in self._store
+
+    def get(self):
+        return self._store[self._key]
+
+    def update(self, v) -> None:
+        self._store[self._key] = v
+
+
+def _drive_batch(proc_cls, store: dict, step, batches):
+    """Run one micro-batch through a FRESH processor instance per key —
+    exactly the engine's lifecycle (init with a handle, handleInputRows
+    per key, close) with the fake store standing in for the checkpoint."""
+    import pandas as pd
+
+    out = []
+    for key, pdfs in batches.items():
+        proc = proc_cls(step)
+
+        class _Handle:
+            def getValueState(self, name, schema):
+                return _FakeValueState(store, (name, key))
+
+        proc.init(_Handle())
+        for alert_pdf in proc.handleInputRows((key,), iter(pdfs), None):
+            out.append(alert_pdf)
+        proc.close()
+    return (
+        pd.concat(out, ignore_index=True)
+        if out
+        else pd.DataFrame(columns=["user_id", "level", "cum"])
+    )
+
+
+def test_q147_processor_semantics_with_mock_state():
+    """The SEMANTICS of the shipped ThresholdAlertProcessor, driven
+    directly through its StatefulProcessor lifecycle with a mock state
+    handle — everything the env-blocked end-to-end test asserts except
+    the protobuf wire protocol itself: per-level alert emission, exact
+    boundary (cum == step counts as crossed), multi-level jumps from
+    one event, deterministic (ts, event) fold order, and
+    restart-resume (a new processor instance over the same store
+    carries cum forward and never re-fires emitted levels)."""
+    import pandas as pd
+
+    from hive_hw_spark.stateful_v2 import ThresholdAlertProcessor
+
+    store: dict = {}
+    # batch 1 — same fixture as the blocked e2e test, rows deliberately
+    # OUT of ts order to prove the fold re-sorts
+    b1 = {
+        1: [pd.DataFrame(
+            {"event_id": [3, 1, 2], "ts_s": [30, 10, 20],
+             "value": [190.0, 60.0, 60.0]})],
+        2: [pd.DataFrame(
+            {"event_id": [4, 5], "ts_s": [10, 20], "value": [99.5, 0.5]})],
+    }
+    got = _drive_batch(ThresholdAlertProcessor, store, 100.0, b1)
+    assert {
+        (r.user_id, r.level): r.cum for r in got.itertuples()
+    } == {(1, 1): 120.0, (1, 2): 310.0, (1, 3): 310.0, (2, 1): 100.0}
+
+    # batch 2 (the "restart"): new processor instances, same store.
+    # user 1 resumes at cum=310/level=3: +95 -> 405 crosses level 4
+    # exactly once; user 2 resumes at 100/1: +99.9 -> 199.9 crosses
+    # nothing (level 1 already fired, 200 not reached).
+    b2 = {
+        1: [pd.DataFrame({"event_id": [6], "ts_s": [40], "value": [95.0]})],
+        2: [pd.DataFrame({"event_id": [7], "ts_s": [30], "value": [99.9]})],
+    }
+    got2 = _drive_batch(ThresholdAlertProcessor, store, 100.0, b2)
+    assert {
+        (r.user_id, r.level): r.cum for r in got2.itertuples()
+    } == {(1, 4): 405.0}
+    assert store[("totals", 2)] == (199.9, 1)
