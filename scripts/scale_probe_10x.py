@@ -28,14 +28,17 @@ from hive_hw_spark.session import get_spark  # noqa: E402
 
 SRC_DIR = "/root/testdata/sf0.1"
 SF_DIR = "/tmp/scale1x"
-X10_DIR = "/tmp/scale10x"
+# SPARK_GRAFT_PROBE_COPIES widens the probe (e.g. 100 -> 60M-row
+# lineitem, ~1.1 GB parquet): two decades of scaling evidence instead
+# of one. Default stays 10 so the per-round gate remains cheap.
+COPIES = int(os.environ.get("SPARK_GRAFT_PROBE_COPIES", "10"))
+X10_DIR = f"/tmp/scale{COPIES}x"
 # the heavy DECIMAL sufficient-stat folds (the r8 verdict's ask) plus one
 # representative per core family over lineitem: q213 predicate-pushdown
 # scan, q30 TPC-H-Q1 hash agg, q151 3-table join->agg->top-k (orders/
 # customer stay 1x behind the symlinks, so the join fans out 10x on the
 # probe side — the shuffle-scaling signal we want)
 QUERIES = ("q321", "q308", "q133", "q213", "q30", "q151")
-COPIES = 10
 
 
 def _build(spark, dst_dir: str, copies: int) -> None:
@@ -94,7 +97,7 @@ def main() -> int:
     n1 = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
     n10 = spark.read.parquet(os.path.join(X10_DIR, "lineitem.parquet")).count()
     reg = all_queries()
-    out = {"rows_1x": n1, "rows_10x": n10}
+    out = {"copies": COPIES, "rows_1x": n1, "rows_nx": n10}
     try:
         out["load1"] = round(os.getloadavg()[0], 2)
     except OSError:
@@ -103,7 +106,7 @@ def main() -> int:
         t1, t10 = time_pair(reg[name].fn, spark)
         out[name] = {
             "sec_1x": t1,
-            "sec_10x": t10,
+            "sec_nx": t10,
             "scaling": round(t10 / t1, 2) if t1 > 0 else None,
         }
     print(json.dumps(out))
