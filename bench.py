@@ -357,9 +357,27 @@ def main() -> None:
     # which would be amortized over minutes of work at real scale.
     timings: dict[str, float] = {}
     per_query_load: dict[str, float | None] = {}
+
+    def release_all_cached_state() -> None:
+        """Same storage-hygiene rule scripts/drive.py applies every 150
+        queries: a 277-query single-session sweep accumulates persisted
+        frames + localCheckpoint blocks until GC pressure inflates
+        unrelated tail queries (r9: q220 read 1.7 s mid-sweep vs 0.7 s
+        in r8's shorter sweep). Each query still warms its OWN frames
+        across its min-of-3 reps; only cross-query accumulation goes."""
+        from hive_hw_spark.queries import llm_ops, plan_cache_clear
+
+        llm_ops.release_all_cached()
+        plan_cache_clear()
+        spark.catalog.clearCache()
+
+    n_run = 0
     for name in HEADLINE:
         if name not in registry:
             continue
+        n_run += 1
+        if n_run % 150 == 0:
+            release_all_cached_state()
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
