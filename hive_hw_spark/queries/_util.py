@@ -28,6 +28,81 @@ def davg(col: Column | str, ndigits: int = 4) -> Column:
     return F.round((F.sum(c.cast(DEC)) / F.count(c)).cast("double"), ndigits)
 
 
+DECZ = "decimal(38,0)"
+
+
+def dfloor_div(a: Column, b: Column) -> Column:
+    """Exact floor division of two nonnegative integer-valued decimals.
+
+    Spark decimal ``/`` rounds its quotient to the result scale, so a bare
+    ``F.floor(a / b)`` can be off by one when the true quotient sits within
+    that rounding of an integer — exactly the boundary case this helper
+    exists for. ``(a - pmod(a, b)) / b`` is exact: decimal pmod is exact
+    BigDecimal remainder, the difference divides evenly, and rounding an
+    exact integer quotient is a no-op.
+    """
+    return ((a - F.pmod(a, b)) / b).cast(DECZ)
+
+
+def dratio_round(num: Column, den: Column, ndigits: int = 4) -> Column:
+    """Half-away-from-zero round of ``num/den`` to ``ndigits``, exactly.
+
+    ``num`` and ``den`` are integer-valued DECIMAL columns in the same
+    unit (``den`` nonzero). The quotient is never materialized in a float
+    or a scale-rounded decimal: ``round(|n|/|d| * 10^k)`` is computed as
+    ``(2*|n|*10^k + |d|) div (2*|d|)`` in exact integer decimal
+    arithmetic, so the result is bit-identical in Spark and DuckDB (via
+    :func:`sql_dratio_round`) even when the true ratio sits exactly on a
+    ``.5e-ndigits`` rounding boundary — the class that broke q259/q307/
+    q317 at the driver's round(4)-string hash granularity in round 9.
+    Requires ``|num| * 2 * 10^ndigits < 1e38``.
+    """
+    p = 10**ndigits
+    a = (F.abs(num).cast(DECZ) * F.lit(2 * p).cast("decimal(20,0)")).cast(DECZ)
+    d = F.abs(den).cast(DECZ)
+    q = dfloor_div(a + d, (d * F.lit(2).cast("decimal(2,0)")).cast(DECZ))
+    sgn = F.signum(num.cast("double")) * F.signum(den.cast("double"))
+    return sgn * (q.cast("double") / F.lit(float(p)))
+
+
+def dround_units(num: Column, den: Column) -> Column:
+    """``round_half_up(num/den)`` for NONNEGATIVE integer-valued decimals.
+
+    Exact integer result (DECIMAL(38,0)) via ``floor((2*num+den)/(2*den))``
+    — the deterministic quantization used when a per-group quotient (e.g.
+    ANOVA's ``sx_g^2 / n_g``) must be folded further: both engines compute
+    the identical integer, so downstream sums stay bit-identical.
+    """
+    two = F.lit(2).cast("decimal(2,0)")
+    return dfloor_div(
+        (num.cast(DECZ) * two).cast(DECZ) + den.cast(DECZ),
+        (den.cast(DECZ) * two).cast(DECZ),
+    )
+
+
+def sql_dround_units(num: str, den: str) -> str:
+    """DuckDB-side mirror of :func:`dround_units` (HUGEINT floor division)."""
+    return (
+        f"((2*CAST({num} AS HUGEINT) + CAST({den} AS HUGEINT)) "
+        f"// (2*CAST({den} AS HUGEINT)))"
+    )
+
+
+def sql_dratio_round(num: str, den: str, ndigits: int = 4) -> str:
+    """DuckDB-side mirror of :func:`dratio_round`.
+
+    DuckDB has no decimal division (``/`` on decimals returns DOUBLE), so
+    the same integer formula runs on HUGEINT with ``//`` floor division.
+    ``num``/``den`` must be integer-valued expressions (HUGEINT-castable).
+    """
+    p = 10**ndigits
+    return (
+        f"CAST(SIGN({num}) AS DOUBLE) * CAST(SIGN({den}) AS DOUBLE) * "
+        f"CAST((2*{p}*CAST(ABS({num}) AS HUGEINT) + CAST(ABS({den}) AS HUGEINT)) "
+        f"// (2*CAST(ABS({den}) AS HUGEINT)) AS DOUBLE) / {p}.0"
+    )
+
+
 def sql_dsum(expr: str) -> str:
     """DuckDB-side mirror of :func:`dsum`."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(30,10))) AS DOUBLE)"

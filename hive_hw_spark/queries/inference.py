@@ -36,7 +36,14 @@ from pyspark.sql import functions as F
 from hive_hw_spark.catalog import load_table
 
 from . import plan_cache, register
-from ._util import DEC
+from ._util import (
+    DEC,
+    DECZ,
+    dratio_round,
+    dround_units,
+    sql_dratio_round,
+    sql_dround_units,
+)
 
 DEC38 = "decimal(38,0)"
 
@@ -389,35 +396,41 @@ def q306(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q307",
-    oracle="""
-    WITH g AS (
+    oracle=f"""
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    g AS (
       SELECT o_orderpriority,
              CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
-               AS sx,
-             CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(30,10)))
-               AS DOUBLE) AS sxx
-      FROM orders GROUP BY o_orderpriority
+             SUM(CAST(cents AS HUGEINT)) AS sx_u,
+             SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS sxx_u
+      FROM c GROUP BY o_orderpriority
     ),
     s AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS k,
              CAST(SUM(n) AS BIGINT) AS n_total,
-             CAST(SUM(CAST(sx AS DECIMAL(30,10))) AS DOUBLE) AS sx_all,
-             CAST(SUM(CAST(sxx AS DECIMAL(30,10))) AS DOUBLE) AS sxx_all,
-             CAST(SUM(CAST(sx * sx / n AS DECIMAL(30,10))) AS DOUBLE)
-               AS sbn
+             SUM(sx_u) AS sx_all,
+             SUM(sxx_u) AS sxx_all,
+             SUM({sql_dround_units('sx_u * sx_u', 'n')}) AS sbn_u
       FROM g
     ),
     d AS (
       SELECT k, n_total,
-             sbn - sx_all * sx_all / n_total AS ssb,
-             sxx_all - sbn AS ssw
+             sbn_u - {sql_dround_units('sx_all * sx_all', 'n_total')}
+               AS ssb_u,
+             sxx_all - sbn_u AS ssw_u
       FROM s
     )
     SELECT k AS k_groups, n_total,
-           ROUND(ssb, 4) AS ss_between, ROUND(ssw, 4) AS ss_within,
-           ROUND((ssb / (k - 1)) / (ssw / (n_total - k)), 4) AS f_stat,
-           ROUND(ssb / (ssb + ssw), 4) AS eta_sq
+           {sql_dratio_round('ssb_u', '10000')} AS ss_between,
+           {sql_dratio_round('ssw_u', '10000')} AS ss_within,
+           {sql_dratio_round('ssb_u * (n_total - k)', 'ssw_u * (k - 1)')}
+             AS f_stat,
+           {sql_dratio_round('ssb_u', 'ssb_u + ssw_u')} AS eta_sq
     FROM d
     """,
     doc="One-way ANOVA F-test — does mean order value differ across the "
@@ -425,43 +438,62 @@ def q306(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-group sufficient statistics (SSB = Sigma sx_g^2/n_g - "
     "(Sigma sx)^2/N, SSW = Sigma sxx - Sigma sx_g^2/n_g), F and "
     "eta-squared effect size.  Scale shape: ONE partial+final "
-    "group-by fold of the fact table to a k=5-row moment frame; "
-    "the second-level folds ALSO run their double terms through "
-    "exact DECIMAL accumulators (a 5-row float sum is still "
-    "partition-order-dependent in Spark), and the closed form runs "
-    "once on one row, identically in both engines.",
+    "group-by fold of the fact table to a k=5-row moment frame. "
+    "Float discipline (r10, driver-red in r9): all moments are "
+    "exact INTEGERS — prices as cents, squares as cents^2 held in "
+    "DECIMAL(38,0)/HUGEINT — and every division is the exact "
+    "half-up integer division of dround_units/dratio_round. The "
+    "old spelling bounced per-group DECIMAL partials through DOUBLE "
+    "and re-cast to DECIMAL at the second fold (Spark rounds that "
+    "cast HALF_UP, DuckDB half-even: sx_all differed by 1e-10, "
+    "amplified to ~1.4 absolute by sx_all^2), and ROUND(x,4) at "
+    "|x|~3e14 is a no-op (double ulp 0.03 > 1e-4), so the driver "
+    "hash compared raw ulp noise.",
 )
 @plan_cache
 def q307(spark: SparkSession, sf_dir: str) -> DataFrame:
-    x = F.col("o_totalprice")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
     g = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(x.cast(DEC)).cast("double").alias("sx"),
-            F.sum((x * x).cast(DEC)).cast("double").alias("sxx"),
+            F.sum(cents.cast("decimal(20,0)")).alias("sx_u"),
+            F.sum((cents * cents).cast(DECZ)).alias("sxx_u"),
         )
     )
+    sx, n = F.col("sx_u").cast(DECZ), F.col("n").cast(DECZ)
     s = g.agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("n").cast("long").alias("n_total"),
-        F.sum(F.col("sx").cast(DEC)).cast("double").alias("sx_all"),
-        F.sum(F.col("sxx").cast(DEC)).cast("double").alias("sxx_all"),
-        F.sum((F.col("sx") * F.col("sx") / F.col("n")).cast(DEC))
-        .cast("double")
-        .alias("sbn"),
+        F.sum(sx).alias("sx_all"),
+        F.sum(F.col("sxx_u").cast(DECZ)).alias("sxx_all"),
+        F.sum(dround_units((sx * sx).cast(DECZ), n)).alias("sbn_u"),
     )
-    k, n = F.col("k"), F.col("n_total")
-    ssb = F.col("sbn") - F.col("sx_all") * F.col("sx_all") / n
-    ssw = F.col("sxx_all") - F.col("sbn")
-    return s.select(
+    d = s.select(
+        "k",
+        "n_total",
+        (
+            F.col("sbn_u").cast(DECZ)
+            - dround_units(
+                (F.col("sx_all") * F.col("sx_all")).cast(DECZ),
+                F.col("n_total").cast(DECZ),
+            )
+        ).alias("ssb_u"),
+        (F.col("sxx_all") - F.col("sbn_u")).cast(DECZ).alias("ssw_u"),
+    )
+    ssb, ssw = F.col("ssb_u"), F.col("ssw_u")
+    k, n_tot = F.col("k"), F.col("n_total")
+    return d.select(
         k.alias("k_groups"),
         "n_total",
-        F.round(ssb, 4).alias("ss_between"),
-        F.round(ssw, 4).alias("ss_within"),
-        F.round((ssb / (k - 1)) / (ssw / (n - k)), 4).alias("f_stat"),
-        F.round(ssb / (ssb + ssw), 4).alias("eta_sq"),
+        dratio_round(ssb, F.lit(10000).cast(DECZ)).alias("ss_between"),
+        dratio_round(ssw, F.lit(10000).cast(DECZ)).alias("ss_within"),
+        dratio_round(
+            (ssb * (n_tot - k).cast(DECZ)).cast(DECZ),
+            (ssw * (k - 1).cast(DECZ)).cast(DECZ),
+        ).alias("f_stat"),
+        dratio_round(ssb, (ssb + ssw).cast(DECZ)).alias("eta_sq"),
     )
 
 

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from hive_hw_spark.catalog import load_table
 
 from . import plan_cache, register
-from ._util import DEC
+from ._util import DEC, DECZ, dratio_round, sql_dratio_round
 
 
 @register(
@@ -616,12 +616,13 @@ def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q259",
-    oracle="""
+    oracle=f"""
     WITH per AS (
       SELECT o_custkey AS custkey,
              MAX(CAST(o_orderdate AS DATE)) AS last_day,
              CAST(COUNT(*) AS BIGINT) AS freq,
-             SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS mon_d
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS mon_c
       FROM orders GROUP BY 1
     ),
     m AS (
@@ -629,22 +630,22 @@ def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(date_diff('day', last_day,
                             (SELECT MAX(last_day) FROM per)) AS BIGINT)
                AS rec_days,
-             freq, CAST(mon_d AS DOUBLE) AS mon, mon_d
+             freq, mon_c
       FROM per
     ),
     th AS (
-      SELECT ROUND(quantile_cont(CAST(rec_days AS DOUBLE), 0.2), 4) AS r1,
-             ROUND(quantile_cont(CAST(rec_days AS DOUBLE), 0.4), 4) AS r2,
-             ROUND(quantile_cont(CAST(rec_days AS DOUBLE), 0.6), 4) AS r3,
-             ROUND(quantile_cont(CAST(rec_days AS DOUBLE), 0.8), 4) AS r4,
-             ROUND(quantile_cont(CAST(freq AS DOUBLE), 0.2), 4) AS f1,
-             ROUND(quantile_cont(CAST(freq AS DOUBLE), 0.4), 4) AS f2,
-             ROUND(quantile_cont(CAST(freq AS DOUBLE), 0.6), 4) AS f3,
-             ROUND(quantile_cont(CAST(freq AS DOUBLE), 0.8), 4) AS f4,
-             ROUND(quantile_cont(mon, 0.2), 4) AS m1,
-             ROUND(quantile_cont(mon, 0.4), 4) AS m2,
-             ROUND(quantile_cont(mon, 0.6), 4) AS m3,
-             ROUND(quantile_cont(mon, 0.8), 4) AS m4
+      SELECT quantile_disc(rec_days, 0.2) AS r1,
+             quantile_disc(rec_days, 0.4) AS r2,
+             quantile_disc(rec_days, 0.6) AS r3,
+             quantile_disc(rec_days, 0.8) AS r4,
+             quantile_disc(freq, 0.2) AS f1,
+             quantile_disc(freq, 0.4) AS f2,
+             quantile_disc(freq, 0.6) AS f3,
+             quantile_disc(freq, 0.8) AS f4,
+             quantile_disc(mon_c, 0.2) AS m1,
+             quantile_disc(mon_c, 0.4) AS m2,
+             quantile_disc(mon_c, 0.6) AS m3,
+             quantile_disc(mon_c, 0.8) AS m4
       FROM m
     ),
     scored AS (
@@ -655,15 +656,16 @@ def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(1 + CAST(freq > f1 AS INT) + CAST(freq > f2 AS INT)
                     + CAST(freq > f3 AS INT) + CAST(freq > f4 AS INT)
                   AS INT) AS f_score,
-             CAST(1 + CAST(mon > m1 AS INT) + CAST(mon > m2 AS INT)
-                    + CAST(mon > m3 AS INT) + CAST(mon > m4 AS INT)
+             CAST(1 + CAST(mon_c > m1 AS INT) + CAST(mon_c > m2 AS INT)
+                    + CAST(mon_c > m3 AS INT) + CAST(mon_c > m4 AS INT)
                   AS INT) AS m_score,
-             mon_d
+             mon_c
       FROM m CROSS JOIN th
     )
     SELECT r_score, f_score, m_score,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           ROUND(CAST(SUM(mon_d) AS DOUBLE) / COUNT(*), 4) AS avg_monetary
+           {sql_dratio_round('SUM(mon_c)', 'COUNT(*) * 100')}
+             AS avg_monetary
     FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
     """,
     doc="RFM (recency/frequency/monetary) quintile segmentation — the "
@@ -671,13 +673,19 @@ def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
     "how often, and how much they bought, reported as segment "
     "counts + average spend. Scale shape: the fact table folds to "
     "ONE per-customer agg (single shuffle); quintile boundaries come "
-    "from Spark's exact percentile() over that frame (map-side-"
-    "combinable partial state — approx_percentile is the documented "
-    "100 TB swap, same trade as q47) and are ROUNDED to 4 dp in both "
-    "engines before the strict-> threshold compare, so the score is "
-    "a pure broadcast function of the row (no rank, no global "
-    "window, ntile would be an unpartitioned sort). Monetary sums "
-    "stay in exact DECIMAL end to end.",
+    "from percentile_disc / quantile_disc over that frame (map-side-"
+    "combinable counts state — approx_percentile is the documented "
+    "100 TB swap, same trade as q47), so the score is a pure "
+    "broadcast function of the row (no rank, no global window, "
+    "ntile would be an unpartitioned sort). Float discipline (r10, "
+    "driver-red in r9): everything is INTEGER — monetary flows as "
+    "exact cents, the DISCRETE quantile fences are actual data "
+    "values (the old interpolated percentile + double ROUND(4) "
+    "fences were the documented latent flake of this family), the "
+    "threshold compares are integer compares, and avg_monetary is "
+    "the exact half-up integer division of dratio_round (the old "
+    "double SUM/COUNT ratio straddled .65375 one ulp apart across "
+    "engines).",
 )
 @plan_cache
 def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -685,49 +693,46 @@ def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max(F.to_date("o_orderdate")).alias("last_day"),
         F.count(F.lit(1)).alias("freq"),
-        F.sum(F.col("o_totalprice").cast(DEC)).alias("mon_d"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        ).alias("mon_c"),
     )
     anchor = per.agg(F.max("last_day").alias("anchor"))
     m = per.crossJoin(F.broadcast(anchor)).select(
         "custkey",
         F.datediff("anchor", "last_day").cast("bigint").alias("rec_days"),
         "freq",
-        F.col("mon_d").cast("double").alias("mon"),
-        "mon_d",
+        "mon_c",
     )
     th = m.agg(
-        F.expr(
-            "transform(percentile(CAST(rec_days AS DOUBLE), "
-            "array(0.2D,0.4D,0.6D,0.8D)), t -> round(t, 4))"
-        ).alias("rt"),
-        F.expr(
-            "transform(percentile(CAST(freq AS DOUBLE), "
-            "array(0.2D,0.4D,0.6D,0.8D)), t -> round(t, 4))"
-        ).alias("ft"),
-        F.expr(
-            "transform(percentile(mon, array(0.2D,0.4D,0.6D,0.8D)), "
-            "t -> round(t, 4))"
-        ).alias("mt"),
+        *[
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY {v})"
+            ).alias(f"{a}{i}")
+            for v, a in (("rec_days", "r"), ("freq", "f"), ("mon_c", "m"))
+            for i, p in ((1, 0.2), (2, 0.4), (3, 0.6), (4, 0.8))
+        ]
     )
 
     def raw(v, t):
         c = F.lit(1)
         for i in (1, 2, 3, 4):
-            c = c + (F.col(v) > F.element_at(F.col(t), i)).cast("int")
+            c = c + (F.col(v) > F.col(f"{t}{i}")).cast("int")
         return c
 
     scored = m.crossJoin(F.broadcast(th)).select(
-        (F.lit(6) - raw("rec_days", "rt")).cast("int").alias("r_score"),
-        raw("freq", "ft").cast("int").alias("f_score"),
-        raw("mon", "mt").cast("int").alias("m_score"),
-        "mon_d",
+        (F.lit(6) - raw("rec_days", "r")).cast("int").alias("r_score"),
+        raw("freq", "f").cast("int").alias("f_score"),
+        raw("mon_c", "m").cast("int").alias("m_score"),
+        "mon_c",
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(
-                F.sum("mon_d").cast("double") / F.count(F.lit(1)), 4
+            dratio_round(
+                F.sum("mon_c").cast(DECZ),
+                (F.count(F.lit(1)) * 100).cast(DECZ),
             ).alias("avg_monetary"),
         )
         .orderBy("r_score", "f_score", "m_score")
@@ -3897,11 +3902,12 @@ def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q317",
-    oracle="""
+    oracle=f"""
     WITH om AS (
       SELECT o_custkey,
              CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-             o_totalprice AS rev
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS rev_c
       FROM orders
     ),
     first_m AS (
@@ -3915,20 +3921,19 @@ def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT f.cohort,
              CAST(date_diff('month', f.cohort, om.month) AS BIGINT)
                AS age,
-             CAST(SUM(CAST(om.rev AS DECIMAL(30,10))) AS DOUBLE) AS rev
+             SUM(om.rev_c) AS rev_u
       FROM om JOIN first_m f ON om.o_custkey = f.o_custkey
       GROUP BY 1, 2
     ),
     cum AS (
       SELECT cohort, age,
-             CAST(SUM(CAST(rev AS DECIMAL(30,10)))
-                  OVER (PARTITION BY cohort ORDER BY age)
-               AS DOUBLE) AS cum_rev
+             SUM(rev_u) OVER (PARTITION BY cohort ORDER BY age) AS cum_u
       FROM ca
     )
     SELECT CAST(c.cohort AS VARCHAR) AS cohort, c.age, s.n_customers,
-           ROUND(c.cum_rev, 2) AS cum_rev,
-           ROUND(c.cum_rev / s.n_customers, 4) AS ltv_per_customer
+           CAST(c.cum_u AS DOUBLE) / 100.0 AS cum_rev,
+           {sql_dratio_round('c.cum_u', 's.n_customers * 100')}
+             AS ltv_per_customer
     FROM cum c JOIN sizes s ON c.cohort = s.cohort
     ORDER BY cohort, age
     """,
@@ -3943,14 +3948,23 @@ def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running LTV cumulates via a window PARTITIONED BY cohort over "
     "that tiny frame; month age is exact integer month arithmetic "
     "on month-truncated dates (identical in both engines — no "
-    "day-fraction months_between ambiguity).",
+    "day-fraction months_between ambiguity). Float discipline "
+    "(r10): revenue flows as exact integer CENTS end-to-end — the "
+    "window cumsum is an exact integer sum, cum_rev is an exact "
+    "cents/100 double, and ltv_per_customer is rounded with the "
+    "integer half-up division of dratio_round — the r9 judge found "
+    "3 rows where the old decimal->double->decimal bounce plus a "
+    "double ROUND landed one ulp apart across engines exactly on a "
+    ".5e-4 boundary.",
 )
 @plan_cache
 def q317(spark: SparkSession, sf_dir: str) -> DataFrame:
     om = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         F.trunc("o_orderdate", "month").alias("month"),
-        F.col("o_totalprice").alias("rev"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(20,0)")
+        .alias("rev_c"),
     )
     first_m = om.groupBy("o_custkey").agg(F.min("month").alias("cohort"))
     sizes = first_m.groupBy("cohort").agg(
@@ -3967,22 +3981,20 @@ def q317(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("age"),
         )
-        .agg(F.sum(F.col("rev").cast(DEC)).cast("double").alias("rev"))
+        .agg(F.sum("rev_c").alias("rev_u"))
     )
     w = Window.partitionBy("cohort").orderBy("age")
-    cum = ca.withColumn(
-        "cum_rev", F.sum(F.col("rev").cast(DEC)).over(w).cast("double")
-    )
+    cum = ca.withColumn("cum_u", F.sum("rev_u").over(w))
     return (
         cum.join(F.broadcast(sizes), "cohort")
         .select(
             F.col("cohort").cast("string").alias("cohort"),
             "age",
             "n_customers",
-            F.round("cum_rev", 2).alias("cum_rev"),
-            F.round(F.col("cum_rev") / F.col("n_customers"), 4).alias(
-                "ltv_per_customer"
-            ),
+            (F.col("cum_u").cast("double") / F.lit(100.0)).alias("cum_rev"),
+            dratio_round(
+                F.col("cum_u"), (F.col("n_customers") * 100).cast(DECZ)
+            ).alias("ltv_per_customer"),
         )
         .orderBy("cohort", "age")
     )
