@@ -157,6 +157,16 @@ _ATTESTED = frozenset(
         "q163", "q164", "q165", "q166", "q167", "q170", "q172", "q173",
         "q174", "q175", "q176", "q177", "q178", "q180", "q285", "q294",
         "q298", "q302",
+        # r9 sweep (CORRECTNESS_r09.json): the 48 greens. The two reds,
+        # q259/q307, are deliberately NOT here — they were fixed in r10
+        # (exact integer-unit arithmetic) and must be re-sampled: a red
+        # that is fixed but never re-attested stays red in the record.
+        "q182", "q184", "q250", "q251", "q252", "q253", "q254", "q255",
+        "q256", "q257", "q258", "q260", "q261", "q262", "q263", "q264",
+        "q265", "q266", "q267", "q268", "q269", "q270", "q271", "q272",
+        "q274", "q276", "q277", "q278", "q279", "q286", "q288", "q289",
+        "q290", "q291", "q292", "q293", "q295", "q296", "q297", "q299",
+        "q300", "q301", "q303", "q304", "q305", "q306", "q443", "q444",
     }
 )
 
@@ -219,19 +229,27 @@ _ATTESTED = frozenset(
 #         r4-r5 on PRE-regeneration testdata) to fill the 50.
 # After r12, every oracle entry has a driver row, and rotation returns
 # to freshness order (oldest attestation first, rewrites outrank).
+# Round-10 rotation (exactly 50 = the sweep cap). Front-loaded per the
+# r9 verdict: the two r9 driver REDS q259/q307 re-enter first — both were
+# fixed this round (exact integer-unit arithmetic, see _util.dratio_round)
+# and a fixed-but-never-resampled red stays red in the record. The other
+# 48 slots continue the burn-down with the never-attested q308..q357
+# oracle entries in ID order (q317, the judge-found latent red, is inside
+# and also fixed this round). q358..q362 slide to the r11 block:
+#   r11 — q358..q412 never-attested continuation
+#   r12 — q413..q442 remainder + oldest pre-regen-stale re-attestations
+#         (q40/q42-q45/q50-q52/q64-q69 window/scalar families).
 _PRIORITY = frozenset(
     {
-        # oldest never-attested: pre-q304 parity-only pool (44)
-        "q182", "q184", "q250", "q251", "q252", "q253", "q254", "q255",
-        "q256", "q257", "q258", "q259", "q260", "q261", "q262", "q263",
-        "q264", "q265", "q266", "q267", "q268", "q269", "q270", "q271",
-        "q272", "q274", "q276", "q277", "q278", "q279", "q286", "q288",
-        "q289", "q290", "q291", "q292", "q293", "q295", "q296", "q297",
-        "q299", "q300", "q301", "q303",
-        # head of the q304+ wave (4)
-        "q304", "q305", "q306", "q307",
-        # brand-new this round (first driver row for new machinery)
-        "q443", "q444",
+        # r9 driver reds, fixed in r10 — re-attest first
+        "q259", "q307",
+        # never-attested burn-down: q308..q357 oracle entries (48)
+        "q308", "q309", "q310", "q311", "q313", "q314", "q315", "q316",
+        "q317", "q318", "q319", "q320", "q321", "q322", "q323", "q324",
+        "q325", "q326", "q328", "q329", "q330", "q331", "q332", "q333",
+        "q334", "q335", "q336", "q337", "q338", "q339", "q340", "q341",
+        "q342", "q343", "q344", "q345", "q346", "q347", "q348", "q349",
+        "q350", "q351", "q352", "q353", "q354", "q355", "q356", "q357",
     }
 )
 
