@@ -440,8 +440,14 @@ def main() -> None:
                 fh,
                 indent=1,
             )
-    except OSError:
+    except OSError as exc:
+        # Surface the failure in the stdout record: a missing detail file
+        # must be distinguishable from an intentional omission, or the
+        # round loses its only full per-query timing map silently.
         detail_file = None
+        detail_error = str(exc)
+    else:
+        detail_error = None
 
     out = {
         "metric": "headline_wall_sec",
@@ -455,6 +461,8 @@ def main() -> None:
         "queries": {q: timings[q] for q in SUBSET22 if q in timings},
         "detail_file": detail_file,
     }
+    if detail_error is not None:
+        out["detail_error"] = detail_error
     print(json.dumps(out), flush=True)
 
 

@@ -121,6 +121,11 @@ def release_all_cached() -> None:
         except Exception:  # noqa: BLE001 — dead sessions/frames skip fine
             pass
     _COMPONENT_CACHE.clear()
+    # Driver-side numpy memos too (plan-keyed, so clearing is
+    # correctness-neutral): without this the every-150-queries purge
+    # bounded executor storage but let driver-Python memory accumulate.
+    _CENTROID_MEMO.clear()
+    _PQ_MEMO.clear()
 
 
 # --------------------------------------------------------------------------

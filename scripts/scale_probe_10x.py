@@ -56,13 +56,28 @@ def _build(spark, dst_dir: str, copies: int) -> None:
         if not os.path.lexists(dst):
             os.symlink(os.path.join(SRC_DIR, f), dst)
     dst = os.path.join(dst_dir, "lineitem.parquet")
+    src = os.path.join(SRC_DIR, "lineitem.parquet")
+    # Cache validity is stamped with the SOURCE's size+mtime, not just
+    # _SUCCESS existing: the driver regenerates /root/testdata between
+    # rounds, and a stale replicated lineitem next to freshly-symlinked
+    # side tables would silently skew the join-family scaling numbers.
+    stamp_file = os.path.join(dst_dir, "lineitem.src_stamp")
+    st = os.stat(src)
+    stamp = f"{st.st_size}:{int(st.st_mtime)}"
     if os.path.exists(os.path.join(dst, "_SUCCESS")):
-        return
-    li = spark.read.parquet(os.path.join(SRC_DIR, "lineitem.parquet"))
+        try:
+            with open(stamp_file) as fh:
+                if fh.read() == stamp:
+                    return
+        except OSError:
+            pass
+    li = spark.read.parquet(src)
     big = li
     for _ in range(copies - 1):
         big = big.unionAll(li)
     big.repartition(32).write.mode("overwrite").parquet(dst)
+    with open(stamp_file, "w") as fh:
+        fh.write(stamp)
 
 
 def build_10x(spark) -> None:

@@ -642,8 +642,19 @@ def test_ann_frontier_monotonicity(spark, sf_dir):
         assert len(rows) >= 2, name
         recalls = [r["avg_recall"] for r in rows]
         scanned = [r["avg_scanned"] for r in rows]
-        assert recalls == sorted(recalls), (name, recalls)
-        assert scanned == sorted(scanned), (name, scanned)
+        # q443's per-radius averages are computed over the queries that
+        # HAVE same-bucket candidates at that radius (sc drives perq), so
+        # a panel query absent at a small radius changes the denominator:
+        # monotonicity is only guaranteed between settings with the SAME
+        # query set. Compare consecutive pairs with equal n_queries; on
+        # current testdata every pair qualifies, but a driver testdata
+        # regeneration may legitimately drop a query from radius 0.
+        nq = [r["n_queries"] if "n_queries" in r.__fields__ else None
+              for r in rows]
+        for i in range(1, len(rows)):
+            if nq[i] is None or nq[i] == nq[i - 1]:
+                assert recalls[i] >= recalls[i - 1], (name, recalls, nq)
+                assert scanned[i] >= scanned[i - 1], (name, scanned, nq)
         assert all(0.0 <= v <= 1.0 for v in recalls + scanned), name
         # the widest setting must achieve meaningful recall on this
         # corpus, else the audit is vacuous
