@@ -23,9 +23,21 @@ def dsum(col: Column | str) -> Column:
 
 
 def davg(col: Column | str, ndigits: int = 4) -> Column:
-    """Exact-accumulator average rounded to ``ndigits`` (oracle-stable)."""
+    """Exact-accumulator average rounded to ``ndigits`` (oracle-stable).
+
+    The ratio itself is computed in exact integer arithmetic (see
+    :func:`dratio_round`): Spark's decimal division rounds its quotient
+    half-up at the result scale while DuckDB's decimal ``/`` degrades to
+    IEEE double, so the two engines' quotients differ near (and exactly
+    on) ``.5e-ndigits`` boundaries — the q259 r9 driver-red. Multiplying
+    both sides by 10^10 turns the scale-10 accumulator into exact
+    integer units first.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.round((F.sum(c.cast(DEC)) / F.count(c)).cast("double"), ndigits)
+    scale = F.lit(10**10).cast("decimal(11,0)")
+    num = (F.sum(c.cast(DEC)) * scale).cast(DECZ)
+    den = (F.count(c).cast("decimal(20,0)") * scale).cast(DECZ)
+    return dratio_round(num, den, ndigits)
 
 
 DECZ = "decimal(38,0)"
@@ -109,7 +121,15 @@ def sql_dsum(expr: str) -> str:
 
 
 def sql_davg(expr: str, ndigits: int = 4) -> str:
-    """DuckDB-side mirror of :func:`davg`."""
-    return (
-        f"ROUND(CAST(SUM(CAST({expr} AS DECIMAL(30,10))) / COUNT({expr}) AS DOUBLE), {ndigits})"
+    """DuckDB-side mirror of :func:`davg`.
+
+    DECIMAL(38,10) * 10^10 stays DECIMAL(38,10) in DuckDB (saturating
+    precision, probed r10) and the product is integer-valued, so the
+    HUGEINT cast is exact; the ratio then rounds via integer floor
+    division exactly like the Spark side.
+    """
+    num = (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(30,10))) * 10000000000 AS HUGEINT)"
     )
+    den = f"(CAST(COUNT({expr}) AS HUGEINT) * 10000000000)"
+    return sql_dratio_round(num, den, ndigits)

@@ -117,6 +117,32 @@ def _dtype_kind(s: pd.Series) -> str:
     return "object"
 
 
+# Rule-(b) float-discipline gate (r9 verdict item 4): a double output with
+# |value| >= 1e9 has ulp >= ~0.12 — a ROUND(x, 4) there compares raw noise
+# unless the value reached the output through an exact, engine-identical
+# path. Every (query, column) that legitimately emits such values must be
+# registered here WITH its justification; anything else is a lint failure
+# at compare() time, so the q307 class (big raw sum-of-squares in ambient
+# double) can never ship silently again.
+BIG_FLOAT_OK: dict[tuple[str, str], str] = {
+    ("q136", "valid_to_s"): "epoch seconds — exact integer-derived",
+    ("q148", "revenue"): "2dp money total: exact DECIMAL sum cast to "
+    "double; exact value is >=4.9e-5 from any round(4) boundary",
+    ("q167", "class_rev"): "2dp money total, exact DECIMAL sum (same "
+    "argument as q148)",
+    ("q255", "total_rev"): "2dp money total, exact DECIMAL sum",
+    ("q300", "total_rev"): "2dp money total, exact DECIMAL sum",
+    ("q307", "ss_between"): "exact integer cents^2 units end-to-end "
+    "(r10 rewrite), rounded in integer arithmetic via dratio_round",
+    ("q307", "ss_within"): "exact integer cents^2 units end-to-end",
+    ("q371", "var_resid"): "moments of round(4)-quantized residuals; "
+    "per-cast divergence shrinks /(n-1) to ~1e-7 — boundary-flake "
+    "probability ~1e-3 per testdata regeneration, accepted and "
+    "monitored by the strict sweep",
+    ("q416", "revenue"): "2dp money total, exact DECIMAL sum",
+}
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "query") -> None:
     got = _canon(spark_df.toPandas())
     want = _canon(con.execute(sql).df())
@@ -138,9 +164,25 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "que
         f"{name}: dtype-kind mismatch (driver hash WILL fail even if values "
         f"match): {[(c, f'spark={g}', f'duckdb={w}') for c, g, w in kind_diffs]}"
     )
+    import re as _re
+
+    qtoken = _re.match(r"(q\d+[a-z]?)", name)
     for c in got.columns:
         g, w = got[c], want[c]
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+            if qtoken is not None:
+                mx = g.abs().max()
+                if mx == mx and mx >= 1e9 and (
+                    (qtoken.group(1), c) not in BIG_FLOAT_OK
+                ):
+                    raise AssertionError(
+                        f"{name}: col {c} reaches |{mx}| >= 1e9 — double "
+                        f"ulp there makes ROUND(x,4) compare raw noise. "
+                        f"Either derive it through exact integer/DECIMAL "
+                        f"units (see _util.dratio_round) or register the "
+                        f"(query, column) in BIG_FLOAT_OK with a "
+                        f"justification."
+                    )
             # STRICT gate — the driver's actual granularity: values were
             # canonicalized with Python round(x, 4); their reprs must be
             # string-identical. The pre-r10 relative-1e-9 tolerance let
