@@ -115,6 +115,29 @@ def sql_dratio_round(num: str, den: str, ndigits: int = 4) -> str:
     )
 
 
+def dec_ratio(num_dec: Column, den: Column, ndigits: int = 4) -> Column:
+    """Exact half-up round of ``num_dec / den`` where ``num_dec`` is a
+    scale-10 DECIMAL (e.g. a ``SUM(x.cast(DEC))`` accumulator) and
+    ``den`` an integer-valued column. Scales the numerator into 1e-10
+    integer units (exact: DECIMAL(38,10) * 10^10 keeps every digit) and
+    delegates to :func:`dratio_round` — the replacement for the inline
+    ``ROUND((sum / n).cast('double'), 4)`` spelling whose Spark-decimal
+    vs DuckDB-IEEE quotients disagree exactly on .5e-4 boundaries.
+    """
+    scale = F.lit(10**10).cast("decimal(11,0)")
+    num = (num_dec * scale).cast(DECZ)
+    d = (den.cast("decimal(28,0)") * scale).cast(DECZ)
+    return dratio_round(num, d, ndigits)
+
+
+def sql_dec_ratio(num: str, den: str, ndigits: int = 4) -> str:
+    """DuckDB-side mirror of :func:`dec_ratio` (``num`` a DECIMAL(38,10)
+    expression, ``den`` integer-valued)."""
+    n = f"CAST(({num}) * 10000000000 AS HUGEINT)"
+    d = f"(CAST(({den}) AS HUGEINT) * 10000000000)"
+    return sql_dratio_round(n, d, ndigits)
+
+
 def sql_dsum(expr: str) -> str:
     """DuckDB-side mirror of :func:`dsum`."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(30,10))) AS DOUBLE)"

@@ -21,7 +21,18 @@ from pyspark.sql import functions as F
 
 from hive_hw_spark.catalog import load_table
 from hive_hw_spark.queries import plan_cache, register
-from hive_hw_spark.queries._util import DEC, davg, dsum, sql_davg, sql_dsum
+from hive_hw_spark.queries._util import (
+    DEC,
+    DECZ,
+    davg,
+    dec_ratio,
+    dratio_round,
+    dsum,
+    sql_davg,
+    sql_dec_ratio,
+    sql_dratio_round,
+    sql_dsum,
+)
 
 
 @register(
@@ -408,10 +419,12 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q58",
-    oracle="""
+    oracle=f"""
     WITH s AS (
       SELECT 'l_quantity' AS col, COUNT(l_quantity) AS n,
              CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sm,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) * 10000000000
+                  AS HUGEINT) AS sm_u,
              CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))
                       * CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sq,
              MIN(l_quantity) AS mn, MAX(l_quantity) AS mx
@@ -419,12 +432,15 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT 'l_extendedprice', COUNT(l_extendedprice),
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE),
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10)))
+                  * 10000000000 AS HUGEINT),
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))
                       * CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE),
              MIN(l_extendedprice), MAX(l_extendedprice)
       FROM lineitem
     )
-    SELECT col, n, ROUND(sm / n, 4) AS mean,
+    SELECT col, n,
+           {sql_dratio_round('sm_u', 'n * 10000000000')} AS mean,
            ROUND(sqrt(sq / n - (sm / n) * (sm / n)), 4) AS stddev_pop,
            mn, mx
     FROM s ORDER BY col
@@ -440,10 +456,12 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def stats(col: str):
         c = F.col(col).cast("decimal(30,10)")
+        scale10 = F.lit(10**10).cast("decimal(11,0)")
         return li.agg(
             F.lit(col).alias("col"),
             F.count(col).alias("n"),
             F.sum(c).cast("double").alias("sm"),
+            (F.sum(c) * scale10).cast(DECZ).alias("sm_u"),
             F.sum(c * c).cast("double").alias("sq"),
             F.min(col).alias("mn"),
             F.max(col).alias("mx"),
@@ -451,11 +469,15 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = stats("l_quantity").unionAll(stats("l_extendedprice"))
     mean = F.col("sm") / F.col("n")
+    scale10 = F.lit(10**10).cast("decimal(11,0)")
     return (
         s.select(
             "col",
             "n",
-            F.round(mean, 4).alias("mean"),
+            dratio_round(
+                F.col("sm_u"),
+                (F.col("n").cast(DECZ) * scale10).cast(DECZ),
+            ).alias("mean"),
             F.round(F.sqrt(F.col("sq") / F.col("n") - mean * mean), 4).alias(
                 "stddev_pop"
             ),
@@ -1434,7 +1456,7 @@ def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q214",
-    oracle="""
+    oracle=f"""
     WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     s1 AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS s
            FROM d GROUP BY 1),
@@ -1448,9 +1470,9 @@ def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2 HAVING COUNT(*) >= 3
     )
     SELECT a, b, supp,
-           ROUND(CAST(supp AS DOUBLE) / sa.s, 4) AS conf_ab,
-           ROUND(CAST(supp AS DOUBLE) / sb.s, 4) AS conf_ba,
-           ROUND(CAST(supp * n.nb AS DOUBLE) / (sa.s * sb.s), 4) AS lift
+           {sql_dratio_round('supp', 'sa.s')} AS conf_ab,
+           {sql_dratio_round('supp', 'sb.s')} AS conf_ba,
+           {sql_dratio_round('supp * n.nb', 'sa.s * sb.s')} AS lift
     FROM p JOIN s1 sa ON sa.k = a JOIN s1 sb ON sb.k = b CROSS JOIN n
     ORDER BY a, b
     """,
@@ -1463,8 +1485,9 @@ def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-basket array expansion (fact shuffled ONCE, never "
     "self-joined); single-item supports are |parts| rows and "
     "broadcast onto the pair frame twice; the basket count is a "
-    "1-row broadcast. Every metric is a ratio of exact integer "
-    "counts — one IEEE divide + round(4), no accumulation.",
+    "1-row broadcast. Every metric is an exact half-up integer "
+    "division (dratio_round) — int/int ratios can land exactly on "
+    ".5e-4 round boundaries where engine double-ROUNDs disagree.",
 )
 def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -1507,16 +1530,15 @@ def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a",
             "b",
             "supp",
-            F.round(F.col("supp").cast("double") / F.col("sa"), 4).alias(
-                "conf_ab"
-            ),
-            F.round(F.col("supp").cast("double") / F.col("sb"), 4).alias(
-                "conf_ba"
-            ),
-            F.round(
-                (F.col("supp") * F.col("nb")).cast("double")
-                / (F.col("sa") * F.col("sb")),
-                4,
+            dratio_round(
+                F.col("supp").cast(DECZ), F.col("sa").cast(DECZ)
+            ).alias("conf_ab"),
+            dratio_round(
+                F.col("supp").cast(DECZ), F.col("sb").cast(DECZ)
+            ).alias("conf_ba"),
+            dratio_round(
+                (F.col("supp") * F.col("nb")).cast(DECZ),
+                (F.col("sa") * F.col("sb")).cast(DECZ),
             ).alias("lift"),
         )
         .orderBy("a", "b")
@@ -1629,10 +1651,13 @@ def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE (l_orderkey % 2147483648) * 2654435761 % 100 < 10
     )
     SELECT n_orders, n_lines, revenue,
-           ROUND(CAST(n_lines AS DOUBLE) / n_orders, 4) AS avg_lines
+           {ratio} AS avg_lines
     FROM os CROSS JOIN ls
     ORDER BY n_orders
-    """.format(rev=sql_dsum("l_extendedprice * (1 - l_discount)")),
+    """.format(
+        rev=sql_dsum("l_extendedprice * (1 - l_discount)"),
+        ratio=sql_dratio_round("n_lines", "n_orders"),
+    ),
     doc="Cluster (block) sampling — sample whole ORDERS and keep every "
     "one of their lineitems (completing the sampling matrix next to "
     "q105 row-rate / q109 stratified / q149 weighted / q170 "
@@ -1671,8 +1696,8 @@ def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             "n_lines",
             "revenue",
-            F.round(
-                F.col("n_lines").cast("double") / F.col("n_orders"), 4
+            dratio_round(
+                F.col("n_lines").cast(DECZ), F.col("n_orders").cast(DECZ)
             ).alias("avg_lines"),
         )
         .orderBy("n_orders")
@@ -2015,7 +2040,7 @@ def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q242",
-    oracle="""
+    oracle=f"""
     WITH assign AS (
       SELECT user_id,
              CASE WHEN (user_id % 2147483648) * 2654435761 % 100 < 50
@@ -2042,8 +2067,8 @@ def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM arms
     )
     SELECT na, ca, nb, cb,
-           ROUND(CAST(ca AS DOUBLE) / na, 4) AS rate_a,
-           ROUND(CAST(cb AS DOUBLE) / nb, 4) AS rate_b,
+           {sql_dratio_round('ca', 'na')} AS rate_a,
+           {sql_dratio_round('cb', 'nb')} AS rate_b,
            ROUND((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
                  / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
                         * (1 - CAST(ca + cb AS DOUBLE) / (na + nb))
@@ -2100,8 +2125,12 @@ def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ca",
         "nb",
         "cb",
-        F.round(pa, 4).alias("rate_a"),
-        F.round(pb, 4).alias("rate_b"),
+        dratio_round(F.col("ca").cast(DECZ), F.col("na").cast(DECZ)).alias(
+            "rate_a"
+        ),
+        dratio_round(F.col("cb").cast(DECZ), F.col("nb").cast(DECZ)).alias(
+            "rate_b"
+        ),
         F.round(
             (pa - pb)
             / F.sqrt(
@@ -2126,21 +2155,26 @@ def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_dow AS (
       SELECT dow,
              CAST(COUNT(*) AS BIGINT) AS n_days,
-             CAST(SUM(CAST(revenue AS DECIMAL(30,10))) AS DOUBLE)
-               AS dow_rev
+             CAST(SUM(CAST(revenue AS DECIMAL(30,10))) * 10000000000
+                  AS HUGEINT) AS dow_rev_u
       FROM daily GROUP BY dow
     ),
     overall AS (
-      SELECT CAST(SUM(CAST(revenue AS DECIMAL(30,10))) AS DOUBLE) AS tot,
+      SELECT CAST(SUM(CAST(revenue AS DECIMAL(30,10))) * 10000000000
+                  AS HUGEINT) AS tot_u,
              CAST(COUNT(*) AS BIGINT) AS nd
       FROM daily
     )
     SELECT CAST(dow AS BIGINT) AS dow, n_days,
-           ROUND(dow_rev / n_days, 4) AS avg_daily_rev,
-           ROUND((dow_rev / n_days) / (tot / nd), 4) AS seasonality_idx
+           {r1} AS avg_daily_rev,
+           {r2} AS seasonality_idx
     FROM per_dow CROSS JOIN overall
     ORDER BY dow
-    """.format(rev=sql_dsum("o_totalprice")),
+    """.format(
+        rev=sql_dsum("o_totalprice"),
+        r1=sql_dratio_round("dow_rev_u", "n_days * 10000000000"),
+        r2=sql_dratio_round("dow_rev_u * nd", "tot_u * n_days"),
+    ),
     doc="Day-of-week seasonality index (B-C completion; the retail "
     "seasonality profile): average daily revenue per weekday divided "
     "by the overall daily average — index > 1 marks the heavy days a "
@@ -2148,9 +2182,11 @@ def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
     "totals first (so a weekday with more calendar days isn't "
     "over-weighted — the classic dow-profile mistake of averaging "
     "raw rows), then the 7-row weekday rollup and a 1-row overall "
-    "frame broadcast back. All ratios from exact-DECIMAL sums and "
-    "integer day counts, two divides, round(4). Spark dayofweek ≡ "
-    "DuckDB dow+1 (q62's convention note).",
+    "frame broadcast back. Both ratios are exact half-up integer "
+    "divisions over 1e-10-unit accumulators (dratio_round, r10 "
+    "float discipline — money/count ratios can terminate exactly on "
+    ".5e-4 boundaries). Spark dayofweek ≡ DuckDB dow+1 (q62's "
+    "convention note).",
 )
 def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
@@ -2161,25 +2197,31 @@ def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(dsum("o_totalprice").alias("revenue"))
     )
+    scale10 = F.lit(10**10).cast("decimal(11,0)")
     per_dow = daily.groupBy("dow").agg(
         F.count(F.lit(1)).alias("n_days"),
-        dsum("revenue").alias("dow_rev"),
+        (F.sum(F.col("revenue").cast(DEC)) * scale10)
+        .cast(DECZ)
+        .alias("dow_rev_u"),
     )
     overall = daily.agg(
-        dsum("revenue").alias("tot"), F.count(F.lit(1)).alias("nd")
+        (F.sum(F.col("revenue").cast(DEC)) * scale10)
+        .cast(DECZ)
+        .alias("tot_u"),
+        F.count(F.lit(1)).alias("nd"),
     )
     return (
         per_dow.crossJoin(F.broadcast(overall))
         .select(
             F.col("dow").cast("bigint").alias("dow"),
             "n_days",
-            F.round(F.col("dow_rev") / F.col("n_days"), 4).alias(
-                "avg_daily_rev"
-            ),
-            F.round(
-                (F.col("dow_rev") / F.col("n_days"))
-                / (F.col("tot") / F.col("nd")),
-                4,
+            dratio_round(
+                F.col("dow_rev_u"),
+                (F.col("n_days").cast(DECZ) * scale10).cast(DECZ),
+            ).alias("avg_daily_rev"),
+            dratio_round(
+                (F.col("dow_rev_u") * F.col("nd").cast(DECZ)).cast(DECZ),
+                (F.col("tot_u") * F.col("n_days").cast(DECZ)).cast(DECZ),
             ).alias("seasonality_idx"),
         )
         .orderBy("dow")

@@ -33,6 +33,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_hw_spark.catalog import load_table
+from hive_hw_spark.queries._util import (
+    DECZ,
+    dratio_round,
+    sql_dratio_round,
+)
 from hive_hw_spark.queries import plan_cache, register
 
 _DAMP = 0.85
@@ -193,7 +198,7 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q215",
-    oracle="""
+    oracle=f"""
     WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     e AS (
       SELECT d1.l_partkey AS a, d2.l_partkey AS b
@@ -216,7 +221,7 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
            tri.t AS n_triangles,
-           ROUND(CAST(3 * tri.t AS DOUBLE) / wdg.w, 4) AS clustering
+           {sql_dratio_round('3 * tri.t', 'wdg.w')} AS clustering
     FROM tri CROSS JOIN wdg
     ORDER BY n_edges
     """,
@@ -296,8 +301,8 @@ def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_edges",
             F.col("t").alias("n_triangles"),
-            F.round(
-                (F.lit(3) * F.col("t")).cast("double") / F.col("w"), 4
+            dratio_round(
+                (F.lit(3) * F.col("t")).cast(DECZ), F.col("w").cast(DECZ)
             ).alias("clustering"),
         )
         .orderBy("n_edges")

@@ -31,7 +31,14 @@ from pyspark.sql import functions as F
 
 from hive_hw_spark.catalog import load_table
 from hive_hw_spark.queries import plan_cache, register
-from hive_hw_spark.queries._util import DEC
+from hive_hw_spark.queries._util import (
+    DEC,
+    DECZ,
+    dec_ratio,
+    dratio_round,
+    sql_dec_ratio,
+    sql_dratio_round,
+)
 
 # Fixed stopword list for Q93/Q98 (the engine vocabulary's function words).
 STOPWORDS = ("a", "the", "and", "of", "to", "in", "is", "on", "for", "with")

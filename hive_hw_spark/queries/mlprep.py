@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from hive_hw_spark.catalog import load_table
 
 from . import plan_cache, register
-from ._util import DEC
+from ._util import DEC, DECZ, dec_ratio, dratio_round, sql_dec_ratio, sql_dratio_round
 
 CUTOFF = "2001-02-01"
 

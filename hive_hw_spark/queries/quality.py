@@ -20,6 +20,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_hw_spark.catalog import load_table
+from hive_hw_spark.queries._util import (
+    DECZ,
+    dratio_round,
+    sql_dratio_round,
+)
 from hive_hw_spark.queries import register
 
 _TYPES = ("click", "view", "purchase", "signup", "error")
@@ -117,7 +122,7 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q263",
-    oracle="""
+    oracle=f"""
     WITH kc AS (
       SELECT l_suppkey AS suppkey, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM lineitem GROUP BY 1
@@ -128,9 +133,9 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(suppkey AS BIGINT) AS suppkey, cnt,
            n_keys, total_rows,
-           ROUND(CAST(cnt AS DOUBLE) * n_keys / total_rows, 4)
+           {sql_dratio_round('cnt * n_keys', 'total_rows')}
              AS skew_factor,
-           ROUND(CAST(cnt AS DOUBLE) / total_rows, 4) AS share
+           {sql_dratio_round('cnt', 'total_rows')} AS share
     FROM kc CROSS JOIN s
     ORDER BY cnt DESC, suppkey LIMIT 5
     """,
@@ -167,14 +172,12 @@ def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
             "n_keys",
             "total_rows",
-            F.round(
-                F.col("cnt").cast("double")
-                * F.col("n_keys")
-                / F.col("total_rows"),
-                4,
+            dratio_round(
+                (F.col("cnt") * F.col("n_keys")).cast(DECZ),
+                F.col("total_rows").cast(DECZ),
             ).alias("skew_factor"),
-            F.round(
-                F.col("cnt").cast("double") / F.col("total_rows"), 4
+            dratio_round(
+                F.col("cnt").cast(DECZ), F.col("total_rows").cast(DECZ)
             ).alias("share"),
         )
         .orderBy(F.col("cnt").desc(), "suppkey")

@@ -23,7 +23,13 @@ from pyspark.sql import functions as F
 
 from hive_hw_spark.catalog import load_table
 from hive_hw_spark.queries import register
-from hive_hw_spark.queries._util import DEC, sql_dsum
+from hive_hw_spark.queries._util import (
+    DEC,
+    DECZ,
+    dratio_round,
+    sql_dratio_round,
+    sql_dsum,
+)
 
 
 @register(
@@ -858,7 +864,7 @@ def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q180",
-    oracle="""
+    oracle=f"""
     WITH s AS (
       SELECT user_id, MIN(ts) AS signup_ts
       FROM events WHERE event_type = 'signup' GROUP BY user_id
@@ -875,8 +881,8 @@ def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS cohort_week,
            CAST(COUNT(*) AS BIGINT) AS n_signups,
            CAST(COUNT(conv.user_id) AS BIGINT) AS n_converted,
-           ROUND(CAST(COUNT(conv.user_id) AS DOUBLE)
-                 / CAST(COUNT(*) AS DOUBLE), 4) AS conv_rate
+           {sql_dratio_round('COUNT(conv.user_id)', 'COUNT(*)')}
+             AS conv_rate
     FROM s LEFT JOIN conv ON s.user_id = conv.user_id
     GROUP BY cohort_week ORDER BY cohort_week
     """,
@@ -889,8 +895,10 @@ def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chain (q130/q173 discipline), and the purchase join carries the "
     "time bound as a residual on the co-partitioned key, bounding "
     "work per user instead of exploding event pairs. The cohort "
-    "rollup is |weeks| rows. Conversion ratio divides exact integer "
-    "counts in IEEE double — engine-identical — and rounds(4).",
+    "rollup is |weeks| rows. Conversion ratio is the exact half-up "
+    "integer division of dratio_round (r10 float discipline: an "
+    "int/int ratio can terminate exactly on a .5e-4 boundary where "
+    "the engines' double ROUNDs disagree — the q259 class).",
 )
 def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -927,10 +935,9 @@ def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_signups"),
             F.count("converted").alias("n_converted"),
-            F.round(
-                F.count("converted").cast("double")
-                / F.count(F.lit(1)).cast("double"),
-                4,
+            dratio_round(
+                F.count("converted").cast(DECZ),
+                F.count(F.lit(1)).cast(DECZ),
             ).alias("conv_rate"),
         )
         .orderBy("cohort_week")
@@ -1393,7 +1400,7 @@ def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q241",
-    oracle="""
+    oracle=f"""
     WITH e AS (
       SELECT user_id, event_id,
              CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s, ts
@@ -1428,8 +1435,8 @@ def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_sessions,
            CAST(COUNT(*) FILTER (WHERE n_events = 1) AS BIGINT)
              AS n_bounces,
-           ROUND(CAST(COUNT(*) FILTER (WHERE n_events = 1) AS DOUBLE)
-                 / COUNT(*), 4) AS bounce_rate
+           {sql_dratio_round('COUNT(*) FILTER (WHERE n_events = 1)',
+                             'COUNT(*)')} AS bounce_rate
     FROM per_session GROUP BY week ORDER BY week
     """,
     doc="Sessionized bounce rate per week (B-E completion; the "
@@ -1439,8 +1446,9 @@ def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
     "flag (lag), session index (running sum), and per-session "
     "collapse all ride ONE user_id exchange (q135's discipline); "
     "the weekly rollup input is one row per SESSION — already "
-    "thousands× smaller than the fact. Bounce rate = integer-count "
-    "ratio, one divide, round(4).",
+    "thousands× smaller than the fact. Bounce rate = exact half-up "
+    "integer division (dratio_round; int/int ratios can land exactly "
+    "on .5e-4 round boundaries — the q259 class, r10 discipline).",
 )
 def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
@@ -1474,10 +1482,9 @@ def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_sessions"),
             F.count(F.when(F.col("n_events") == 1, 1)).alias("n_bounces"),
-            F.round(
-                F.count(F.when(F.col("n_events") == 1, 1)).cast("double")
-                / F.count(F.lit(1)),
-                4,
+            dratio_round(
+                F.count(F.when(F.col("n_events") == 1, 1)).cast(DECZ),
+                F.count(F.lit(1)).cast(DECZ),
             ).alias("bounce_rate"),
         )
         .orderBy("week")
