@@ -3725,7 +3725,7 @@ def threshold_pairs(
 
 @register(
     "q266",
-    oracle="""
+    oracle=f"""
     WITH w AS (
       SELECT lang, source, unnest(string_split(text, ' ')) AS word
       FROM documents
@@ -3738,10 +3738,9 @@ def threshold_pairs(
            CAST(SUM(cnt) AS BIGINT) AS tokens,
            CAST(COUNT(*) AS BIGINT) AS types,
            CAST(COUNT(*) FILTER (WHERE cnt = 1) AS BIGINT) AS hapax,
-           ROUND(CAST(COUNT(*) AS DOUBLE)
-                 / CAST(SUM(cnt) AS DOUBLE), 4) AS ttr,
-           ROUND(CAST(COUNT(*) FILTER (WHERE cnt = 1) AS DOUBLE)
-                 / CAST(COUNT(*) AS DOUBLE), 4) AS hapax_share
+           {sql_dratio_round('COUNT(*)', 'SUM(cnt)')} AS ttr,
+           {sql_dratio_round('COUNT(*) FILTER (WHERE cnt = 1)',
+                             'COUNT(*)')} AS hapax_share
     FROM wc GROUP BY 1, 2 ORDER BY 1, 2
     """,
     doc="Lexical-diversity audit per lang x source — type-token ratio "
@@ -3770,15 +3769,12 @@ def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").cast("bigint").alias("tokens"),
             F.count(F.lit(1)).alias("types"),
             F.count(F.when(F.col("cnt") == 1, 1)).alias("hapax"),
-            F.round(
-                F.count(F.lit(1)).cast("double")
-                / F.sum("cnt").cast("double"),
-                4,
+            dratio_round(
+                F.count(F.lit(1)).cast(DECZ), F.sum("cnt").cast(DECZ)
             ).alias("ttr"),
-            F.round(
-                F.count(F.when(F.col("cnt") == 1, 1)).cast("double")
-                / F.count(F.lit(1)).cast("double"),
-                4,
+            dratio_round(
+                F.count(F.when(F.col("cnt") == 1, 1)).cast(DECZ),
+                F.count(F.lit(1)).cast(DECZ),
             ).alias("hapax_share"),
         )
         .orderBy("lang", "source")
@@ -3787,7 +3783,7 @@ def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q267",
-    oracle="""
+    oracle=f"""
     WITH sh AS (
       SELECT DISTINCT doc_id,
              unnest([array_to_string(ws[i:i+4], ' ')
@@ -3808,7 +3804,7 @@ def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT a_id, b_id, a_shingles, inter,
-           ROUND(CAST(inter AS DOUBLE) / a_shingles, 4) AS containment
+           {sql_dratio_round('inter', 'a_shingles')} AS containment
     FROM pairs JOIN na ON na.doc_id = a_id
     WHERE inter * 10 >= a_shingles * 8
     ORDER BY a_id, b_id
@@ -3855,8 +3851,8 @@ def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b_id",
             "a_shingles",
             "inter",
-            F.round(
-                F.col("inter").cast("double") / F.col("a_shingles"), 4
+            dratio_round(
+                F.col("inter").cast(DECZ), F.col("a_shingles").cast(DECZ)
             ).alias("containment"),
         )
         .orderBy("a_id", "b_id")
@@ -3868,7 +3864,7 @@ def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q313",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
       SELECT lang, source, word FROM (
         SELECT lang, source, unnest(string_split(lower(text), ' ')) AS word
@@ -3886,8 +3882,8 @@ def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(c) AS BIGINT) AS n_tokens,
            CAST(SUM(CASE WHEN v.word IS NULL THEN c ELSE 0 END) AS BIGINT)
              AS oov_tokens,
-           ROUND(CAST(SUM(CASE WHEN v.word IS NULL THEN c ELSE 0 END)
-                      AS DOUBLE) / SUM(c), 4) AS oov_rate,
+           {sql_dratio_round('SUM(CASE WHEN v.word IS NULL THEN c ELSE 0 END)',
+                             'SUM(c)')} AS oov_rate,
            CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS oov_types
     FROM grp LEFT JOIN vocab v ON grp.word = v.word
@@ -3937,10 +3933,9 @@ def q313(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(oov, F.col("c")).otherwise(0))
             .cast("long")
             .alias("oov_tokens"),
-            F.round(
-                F.sum(F.when(oov, F.col("c")).otherwise(0)).cast("double")
-                / F.sum("c"),
-                4,
+            dratio_round(
+                F.sum(F.when(oov, F.col("c")).otherwise(0)).cast(DECZ),
+                F.sum("c").cast(DECZ),
             ).alias("oov_rate"),
             F.sum(F.when(oov, 1).otherwise(0)).cast("long").alias("oov_types"),
         )
@@ -4484,7 +4479,7 @@ def q328(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q329",
-    oracle="""
+    oracle=f"""
     WITH tg AS (
       SELECT week, unnest(list_transform(
                range(1, len(string_split(text, ' ')) - 1),
@@ -4504,7 +4499,7 @@ def q328(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY tg.week
     )
     SELECT week, n_trigrams, n_novel,
-           ROUND(CAST(n_novel AS DOUBLE) / n_trigrams, 4) AS novelty_rate
+           {sql_dratio_round('n_novel', 'n_trigrams')} AS novelty_rate
     FROM wk ORDER BY week
     """,
     doc="Weekly n-gram novelty rate — per ingestion week, the share of "
@@ -4562,8 +4557,8 @@ def q329(spark: SparkSession, sf_dir: str) -> DataFrame:
             "week",
             "n_trigrams",
             "n_novel",
-            F.round(
-                F.col("n_novel").cast("double") / F.col("n_trigrams"), 4
+            dratio_round(
+                F.col("n_novel").cast(DECZ), F.col("n_trigrams").cast(DECZ)
             ).alias("novelty_rate"),
         )
         .orderBy("week")
@@ -4572,7 +4567,7 @@ def q329(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q335",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
       SELECT doc_id, lang,
              CAST(len(list_filter(string_split(lower(text), ' '),
@@ -4595,7 +4590,7 @@ def q329(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok
     )
     SELECT s.n_docs, n_langs, total_tokens, p50_tokens, p90_tokens,
-           ROUND(1 - CAST(n_unique AS DOUBLE) / dup.n_docs, 4)
+           {sql_dratio_round('dup.n_docs - n_unique', 'dup.n_docs')}
              AS exact_dup_rate
     FROM s, dup
     """,
@@ -4638,8 +4633,9 @@ def q335(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_tokens",
         "p50_tokens",
         "p90_tokens",
-        F.round(
-            1 - F.col("n_unique").cast("double") / F.col("nd"), 4
+        dratio_round(
+            (F.col("nd") - F.col("n_unique")).cast(DECZ),
+            F.col("nd").cast(DECZ),
         ).alias("exact_dup_rate"),
     )
 
@@ -4740,7 +4736,7 @@ def q356(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q361",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
       SELECT doc_id, string_split(text, ' ') AS ws FROM documents
       WHERE len(string_split(text, ' ')) >= 2
@@ -4785,8 +4781,8 @@ def q356(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / COUNT(*), 4) AS mean_lp,
            CAST(COUNT(CASE WHEN avg_lp < thr.p10 THEN 1 END) AS BIGINT)
              AS n_flagged,
-           ROUND(CAST(COUNT(CASE WHEN avg_lp < thr.p10 THEN 1 END)
-                      AS DOUBLE) / COUNT(*), 4) AS flagged_share,
+           {sql_dratio_round('COUNT(CASE WHEN avg_lp < thr.p10 THEN 1 END)',
+                             'COUNT(*)')} AS flagged_share,
            ROUND(thr.p10, 4) AS p10_threshold
     FROM ds CROSS JOIN thr
     GROUP BY source, thr.p10 ORDER BY source
@@ -4828,12 +4824,11 @@ def q361(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("avg_lp") < F.col("p10"), 1))
             .cast("bigint")
             .alias("n_flagged"),
-            F.round(
+            dratio_round(
                 F.count(F.when(F.col("avg_lp") < F.col("p10"), 1)).cast(
-                    "double"
-                )
-                / F.count(F.lit(1)),
-                4,
+                    DECZ
+                ),
+                F.count(F.lit(1)).cast(DECZ),
             ).alias("flagged_share"),
         )
         .select(
@@ -5147,7 +5142,7 @@ def q377(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q382",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE
     t AS (
       SELECT doc_id,
@@ -5186,8 +5181,8 @@ def q377(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(COUNT(CASE WHEN cs.sz > 1 THEN 1 END) AS BIGINT)
              AS n_duplicated,
-           ROUND(CAST(COUNT(CASE WHEN cs.sz > 1 THEN 1 END) AS DOUBLE)
-                 / COUNT(*), 4) AS dup_share
+           {sql_dratio_round('COUNT(CASE WHEN cs.sz > 1 THEN 1 END)',
+                             'COUNT(*)')} AS dup_share
     FROM cl JOIN cs ON cl.cluster_id = cs.cluster_id
     GROUP BY cl.source ORDER BY cl.source
     """,
@@ -5217,10 +5212,9 @@ def q382(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("sz") > 1, 1))
             .cast("bigint")
             .alias("n_duplicated"),
-            F.round(
-                F.count(F.when(F.col("sz") > 1, 1)).cast("double")
-                / F.count(F.lit(1)),
-                4,
+            dratio_round(
+                F.count(F.when(F.col("sz") > 1, 1)).cast(DECZ),
+                F.count(F.lit(1)).cast(DECZ),
             ).alias("dup_share"),
         )
         .orderBy("source")
@@ -5373,7 +5367,7 @@ def _panel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q384",
-    oracle="""
+    oracle=f"""
     WITH ex AS (
       SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
              CAST(unnest(embedding) AS DOUBLE) AS x
@@ -5470,10 +5464,10 @@ def _panel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN tot t ON t.qid = s.qid
     )
     SELECT np AS nprobe, CAST(COUNT(*) AS BIGINT) AS n_queries,
-           ROUND(CAST(SUM(CAST(recall AS DECIMAL(30,10))) AS DOUBLE)
-                 / COUNT(*), 4) AS avg_recall,
-           ROUND(CAST(SUM(CAST(sfr AS DECIMAL(30,10))) AS DOUBLE)
-                 / COUNT(*), 4) AS avg_scanned
+           {sql_dec_ratio('SUM(CAST(recall AS DECIMAL(30,10)))',
+                          'COUNT(*)')} AS avg_recall,
+           {sql_dec_ratio('SUM(CAST(sfr AS DECIMAL(30,10)))',
+                          'COUNT(*)')} AS avg_scanned
     FROM perq GROUP BY np ORDER BY nprobe
     """,
     doc="ANN recall/cost frontier audit — the first ORACLE-CHECKED "
@@ -5551,15 +5545,11 @@ def q384(spark: SparkSession, sf_dir: str) -> DataFrame:
         perq.groupBy(F.col("np").alias("nprobe"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_queries"),
-            F.round(
-                F.sum(F.col("recall").cast(DEC)).cast("double")
-                / F.count(F.lit(1)),
-                4,
+            dec_ratio(
+                F.sum(F.col("recall").cast(DEC)), F.count(F.lit(1))
             ).alias("avg_recall"),
-            F.round(
-                F.sum(F.col("sfr").cast(DEC)).cast("double")
-                / F.count(F.lit(1)),
-                4,
+            dec_ratio(
+                F.sum(F.col("sfr").cast(DEC)), F.count(F.lit(1))
             ).alias("avg_scanned"),
         )
         .orderBy("nprobe")
@@ -5590,7 +5580,7 @@ _PANEL_PAIRS_SQL = """
 
 @register(
     "q443",
-    oracle="""
+    oracle=f"""
     WITH ex AS (
       SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
              CAST(unnest(embedding) AS DOUBLE) AS x
@@ -5613,7 +5603,7 @@ _PANEL_PAIRS_SQL = """
     ),
     """
     + _PANEL_PAIRS_SQL.strip()
-    + """,
+    + f""",
     radii AS (SELECT CAST(r AS BIGINT) AS r
               FROM (VALUES (0), (1), (2), (3)) v(r)),
     cand AS (
@@ -5650,10 +5640,10 @@ _PANEL_PAIRS_SQL = """
       JOIN tot t ON t.qid = s.qid
     )
     SELECT r AS radius, CAST(COUNT(*) AS BIGINT) AS n_queries,
-           ROUND(CAST(SUM(CAST(recall AS DECIMAL(30,10))) AS DOUBLE)
-                 / COUNT(*), 4) AS avg_recall,
-           ROUND(CAST(SUM(CAST(sfr AS DECIMAL(30,10))) AS DOUBLE)
-                 / COUNT(*), 4) AS avg_scanned
+           {sql_dec_ratio('SUM(CAST(recall AS DECIMAL(30,10)))',
+                          'COUNT(*)')} AS avg_recall,
+           {sql_dec_ratio('SUM(CAST(sfr AS DECIMAL(30,10)))',
+                          'COUNT(*)')} AS avg_scanned
     FROM perq GROUP BY r ORDER BY radius
     """,
     doc="LSH recall/cost frontier audit — the ORACLE-CHECKED quality "
@@ -5755,15 +5745,11 @@ def q443(spark: SparkSession, sf_dir: str) -> DataFrame:
         perq.groupBy(F.col("r").alias("radius"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_queries"),
-            F.round(
-                F.sum(F.col("recall").cast(DEC)).cast("double")
-                / F.count(F.lit(1)),
-                4,
+            dec_ratio(
+                F.sum(F.col("recall").cast(DEC)), F.count(F.lit(1))
             ).alias("avg_recall"),
-            F.round(
-                F.sum(F.col("sfr").cast(DEC)).cast("double")
-                / F.count(F.lit(1)),
-                4,
+            dec_ratio(
+                F.sum(F.col("sfr").cast(DEC)), F.count(F.lit(1))
             ).alias("avg_scanned"),
         )
         .orderBy("radius")
@@ -5772,7 +5758,7 @@ def q443(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q444",
-    oracle="""
+    oracle=f"""
     WITH ex AS (
       SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
              CAST(unnest(embedding) AS DOUBLE) AS x
@@ -5821,7 +5807,7 @@ def q443(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     """
     + _PANEL_PAIRS_SQL.strip()
-    + """,
+    + f""",
     rr AS (
       SELECT s.rd, s.qid, s.nbr, p.cos FROM short s
       JOIN pairs p ON p.qid = s.qid AND p.nbr = s.nbr
@@ -5853,10 +5839,10 @@ def q443(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN tot t ON t.qid = s.qid
     )
     SELECT rd AS rerank_depth, CAST(COUNT(*) AS BIGINT) AS n_queries,
-           ROUND(CAST(SUM(CAST(recall AS DECIMAL(30,10))) AS DOUBLE)
-                 / COUNT(*), 4) AS avg_recall,
-           ROUND(CAST(SUM(CAST(sfr AS DECIMAL(30,10))) AS DOUBLE)
-                 / COUNT(*), 4) AS avg_scanned
+           {sql_dec_ratio('SUM(CAST(recall AS DECIMAL(30,10)))',
+                          'COUNT(*)')} AS avg_recall,
+           {sql_dec_ratio('SUM(CAST(sfr AS DECIMAL(30,10)))',
+                          'COUNT(*)')} AS avg_scanned
     FROM perq GROUP BY rd ORDER BY rerank_depth
     """,
     doc="PQ/ADC recall vs re-rank-depth frontier audit — the "
@@ -5971,15 +5957,11 @@ def q444(spark: SparkSession, sf_dir: str) -> DataFrame:
         perq.groupBy(F.col("rd").alias("rerank_depth"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_queries"),
-            F.round(
-                F.sum(F.col("recall").cast(DEC)).cast("double")
-                / F.count(F.lit(1)),
-                4,
+            dec_ratio(
+                F.sum(F.col("recall").cast(DEC)), F.count(F.lit(1))
             ).alias("avg_recall"),
-            F.round(
-                F.sum(F.col("sfr").cast(DEC)).cast("double")
-                / F.count(F.lit(1)),
-                4,
+            dec_ratio(
+                F.sum(F.col("sfr").cast(DEC)), F.count(F.lit(1))
             ).alias("avg_scanned"),
         )
         .orderBy("rerank_depth")
@@ -6553,7 +6535,7 @@ def q411(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q412",
-    oracle="""
+    oracle=f"""
     WITH t AS (
       SELECT doc_id, source,
              CASE WHEN (doc_id % 2147483648) * 2654435761 % 10 = 0
@@ -6576,7 +6558,7 @@ def q411(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT b.source,
            CAST(COUNT(*) AS BIGINT) AS n_batch,
            CAST(COUNT(h.doc_id) AS BIGINT) AS n_already_present,
-           ROUND(CAST(COUNT(h.doc_id) AS DOUBLE) / COUNT(*), 4)
+           {sql_dratio_round('COUNT(h.doc_id)', 'COUNT(*)')}
              AS dup_rate
     FROM t b LEFT JOIN hits h ON h.doc_id = b.doc_id
     WHERE b.is_batch = 1
@@ -6670,8 +6652,8 @@ def q412(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_batch"),
             F.count(F.col("hit")).cast("bigint").alias("n_already_present"),
-            F.round(
-                F.count(F.col("hit")).cast("double") / F.count(F.lit(1)), 4
+            dratio_round(
+                F.count(F.col("hit")).cast(DECZ), F.count(F.lit(1)).cast(DECZ)
             ).alias("dup_rate"),
         )
         .orderBy("source")
