@@ -399,7 +399,7 @@ _BENFORD = [
 
 @register(
     "q256",
-    oracle="""
+    oracle=f"""
     WITH digits AS (
       SELECT CAST(SUBSTRING(CAST(CAST(ROUND(o_totalprice * 100, 0)
                    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
@@ -418,7 +418,7 @@ _BENFORD = [
     )
     SELECT CAST(exp.digit AS BIGINT) AS digit,
            COALESCE(n_obs, 0) AS n_obs,
-           ROUND(CAST(COALESCE(n_obs, 0) AS DOUBLE) / n, 4) AS obs_share,
+           {sql_dratio_round('COALESCE(n_obs, 0)', 'n')} AS obs_share,
            ROUND(p, 4) AS exp_share,
            ROUND(POWER(COALESCE(n_obs, 0) - n * p, 2) / (n * p), 4)
              AS chi2_term
@@ -466,9 +466,9 @@ def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "digit",
             F.col("n_obs").cast("long").alias("n_obs"),
-            F.round(F.col("n_obs").cast("double") / F.col("n"), 4).alias(
-                "obs_share"
-            ),
+            dratio_round(
+                F.col("n_obs").cast(DECZ), F.col("n").cast(DECZ)
+            ).alias("obs_share"),
             F.round(F.col("p"), 4).alias("exp_share"),
             F.round(
                 F.pow(F.col("n_obs") - F.col("n") * F.col("p"), 2)
@@ -482,7 +482,7 @@ def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q257",
-    oracle="""
+    oracle=f"""
     WITH seq AS (
       SELECT user_id, event_type,
              LAG(event_type) OVER (PARTITION BY user_id
@@ -500,7 +500,7 @@ def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cnt GROUP BY prev_type
     )
     SELECT cnt.prev_type, next_type, n,
-           ROUND(CAST(n AS DOUBLE) / t, 4) AS prob
+           {sql_dratio_round('n', 't')} AS prob
     FROM cnt JOIN tot ON cnt.prev_type = tot.prev_type
     ORDER BY cnt.prev_type, next_type
     """,
@@ -532,7 +532,9 @@ def q257(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prev_type",
             "next_type",
             "n",
-            F.round(F.col("n").cast("double") / F.col("t"), 4).alias("prob"),
+            dratio_round(
+                F.col("n").cast(DECZ), F.col("t").cast(DECZ)
+            ).alias("prob"),
         )
         .orderBy("prev_type", "next_type")
     )
@@ -1758,7 +1760,7 @@ def q276(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q277",
-    oracle="""
+    oracle=f"""
     WITH ex AS (
       SELECT vec_id,
              CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -1802,7 +1804,7 @@ def q276(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(CAST(SUM(CAST(score AS DECIMAL(30,10))) / COUNT(*)
                  AS DOUBLE), 4) AS avg_score,
-           ROUND(CAST(SUM(actual) AS DOUBLE) / COUNT(*), 4) AS pos_rate,
+           {sql_dratio_round('SUM(actual)', 'COUNT(*)')} AS pos_rate,
            ROUND(CAST(SUM(CAST(score AS DECIMAL(30,10))) / COUNT(*)
                  AS DOUBLE)
                  - CAST(SUM(actual) AS DOUBLE) / COUNT(*), 4)
@@ -1877,7 +1879,9 @@ def q277(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(avg_score, 4).alias("avg_score"),
-            F.round(pos_rate, 4).alias("pos_rate"),
+            dratio_round(
+                F.sum("actual").cast(DECZ), F.count(F.lit(1)).cast(DECZ)
+            ).alias("pos_rate"),
             F.round(avg_score - pos_rate, 4).alias("calibration_gap"),
         )
         .orderBy("decile")
@@ -3329,7 +3333,7 @@ def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q300",
-    oracle="""
+    oracle=f"""
     WITH rev AS (
       SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
                AS total_rev,
@@ -3375,7 +3379,7 @@ def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT ROUND(total_rev, 2) AS total_rev, n_orders, n_customers,
            ROUND((prev_rev - prev2_rev) / prev2_rev * 100, 4)
              AS yoy_growth_pct,
-           ROUND(CAST(n_churned AS DOUBLE) / n_total, 4) AS churn_rate,
+           {sql_dratio_round('n_churned', 'n_total')} AS churn_rate,
            substr(nat_key, 19) AS top_nation
     FROM rev CROSS JOIN yoy CROSS JOIN churn CROSS JOIN nat
     ORDER BY n_orders
@@ -3480,8 +3484,8 @@ def q300(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * 100,
                 4,
             ).alias("yoy_growth_pct"),
-            F.round(
-                F.col("n_churned").cast("double") / F.col("n_total"), 4
+            dratio_round(
+                F.col("n_churned").cast(DECZ), F.col("n_total").cast(DECZ)
             ).alias("churn_rate"),
             F.substring(F.col("nat_key"), 19, 100).alias("top_nation"),
         )
@@ -4458,7 +4462,7 @@ def q324(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q325",
-    oracle="""
+    oracle=f"""
     WITH ud AS (
       SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
       WHERE user_id IS NOT NULL
@@ -4478,9 +4482,9 @@ def q324(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ud GROUP BY 1
     )
     SELECT CAST(m.month AS VARCHAR) AS month, m.active_days, mau.mau,
-           ROUND(CAST(m.sum_dau AS DOUBLE) / m.active_days, 4)
+           {sql_dratio_round('m.sum_dau', 'm.active_days')}
              AS avg_dau,
-           ROUND(CAST(m.sum_dau AS DOUBLE) / m.active_days / mau.mau, 4)
+           {sql_dratio_round('m.sum_dau', 'm.active_days * mau.mau')}
              AS stickiness
     FROM m JOIN mau ON m.month = mau.month
     ORDER BY month
@@ -4521,8 +4525,13 @@ def q325(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("month").cast("string").alias("month"),
             "active_days",
             "mau",
-            F.round(avg_dau, 4).alias("avg_dau"),
-            F.round(avg_dau / F.col("mau"), 4).alias("stickiness"),
+            dratio_round(
+                F.col("sum_dau").cast(DECZ), F.col("active_days").cast(DECZ)
+            ).alias("avg_dau"),
+            dratio_round(
+                F.col("sum_dau").cast(DECZ),
+                (F.col("active_days") * F.col("mau")).cast(DECZ),
+            ).alias("stickiness"),
         )
         .orderBy("month")
     )
@@ -5058,7 +5067,7 @@ def q345(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q346",
-    oracle="""
+    oracle=f"""
     WITH cr AS (
       SELECT o_custkey,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
@@ -5088,7 +5097,7 @@ def q345(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d
     )
     SELECT CAST(decile AS BIGINT) AS decile, n AS n_customers,
-           ROUND(CAST(cn AS DOUBLE) / gn, 4) AS cum_pop_share,
+           {sql_dratio_round('cn', 'gn')} AS cum_pop_share,
            ROUND(cs / gs, 4) AS cum_rev_share
     FROM cum, tot ORDER BY decile
     """,
@@ -5169,9 +5178,9 @@ def q346(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "decile",
             F.col("n").alias("n_customers"),
-            F.round(F.col("cn").cast("double") / F.col("gn"), 4).alias(
-                "cum_pop_share"
-            ),
+            dratio_round(
+                F.col("cn").cast(DECZ), F.col("gn").cast(DECZ)
+            ).alias("cum_pop_share"),
             F.round(F.col("cs") / F.col("gs"), 4).alias("cum_rev_share"),
         )
         .orderBy("decile")
@@ -7391,7 +7400,7 @@ def q368(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q369",
-    oracle="""
+    oracle=f"""
     WITH ut AS (
       SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS v
       FROM events GROUP BY 1, 2
@@ -7427,7 +7436,7 @@ def q368(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM vf
     )
     SELECT event_type, ng AS n_obs,
-           ROUND(rs / ng, 4) AS mean_rank,
+           {sql_dratio_round('CAST(rs * 2 AS HUGEINT)', 'ng * 2')} AS mean_rank,
            ROUND(12.0 / (n.n * (CAST(n.n AS DOUBLE) + 1)) * h.srr
                  - 3 * (CAST(n.n AS DOUBLE) + 1), 4) AS h_stat,
            ROUND((12.0 / (n.n * (CAST(n.n AS DOUBLE) + 1)) * h.srr
@@ -7515,7 +7524,10 @@ def q369(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.col("ng").alias("n_obs"),
-            F.round(F.col("rs") / F.col("ng"), 4).alias("mean_rank"),
+            dratio_round(
+                (F.col("rs") * 2).cast(DECZ),
+                (F.col("ng") * 2).cast(DECZ),
+            ).alias("mean_rank"),
             F.round(hstat, 4).alias("h_stat"),
             F.round(
                 hstat / (1 - F.col("st") / (nd * F.col("n") * F.col("n") - F.col("n"))),
@@ -8334,7 +8346,7 @@ def q378(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q379",
-    oracle="""
+    oracle=f"""
     WITH b AS (
       SELECT MIN(CAST(o_orderdate AS DATE)) AS mn,
              MAX(CAST(o_orderdate AS DATE)) AS mx
@@ -8369,7 +8381,7 @@ def q378(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT f_cell AS frequency_cell, r_cell AS recency_cell,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
            CAST(SUM(alive) AS BIGINT) AS n_alive,
-           ROUND(CAST(SUM(alive) AS DOUBLE) / COUNT(*), 4)
+           {sql_dratio_round('SUM(alive)', 'COUNT(*)')}
              AS p_alive
     FROM cells GROUP BY 1, 2 ORDER BY 1, 2
     """,
@@ -8433,8 +8445,8 @@ def q379(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_customers"),
             F.sum("alive").cast("bigint").alias("n_alive"),
-            F.round(
-                F.sum("alive").cast("double") / F.count(F.lit(1)), 4
+            dratio_round(
+                F.sum("alive").cast(DECZ), F.count(F.lit(1)).cast(DECZ)
             ).alias("p_alive"),
         )
         .orderBy("frequency_cell", "recency_cell")
@@ -9313,7 +9325,7 @@ def q391(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q392",
-    oracle="""
+    oracle=f"""
     WITH salts AS (SELECT CAST(range AS BIGINT) AS salt FROM range(0, 20)),
     ud AS (
       SELECT user_id,
@@ -9364,9 +9376,9 @@ def q391(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(*) AS BIGINT) AS n_experiments,
            CAST(SUM(final) AS BIGINT) AS sig_final,
            CAST(SUM(anytime) AS BIGINT) AS sig_anytime,
-           ROUND(CAST(SUM(final) AS DOUBLE) / COUNT(*), 4)
+           {sql_dratio_round('SUM(final)', 'COUNT(*)')}
              AS fp_rate_final,
-           ROUND(CAST(SUM(anytime) AS DOUBLE) / COUNT(*), 4)
+           {sql_dratio_round('SUM(anytime)', 'COUNT(*)')}
              AS fp_rate_anytime
     FROM per_exp ORDER BY n_experiments
     """,
@@ -9479,11 +9491,11 @@ def q392(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_experiments"),
         F.sum("final").cast("bigint").alias("sig_final"),
         F.sum("anytime").cast("bigint").alias("sig_anytime"),
-        F.round(
-            F.sum("final").cast("double") / F.count(F.lit(1)), 4
+        dratio_round(
+            F.sum("final").cast(DECZ), F.count(F.lit(1)).cast(DECZ)
         ).alias("fp_rate_final"),
-        F.round(
-            F.sum("anytime").cast("double") / F.count(F.lit(1)), 4
+        dratio_round(
+            F.sum("anytime").cast(DECZ), F.count(F.lit(1)).cast(DECZ)
         ).alias("fp_rate_anytime"),
     ).orderBy("n_experiments")
 
@@ -9605,7 +9617,7 @@ def q393(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q394",
-    oracle="""
+    oracle=f"""
     WITH b AS (
       SELECT MIN(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
                AS d0
@@ -9628,7 +9640,7 @@ def q393(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c1 AS errors_week1, c2 AS errors_week2,
            ROUND(CAST(c1 AS DOUBLE) / 7, 4) AS rate1_per_day,
            ROUND(CAST(c2 AS DOUBLE) / 7, 4) AS rate2_per_day,
-           ROUND(CAST(c2 AS DOUBLE) / c1, 4) AS rate_ratio,
+           {sql_dratio_round('c2', 'c1')} AS rate_ratio,
            ROUND((LN(CAST(c2 AS DOUBLE)) - LN(CAST(c1 AS DOUBLE)))
                  / sqrt(1.0 / c1 + 1.0 / c2), 4) AS z_score,
            CAST(CASE WHEN ABS(ROUND((LN(CAST(c2 AS DOUBLE))
@@ -9682,7 +9694,7 @@ def q394(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c2").alias("errors_week2"),
         F.round(F.col("c1").cast("double") / 7, 4).alias("rate1_per_day"),
         F.round(F.col("c2").cast("double") / 7, 4).alias("rate2_per_day"),
-        F.round(F.col("c2").cast("double") / F.col("c1"), 4).alias(
+        dratio_round(F.col("c2").cast(DECZ), F.col("c1").cast(DECZ)).alias(
             "rate_ratio"
         ),
         z.alias("z_score"),
@@ -11274,7 +11286,7 @@ def q409(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q410",
-    oracle="""
+    oracle=f"""
     WITH hourly AS (
       SELECT CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hr,
              CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
@@ -11297,7 +11309,7 @@ def q409(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     llr AS (
       SELECT start_hr, dur, c, n,
-             ROUND(CAST(c AS DOUBLE) / n, 4) AS window_rate,
+             {sql_dratio_round('c', 'n')} AS window_rate,
              ROUND(c * LN((CAST(c AS DOUBLE) / n)
                           / (CAST(ce AS DOUBLE) / ct))
                    + (ce - c) * LN(((CAST(ce AS DOUBLE) - c)
@@ -11378,7 +11390,7 @@ def q410(spark: SparkSession, sf_dir: str) -> DataFrame:
             "start_hr",
             "dur",
             c.alias("errors_in_window"),
-            F.round(wr, 4).alias("window_rate"),
+            dratio_round(c.cast(DECZ), n.cast(DECZ)).alias("window_rate"),
             llr.alias("llr"),
         )
         .orderBy(F.col("llr").desc(), "start_hr", "dur")
@@ -11889,7 +11901,7 @@ def q416(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q417",
-    oracle="""
+    oracle=f"""
     WITH fo AS (
       SELECT user_id,
              date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
@@ -11919,7 +11931,7 @@ def q416(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1
     )
     SELECT pattern, n_sequences,
-           ROUND(CAST(n_sequences AS DOUBLE) / t.n_seq, 4) AS support
+           {sql_dratio_round('n_sequences', 't.n_seq')} AS support
     FROM trip, tot t ORDER BY pattern
     """,
     doc="Sequential-pattern support mining (PrefixSpan-style, "
@@ -11986,8 +11998,8 @@ def q417(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "pattern",
             "n_sequences",
-            F.round(
-                F.col("n_sequences").cast("double") / F.col("n_seq"), 4
+            dratio_round(
+                F.col("n_sequences").cast(DECZ), F.col("n_seq").cast(DECZ)
             ).alias("support"),
         )
         .orderBy("pattern")
@@ -11996,7 +12008,7 @@ def q417(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q418",
-    oracle="""
+    oracle=f"""
     WITH rows_ AS (
       SELECT l_orderkey // 512 AS page_ins,
              date_diff('day', DATE '1970-01-01',
@@ -12022,7 +12034,7 @@ def q417(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM rows_ GROUP BY 1), pred
     )
     SELECT layout, n_pages, scanned AS pages_scanned,
-           ROUND(1 - CAST(scanned AS DOUBLE) / n_pages, 4) AS skip_rate
+           {sql_dratio_round('n_pages - scanned', 'n_pages')} AS skip_rate
     FROM (
       SELECT 'insertion' AS layout, * FROM ins
       UNION ALL
@@ -12078,8 +12090,9 @@ def q418(spark: SparkSession, sf_dir: str) -> DataFrame:
         "layout",
         "n_pages",
         F.col("scanned").alias("pages_scanned"),
-        F.round(
-            1 - F.col("scanned").cast("double") / F.col("n_pages"), 4
+        dratio_round(
+            (F.col("n_pages") - F.col("scanned")).cast(DECZ),
+            F.col("n_pages").cast(DECZ),
         ).alias("skip_rate"),
     ).orderBy("layout")
 
@@ -13059,7 +13072,7 @@ def q426(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q432",
-    oracle="""
+    oracle=f"""
     WITH b AS (
       SELECT MIN(date_diff('day', DATE '1970-01-01',
                            CAST(o_orderdate AS DATE))) AS mn,
@@ -13107,7 +13120,7 @@ def q426(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT m.d1 AS decile_from, m.d2 AS decile_to,
            m.n AS n_customers,
-           ROUND(CAST(m.n AS DOUBLE) / r.rn, 4) AS row_share,
+           {sql_dratio_round('m.n', 'r.rn')} AS row_share,
            (SELECT mob FROM sh) AS shorrocks_mobility
     FROM mat m JOIN rows_ r ON r.d1 = m.d1
     ORDER BY decile_from, decile_to
@@ -13195,9 +13208,9 @@ def q432(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d1").alias("decile_from"),
             F.col("d2").alias("decile_to"),
             F.col("n").alias("n_customers"),
-            F.round(F.col("n").cast("double") / F.col("rn"), 4).alias(
-                "row_share"
-            ),
+            dratio_round(
+                F.col("n").cast(DECZ), F.col("rn").cast(DECZ)
+            ).alias("row_share"),
             F.col("mob").alias("shorrocks_mobility"),
         )
         .orderBy("decile_from", "decile_to")
@@ -14254,7 +14267,7 @@ def q439(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q440",
-    oracle="""
+    oracle=f"""
     WITH gaps AS (
       SELECT user_id,
              CAST(FLOOR(EPOCH(ts)) AS BIGINT)
@@ -14276,9 +14289,9 @@ def q439(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1
     )
     SELECT gap_min, n_sessions,
-           ROUND(CAST(n_events AS DOUBLE) / n_sessions, 4)
+           {sql_dratio_round('n_events', 'n_sessions')}
              AS avg_events_per_session,
-           ROUND(CAST(n_sessions AS DOUBLE) / n_users, 4)
+           {sql_dratio_round('n_sessions', 'n_users')}
              AS sessions_per_user
     FROM agg ORDER BY gap_min
     """,
@@ -14332,11 +14345,11 @@ def q440(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "gap_min",
         "n_sessions",
-        F.round(
-            F.col("n_events").cast("double") / F.col("n_sessions"), 4
+        dratio_round(
+            F.col("n_events").cast(DECZ), F.col("n_sessions").cast(DECZ)
         ).alias("avg_events_per_session"),
-        F.round(
-            F.col("n_sessions").cast("double") / F.col("n_users"), 4
+        dratio_round(
+            F.col("n_sessions").cast(DECZ), F.col("n_users").cast(DECZ)
         ).alias("sessions_per_user"),
     ).orderBy("gap_min")
 
