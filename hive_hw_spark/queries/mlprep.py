@@ -569,7 +569,7 @@ def q338(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q339",
-    oracle="""
+    oracle=f"""
     WITH ev AS (
       SELECT event_id, user_id, event_id % 2 AS half FROM events
     ),
@@ -584,8 +584,10 @@ def q338(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
            CAST(SUM(CASE WHEN in_train > 0 AND in_test > 0
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_leaking,
-           ROUND(CAST(SUM(CASE WHEN in_train > 0 AND in_test > 0
-                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4)
+           {sql_dratio_round(
+               'SUM(CASE WHEN in_train > 0 AND in_test > 0'
+               ' THEN 1 ELSE 0 END)',
+               'COUNT(*)')}
              AS leak_rate,
            CAST(SUM(CASE WHEN in_train > 0 AND in_test > 0
                     THEN in_test ELSE 0 END) AS BIGINT)
@@ -620,10 +622,9 @@ def q339(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.sum(F.when(leak, 1).otherwise(0)).cast("long").alias("n_leaking"),
-        F.round(
-            F.sum(F.when(leak, 1).otherwise(0)).cast("double")
-            / F.count(F.lit(1)),
-            4,
+        dratio_round(
+            F.sum(F.when(leak, 1).otherwise(0)).cast(DECZ),
+            F.count(F.lit(1)).cast(DECZ),
         ).alias("leak_rate"),
         F.sum(F.when(leak, F.col("in_test")).otherwise(0))
         .cast("long")
@@ -1009,7 +1010,7 @@ def q380(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q396",
-    oracle="""
+    oracle=f"""
     WITH g AS (
       SELECT source,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1034,7 +1035,7 @@ def q380(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(m.n_docs * m.sd / t.sum_ns, 4) AS neyman_share,
            CAST(FLOOR(1000 * m.n_docs * m.sd / t.sum_ns) AS BIGINT)
              AS n_alloc,
-           ROUND(CAST(m.n_docs AS DOUBLE) / t.n_total, 4)
+           {sql_dratio_round('m.n_docs', 't.n_total')}
              AS proportional_share
     FROM m, tot t ORDER BY m.source
     """,
@@ -1092,8 +1093,8 @@ def q396(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(1000 * F.col("n_docs") * F.col("sd") / F.col("sum_ns"))
             .cast("bigint")
             .alias("n_alloc"),
-            F.round(
-                F.col("n_docs").cast("double") / F.col("n_total"), 4
+            dratio_round(
+                F.col("n_docs").cast(DECZ), F.col("n_total").cast(DECZ)
             ).alias("proportional_share"),
         )
         .orderBy("source")

@@ -97,6 +97,9 @@ def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
         F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        (F.sum(F.col("y").cast(DEC)) * F.lit(10**10).cast("decimal(11,0)"))
+        .cast(DECZ)
+        .alias("sy_u"),
         F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
         F.sum((F.col("y") * F.col("y")).cast(DEC)).cast("double").alias("syy"),
         F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
@@ -2474,7 +2477,7 @@ def q291(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q292",
-    oracle="""
+    oracle=f"""
     WITH bounds AS (
       SELECT CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS lo,
              CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS hi
@@ -2494,6 +2497,8 @@ def q291(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
              CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(y AS DECIMAL(30,10))) * 10000000000
+                  AS HUGEINT) AS sy_u,
              CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
              CAST(SUM(CAST(y * y AS DECIMAL(30,10))) AS DOUBLE) AS syy,
              CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sxy
@@ -2510,7 +2515,7 @@ def q291(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g
     )
     SELECT arm, n,
-           ROUND(sy / n, 4) AS mean_y,
+           {sql_dratio_round('sy_u', 'n * 10000000000')} AS mean_y,
            ROUND(sy / n - th * (sx / n - xbar), 4) AS mean_adj,
            ROUND((syy - sy * sy / n) / (n - 1), 4) AS var_y,
            ROUND(((syy - sy * sy / n)
@@ -2563,6 +2568,9 @@ def q292(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
         F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        (F.sum(F.col("y").cast(DEC)) * F.lit(10**10).cast("decimal(11,0)"))
+        .cast(DECZ)
+        .alias("sy_u"),
         F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
         F.sum((F.col("y") * F.col("y")).cast(DEC)).cast("double").alias("syy"),
         F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
@@ -2589,7 +2597,12 @@ def q292(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "arm",
             "n",
-            F.round(sy / n, 4).alias("mean_y"),
+            dratio_round(
+                F.col("sy_u"),
+                (n.cast(DECZ) * F.lit(10**10).cast("decimal(11,0)")).cast(
+                    DECZ
+                ),
+            ).alias("mean_y"),
             F.round(sy / n - th * (sx / n - F.col("xbar")), 4).alias(
                 "mean_adj"
             ),
@@ -3268,6 +3281,9 @@ def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
         F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        (F.sum(F.col("y").cast(DEC)) * F.lit(10**10).cast("decimal(11,0)"))
+        .cast(DECZ)
+        .alias("sy_u"),
         F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
         F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
     )
@@ -3592,6 +3608,9 @@ def q301(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
         F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        (F.sum(F.col("y").cast(DEC)) * F.lit(10**10).cast("decimal(11,0)"))
+        .cast(DECZ)
+        .alias("sy_u"),
         F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
         F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
     )
@@ -3881,6 +3900,9 @@ def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
             F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        (F.sum(F.col("y").cast(DEC)) * F.lit(10**10).cast("decimal(11,0)"))
+        .cast(DECZ)
+        .alias("sy_u"),
             F.sum((F.col("x") * F.col("x")).cast(DEC))
             .cast("double")
             .alias("sxx"),
@@ -6372,7 +6394,7 @@ def q354(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q355",
-    oracle="""
+    oracle=f"""
     WITH spend AS (
       SELECT o_custkey, c_nationkey,
              CASE WHEN (o_custkey % 2147483648) * 2654435761 % 100 < 50
@@ -6415,9 +6437,14 @@ def q354(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM mom CROSS JOIN tot
     )
     SELECT mom.c_nationkey AS nation, na, nb,
-           ROUND(sxa / na - sxb / nb, 4) AS stratum_diff,
-           ROUND(CAST(na + nb AS DOUBLE) / tot.n, 4) AS weight,
-           ROUND(agg.ta / agg.tna - agg.tb / agg.tnb, 4) AS ate_naive,
+           {sql_dratio_round(
+               'CAST(sxa*100 AS HUGEINT)*nb - CAST(sxb*100 AS HUGEINT)*na',
+               'na * nb * 100')} AS stratum_diff,
+           {sql_dratio_round('na + nb', 'tot.n')} AS weight,
+           {sql_dratio_round(
+               'CAST(agg.ta*100 AS HUGEINT)*agg.tnb'
+               ' - CAST(agg.tb*100 AS HUGEINT)*agg.tna',
+               'agg.tna * agg.tnb * 100')} AS ate_naive,
            ROUND(agg.ate, 4) AS ate_strat,
            ROUND(agg.ate / SQRT(agg.var_ate), 4) AS z_strat
     FROM mom CROSS JOIN tot CROSS JOIN agg
@@ -6521,10 +6548,24 @@ def q355(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("nation"),
             "na",
             "nb",
-            F.round(diff_s, 4).alias("stratum_diff"),
-            F.round(w_s, 4).alias("weight"),
-            F.round(
-                F.col("ta") / F.col("tna") - F.col("tb") / F.col("tnb"), 4
+            dratio_round(
+                (
+                    (F.col("sxa") * 100).cast(DECZ) * F.col("nb").cast(DECZ)
+                    - (F.col("sxb") * 100).cast(DECZ)
+                    * F.col("na").cast(DECZ)
+                ).cast(DECZ),
+                (F.col("na") * F.col("nb") * 100).cast(DECZ),
+            ).alias("stratum_diff"),
+            dratio_round(
+                (F.col("na") + F.col("nb")).cast(DECZ), F.col("n").cast(DECZ)
+            ).alias("weight"),
+            dratio_round(
+                (
+                    (F.col("ta") * 100).cast(DECZ) * F.col("tnb").cast(DECZ)
+                    - (F.col("tb") * 100).cast(DECZ)
+                    * F.col("tna").cast(DECZ)
+                ).cast(DECZ),
+                (F.col("tna") * F.col("tnb") * 100).cast(DECZ),
             ).alias("ate_naive"),
             F.round("ate", 4).alias("ate_strat"),
             F.round(F.col("ate") / F.sqrt(F.col("var_ate")), 4).alias(
@@ -6633,6 +6674,9 @@ def q357(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
         F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        (F.sum(F.col("y").cast(DEC)) * F.lit(10**10).cast("decimal(11,0)"))
+        .cast(DECZ)
+        .alias("sy_u"),
         F.sum((F.col("x").cast("double") * F.col("x")).cast(DEC))
         .cast("double")
         .alias("sxx"),
@@ -7147,7 +7191,7 @@ def q364(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q366",
-    oracle="""
+    oracle=f"""
     WITH spend AS (
       SELECT o_custkey, c_nationkey, c_acctbal,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
@@ -7184,7 +7228,10 @@ def q364(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM w
     )
     SELECT n, nt AS n_treated,
-           ROUND(sxt / nt - sxc / (n - nt), 4) AS naive_diff,
+           {sql_dratio_round(
+               'CAST(sxt*100 AS HUGEINT)*(n - nt)'
+               ' - CAST(sxc*100 AS HUGEINT)*nt',
+               'nt * (n - nt) * 100')} AS naive_diff,
            ROUND(swt / n - swc / n, 4) AS ipw_ate
     FROM s ORDER BY n
     """,
@@ -7259,9 +7306,13 @@ def q366(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "n",
         F.col("nt").alias("n_treated"),
-        F.round(
-            F.col("sxt") / F.col("nt") - F.col("sxc") / (F.col("n") - F.col("nt")),
-            4,
+        dratio_round(
+            (
+                (F.col("sxt") * 100).cast(DECZ)
+                * (F.col("n") - F.col("nt")).cast(DECZ)
+                - (F.col("sxc") * 100).cast(DECZ) * F.col("nt").cast(DECZ)
+            ).cast(DECZ),
+            (F.col("nt") * (F.col("n") - F.col("nt")) * 100).cast(DECZ),
         ).alias("naive_diff"),
         F.round(F.col("swt") / F.col("n") - F.col("swc") / F.col("n"), 4).alias(
             "ipw_ate"
@@ -8597,6 +8648,9 @@ def q383(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
         F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        (F.sum(F.col("y").cast(DEC)) * F.lit(10**10).cast("decimal(11,0)"))
+        .cast(DECZ)
+        .alias("sy_u"),
         F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
         F.sum((F.col("y") * F.col("y")).cast(DEC)).cast("double").alias("syy"),
         F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
@@ -9217,6 +9271,8 @@ def q389(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
              CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(y AS DECIMAL(30,10))) * 10000000000
+                  AS HUGEINT) AS sy_u,
              CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
              CAST(SUM(CAST(CAST(y AS DOUBLE) * y AS DECIMAL(30,10)))
                AS DOUBLE) AS syy,
@@ -9282,6 +9338,9 @@ def q391(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
         F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        (F.sum(F.col("y").cast(DEC)) * F.lit(10**10).cast("decimal(11,0)"))
+        .cast(DECZ)
+        .alias("sy_u"),
         F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
         F.sum((F.col("y").cast("double") * F.col("y")).cast(DEC))
         .cast("double")
@@ -11760,6 +11819,9 @@ def q415(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
         F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        (F.sum(F.col("y").cast(DEC)) * F.lit(10**10).cast("decimal(11,0)"))
+        .cast(DECZ)
+        .alias("sy_u"),
         F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
         F.sum((F.col("y") * F.col("y")).cast(DEC)).cast("double").alias("syy"),
         F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
@@ -12963,7 +13025,7 @@ def q425(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q426",
-    oracle="""
+    oracle=f"""
     WITH stats AS (
       SELECT 'lineitem_orders' AS join_name,
              (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_a,
@@ -12998,9 +13060,10 @@ def q425(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT join_name, n_a, n_b, ndv_a, ndv_b, actual,
            CAST(FLOOR(CAST(n_a AS DOUBLE) * n_b
                       / GREATEST(ndv_a, ndv_b)) AS BIGINT) AS estimated,
-           ROUND(CAST(FLOOR(CAST(n_a AS DOUBLE) * n_b
-                            / GREATEST(ndv_a, ndv_b)) AS DOUBLE)
-                 / actual, 4) AS est_over_actual
+           {sql_dratio_round(
+               'CAST(FLOOR(CAST(n_a AS DOUBLE) * n_b'
+               ' / GREATEST(ndv_a, ndv_b)) AS HUGEINT)',
+               'actual')} AS est_over_actual
     FROM stats ORDER BY join_name
     """,
     doc="Join-cardinality estimator audit: for the three core FK joins, "
@@ -13064,7 +13127,7 @@ def q426(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ndv_b",
         "actual",
         est.alias("estimated"),
-        F.round(est.cast("double") / F.col("actual"), 4).alias(
+        dratio_round(est.cast(DECZ), F.col("actual").cast(DECZ)).alias(
             "est_over_actual"
         ),
     ).orderBy("join_name")
@@ -13219,7 +13282,7 @@ def q432(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q433",
-    oracle="""
+    oracle=f"""
     WITH ps AS (
       SELECT l_partkey, l_suppkey,
              ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10)))
@@ -13237,7 +13300,8 @@ def q432(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ps GROUP BY 1 HAVING COUNT(*) >= 3
     )
     SELECT l_partkey AS partkey, n_suppliers,
-           ROUND(sx / n_suppliers, 4) AS mean_price,
+           {sql_dratio_round('CAST(sx * 1000000 AS HUGEINT)',
+                             'n_suppliers * 1000000')} AS mean_price,
            ROUND(sqrt((sxx - sx * sx / n_suppliers)
                       / (n_suppliers - 1))
                  / (sx / n_suppliers), 4) AS price_cv
@@ -13289,7 +13353,10 @@ def q433(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.select(
             F.col("l_partkey").alias("partkey"),
             "n_suppliers",
-            F.round(F.col("sx") / n, 4).alias("mean_price"),
+            dratio_round(
+                (F.col("sx") * 1000000).cast(DECZ),
+                (n * 1000000).cast(DECZ),
+            ).alias("mean_price"),
             cv.alias("price_cv"),
         )
         .orderBy(F.col("price_cv").desc(), "partkey")
@@ -13408,7 +13475,7 @@ def q434(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q435",
-    oracle="""
+    oracle=f"""
     WITH uf AS (
       SELECT user_id,
              CAST(COUNT(*) AS DOUBLE) AS f_freq,
@@ -13457,8 +13524,8 @@ def q434(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * (1 - POW(CAST(pos - pl AS DOUBLE) / (n - nl), 2)
                       - POW(1 - CAST(pos - pl AS DOUBLE) / (n - nl),
                             2)), 6) AS gain,
-             ROUND(CAST(pl AS DOUBLE) / nl, 4) AS left_rate,
-             ROUND(CAST(pos - pl AS DOUBLE) / (n - nl), 4) AS right_rate
+             {sql_dratio_round('pl', 'nl')} AS left_rate,
+             {sql_dratio_round('pos - pl', 'n - nl')} AS right_rate
       FROM splits WHERE nl > 0 AND nl < n
     )
     SELECT feature, t AS best_threshold, gain AS gini_gain,
@@ -13534,8 +13601,10 @@ def q435(spark: SparkSession, sf_dir: str) -> DataFrame:
         "feature",
         "t",
         gain.alias("gain"),
-        F.round(pl.cast("double") / nl, 4).alias("left_rate"),
-        F.round((pos - pl).cast("double") / (n - nl), 4).alias("right_rate"),
+        dratio_round(pl.cast(DECZ), nl.cast(DECZ)).alias("left_rate"),
+        dratio_round(
+            (pos - pl).cast(DECZ), (n - nl).cast(DECZ)
+        ).alias("right_rate"),
     )
     w = Window.partitionBy("feature").orderBy(F.col("gain").desc(), "t")
     return (
@@ -14477,6 +14546,9 @@ def q441(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_common"),
         F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
         F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        (F.sum(F.col("y").cast(DEC)) * F.lit(10**10).cast("decimal(11,0)"))
+        .cast(DECZ)
+        .alias("sy_u"),
         F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
         F.sum((F.col("y") * F.col("y")).cast(DEC)).cast("double").alias("syy"),
         F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
