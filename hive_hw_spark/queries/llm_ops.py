@@ -1696,7 +1696,7 @@ def q94c(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q115",
-    oracle="""
+    oracle=f"""
     WITH words AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS g
       FROM documents
@@ -1721,9 +1721,10 @@ def q94c(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1
     )
     SELECT w.doc_id, w.n_tokens,
-           ROUND(w.n_distinct::DOUBLE / w.n_tokens, 4) AS distinct_ratio,
-           ROUND(w.top_c::DOUBLE / w.n_tokens, 4) AS top_word_frac,
-           ROUND(b.top_bc::DOUBLE / b.n_bi, 4) AS top_bigram_frac
+           {sql_dratio_round('w.n_distinct', 'w.n_tokens')}
+             AS distinct_ratio,
+           {sql_dratio_round('w.top_c', 'w.n_tokens')} AS top_word_frac,
+           {sql_dratio_round('b.top_bc', 'b.n_bi')} AS top_bigram_frac
     FROM wstat w JOIN bstat b USING (doc_id)
     ORDER BY doc_id
     """,
@@ -1780,9 +1781,15 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stat.select(
         "doc_id",
         F.col("w_n").cast("bigint").alias("n_tokens"),
-        F.round(F.col("w_distinct") / F.col("w_n"), 4).alias("distinct_ratio"),
-        F.round(F.col("w_top") / F.col("w_n"), 4).alias("top_word_frac"),
-        F.round(F.col("b_top") / F.col("b_n"), 4).alias("top_bigram_frac"),
+        dratio_round(
+            F.col("w_distinct").cast(DECZ), F.col("w_n").cast(DECZ)
+        ).alias("distinct_ratio"),
+        dratio_round(
+            F.col("w_top").cast(DECZ), F.col("w_n").cast(DECZ)
+        ).alias("top_word_frac"),
+        dratio_round(
+            F.col("b_top").cast(DECZ), F.col("b_n").cast(DECZ)
+        ).alias("top_bigram_frac"),
     ).orderBy("doc_id")
 
 

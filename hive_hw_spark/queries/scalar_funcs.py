@@ -24,7 +24,12 @@ from pyspark.sql import functions as F
 
 from hive_hw_spark.catalog import load_table
 from hive_hw_spark.queries import register
-from hive_hw_spark.queries._util import sql_dsum
+from hive_hw_spark.queries._util import (
+    DECZ,
+    dratio_round,
+    sql_dratio_round,
+    sql_dsum,
+)
 
 
 @register(
@@ -403,13 +408,14 @@ def q67b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q127",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
            CAST(MIN(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_min,
            CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_max,
-           ROUND(SUM(CAST(props->>'k' AS BIGINT))::DOUBLE / COUNT(*), 4)
+           {sql_dratio_round("SUM(CAST(props->>'k' AS BIGINT))",
+                             'COUNT(*)')}
              AS k_avg,
            CAST(COUNT(*) FILTER (WHERE props->>'missing' IS NOT NULL)
                 AS BIGINT) AS n_has_missing
@@ -442,8 +448,8 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("k_sum"),
             F.min("k").alias("k_min"),
             F.max("k").alias("k_max"),
-            F.round(
-                F.sum("k").cast("double") / F.count(F.lit(1)), 4
+            dratio_round(
+                F.sum("k").cast(DECZ), F.count(F.lit(1)).cast(DECZ)
             ).alias("k_avg"),
             F.count("miss").alias("n_has_missing"),
         )

@@ -32,7 +32,14 @@ from pyspark.sql import functions as F
 from hive_hw_spark.catalog import load_table
 
 from . import plan_cache, register
-from ._util import DEC, DECZ, dratio_round, sql_dratio_round
+from ._util import (
+    DEC,
+    DECZ,
+    dec_ratio,
+    dratio_round,
+    sql_dec_ratio,
+    sql_dratio_round,
+)
 
 
 @register(
@@ -5952,7 +5959,7 @@ def q350(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q351",
-    oracle="""
+    oracle=f"""
     WITH w AS (
       SELECT lang, unnest(string_split(text, ' ')) AS word
       FROM documents
@@ -5970,11 +5977,12 @@ def q350(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM wc GROUP BY 1
     )
     SELECT lang, n_tokens, vocab, f1, f2,
-           ROUND(CASE WHEN f2 > 0
-                 THEN vocab + CAST(f1 AS DOUBLE) * f1 / (2 * f2)
-                 ELSE vocab + CAST(f1 AS DOUBLE) * (f1 - 1) / 2
-                 END, 4) AS chao1,
-           ROUND(CAST(f1 AS DOUBLE) / n_tokens, 4) AS unseen_mass
+           CASE WHEN f2 > 0
+                THEN {sql_dratio_round('vocab * 2 * f2 + f1 * f1',
+                                       '2 * f2')}
+                ELSE {sql_dratio_round('2 * vocab + f1 * (f1 - 1)', '2')}
+                END AS chao1,
+           {sql_dratio_round('f1', 'n_tokens')} AS unseen_mass
     FROM s ORDER BY lang
     """,
     doc="Vocabulary-richness estimation per language: Chao1 lower "
@@ -6012,14 +6020,28 @@ def q351(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vocab",
         "f1",
         "f2",
-        F.round(
-            F.when(
-                F.col("f2") > 0,
-                F.col("vocab") + f1d * F.col("f1") / (2 * F.col("f2")),
-            ).otherwise(F.col("vocab") + f1d * (F.col("f1") - 1) / 2),
-            4,
-        ).alias("chao1"),
-        F.round(f1d / F.col("n_tokens"), 4).alias("unseen_mass"),
+        F.when(
+            F.col("f2") > 0,
+            dratio_round(
+                (
+                    F.col("vocab") * 2 * F.col("f2")
+                    + F.col("f1") * F.col("f1")
+                ).cast(DECZ),
+                (2 * F.col("f2")).cast(DECZ),
+            ),
+        )
+        .otherwise(
+            dratio_round(
+                (
+                    2 * F.col("vocab") + F.col("f1") * (F.col("f1") - 1)
+                ).cast(DECZ),
+                F.lit(2).cast(DECZ),
+            )
+        )
+        .alias("chao1"),
+        dratio_round(
+            F.col("f1").cast(DECZ), F.col("n_tokens").cast(DECZ)
+        ).alias("unseen_mass"),
     ).orderBy("lang")
 
 
@@ -6133,7 +6155,7 @@ def q352(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q353",
-    oracle="""
+    oracle=f"""
     WITH b AS (
       SELECT MIN(CAST(o_orderdate AS DATE)) AS mn,
              MAX(CAST(o_orderdate AS DATE)) AS mx
@@ -6185,11 +6207,12 @@ def q352(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(rnk) AS BIGINT) AS hits_at_3,
            CAST(COUNT(CASE WHEN rnk = 1 THEN 1 END) AS BIGINT)
              AS hits_at_1,
-           ROUND(CAST(COUNT(rnk) AS DOUBLE) / COUNT(*), 4)
+           {sql_dratio_round('COUNT(rnk)', 'COUNT(*)')}
              AS hit_rate,
-           ROUND(CAST(SUM(CAST(COALESCE(CAST(1.0 AS DOUBLE) / rnk, 0.0)
-                               AS DECIMAL(30,10))) AS DOUBLE)
-                 / COUNT(*), 4) AS mrr
+           {sql_dec_ratio(
+               'SUM(CAST(COALESCE(CAST(1.0 AS DOUBLE) / rnk, 0.0)'
+               ' AS DECIMAL(30,10)))',
+               'COUNT(*)')} AS mrr
     FROM hits ORDER BY n_test_pairs
     """,
     doc="Temporal backtest of the co-purchase recommender: rules are "
@@ -6282,14 +6305,12 @@ def q353(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_test_pairs"),
         F.count("rnk").cast("bigint").alias("hits_at_3"),
         F.count(F.when(F.col("rnk") == 1, 1)).cast("bigint").alias("hits_at_1"),
-        F.round(F.count("rnk").cast("double") / F.count(F.lit(1)), 4).alias(
-            "hit_rate"
-        ),
-        F.round(
-            F.sum(F.coalesce(1.0 / F.col("rnk"), F.lit(0.0)).cast(DEC))
-            .cast("double")
-            / F.count(F.lit(1)),
-            4,
+        dratio_round(
+            F.count("rnk").cast(DECZ), F.count(F.lit(1)).cast(DECZ)
+        ).alias("hit_rate"),
+        dec_ratio(
+            F.sum(F.coalesce(1.0 / F.col("rnk"), F.lit(0.0)).cast(DEC)),
+            F.count(F.lit(1)),
         ).alias("mrr"),
     ).orderBy("n_test_pairs")
 
@@ -8932,7 +8953,7 @@ def q386(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q387",
-    oracle="""
+    oracle=f"""
     WITH b AS (
       SELECT CAST(FLOOR(MIN(EPOCH(ts))) AS BIGINT) AS mn,
              CAST(FLOOR(MAX(EPOCH(ts))) AS BIGINT) AS mx
@@ -8968,8 +8989,10 @@ def q386(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_test,
            CAST(SUM(CASE WHEN t.next_state = p.predicted
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-           ROUND(CAST(SUM(CASE WHEN t.next_state = p.predicted
-                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4)
+           {sql_dratio_round(
+               'SUM(CASE WHEN t.next_state = p.predicted'
+               ' THEN 1 ELSE 0 END)',
+               'COUNT(*)')}
              AS top1_acc
     FROM test t JOIN pred p ON p.prev_state = t.prev_state
     GROUP BY 1 ORDER BY 1
@@ -9033,14 +9056,13 @@ def q387(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("n_correct"),
-            F.round(
+            dratio_round(
                 F.sum(
                     F.when(
                         F.col("next_state") == F.col("predicted"), 1
                     ).otherwise(0)
-                ).cast("double")
-                / F.count(F.lit(1)),
-                4,
+                ).cast(DECZ),
+                F.count(F.lit(1)).cast(DECZ),
             ).alias("top1_acc"),
         )
         .orderBy("prev_state")
@@ -10547,7 +10569,7 @@ def q402(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q403",
-    oracle="""
+    oracle=f"""
     WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     s1 AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS s
            FROM d GROUP BY 1),
@@ -10614,9 +10636,9 @@ def q402(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (SELECT CAST(COUNT(DISTINCT ck) AS BIGINT) FROM recs)
              AS n_users,
            t.nr AS n_recs, t.dp AS distinct_parts,
-           ROUND(CAST(t.dp AS DOUBLE) / c.np, 4) AS catalog_coverage,
+           {sql_dratio_round('t.dp', 'c.np')} AS catalog_coverage,
            ROUND(EXP(e.h), 2) AS effective_catalog,
-           ROUND(CAST(tt.tc AS DOUBLE) / t.nr, 4) AS top10_share,
+           {sql_dratio_round('tt.tc', 't.nr')} AS top10_share,
            ROUND(p2.rec_pop / p2.cat_pop, 4) AS popularity_bias
     FROM rtot t, ent e, top10 tt, pop p2, cat c
     ORDER BY n_users
@@ -10697,13 +10719,13 @@ def q403(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
             F.col("nr").alias("n_recs"),
             F.col("dp").alias("distinct_parts"),
-            F.round(F.col("dp").cast("double") / F.col("np"), 4).alias(
-                "catalog_coverage"
-            ),
+            dratio_round(
+                F.col("dp").cast(DECZ), F.col("np").cast(DECZ)
+            ).alias("catalog_coverage"),
             F.round(F.exp(F.col("h")), 2).alias("effective_catalog"),
-            F.round(F.col("tc").cast("double") / F.col("nr"), 4).alias(
-                "top10_share"
-            ),
+            dratio_round(
+                F.col("tc").cast(DECZ), F.col("nr").cast(DECZ)
+            ).alias("top10_share"),
             F.round(F.col("rec_pop") / F.col("cat_pop"), 4).alias(
                 "popularity_bias"
             ),
