@@ -802,7 +802,7 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q155",
-    oracle="""
+    oracle=f"""
     WITH lc AS (
       SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
       FROM documents GROUP BY source, lang
@@ -815,7 +815,7 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
                -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
                  * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
                AS DECIMAL(30,10))) AS DOUBLE), 6) AS lang_entropy,
-           ROUND(CAST(MAX(c) AS DOUBLE) / CAST(t.n AS DOUBLE), 6)
+           {sql_dratio_round('MAX(c)', 't.n', 6)}
              AS top_lang_share
     FROM lc JOIN t USING (source)
     GROUP BY lc.source, t.n
@@ -851,8 +851,8 @@ def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 6,
             ).alias("lang_entropy"),
-            F.round(
-                F.max("c").cast("double") / F.col("n").cast("double"), 6
+            dratio_round(
+                F.max("c").cast(DECZ), F.col("n").cast(DECZ), 6
             ).alias("top_lang_share"),
         )
         .select(

@@ -597,9 +597,9 @@ def q94b(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q95",
-    oracle="""
+    oracle=f"""
     SELECT lang, COUNT(*) AS n_docs,
-           ROUND(SUM(n_chars)::DOUBLE / COUNT(*), 2) AS avg_chars
+           {sql_dratio_round('SUM(n_chars)', 'COUNT(*)', 2)} AS avg_chars
     FROM documents GROUP BY lang ORDER BY lang
     """,
     doc="Language filter + per-language stats (doc counts, avg length): "
@@ -611,8 +611,10 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(
-                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 2
+            dratio_round(
+                F.sum("n_chars").cast(DECZ),
+                F.count(F.lit(1)).cast(DECZ),
+                2,
             ).alias("avg_chars"),
         )
         .orderBy("lang")

@@ -9583,7 +9583,7 @@ def q392(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q393",
-    oracle="""
+    oracle=f"""
     WITH b AS (
       SELECT CAST(FLOOR(MIN(EPOCH(ts))) AS BIGINT) AS mn,
              CAST(FLOOR(MAX(EPOCH(ts))) AS BIGINT) AS mx
@@ -9618,7 +9618,8 @@ def q392(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM paired
     )
     SELECT n AS n_users,
-           ROUND(sd_ / n, 6) AS mean_diff,
+           {sql_dratio_round('CAST(sd_ * 100 AS HUGEINT)', 'n * 100', 6)}
+             AS mean_diff,
            ROUND(sqrt((sdd - sd_ * sd_ / n) / (n - 1)), 6) AS sd_diff,
            ROUND((sd_ / n) / (sqrt((sdd - sd_ * sd_ / n) / (n - 1))
                               / sqrt(n)), 4) AS t_stat,
@@ -9689,7 +9690,9 @@ def q393(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.round((F.col("sd_") / n) / (sdiff / F.sqrt(n)), 4)
     return s.select(
         n.alias("n_users"),
-        F.round(F.col("sd_") / n, 6).alias("mean_diff"),
+        dratio_round(
+            (F.col("sd_") * 100).cast(DECZ), (n * 100).cast(DECZ), 6
+        ).alias("mean_diff"),
         F.round(sdiff, 6).alias("sd_diff"),
         t.alias("t_stat"),
         F.when(F.abs(t) > 1.96, 1).otherwise(0).cast("int").alias("significant"),
@@ -9785,7 +9788,7 @@ def q394(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q395",
-    oracle="""
+    oracle=f"""
     WITH b AS (
       SELECT MIN(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
                AS d0
@@ -9811,7 +9814,8 @@ def q394(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT m AS captured_w1, c AS captured_w2, r AS recaptured,
            observed_total,
-           ROUND((m + 1.0) * (c + 1.0) / (r + 1.0) - 1, 2) AS n_hat,
+           {sql_dratio_round('(m + 1) * (c + 1) - (r + 1)', 'r + 1', 2)}
+             AS n_hat,
            ROUND((m + 1.0) * (c + 1.0) / (r + 1.0) - 1
                  - 1.96 * sqrt((m + 1.0) * (c + 1.0) * (m - r)
                                * (c - r)
@@ -9878,7 +9882,11 @@ def q395(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.alias("captured_w2"),
         r.alias("recaptured"),
         "observed_total",
-        F.round(n_hat, 2).alias("n_hat"),
+        dratio_round(
+            ((m + 1) * (c + 1) - (r + 1)).cast(DECZ),
+            (r + 1).cast(DECZ),
+            2,
+        ).alias("n_hat"),
         F.round(n_hat - 1.96 * se, 2).alias("ci_lo"),
         F.round(n_hat + 1.96 * se, 2).alias("ci_hi"),
     ).orderBy("captured_w1")
@@ -9914,7 +9922,7 @@ def _q398_oracle() -> str:
              FROM cnts GROUP BY 1),
     tp AS (
       SELECT cnts.f, cnts.t,
-             ROUND(CAST(cnts.c AS DOUBLE) / fsum.tot, 6) AS p
+             CAST(SIGN(cnts.c) AS DOUBLE) * CAST(SIGN(fsum.tot) AS DOUBLE) * CAST((2*1000000*CAST(ABS(cnts.c) AS HUGEINT) + CAST(ABS(fsum.tot) AS HUGEINT)) // (2*CAST(ABS(fsum.tot) AS HUGEINT)) AS DOUBLE) / 1000000.0 AS p
       FROM cnts JOIN fsum ON fsum.f = cnts.f
     ),
     rms AS (SELECT rm FROM (VALUES ('none'), ('click'), ('error'),
@@ -10013,7 +10021,11 @@ def q398(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("tot")
     )
     tp = cnts.join(F.broadcast(fsum), F.col("f") == F.col("f2")).select(
-        "f", "t", F.round(F.col("c").cast("double") / F.col("tot"), 6).alias("p")
+        "f",
+        "t",
+        dratio_round(F.col("c").cast(DECZ), F.col("tot").cast(DECZ), 6).alias(
+            "p"
+        ),
     )
     rms = spark.createDataFrame(
         [("none",), ("click",), ("error",), ("signup",), ("view",)], ["rm"]
@@ -13660,8 +13672,8 @@ _Q43X_UF_SQL = """
 
 @register(
     "q436",
-    oracle="""
-    WITH""" + _Q43X_UF_SQL + """,
+    oracle=f"""
+    WITH""" + _Q43X_UF_SQL + f""",
     melted AS (
       SELECT user_id, 'f_days_active' AS feature, f_days_active AS x,
              label FROM uf
@@ -13703,8 +13715,8 @@ _Q43X_UF_SQL = """
     ),
     s1 AS (
       SELECT feature, t, gain,
-             ROUND(CAST(pl AS DOUBLE) / nl, 6) AS lr,
-             ROUND(CAST(pos - pl AS DOUBLE) / (n - nl), 6) AS rr
+             {sql_dratio_round('pl', 'nl', 6)} AS lr,
+             {sql_dratio_round('pos - pl', 'n - nl', 6)} AS rr
       FROM g1 ORDER BY gain DESC, feature, t LIMIT 1
     ),
     res AS (
@@ -13820,8 +13832,10 @@ def q436(spark: SparkSession, sf_dir: str) -> DataFrame:
             * gini((pos - pl).cast("double") / (n - nl)),
             6,
         ).alias("gain"),
-        F.round(pl.cast("double") / nl, 6).alias("lr"),
-        F.round((pos - pl).cast("double") / (n - nl), 6).alias("rr"),
+        dratio_round(pl.cast(DECZ), nl.cast(DECZ), 6).alias("lr"),
+        dratio_round(
+            (pos - pl).cast(DECZ), (n - nl).cast(DECZ), 6
+        ).alias("rr"),
     )
     s1 = (
         g1.orderBy(F.col("gain").desc(), "feature", "t")
