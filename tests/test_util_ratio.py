@@ -1,0 +1,160 @@
+"""Property tests for the exact-ratio helpers in _util.py (round 10).
+
+dratio_round / sql_dratio_round / dround_units / dec_ratio are the
+load-bearing fix for the r9 float-parity class, so they get their own
+ground truth here: a Python ``fractions.Fraction`` reference implements
+round-half-away-from-zero exactly, and both engines must match it (and
+therefore each other) on adversarial inputs — exact .5e-k boundaries,
+negatives, huge magnitudes, and hypothesis-generated random pairs.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hive_hw_spark.queries._util import (
+    DECZ,
+    dratio_round,
+    dround_units,
+    sql_dratio_round,
+    sql_dround_units,
+)
+
+
+def ref_round_ratio(num: int, den: int, ndigits: int = 4) -> float:
+    """Round-half-away-from-zero of num/den to ndigits, modeling the
+    engines' two-step conversion exactly: the integer quotient q is cast
+    to double FIRST (correctly rounded — lossy above 2^53) and then
+    divided by 10^ndigits. Both engines share this pipeline, so the
+    reference must too; a one-step Fraction-exact division differs in
+    the last ulp for q > 2^53 (seen at 2^60/3)."""
+    assert den != 0
+    sign = -1 if (num < 0) != (den < 0) else 1
+    a, d = abs(num), abs(den)
+    p = 10**ndigits
+    q = (2 * a * p + d) // (2 * d)
+    return sign * (float(q) / p)
+
+
+BOUNDARY_CASES = [
+    # (num, den, ndigits) — exact .5e-k boundaries where the engines'
+    # double ROUNDs deterministically disagree (the q259 mechanism)
+    (1951278653750, 1000000, 4),
+    (65375, 100000, 4),
+    (-65375, 100000, 4),
+    (5, 100000, 4),          # 0.00005 -> 0.0001 half-up
+    (-5, 100000, 4),
+    (15, 1000, 2),           # 0.015 -> 0.02
+    (125, 1000, 2),          # 0.125 -> 0.13 (dyadic boundary)
+    (1, 32, 4),              # 0.03125 -> 0.0313
+    (3, 7, 4),               # non-terminating
+    (122214417380125, 1000000, 4),
+    (2**60, 3, 4),           # huge
+    (0, 5, 4),
+    (12345, 2, 4),           # x.5 exact, no rounding needed
+    (7, 2000000, 6),         # 0.0000035 -> 0.000004 at 6dp
+    (-7, 2000000, 6),
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb.connect()
+
+
+def _spark_eval(spark, cases):
+    df = spark.createDataFrame(
+        [(str(n), str(d), k) for n, d, k in cases], "n string, d string, k int"
+    ).select(F.col("n").cast(DECZ).alias("n"), F.col("d").cast(DECZ).alias("d"), "k")
+    out = []
+    for k in sorted({c[2] for c in cases}):
+        sub = df.where(F.col("k") == k).select(
+            dratio_round(F.col("n"), F.col("d"), k).alias("x")
+        )
+        out.extend((k, r.x) for r in sub.collect())
+    return out
+
+
+def test_boundary_cases_match_fraction_reference(spark, duck):
+    for n, d, k in BOUNDARY_CASES:
+        want = ref_round_ratio(n, d, k)
+        got_duck = duck.execute(
+            "SELECT "
+            + sql_dratio_round(f"CAST({n} AS HUGEINT)", f"CAST({d} AS HUGEINT)", k)
+        ).fetchone()[0]
+        assert repr(got_duck) == repr(want), (n, d, k, got_duck, want)
+    # Spark side in one pass per ndigits
+    by_k = {}
+    for n, d, k in BOUNDARY_CASES:
+        by_k.setdefault(k, []).append((n, d, k))
+    for k, cases in by_k.items():
+        df = spark.createDataFrame(
+            [(str(n), str(d)) for n, d, _ in cases], "n string, d string"
+        ).select(
+            F.col("n").cast(DECZ).alias("n"), F.col("d").cast(DECZ).alias("d")
+        )
+        got = [r.x for r in df.select(
+            dratio_round(F.col("n"), F.col("d"), k).alias("x")
+        ).collect()]
+        for (n, d, _), g in zip(cases, got):
+            assert repr(g) == repr(ref_round_ratio(n, d, k)), (n, d, k, g)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    num=st.integers(min_value=-(10**15), max_value=10**15),
+    den=st.integers(min_value=1, max_value=10**9),
+    k=st.sampled_from([2, 4, 6]),
+)
+def test_duckdb_matches_fraction_reference(duck, num, den, k):
+    got = duck.execute(
+        "SELECT "
+        + sql_dratio_round(f"CAST({num} AS HUGEINT)", f"CAST({den} AS HUGEINT)", k)
+    ).fetchone()[0]
+    assert repr(got) == repr(ref_round_ratio(num, den, k)), (num, den, k, got)
+
+
+def test_spark_matches_fraction_on_random_grid(spark):
+    # deterministic pseudo-random grid (no hypothesis-Spark per-example
+    # round trips: one createDataFrame, one collect)
+    import random
+
+    rng = random.Random(10)
+    cases = [
+        (rng.randint(-(10**15), 10**15), rng.randint(1, 10**9))
+        for _ in range(300)
+    ]
+    # salt in guaranteed boundary hits: num = den-scaled odd multiples
+    cases += [((2 * j + 1) * d, 20000 * d) for j, d in ((3, 7), (11, 13), (99, 1))]
+    df = spark.createDataFrame(
+        [(str(n), str(d)) for n, d in cases], "n string, d string"
+    ).select(F.col("n").cast(DECZ).alias("n"), F.col("d").cast(DECZ).alias("d"))
+    got = [r.x for r in df.select(
+        dratio_round(F.col("n"), F.col("d"), 4).alias("x")
+    ).collect()]
+    for (n, d), g in zip(cases, got):
+        assert repr(g) == repr(ref_round_ratio(n, d, 4)), (n, d, g)
+
+
+def test_dround_units_matches_floor_half_up(spark, duck):
+    cases = [(7, 2), (6, 4), (10, 4), (0, 3), (2**40 + 1, 2), (999999, 1000)]
+    for n, d in cases:
+        want = (2 * n + d) // (2 * d)
+        got = duck.execute(
+            "SELECT " + sql_dround_units(f"CAST({n} AS HUGEINT)", f"CAST({d} AS HUGEINT)")
+        ).fetchone()[0]
+        assert int(got) == want, (n, d, got, want)
+    df = spark.createDataFrame(
+        [(str(n), str(d)) for n, d in cases], "n string, d string"
+    ).select(F.col("n").cast(DECZ).alias("n"), F.col("d").cast(DECZ).alias("d"))
+    got = [r.x for r in df.select(
+        dround_units(F.col("n"), F.col("d")).alias("x")
+    ).collect()]
+    for (n, d), g in zip(cases, got):
+        assert int(g) == (2 * n + d) // (2 * d), (n, d, g)
