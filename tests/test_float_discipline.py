@@ -141,6 +141,55 @@ def test_fixed_queries_stay_bounce_free():
     assert not regressed, regressed
 
 
+def test_bounce_site_raw_divergence_below_visibility(spark, sf_dir):
+    """Early-warning tripwire for the audited bounce sites: their raw
+    (UNrounded) cross-engine divergence must stay well below the
+    driver's 0.5e-4 round(4) visibility. The r10 audit measured ZERO
+    raw-bit divergence across all 36 site queries on current testdata;
+    a future testdata regeneration that pushes a re-cast partial onto a
+    divergent cast boundary shows up here as growing raw noise BEFORE
+    it can flip a rounded output — at 1e-5 the lint fires while the
+    driver hash is still green, leaving a round to convert the site."""
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from tests.oracle_harness import duckdb_conn
+
+    qs, osql = entry.queries(), entry.oracle_sql()
+    con = duckdb_conn(sf_dir)
+    names = sorted({q for q, _ in KNOWN_BOUNCE_SITES})
+    offenders = []
+    for name in names:
+        got = qs[name](spark, sf_dir).toPandas()
+        want = con.execute(osql[name]).df()
+        got = got.reindex(sorted(got.columns), axis=1)
+        want = want.reindex(sorted(want.columns), axis=1)
+        got = got.sort_values(
+            by=list(got.columns), key=lambda s: s.map(str), ignore_index=True
+        )
+        want = want.sort_values(
+            by=list(want.columns), key=lambda s: s.map(str), ignore_index=True
+        )
+        if len(got) != len(want):
+            offenders.append((name, "row count", len(got), len(want)))
+            continue
+        for c in got.columns:
+            if not pd.api.types.is_float_dtype(got[c]) or c not in want.columns:
+                continue
+            g = got[c].to_numpy(dtype=float)
+            w = want[c].to_numpy(dtype=float)
+            mask = ~(np.isnan(g) & np.isnan(w))
+            d = np.abs(g[mask] - w[mask])
+            if d.size and float(d.max()) > 1e-5:
+                offenders.append((name, c, float(d.max())))
+    assert not offenders, (
+        f"raw cross-engine divergence approaching round(4) visibility at "
+        f"bounce sites: {offenders} — convert the site to integer units "
+        f"(_util.dratio_round / cents) before the driver samples it"
+    )
+
+
 def test_ratchet_inventory_has_no_stale_entries():
     """Every pinned site must still exist — a fixed site leaves the list
     in the same commit, keeping the inventory an honest worklist."""
