@@ -143,6 +143,28 @@ def sql_dsum(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(30,10))) AS DOUBLE)"
 
 
+def dsum4(col: Column | str) -> Column:
+    """Exact sum of a value with <= 4 decimal places, as double — with a
+    BIT-EXACT decimal->double conversion in both engines.
+
+    The generic scale-10 accumulator's final cast diverges sub-ulp for
+    large sums: DuckDB converts DECIMAL->DOUBLE two-step (int128 ->
+    double — TRUNCATING above 2^53, probed r10 — then /10^scale) while
+    Spark converts one-step correctly rounded. At scale 4 the unscaled
+    value stays under 2^53 for sums < ~9e11, so both conversions are
+    exact and identical. Use for money-family expressions
+    (price, price*(1-discount)) whose values are exact at <= 4 dp;
+    NEVER for continuous doubles (the scale-4 quantization would bite).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(30,4)")).cast("double")
+
+
+def sql_dsum4(expr: str) -> str:
+    """DuckDB-side mirror of :func:`dsum4`."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,4))) AS DOUBLE)"
+
+
 def sql_davg(expr: str, ndigits: int = 4) -> str:
     """DuckDB-side mirror of :func:`davg`.
 

@@ -28,10 +28,12 @@ from hive_hw_spark.queries._util import (
     dec_ratio,
     dratio_round,
     dsum,
+    dsum4,
     sql_davg,
     sql_dec_ratio,
     sql_dratio_round,
     sql_dsum,
+    sql_dsum4,
 )
 
 
@@ -39,8 +41,8 @@ from hive_hw_spark.queries._util import (
     "q30",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           {sql_dsum('l_quantity')} AS sum_qty,
-           {sql_dsum('l_extendedprice')} AS sum_price,
+           {sql_dsum4('l_quantity')} AS sum_qty,
+           {sql_dsum4('l_extendedprice')} AS sum_price,
            {sql_davg('l_discount')} AS avg_disc,
            COUNT(*) AS n
     FROM lineitem
@@ -54,8 +56,8 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_price"),
+            dsum4("l_quantity").alias("sum_qty"),
+            dsum4("l_extendedprice").alias("sum_price"),
             davg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("n"),
         )
@@ -270,7 +272,7 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q39",
     oracle=f"""
-    SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    SELECT n_name, {sql_dsum4('l_extendedprice * (1 - l_discount)')} AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -291,7 +293,11 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(
+            dsum4(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
         .orderBy("n_name")
     )
 
@@ -1780,10 +1786,13 @@ def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# scale-4 accumulator (o_totalprice exact at 2 dp): keeps the unscaled
+# sum under 2^53 so both engines' decimal->double conversions are exact
+# (DuckDB's int128->double truncates above 2^53, probed r10)
 _Q224_SQL = """
     SELECT o_orderstatus, o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
              AS revenue
     FROM orders
     GROUP BY ALL

@@ -548,7 +548,7 @@ _Q148_BANDS = (
       (0, 50000, 'B1'), (50000, 100000, 'B2'), (100000, 200000, 'B3'),
       (200000, 300000, 'B4'), (300000, NULL, 'B5'))
     SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
              AS revenue
     FROM orders JOIN bands
       ON o_totalprice >= lo AND (hi IS NULL OR o_totalprice < hi)
@@ -582,7 +582,11 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
+            # scale-4 accumulator: o_totalprice is exact at 2 dp, and at
+            # scale 4 the unscaled sum stays under 2^53, so the final
+            # decimal->double conversion is bit-identical across engines
+            # (DuckDB's int128->double truncates above 2^53, probed r10)
+            F.sum(F.col("o_totalprice").cast("decimal(30,4)"))
             .cast("double")
             .alias("revenue"),
         )

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from hive_hw_spark.catalog import load_table
 
 from . import plan_cache, register
-from ._util import dsum, sql_dsum
+from ._util import dsum, dsum4, sql_dsum, sql_dsum4
 
 
 @register(
@@ -573,13 +573,13 @@ def q213(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_partkey
     ),
     tot AS (
-      SELECT CAST(SUM(CAST(v AS DECIMAL(30,10))) AS DOUBLE) AS t FROM ps
+      SELECT CAST(SUM(CAST(v AS DECIMAL(30,4))) AS DOUBLE) AS t FROM ps
     )
     SELECT l_partkey, v
     FROM ps CROSS JOIN tot
     WHERE v > t * 0.002
     ORDER BY v DESC, l_partkey
-    """.format(val=sql_dsum("l_extendedprice * l_quantity")),
+    """.format(val=sql_dsum4("l_extendedprice * l_quantity")),
     doc="TPC-H Q11 shape — 'important stock': parts whose shipped-value "
     "from one nation's suppliers exceeds a FRACTION of that nation's "
     "total (the group-vs-global-share HAVING pattern; this schema has "
@@ -607,11 +607,13 @@ def q249(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sup0), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(
-            dsum(F.col("l_extendedprice") * F.col("l_quantity")).alias("v")
+            dsum4(F.col("l_extendedprice") * F.col("l_quantity")).alias(
+                "v"
+            )
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    tot = ps.agg(dsum("v").alias("t"))
+    tot = ps.agg(dsum4("v").alias("t"))
     return (
         ps.crossJoin(F.broadcast(tot))
         .where(F.col("v") > F.col("t") * 0.002)
