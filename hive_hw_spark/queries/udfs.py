@@ -69,13 +69,23 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def trimmed_mean_udf():
-    """Drop one min and one max, exact-sum the rest (grouped-agg UDF)."""
+    """Drop one min and one max, exact-sum the rest (grouped-agg UDF).
+
+    The sum quantizes each value to exact integer CENTS first (values are
+    2dp money; np.round(v*100) is a deterministic integer double), so the
+    exact cents total divided by 100 is bit-identical to the oracle's
+    DECIMAL-accumulated sum cast to double. A bare fsum over the raw
+    binary doubles differs from the decimal-quantized sum by ~n*2e-15 —
+    the last nonzero raw divergence in the r10 registry audit.
+    """
+    import numpy as np
 
     @pandas_udf("double")
     def trimmed_mean(v: pd.Series) -> float:
         if len(v) <= 2:
             return None  # matches the oracle's NULL for undersized groups
-        total = math.fsum(v) - v.min() - v.max()
+        cents = np.round(v.to_numpy() * 100.0)
+        total = math.fsum(cents) / 100.0 - v.min() - v.max()
         return total / (len(v) - 2)
 
     return trimmed_mean
@@ -86,7 +96,7 @@ def trimmed_mean_udf():
     oracle="""
     SELECT user_id,
            CASE WHEN COUNT(*) > 2 THEN
-             (CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+             (CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE)
               - MIN(value) - MAX(value)) / (COUNT(*) - 2)
            END AS tmean
     FROM events GROUP BY user_id ORDER BY user_id
@@ -94,7 +104,10 @@ def trimmed_mean_udf():
     doc="Grouped-aggregate pandas UDF: per-user trimmed mean (A13 "
     "averaging, robustified). math.fsum = correctly-rounded exact sum, "
     "matching the oracle's DECIMAL accumulator regardless of partition "
-    "order.",
+    "order. Scale-4 oracle accumulator (value exact at 2 dp): at scale "
+    "10 a heavy user's unscaled sum passes 2^53, where DuckDB's "
+    "truncating int128->double conversion sat one ulp off fsum "
+    "(the last nonzero raw divergence in the r10 registry audit).",
 )
 def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
