@@ -167,6 +167,15 @@ _ATTESTED = frozenset(
         "q274", "q276", "q277", "q278", "q279", "q286", "q288", "q289",
         "q290", "q291", "q292", "q293", "q295", "q296", "q297", "q299",
         "q300", "q301", "q303", "q304", "q305", "q306", "q443", "q444",
+        # r10 sweep (CORRECTNESS_r10.json, all 50 green): the q259/q307
+        # re-attestations (r9 reds, fixed) plus the q308..q357 block.
+        "q259", "q307",
+        "q308", "q309", "q310", "q311", "q313", "q314", "q315", "q316",
+        "q317", "q318", "q319", "q320", "q321", "q322", "q323", "q324",
+        "q325", "q326", "q328", "q329", "q330", "q331", "q332", "q333",
+        "q334", "q335", "q336", "q337", "q338", "q339", "q340", "q341",
+        "q342", "q343", "q344", "q345", "q346", "q347", "q348", "q349",
+        "q350", "q351", "q352", "q353", "q354", "q355", "q356", "q357",
     }
 )
 
@@ -229,27 +238,30 @@ _ATTESTED = frozenset(
 #         r4-r5 on PRE-regeneration testdata) to fill the 50.
 # After r12, every oracle entry has a driver row, and rotation returns
 # to freshness order (oldest attestation first, rewrites outrank).
-# Round-10 rotation (exactly 50 = the sweep cap). Front-loaded per the
-# r9 verdict: the two r9 driver REDS q259/q307 re-enter first — both were
-# fixed this round (exact integer-unit arithmetic, see _util.dratio_round)
-# and a fixed-but-never-resampled red stays red in the record. The other
-# 48 slots continue the burn-down with the never-attested q308..q357
-# oracle entries in ID order (q317, the judge-found latent red, is inside
-# and also fixed this round). q358..q362 slide to the r11 block:
-#   r11 — q358..q412 never-attested continuation
-#   r12 — q413..q442 remainder + oldest pre-regen-stale re-attestations
-#         (q40/q42-q45/q50-q52/q64-q69 window/scalar families).
+# Round-10 rotation (historical): q259/q307 re-attests + q308..q357 —
+# CORRECTNESS_r10 came back all 50 green; the block moved to _ATTESTED.
+# Round-11 rotation (exactly 50 = the sweep cap), per the r10 verdict's
+# item 1: the next 50 never-driver-attested oracle entries in ID order,
+# q358..q407 (the r8/r9 statistics, retrieval, causal-inference and
+# audit waves). All are green under the strict local round(4)-string
+# gate and three drive.py sweep orders; the driver row is the only
+# missing evidence. Remainder plan:
+#   r12 — q408..q442 never-attested remainder (35) + oldest
+#         pre-regen-stale re-attestations (q40/q42-q45/q50-q52/
+#         q64-q69 window/scalar families, last driver-green r4-r5)
+#         to fill the 50.
+# After r12, every oracle entry has a driver row, and rotation returns
+# to freshness order (oldest attestation first, rewrites outrank).
 _PRIORITY = frozenset(
     {
-        # r9 driver reds, fixed in r10 — re-attest first
-        "q259", "q307",
-        # never-attested burn-down: q308..q357 oracle entries (48)
-        "q308", "q309", "q310", "q311", "q313", "q314", "q315", "q316",
-        "q317", "q318", "q319", "q320", "q321", "q322", "q323", "q324",
-        "q325", "q326", "q328", "q329", "q330", "q331", "q332", "q333",
-        "q334", "q335", "q336", "q337", "q338", "q339", "q340", "q341",
-        "q342", "q343", "q344", "q345", "q346", "q347", "q348", "q349",
-        "q350", "q351", "q352", "q353", "q354", "q355", "q356", "q357",
+        # never-attested burn-down: q358..q407 oracle entries (50)
+        "q358", "q359", "q360", "q361", "q362", "q363", "q364", "q365",
+        "q366", "q367", "q368", "q369", "q370", "q371", "q372", "q373",
+        "q374", "q375", "q376", "q377", "q378", "q379", "q380", "q381",
+        "q382", "q383", "q384", "q385", "q386", "q387", "q388", "q389",
+        "q390", "q391", "q392", "q393", "q394", "q395", "q396", "q397",
+        "q398", "q399", "q400", "q401", "q402", "q403", "q404", "q405",
+        "q406", "q407",
     }
 )
 

@@ -104,9 +104,6 @@ def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
         F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
-        (F.sum(F.col("y").cast(DEC)) * F.lit(10**10).cast("decimal(11,0)"))
-        .cast(DECZ)
-        .alias("sy_u"),
         F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
         F.sum((F.col("y") * F.col("y")).cast(DEC)).cast("double").alias("syy"),
         F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
@@ -3288,9 +3285,6 @@ def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
         F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
-        (F.sum(F.col("y").cast(DEC)) * F.lit(10**10).cast("decimal(11,0)"))
-        .cast(DECZ)
-        .alias("sy_u"),
         F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
         F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
     )
@@ -3615,9 +3609,6 @@ def q301(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
         F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
-        (F.sum(F.col("y").cast(DEC)) * F.lit(10**10).cast("decimal(11,0)"))
-        .cast(DECZ)
-        .alias("sy_u"),
         F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
         F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
     )
@@ -3907,9 +3898,6 @@ def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
             F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
-        (F.sum(F.col("y").cast(DEC)) * F.lit(10**10).cast("decimal(11,0)"))
-        .cast(DECZ)
-        .alias("sy_u"),
             F.sum((F.col("x") * F.col("x")).cast(DEC))
             .cast("double")
             .alias("sxx"),
@@ -6695,9 +6683,6 @@ def q357(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
         F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
-        (F.sum(F.col("y").cast(DEC)) * F.lit(10**10).cast("decimal(11,0)"))
-        .cast(DECZ)
-        .alias("sy_u"),
         F.sum((F.col("x").cast("double") * F.col("x")).cast(DEC))
         .cast("double")
         .alias("sxx"),
@@ -8669,9 +8654,6 @@ def q383(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
         F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
-        (F.sum(F.col("y").cast(DEC)) * F.lit(10**10).cast("decimal(11,0)"))
-        .cast(DECZ)
-        .alias("sy_u"),
         F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
         F.sum((F.col("y") * F.col("y")).cast(DEC)).cast("double").alias("syy"),
         F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
@@ -9293,8 +9275,6 @@ def q389(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
              CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(y AS DECIMAL(30,10))) * 10000000000
-                  AS HUGEINT) AS sy_u,
              CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
              CAST(SUM(CAST(CAST(y AS DOUBLE) * y AS DECIMAL(30,10)))
                AS DOUBLE) AS syy,
@@ -9360,9 +9340,6 @@ def q391(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
         F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
-        (F.sum(F.col("y").cast(DEC)) * F.lit(10**10).cast("decimal(11,0)"))
-        .cast(DECZ)
-        .alias("sy_u"),
         F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
         F.sum((F.col("y").cast("double") * F.col("y")).cast(DEC))
         .cast("double")
@@ -9618,7 +9595,7 @@ def q392(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM paired
     )
     SELECT n AS n_users,
-           {sql_dratio_round('CAST(sd_ * 100 AS HUGEINT)', 'n * 100', 6)}
+           {sql_dratio_round('CAST(sd_ * 1000000 AS HUGEINT)', 'n * 1000000', 6)}
              AS mean_diff,
            ROUND(sqrt((sdd - sd_ * sd_ / n) / (n - 1)), 6) AS sd_diff,
            ROUND((sd_ / n) / (sqrt((sdd - sd_ * sd_ / n) / (n - 1))
@@ -9691,7 +9668,7 @@ def q393(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         n.alias("n_users"),
         dratio_round(
-            (F.col("sd_") * 100).cast(DECZ), (n * 100).cast(DECZ), 6
+            (F.col("sd_") * 1000000).cast(DECZ), (n * 1000000).cast(DECZ), 6
         ).alias("mean_diff"),
         F.round(sdiff, 6).alias("sd_diff"),
         t.alias("t_stat"),
@@ -9724,7 +9701,8 @@ def q393(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c1 AS errors_week1, c2 AS errors_week2,
            ROUND(CAST(c1 AS DOUBLE) / 7, 4) AS rate1_per_day,
            ROUND(CAST(c2 AS DOUBLE) / 7, 4) AS rate2_per_day,
-           {sql_dratio_round('c2', 'c1')} AS rate_ratio,
+           CASE WHEN c1 > 0 THEN {sql_dratio_round('c2', 'c1')}
+                ELSE NULL END AS rate_ratio,
            ROUND((LN(CAST(c2 AS DOUBLE)) - LN(CAST(c1 AS DOUBLE)))
                  / sqrt(1.0 / c1 + 1.0 / c2), 4) AS z_score,
            CAST(CASE WHEN ABS(ROUND((LN(CAST(c2 AS DOUBLE))
@@ -9778,9 +9756,10 @@ def q394(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c2").alias("errors_week2"),
         F.round(F.col("c1").cast("double") / 7, 4).alias("rate1_per_day"),
         F.round(F.col("c2").cast("double") / 7, 4).alias("rate2_per_day"),
-        dratio_round(F.col("c2").cast(DECZ), F.col("c1").cast(DECZ)).alias(
-            "rate_ratio"
-        ),
+        F.when(
+            F.col("c1") > 0,
+            dratio_round(F.col("c2").cast(DECZ), F.col("c1").cast(DECZ)),
+        ).alias("rate_ratio"),
         z.alias("z_score"),
         F.when(F.abs(z) > 1.96, 1).otherwise(0).cast("int").alias("significant"),
     ).orderBy("errors_week1")
@@ -11853,9 +11832,6 @@ def q415(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
         F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
-        (F.sum(F.col("y").cast(DEC)) * F.lit(10**10).cast("decimal(11,0)"))
-        .cast(DECZ)
-        .alias("sy_u"),
         F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
         F.sum((F.col("y") * F.col("y")).cast(DEC)).cast("double").alias("syy"),
         F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
@@ -14582,9 +14558,6 @@ def q441(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_common"),
         F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
         F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
-        (F.sum(F.col("y").cast(DEC)) * F.lit(10**10).cast("decimal(11,0)"))
-        .cast(DECZ)
-        .alias("sy_u"),
         F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
         F.sum((F.col("y") * F.col("y")).cast(DEC)).cast("double").alias("syy"),
         F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),

@@ -135,6 +135,9 @@ BIG_FLOAT_OK: dict[tuple[str, str], str] = {
     ("q307", "ss_between"): "exact integer cents^2 units end-to-end "
     "(r10 rewrite), rounded in integer arithmetic via dratio_round",
     ("q307", "ss_within"): "exact integer cents^2 units end-to-end",
+    ("q317", "cum_rev"): "2dp money cumulative total: exact cents/100 "
+    "(same argument as q148); largest cohort can exceed 1e9 at sf0.1 "
+    "or after testdata growth",
     ("q371", "var_resid"): "moments of round(4)-quantized residuals; "
     "per-cast divergence shrinks /(n-1) to ~1e-7 — boundary-flake "
     "probability ~1e-3 per testdata regeneration, accepted and "
