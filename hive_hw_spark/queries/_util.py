@@ -77,6 +77,43 @@ def dratio_round(num: Column, den: Column, ndigits: int = 4) -> Column:
     return sgn * (q.cast("double") / F.lit(float(p)))
 
 
+def dratio_round_wide(num: Column, den: Column, ndigits: int = 4) -> Column:
+    """:func:`dratio_round` for quotients whose scaled integer result can
+    exceed 2^53 (e.g. a variance in 1e-8 units at 4 output digits).
+
+    Above 2^53 the final integer->double conversion diverges: Spark casts
+    DECIMAL->double correctly rounded in one step while DuckDB truncates
+    the int128 first (probed r10 — the q30-class sub-ulp divergence).
+    Splitting the quotient ``q`` into ``whole = q div 10^k`` and
+    ``frac = q mod 10^k`` keeps both conversions exact while
+    ``|ratio| < 2^53`` (vs ``|ratio| < 2^53 / 10^k`` for the plain form),
+    and ``whole + frac/10^k`` runs the same two IEEE ops on the same
+    exact inputs in both engines. NONNEGATIVE num/den only (variances,
+    counts) — sign handling would need the full dratio_round treatment.
+    """
+    p = 10**ndigits
+    pd = F.lit(p).cast("decimal(9,0)")
+    a = (num.cast(DECZ) * F.lit(2 * p).cast("decimal(20,0)")).cast(DECZ)
+    d = den.cast(DECZ)
+    q = dfloor_div(a + d, (d * F.lit(2).cast("decimal(2,0)")).cast(DECZ))
+    whole = dfloor_div(q, pd).cast("double")
+    frac = F.pmod(q, pd).cast("double")
+    return whole + frac / F.lit(float(p))
+
+
+def sql_dratio_round_wide(num: str, den: str, ndigits: int = 4) -> str:
+    """DuckDB-side mirror of :func:`dratio_round_wide` (nonnegative
+    integer-valued ``num``/``den``)."""
+    p = 10**ndigits
+    q = (
+        f"((2*{p}*CAST({num} AS HUGEINT) + CAST({den} AS HUGEINT)) "
+        f"// (2*CAST({den} AS HUGEINT)))"
+    )
+    return (
+        f"(CAST({q} // {p} AS DOUBLE) + CAST({q} % {p} AS DOUBLE) / {p}.0)"
+    )
+
+
 def dround_units(num: Column, den: Column) -> Column:
     """``round_half_up(num/den)`` for NONNEGATIVE integer-valued decimals.
 

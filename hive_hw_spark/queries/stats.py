@@ -37,8 +37,10 @@ from ._util import (
     DECZ,
     dec_ratio,
     dratio_round,
+    dratio_round_wide,
     sql_dec_ratio,
     sql_dratio_round,
+    sql_dratio_round_wide,
 )
 
 
@@ -7710,30 +7712,38 @@ def q370(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM det GROUP BY 1
     ),
     js AS (
-      SELECT d.detr - s.seasonal AS r, d.rev - s.seasonal AS u,
-             d.detr AS v
+      SELECT CAST(ROUND((d.detr - s.seasonal) * 10000) AS HUGEINT) AS ru,
+             CAST(ROUND((d.rev - s.seasonal) * 10000) AS HUGEINT) AS uu,
+             CAST(ROUND(d.detr * 10000) AS HUGEINT) AS vu
       FROM det d JOIN seas s ON d.dow = s.dow
     ),
     m AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(r AS DECIMAL(30,10))) AS DOUBLE) AS sr,
-             CAST(SUM(CAST(r * r AS DECIMAL(30,10))) AS DOUBLE) AS srr,
-             CAST(SUM(CAST(u AS DECIMAL(30,10))) AS DOUBLE) AS su,
-             CAST(SUM(CAST(u * u AS DECIMAL(30,10))) AS DOUBLE) AS suu,
-             CAST(SUM(CAST(v AS DECIMAL(30,10))) AS DOUBLE) AS sv,
-             CAST(SUM(CAST(v * v AS DECIMAL(30,10))) AS DOUBLE) AS svv
+             SUM(ru) AS sr, SUM(ru * ru) AS srr,
+             SUM(uu) AS su, SUM(uu * uu) AS suu,
+             SUM(vu) AS sv, SUM(vu * vu) AS svv
       FROM js
+    ),
+    nums AS (
+      SELECT n,
+             n * srr - sr * sr AS nr,
+             n * suu - su * su AS nu,
+             n * svv - sv * sv AS nv
+      FROM m
     )
     SELECT n AS n_days,
-           ROUND((srr - sr * sr / n) / (n - 1), 4) AS var_resid,
-           ROUND(GREATEST(0.0, 1 - ((srr - sr * sr / n) / (n - 1))
-                               / ((suu - su * su / n) / (n - 1))), 4)
-             AS f_trend,
-           ROUND(GREATEST(0.0, 1 - ((srr - sr * sr / n) / (n - 1))
-                               / ((svv - sv * sv / n) / (n - 1))), 4)
-             AS f_seasonal
-    FROM m ORDER BY n_days
-    """,
+           {SQL_VAR_RESID} AS var_resid,
+           CASE WHEN nu > nr THEN {SQL_F_TREND} ELSE 0.0 END AS f_trend,
+           CASE WHEN nv > nr THEN {SQL_F_SEAS} ELSE 0.0 END AS f_seasonal
+    FROM nums ORDER BY n_days
+    """.replace(
+        "{SQL_VAR_RESID}",
+        sql_dratio_round_wide("nr", "n * (n - 1) * 100000000"),
+    ).replace(
+        "{SQL_F_TREND}", sql_dratio_round("nu - nr", "nu")
+    ).replace(
+        "{SQL_F_SEAS}", sql_dratio_round("nv - nr", "nv")
+    ),
     doc="Seasonal- and trend-strength indices (Hyndman's F_T/F_S from "
     "'STL-based features'): over q278's additive decomposition, "
     "F_trend = max(0, 1 - Var(R)/Var(deseasonalized)) and "
@@ -7742,8 +7752,16 @@ def q370(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the triage that decides whether q299's trend model or q245's "
     "DOW index is even worth fitting.  Intermediate rounding "
     "replicates q278 exactly so the decomposition is the SAME one.  "
+    "Determinism (r11): r/u/v are differences of round(4) values - "
+    "exact multiples of 1e-4 - so the moment fold runs in integer "
+    "1e-4 units (products exact in DECIMAL(38,0)); the variance and "
+    "both strength indices are exact integer ratios via dratio_round "
+    "(vr/vu shares a common denominator, so 1 - vr/vu reduces to "
+    "(nu-nr)/nu) - bit-identical across engines, no double->decimal "
+    "cast bounce. Headroom: daily |u| <= ~1e7 keeps n*suu ~6e28, "
+    "x2e4 well inside DECIMAL(38,0). "
     "Scale shape: q278's calendar-frame band join, then ONE 7-moment "
-    "DECIMAL fold over the joined frame, closed forms on one row.",
+    "integer fold over the joined frame, closed forms on one row.",
 )
 @plan_cache
 def q371(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7791,29 +7809,55 @@ def q371(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("seasonal")
     )
     js = det.join(F.broadcast(seas), "dow").select(
-        (F.col("detr") - F.col("seasonal")).alias("r"),
-        (F.col("rev") - F.col("seasonal")).alias("u"),
-        F.col("detr").alias("v"),
+        F.round((F.col("detr") - F.col("seasonal")) * 10000, 0)
+        .cast("decimal(19,0)")
+        .alias("ru"),
+        F.round((F.col("rev") - F.col("seasonal")) * 10000, 0)
+        .cast("decimal(19,0)")
+        .alias("uu"),
+        F.round(F.col("detr") * 10000, 0).cast("decimal(19,0)").alias("vu"),
     )
     m = js.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("r").cast(DEC)).cast("double").alias("sr"),
-        F.sum((F.col("r") * F.col("r")).cast(DEC)).cast("double").alias("srr"),
-        F.sum(F.col("u").cast(DEC)).cast("double").alias("su"),
-        F.sum((F.col("u") * F.col("u")).cast(DEC)).cast("double").alias("suu"),
-        F.sum(F.col("v").cast(DEC)).cast("double").alias("sv"),
-        F.sum((F.col("v") * F.col("v")).cast(DEC)).cast("double").alias("svv"),
+        F.sum(F.col("ru").cast(DECZ)).alias("sr"),
+        F.sum((F.col("ru") * F.col("ru")).cast(DECZ)).alias("srr"),
+        F.sum(F.col("uu").cast(DECZ)).alias("su"),
+        F.sum((F.col("uu") * F.col("uu")).cast(DECZ)).alias("suu"),
+        F.sum(F.col("vu").cast(DECZ)).alias("sv"),
+        F.sum((F.col("vu") * F.col("vu")).cast(DECZ)).alias("svv"),
     )
     n = F.col("n")
-    vr = (F.col("srr") - F.col("sr") * F.col("sr") / n) / (n - 1)
-    vu = (F.col("suu") - F.col("su") * F.col("su") / n) / (n - 1)
-    vv = (F.col("svv") - F.col("sv") * F.col("sv") / n) / (n - 1)
-    return m.select(
-        n.alias("n_days"),
-        F.round(vr, 4).alias("var_resid"),
-        F.round(F.greatest(F.lit(0.0), 1 - vr / vu), 4).alias("f_trend"),
-        F.round(F.greatest(F.lit(0.0), 1 - vr / vv), 4).alias("f_seasonal"),
-    ).orderBy("n_days")
+    nd = n.cast("decimal(20,0)")
+    nr = (F.col("srr") * nd - F.col("sr") * F.col("sr")).cast(DECZ)
+    nu = (F.col("suu") * nd - F.col("su") * F.col("su")).cast(DECZ)
+    nv = (F.col("svv") * nd - F.col("sv") * F.col("sv")).cast(DECZ)
+    dv = (nd * (n - 1).cast("decimal(20,0)")).cast(DECZ) * F.lit(
+        10**8
+    ).cast("decimal(9,0)")
+    return (
+        m.select(n.alias("n"), nr.alias("nr"), nu.alias("nu"), nv.alias("nv"), dv.cast(DECZ).alias("dv"))
+        .select(
+            F.col("n").alias("n_days"),
+            dratio_round_wide(F.col("nr"), F.col("dv")).alias("var_resid"),
+            F.when(
+                F.col("nu") > F.col("nr"),
+                dratio_round(
+                    (F.col("nu") - F.col("nr")).cast(DECZ), F.col("nu")
+                ),
+            )
+            .otherwise(0.0)
+            .alias("f_trend"),
+            F.when(
+                F.col("nv") > F.col("nr"),
+                dratio_round(
+                    (F.col("nv") - F.col("nr")).cast(DECZ), F.col("nv")
+                ),
+            )
+            .otherwise(0.0)
+            .alias("f_seasonal"),
+        )
+        .orderBy("n_days")
+    )
 
 
 @register(

@@ -138,10 +138,10 @@ BIG_FLOAT_OK: dict[tuple[str, str], str] = {
     ("q317", "cum_rev"): "2dp money cumulative total: exact cents/100 "
     "(same argument as q148); largest cohort can exceed 1e9 at sf0.1 "
     "or after testdata growth",
-    ("q371", "var_resid"): "moments of round(4)-quantized residuals; "
-    "per-cast divergence shrinks /(n-1) to ~1e-7 — boundary-flake "
-    "probability ~1e-3 per testdata regeneration, accepted and "
-    "monitored by the strict sweep",
+    ("q371", "var_resid"): "exact integer 1e-4-unit moment fold "
+    "(r11 rewrite): residuals are exact 4dp multiples, so the "
+    "variance numerator/denominator are exact integers divided via "
+    "dratio_round — bit-identical in both engines, zero flake risk",
     ("q416", "revenue"): "2dp money total, exact DECIMAL sum",
 }
 

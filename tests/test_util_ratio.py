@@ -158,3 +158,83 @@ def test_dround_units_matches_floor_half_up(spark, duck):
     ).collect()]
     for (n, d), g in zip(cases, got):
         assert int(g) == (2 * n + d) // (2 * d), (n, d, g)
+
+
+def ref_round_ratio_wide(num: int, den: int, ndigits: int = 4) -> float:
+    """Reference for the wide variant: the integer quotient is split into
+    whole/frac parts BEFORE the double conversion, so each part converts
+    exactly while whole < 2^53 (q itself may exceed 2^53)."""
+    assert num >= 0 and den > 0
+    p = 10**ndigits
+    q = (2 * num * p + den) // (2 * den)
+    return float(q // p) + float(q % p) / p
+
+
+def test_dratio_round_wide_matches_reference(spark, duck):
+    from hive_hw_spark.queries._util import (
+        dratio_round_wide,
+        sql_dratio_round_wide,
+    )
+
+    cases = [
+        # (num, den, k) — nonnegative; includes quotients ABOVE 2^53,
+        # where plain dratio_round's q->double conversion diverges
+        # between Spark (correctly rounded) and DuckDB (truncating)
+        (4444800653656096258, 1000000000, 4),   # ~4.4e9 ratio, q ~4.4e13
+        (2**60, 3, 4),                          # q ~3.8e21 — far past 2^53
+        (2**53 + 1, 1, 4),                      # q just past 2^53
+        (4815302813400067, 1000, 4),            # the q371 sf0.1 shape
+        (65375, 100000, 4),                     # .5e-4 boundary half-up
+        (5, 100000, 4),
+        (0, 5, 4),
+        (999999999999999999, 7, 4),
+        (123456789, 1, 6),
+    ]
+    for n, d, k in cases:
+        want = ref_round_ratio_wide(n, d, k)
+        got_duck = duck.execute(
+            "SELECT "
+            + sql_dratio_round_wide(
+                f"CAST({n} AS HUGEINT)", f"CAST({d} AS HUGEINT)", k
+            )
+        ).fetchone()[0]
+        assert repr(got_duck) == repr(want), ("duck", n, d, k, got_duck, want)
+    by_k = {}
+    for n, d, k in cases:
+        by_k.setdefault(k, []).append((n, d))
+    for k, sub in by_k.items():
+        df = spark.createDataFrame(
+            [(str(n), str(d)) for n, d in sub], "n string, d string"
+        ).select(
+            F.col("n").cast(DECZ).alias("n"), F.col("d").cast(DECZ).alias("d")
+        )
+        got = [
+            r.x
+            for r in df.select(
+                dratio_round_wide(F.col("n"), F.col("d"), k).alias("x")
+            ).collect()
+        ]
+        for (n, d), g in zip(sub, got):
+            assert repr(g) == repr(ref_round_ratio_wide(n, d, k)), (
+                "spark", n, d, k, g,
+            )
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    num=st.integers(min_value=0, max_value=10**22),
+    den=st.integers(min_value=1, max_value=10**9),
+    k=st.sampled_from([2, 4, 6]),
+)
+def test_duckdb_wide_matches_reference(duck, num, den, k):
+    from hive_hw_spark.queries._util import sql_dratio_round_wide
+
+    got = duck.execute(
+        "SELECT "
+        + sql_dratio_round_wide(
+            f"CAST({num} AS HUGEINT)", f"CAST({den} AS HUGEINT)", k
+        )
+    ).fetchone()[0]
+    assert repr(got) == repr(ref_round_ratio_wide(num, den, k)), (
+        num, den, k, got,
+    )
