@@ -81,14 +81,21 @@ def dratio_round_wide(num: Column, den: Column, ndigits: int = 4) -> Column:
     """:func:`dratio_round` for quotients whose scaled integer result can
     exceed 2^53 (e.g. a variance in 1e-8 units at 4 output digits).
 
-    Above 2^53 the final integer->double conversion diverges: Spark casts
-    DECIMAL->double correctly rounded in one step while DuckDB truncates
-    the int128 first (probed r10 — the q30-class sub-ulp divergence).
-    Splitting the quotient ``q`` into ``whole = q div 10^k`` and
-    ``frac = q mod 10^k`` keeps both conversions exact while
-    ``|ratio| < 2^53`` (vs ``|ratio| < 2^53 / 10^k`` for the plain form),
-    and ``whole + frac/10^k`` runs the same two IEEE ops on the same
-    exact inputs in both engines. NONNEGATIVE num/den only (variances,
+    PARITY is safe either way: both engines' INTEGER->double casts are
+    correctly rounded (probed r11 — DuckDB HUGEINT/DECIMAL(38,0) and
+    Spark DECIMAL(38,0) all match Python's float()), so the plain form
+    stays bit-identical even above 2^53; the r10-probed divergence is
+    specific to SCALED-decimal->double, where DuckDB converts the
+    unscaled int128 first and divides by 10^scale second (two
+    roundings) while Spark rounds once. What the plain form loses above
+    2^53 is ACCURACY: the q->double cast quantizes q to ~ulp(q) > 1, so
+    the emitted double is no longer round(ratio, k) — off by up to
+    ulp(q)/10^k, which exceeds the 0.5e-k the rounding promised.
+    Splitting the quotient into ``whole = q div 10^k`` and
+    ``frac = q mod 10^k`` keeps both parts exactly convertible while
+    ``|ratio| < 2^53`` (vs ``|ratio| < 2^53 / 10^k``), and
+    ``whole + frac/10^k`` runs the same two IEEE ops on the same exact
+    inputs in both engines. NONNEGATIVE num/den only (variances,
     counts) — sign handling would need the full dratio_round treatment.
     """
     p = 10**ndigits
