@@ -2355,13 +2355,13 @@ def q288(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q289",
-    oracle="""
+    oracle=f"""
     SELECT event_id,
            CAST(user_id AS BIGINT) AS user_id,
            CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_epoch,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) OVER w
-                 AS DOUBLE), 4) AS sum_7d
+           {sql_dec_ratio('SUM(CAST(value AS DECIMAL(30,10))) OVER w',
+                          '1')} AS sum_7d
     FROM events
     WINDOW w AS (PARTITION BY user_id
                  ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
@@ -2380,7 +2380,9 @@ def q288(spark: SparkSession, sf_dir: str) -> DataFrame:
     "evaluates it with a sliding aggregate per partition, never a "
     "per-row rescan; epoch seconds are tz-free instants, FLOORED to "
     "whole seconds in both engines (Spark unix_timestamp truncates; "
-    "a bare DuckDB CAST would round sub-second parts up).",
+    "a bare DuckDB CAST would round sub-second parts up); the "
+    "window sum rounds through dec_ratio's exact integer path, not "
+    "the engines' divergent double ROUNDs (r11 regen-fuzz flake).",
 )
 @plan_cache
 def q289(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2396,8 +2398,8 @@ def q289(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("bigint").alias("user_id"),
         epoch.alias("ts_epoch"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_7d"),
-        F.round(
-            F.sum(F.col("value").cast(DEC)).over(w).cast("double"), 4
+        dec_ratio(
+            F.sum(F.col("value").cast(DEC)).over(w), F.lit(1)
         ).alias("sum_7d"),
     ).orderBy("event_id")
 

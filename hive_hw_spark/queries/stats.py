@@ -4584,9 +4584,10 @@ def q325(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n AS n_days, CAST(stored_now AS BIGINT) AS stored_bytes,
            ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
              AS daily_growth,
-           ROUND((10 * stored_now - stored_now)
-                 / ((n * sxy - sx * sy) / (n * sxx - sx * sx)), 2)
-             AS days_to_10x
+           CASE WHEN (n * sxy - sx * sy) <> 0
+                THEN ROUND((10 * stored_now - stored_now)
+                      / ((n * sxy - sx * sy) / (n * sxx - sx * sx)), 2)
+                ELSE NULL END AS days_to_10x
     FROM s
     """,
     doc="Capacity-runway forecast — fit the daily ingest-volume trend "
@@ -4621,15 +4622,21 @@ def q330(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bytes_in").cast("double").alias("stored_now"),
     )
     n = F.col("n")
-    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        n * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
+    # Flat-ingest guard (regen-fuzz class, r11): slope == 0 exactly when
+    # the covariance numerator is 0 — Spark ANSI raises on the double
+    # divide where DuckDB yields inf, so both sides agree on NULL first.
+    s_num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = s_num / (n * F.col("sxx") - F.col("sx") * F.col("sx"))
     return s.select(
         n.alias("n_days"),
         F.col("stored_now").cast("long").alias("stored_bytes"),
         F.round(slope, 4).alias("daily_growth"),
-        F.round((10 * F.col("stored_now") - F.col("stored_now")) / slope, 2)
-        .alias("days_to_10x"),
+        F.when(
+            s_num != 0,
+            F.round(
+                (10 * F.col("stored_now") - F.col("stored_now")) / slope, 2
+            ),
+        ).alias("days_to_10x"),
     )
 
 
@@ -7908,9 +7915,12 @@ def q371(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT r.k AS age_weeks, n_possible, n_active,
            ROUND(rk, 4) AS retention,
-           ROUND(-0.6931471805599453
-                 / ((fit.n * sxy - sx * sy) / (fit.n * sxx - sx * sx)),
-                 4) AS half_life_weeks
+           CASE WHEN (fit.n * sxx - sx * sx) <> 0
+                 AND (fit.n * sxy - sx * sy) <> 0
+                THEN ROUND(-0.6931471805599453
+                      / ((fit.n * sxy - sx * sy) / (fit.n * sxx - sx * sx)),
+                      4)
+                ELSE NULL END AS half_life_weeks
     FROM r CROSS JOIN fit ORDER BY age_weeks
     """,
     doc="Retention half-life: pooled weekly retention r_k (active "
@@ -7976,8 +7986,16 @@ def q372(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((kd * F.col("k")).cast(DEC)).cast("double").alias("sxx"),
         F.sum((F.col("k") * F.log("rk")).cast(DEC)).cast("double").alias("sxy"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # Degenerate-fit guard (regen-fuzz finding, r11): a single usable
+    # age point zeroes the slope DENOMINATOR, and perfectly flat
+    # retention zeroes the slope itself — Spark-4 ANSI raises
+    # DIVIDE_BY_ZERO even for doubles where DuckDB yields inf, so both
+    # engines must agree on NULL before any division happens.
+    s_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    s_den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    half_life = F.when(
+        (s_den != 0) & (s_num != 0),
+        F.round(-0.6931471805599453 / (s_num / s_den), 4),
     )
     return (
         r.crossJoin(F.broadcast(fit))
@@ -7986,7 +8004,7 @@ def q372(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_possible",
             "n_active",
             F.round("rk", 4).alias("retention"),
-            F.round(-0.6931471805599453 / slope, 4).alias("half_life_weeks"),
+            half_life.alias("half_life_weeks"),
         )
         .orderBy("age_weeks")
     )

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from hive_hw_spark.catalog import load_table
 from hive_hw_spark.queries import register
-from hive_hw_spark.queries._util import dsum, sql_dsum
+from hive_hw_spark.queries._util import dsum, duckdb_round_double, sql_dsum
 
 # Spark-conf key (checked first, settable at runtime per session) and env
 # fallback for where materialized rollups live. Production points this at
@@ -337,11 +337,14 @@ def ohlc_bars(events: DataFrame) -> DataFrame:
         "value",
         "event_id",
     )
+    # duckdb_round_double, not F.round: these are RAW doubles and the
+    # oracle's ROUND(double,4) rounds the IEEE product half-away while
+    # F.round rounds the shortest repr half-up (r11 regen-fuzz flake).
     return b.groupBy("day").agg(
-        F.round(F.min_by("value", "event_id"), 4).alias("open"),
-        F.round(F.max("value"), 4).alias("high"),
-        F.round(F.min("value"), 4).alias("low"),
-        F.round(F.max_by("value", "event_id"), 4).alias("close"),
+        duckdb_round_double(F.min_by("value", "event_id"), 4).alias("open"),
+        duckdb_round_double(F.max("value"), 4).alias("high"),
+        duckdb_round_double(F.min("value"), 4).alias("low"),
+        duckdb_round_double(F.max_by("value", "event_id"), 4).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(30,10)"))
         .cast("double")

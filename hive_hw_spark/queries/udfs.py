@@ -71,12 +71,20 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
 def trimmed_mean_udf():
     """Drop one min and one max, exact-sum the rest (grouped-agg UDF).
 
-    The sum quantizes each value to exact integer CENTS first (values are
-    2dp money; np.round(v*100) is a deterministic integer double), so the
-    exact cents total divided by 100 is bit-identical to the oracle's
-    DECIMAL-accumulated sum cast to double. A bare fsum over the raw
-    binary doubles differs from the decimal-quantized sum by ~n*2e-15 —
-    the last nonzero raw divergence in the r10 registry audit.
+    The sum quantizes each value to integer 1e-4 units first, with the
+    SAME per-element rounding as the oracle's ROUND(value*10000): DuckDB
+    ROUND on a double is half-AWAY-from-zero on the BINARY value (probed
+    r11: ROUND(413086.5)=413087, ROUND(216283.49999999997)=216283),
+    which `floor(|x|) + (frac >= 0.5)` replicates exactly on the same
+    IEEE product — no np.round (half-even: 413086.5 -> 413086) and no
+    decimal cast (DuckDB's double->DECIMAL rounds the SHORTEST REPR
+    half-up: 21.628349999999998 -> 21.6284 — both probed divergent on
+    regen-fuzz data). The unit total via fsum is then bit-identical to
+    the oracle's DECIMAL-summed units cast to double. Scale 4, not
+    cents (r11 regen-fuzz finding): values are 2dp money on current
+    testdata, where every scheme agrees, but a regeneration with
+    finer-precision values diverges coarser or mode-mismatched
+    quantizations by up to 0.005/n.
     """
     import numpy as np
 
@@ -84,8 +92,11 @@ def trimmed_mean_udf():
     def trimmed_mean(v: pd.Series) -> float:
         if len(v) <= 2:
             return None  # matches the oracle's NULL for undersized groups
-        cents = np.round(v.to_numpy() * 100.0)
-        total = math.fsum(cents) / 100.0 - v.min() - v.max()
+        x = v.to_numpy() * 10000.0
+        a = np.abs(x)
+        f = np.floor(a)
+        units = np.sign(x) * (f + (a - f >= 0.5))
+        total = math.fsum(units) / 10000.0 - v.min() - v.max()
         return total / (len(v) - 2)
 
     return trimmed_mean
@@ -96,7 +107,8 @@ def trimmed_mean_udf():
     oracle="""
     SELECT user_id,
            CASE WHEN COUNT(*) > 2 THEN
-             (CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE)
+             (CAST(SUM(CAST(ROUND(value * 10000) AS DECIMAL(30,0)))
+                   AS DOUBLE) / 10000
               - MIN(value) - MAX(value)) / (COUNT(*) - 2)
            END AS tmean
     FROM events GROUP BY user_id ORDER BY user_id
@@ -104,10 +116,12 @@ def trimmed_mean_udf():
     doc="Grouped-aggregate pandas UDF: per-user trimmed mean (A13 "
     "averaging, robustified). math.fsum = correctly-rounded exact sum, "
     "matching the oracle's DECIMAL accumulator regardless of partition "
-    "order. Scale-4 oracle accumulator (value exact at 2 dp): at scale "
-    "10 a heavy user's unscaled sum passes 2^53, where DuckDB's "
-    "truncating int128->double conversion sat one ulp off fsum "
-    "(the last nonzero raw divergence in the r10 registry audit).",
+    "order. Scale-4 unit accumulator (value exact at 2 dp today): at "
+    "scale 10 a heavy user's unscaled sum passes 2^53, where DuckDB's "
+    "two-step decimal->double conversion sat one ulp off fsum "
+    "(the last nonzero raw divergence in the r10 registry audit); "
+    "quantization mode matched to DuckDB ROUND's binary half-away "
+    "(r11 regen-fuzz finding — see trimmed_mean_udf).",
 )
 def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

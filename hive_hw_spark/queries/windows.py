@@ -26,7 +26,9 @@ from hive_hw_spark.queries import register
 from hive_hw_spark.queries._util import (
     DEC,
     DECZ,
+    dec_ratio,
     dratio_round,
+    sql_dec_ratio,
     sql_dratio_round,
     sql_dsum,
 )
@@ -238,11 +240,10 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q44",
-    oracle="""
+    oracle=f"""
     SELECT user_id, event_id,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10)))
-                 OVER w AS DOUBLE)
-                 / COUNT(*) OVER w, 4) AS avg_1h
+           {sql_dec_ratio('SUM(CAST(value AS DECIMAL(30,10))) OVER w',
+                          'COUNT(*) OVER w')} AS avg_1h
     FROM events
     WINDOW w AS (PARTITION BY user_id
                  ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
@@ -251,7 +252,11 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="1-hour trailing moving average per user: rangeBetween on unix "
     "seconds (A17 window math as an analytic frame). sum/count instead of "
-    "avg so the accumulator is the exact DECIMAL path.",
+    "avg so the accumulator is the exact DECIMAL path; the final ratio "
+    "divides in exact integer units via dec_ratio (regen-fuzz r11: the "
+    "old double ROUND flaked when a quotient's shortest repr landed on "
+    "a .5e-4 boundary — Spark rounds the shortest repr half-up, DuckDB "
+    "rounds the exact binary expansion).",
 )
 def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
@@ -262,10 +267,9 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             "user_id",
             "event_id",
-            F.round(
-                F.sum(F.col("value").cast(DEC)).over(w).cast("double")
-                / F.count(F.lit(1)).over(w),
-                4,
+            dec_ratio(
+                F.sum(F.col("value").cast(DEC)).over(w),
+                F.count(F.lit(1)).over(w),
             ).alias("avg_1h"),
         )
         .orderBy("user_id", "event_id")

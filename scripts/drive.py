@@ -50,7 +50,9 @@ rows = df.collect()
 print(f"entry: {len(rows)} rows, schema={[f.name for f in df.schema.fields]}")
 assert len(rows) > 0
 
-sf = "/root/testdata/sf0.01"
+# Overridable so the regeneration-fuzz gate (scripts/regen_fuzz.py) can
+# point the same sweep at a perturbed copy of the tables.
+sf = os.environ.get("SPARK_GRAFT_VERIFY_SF_DIR", "/root/testdata/sf0.01")
 qs, osql = e.queries(), e.oracle_sql()
 con = duckdb_conn(sf)
 ok, bad, noracle = [], [], []
