@@ -67,7 +67,14 @@ def dratio_round(num: Column, den: Column, ndigits: int = 4) -> Column:
     :func:`sql_dratio_round`) even when the true ratio sits exactly on a
     ``.5e-ndigits`` rounding boundary — the class that broke q259/q307/
     q317 at the driver's round(4)-string hash granularity in round 9.
-    Requires ``|num| * 2 * 10^ndigits < 1e38``.
+    Requires ``|num| * 2 * 10^ndigits < 1e38``. Parity contract:
+    ``|num/den| * 10^ndigits < 2^63`` — DuckDB converts int128->double
+    by 2^64-halves (two roundings above 2^64), so a larger scaled
+    quotient drifts from Spark's correctly-rounded decimal cast
+    (hypothesis-found r11); largest registry quotient is q307
+    ss_within at 3.1e18. The emitted double is additionally the
+    correctly-ROUNDED ratio only below 2^53 — see
+    :func:`dratio_round_wide`.
     """
     p = 10**ndigits
     a = (F.abs(num).cast(DECZ) * F.lit(2 * p).cast("decimal(20,0)")).cast(DECZ)
@@ -81,10 +88,11 @@ def dratio_round_wide(num: Column, den: Column, ndigits: int = 4) -> Column:
     """:func:`dratio_round` for quotients whose scaled integer result can
     exceed 2^53 (e.g. a variance in 1e-8 units at 4 output digits).
 
-    PARITY is safe either way: both engines' INTEGER->double casts are
-    correctly rounded (probed r11 — DuckDB HUGEINT/DECIMAL(38,0) and
-    Spark DECIMAL(38,0) all match Python's float()), so the plain form
-    stays bit-identical even above 2^53; the r10-probed divergence is
+    PARITY is safe either way while the scaled quotient stays under
+    2^63: both engines' integer->double casts agree there (DuckDB's
+    int128 cast is exact below 2^64 — single uint64 half — and Spark's
+    decimal cast is correctly rounded), so the plain form stays
+    bit-identical even above 2^53; the r10-probed divergence is
     specific to SCALED-decimal->double, where DuckDB converts the
     unscaled int128 first and divides by 10^scale second (two
     roundings) while Spark rounds once. What the plain form loses above
@@ -97,6 +105,10 @@ def dratio_round_wide(num: Column, den: Column, ndigits: int = 4) -> Column:
     ``whole + frac/10^k`` runs the same two IEEE ops on the same exact
     inputs in both engines. NONNEGATIVE num/den only (variances,
     counts) — sign handling would need the full dratio_round treatment.
+    The |ratio| < 2^53 contract is hard: beyond it DuckDB's
+    int128->double cast is itself no longer correctly rounded
+    (hypothesis-found at whole ~2.3e19: 4 ulp off Python's float()),
+    so no decomposition can restore parity there.
     """
     p = 10**ndigits
     pd = F.lit(p).cast("decimal(9,0)")

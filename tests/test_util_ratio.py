@@ -113,6 +113,16 @@ def test_boundary_cases_match_fraction_reference(spark, duck):
     k=st.sampled_from([2, 4, 6]),
 )
 def test_duckdb_matches_fraction_reference(duck, num, den, k):
+    from hypothesis import assume
+
+    # Parity contract: the scaled quotient q = |num/den|*10^k must stay
+    # under 2^63. DuckDB converts int128->double by 2^64-halves (upper *
+    # 2^64 + lower, two roundings), so above ~2^64 its cast drifts from
+    # the correctly-rounded float() that Spark's decimal cast matches
+    # (hypothesis-found: q=2.25e19 prints ...840.996 vs ...841.0).
+    # Registry headroom: the largest plain-dratio quotient is q307
+    # ss_within at 3.1e18 (sf0.01).
+    assume(abs(num) * 10**k < den * (1 << 63))
     got = duck.execute(
         "SELECT "
         + sql_dratio_round(f"CAST({num} AS HUGEINT)", f"CAST({den} AS HUGEINT)", k)
@@ -227,8 +237,16 @@ def test_dratio_round_wide_matches_reference(spark, duck):
     k=st.sampled_from([2, 4, 6]),
 )
 def test_duckdb_wide_matches_reference(duck, num, den, k):
+    from hypothesis import assume
+
     from hive_hw_spark.queries._util import sql_dratio_round_wide
 
+    # The helper's contract is |ratio| < 2^53 (the whole part converts
+    # exactly). Beyond it, DuckDB's int128->double cast itself stops
+    # being correctly rounded (hypothesis-found: whole=2.26e19 casts 4
+    # ulp off float()), so no decomposition can help — q371-style
+    # callers are bounded far below (documented headroom ~9e15).
+    assume(num < den * (1 << 53))
     got = duck.execute(
         "SELECT "
         + sql_dratio_round_wide(
@@ -238,3 +256,47 @@ def test_duckdb_wide_matches_reference(duck, num, den, k):
     assert repr(got) == repr(ref_round_ratio_wide(num, den, k)), (
         num, den, k, got,
     )
+
+
+def test_duckdb_round_double_matches_duckdb(spark, duck):
+    """duckdb_round_double must equal DuckDB's native ROUND(double, 4)
+    bit-for-bit on adversarial doubles — quantized values whose scaled
+    products land exactly on .5 boundaries (the q160/q289 regen-fuzz
+    class), plus a jittered pseudo-random grid. Values are shipped to
+    BOTH engines as binary doubles (pandas registration), so no
+    literal-parsing differences contaminate the comparison."""
+    import pandas as pd
+
+    from hive_hw_spark.queries._util import duckdb_round_double
+
+    import random
+
+    rng = random.Random(11)
+    vals = []
+    # exact .5-product boundaries: k/2 * 1e-4 for odd k
+    vals += [(2 * k + 1) / 2 / 10000.0 for k in range(0, 4000, 37)]
+    # 2dp money jittered by the fuzz factors (5dp-ish quantized)
+    vals += [round(rng.randint(1, 10**6) / 100.0 * f, 10)
+             for f in (0.999, 1.001, 1.002)
+             for _ in range(200)]
+    # continuous
+    vals += [rng.uniform(-1e6, 1e6) for _ in range(300)]
+    vals += [0.0, -0.00005, 0.00005, 59.090849999999996, 370.17945]
+
+    pdf = pd.DataFrame({"v": vals})
+    duck.register("t_round_probe", pdf)
+    want = [
+        r[0]
+        for r in duck.execute(
+            "SELECT ROUND(v, 4) FROM t_round_probe"
+        ).fetchall()
+    ]
+    df = spark.createDataFrame(pdf).select(
+        duckdb_round_double(F.col("v"), 4).alias("x")
+    )
+    got = [r.x for r in df.collect()]
+    assert len(got) == len(want)
+    diffs = [
+        (v, g, w) for v, g, w in zip(vals, got, want) if repr(g) != repr(w)
+    ]
+    assert not diffs, diffs[:10]
