@@ -176,6 +176,15 @@ _ATTESTED = frozenset(
         "q334", "q335", "q336", "q337", "q338", "q339", "q340", "q341",
         "q342", "q343", "q344", "q345", "q346", "q347", "q348", "q349",
         "q350", "q351", "q352", "q353", "q354", "q355", "q356", "q357",
+        # r11 sweep (CORRECTNESS_r11.json, all 50 green): the q358..q407
+        # never-attested block ordered by the r10 verdict's item 1.
+        "q358", "q359", "q360", "q361", "q362", "q363", "q364", "q365",
+        "q366", "q367", "q368", "q369", "q370", "q371", "q372", "q373",
+        "q374", "q375", "q376", "q377", "q378", "q379", "q380", "q381",
+        "q382", "q383", "q384", "q385", "q386", "q387", "q388", "q389",
+        "q390", "q391", "q392", "q393", "q394", "q395", "q396", "q397",
+        "q398", "q399", "q400", "q401", "q402", "q403", "q404", "q405",
+        "q406", "q407",
     }
 )
 
@@ -240,36 +249,45 @@ _ATTESTED = frozenset(
 # to freshness order (oldest attestation first, rewrites outrank).
 # Round-10 rotation (historical): q259/q307 re-attests + q308..q357 —
 # CORRECTNESS_r10 came back all 50 green; the block moved to _ATTESTED.
-# Round-11 rotation (exactly 50 = the sweep cap), per the r10 verdict's
-# item 1: the next 50 never-driver-attested oracle entries in ID order,
-# q358..q407 (the r8/r9 statistics, retrieval, causal-inference and
-# audit waves). All are green under the strict local round(4)-string
-# gate and three drive.py sweep orders; the driver row is the only
-# missing evidence. Remainder plan:
-#   r12 — q408..q442 never-attested remainder (35) + oldest
-#         pre-regen-stale re-attestations (q40/q42-q45/q50-q52/
-#         q64-q69 window/scalar families, last driver-green r4-r5)
-#         to fill the 50.
-# After r12, every oracle entry has a driver row, and rotation returns
-# to freshness order (oldest attestation first, rewrites outrank).
+# Round-11 rotation (historical): q358..q407 — CORRECTNESS_r11 came
+# back all 50 green; the block moved to _ATTESTED.
+# Round-12 rotation (exactly 50 = the sweep cap), per the r11 verdict's
+# item 1 — the FINAL leg of the attestation burn-down:
+#   (a) q408..q442 — the 35 never-driver-sampled oracle entries
+#       (retrieval stack, TPC-DS shapes, late-wave stats/audits);
+#   (b) q140 — the HLL sketch rows-only entry, the one rows-only op
+#       with no driver row of any kind (pulled out of the rows-only
+#       deferral for exactly one round);
+#   (c) 14 slots of the OLDEST pre-regeneration re-attestations:
+#       q40/q42/q43/q44/q45/q50/q51/q52 (window/sort families) and
+#       q64..q69 (scalar families), last driver-green r4-r5 on
+#       PRE-regeneration testdata — q44 additionally carries this
+#       round's integer-unit window rewrite, so its driver row
+#       re-confirms fresh machinery, not just fresh data.
+# After r12, every oracle entry has a driver row; rotation returns to
+# freshness order (oldest attestation first, rewrites outrank).
 _PRIORITY = frozenset(
     {
-        # never-attested burn-down: q358..q407 oracle entries (50)
-        "q358", "q359", "q360", "q361", "q362", "q363", "q364", "q365",
-        "q366", "q367", "q368", "q369", "q370", "q371", "q372", "q373",
-        "q374", "q375", "q376", "q377", "q378", "q379", "q380", "q381",
-        "q382", "q383", "q384", "q385", "q386", "q387", "q388", "q389",
-        "q390", "q391", "q392", "q393", "q394", "q395", "q396", "q397",
-        "q398", "q399", "q400", "q401", "q402", "q403", "q404", "q405",
-        "q406", "q407",
+        # (a) never-attested remainder: q408..q442 (35)
+        "q408", "q409", "q410", "q411", "q412", "q413", "q414", "q415",
+        "q416", "q417", "q418", "q419", "q420", "q421", "q422", "q423",
+        "q424", "q425", "q426", "q427", "q428", "q429", "q430", "q431",
+        "q432", "q433", "q434", "q435", "q436", "q437", "q438", "q439",
+        "q440", "q441", "q442",
+        # (b) the never-sampled rows-only sketch entry
+        "q140",
+        # (c) oldest pre-regen-stale re-attestations (r4-r5 rows)
+        "q40", "q42", "q43", "q44", "q45", "q50", "q51", "q52",
+        "q64", "q65", "q66", "q67", "q68", "q69",
     }
 )
 
 # Back of the queue: ``oracle=None`` approximates whose driver check is
 # rows-only (the weak form) — their real evidence is the pytest error/
 # recall bounds, so a hash-checked oracle query always outranks them for
-# a sweep slot.
-_ROWS_ONLY_DEFER = frozenset({"q92b", "q92c", "q92d", "q102b", "q111", "q140"})
+# a sweep slot. q140 steps out for r12 (the one rows-only entry with no
+# driver row at all; see _PRIORITY (b) above) and returns afterwards.
+_ROWS_ONLY_DEFER = frozenset({"q92b", "q92c", "q92d", "q102b", "q111"})
 
 
 def _load() -> None:

@@ -4582,9 +4582,11 @@ def q325(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cum
     )
     SELECT n AS n_days, CAST(stored_now AS BIGINT) AS stored_bytes,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
-             AS daily_growth,
-           CASE WHEN (n * sxy - sx * sy) <> 0
+           CASE WHEN (n * sxx - sx * sx) <> 0
+                THEN ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+                ELSE NULL END AS daily_growth,
+           CASE WHEN (n * sxx - sx * sx) <> 0
+                 AND (n * sxy - sx * sy) <> 0
                 THEN ROUND((10 * stored_now - stored_now)
                       / ((n * sxy - sx * sy) / (n * sxx - sx * sx)), 2)
                 ELSE NULL END AS days_to_10x
@@ -4622,17 +4624,21 @@ def q330(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bytes_in").cast("double").alias("stored_now"),
     )
     n = F.col("n")
-    # Flat-ingest guard (regen-fuzz class, r11): slope == 0 exactly when
-    # the covariance numerator is 0 — Spark ANSI raises on the double
-    # divide where DuckDB yields inf, so both sides agree on NULL first.
+    # Degenerate-data guards (regen-fuzz class, r11; widened r12 per
+    # ADVICE): the variance denominator n*sxx - sx*sx is exactly 0 when
+    # every doc lands on ONE ingest day, and the covariance numerator is
+    # 0 on flat ingest — Spark ANSI raises DIVIDE_BY_ZERO on either
+    # double divide where DuckDB yields NaN/inf, so BOTH engines agree
+    # on NULL first (mirrors q372's (s_den != 0) & (s_num != 0) shape).
     s_num = n * F.col("sxy") - F.col("sx") * F.col("sy")
-    slope = s_num / (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+    s_den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = s_num / s_den
     return s.select(
         n.alias("n_days"),
         F.col("stored_now").cast("long").alias("stored_bytes"),
-        F.round(slope, 4).alias("daily_growth"),
+        F.when(s_den != 0, F.round(slope, 4)).alias("daily_growth"),
         F.when(
-            s_num != 0,
+            (s_den != 0) & (s_num != 0),
             F.round(
                 (10 * F.col("stored_now") - F.col("stored_now")) / slope, 2
             ),

@@ -81,7 +81,15 @@ for i, name in enumerate(names):
             g = got[c].to_numpy(dtype=float)
             w = want[c].to_numpy(dtype=float)
             mask = ~(np.isnan(g) & np.isnan(w))
-            d = np.abs(g[mask] - w[mask])
+            # One-sided NaN (one engine NaN, the other a number) is an
+            # infinite divergence, not a skip: a bare abs() would carry
+            # the NaN into d.max(), and NaN > x is False for every x, so
+            # the query would silently count as bit-identical (r11
+            # ADVICE item, fixed r12).
+            one_sided = mask & (np.isnan(g) ^ np.isnan(w))
+            d = np.where(
+                one_sided[mask], np.inf, np.abs(g[mask] - w[mask])
+            )
             if d.size and float(d.max()) > worst:
                 worst = float(d.max())
                 worst_col = c
