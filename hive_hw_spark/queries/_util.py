@@ -241,6 +241,65 @@ def sql_dsum4(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(30,4))) AS DOUBLE)"
 
 
+def units4(col: Column | str) -> Column:
+    """Quantize a double to integer 1e-4 units (half away from zero), as
+    BIGINT — the fixed-point ingest convention for rolling/window frames.
+
+    Bit-identical across engines by construction: both sides run the SAME
+    IEEE ops (``x*1e4``, ``|..|+0.5``, ``floor``) on the same double, so
+    neither engine's ROUND model nor its double->decimal cast is involved
+    (those are the two probed divergence sources; see
+    :func:`duckdb_round_double` and the r10 cast probe). Downstream
+    aggregates then sum LONGs inside whole-stage codegen instead of
+    128-bit decimals — the r12 q44/q289 rewrite that reclaims the ~2x
+    the r11 dec_ratio fuzz fix cost, at equal exactness: a sliding RANGE
+    frame over BIGINT is a two-pointer add/subtract, while the DECIMAL(38)
+    path boxes java.math.BigDecimal per row. Declared semantics shift:
+    the op aggregates VALUES QUANTIZED AT INGEST (money-grade 4 dp), not
+    round(agg(exact), 4) — state it in the op's doc.
+    """
+    x = (F.col(col) if isinstance(col, str) else col) * F.lit(10000.0)
+    return (F.signum(x) * F.floor(F.abs(x) + F.lit(0.5))).cast("long")
+
+
+def sql_units4(expr: str) -> str:
+    """DuckDB-side mirror of :func:`units4` (same IEEE op sequence)."""
+    x = f"(({expr}) * 10000.0)"
+    return f"CAST(SIGN({x}) * FLOOR(ABS({x}) + 0.5) AS BIGINT)"
+
+
+def iratio_round4(num: Column, den: Column) -> Column:
+    """Half-away-from-zero round of ``num/den`` to 4 dp where ``num`` is
+    already in 1e-4 integer units and ``den`` a positive LONG count —
+    i.e. the quotient to round IS ``num/den`` in units. All-LONG
+    arithmetic (``(2*|num| + den) div (2*den)``, exact), then one
+    long->double cast and one divide by 1e4 — identical IEEE ops both
+    engines (:func:`sql_iratio_round4`). Contract: ``2*|num| + den``
+    stays below 2^53 (|num| < ~4.5e15, i.e. frame sums < ~4.5e11 in
+    value terms) so the exactly-divisible double division is exact;
+    beyond that use :func:`dratio_round` on decimal-cast inputs."""
+    two = F.lit(2).cast("long")
+    q = (two * F.abs(num) + den) - F.pmod(two * F.abs(num) + den, two * den)
+    # (a - a%b)/b on longs: exactly divisible, and the double divide of
+    # exactly-divisible longs below 2^53 is exact — no div operator
+    # needed, stays in codegen.
+    qq = (q / (two * den)).cast("long")
+    return (
+        F.signum(num.cast("double"))
+        * qq.cast("double")
+        / F.lit(10000.0)
+    )
+
+
+def sql_iratio_round4(num: str, den: str) -> str:
+    """DuckDB-side mirror of :func:`iratio_round4` (BIGINT floor div)."""
+    return (
+        f"CAST(SIGN({num}) AS DOUBLE) * "
+        f"CAST((2*ABS(CAST({num} AS BIGINT)) + CAST({den} AS BIGINT)) "
+        f"// (2*CAST({den} AS BIGINT)) AS DOUBLE) / 10000.0"
+    )
+
+
 def sql_davg(expr: str, ndigits: int = 4) -> str:
     """DuckDB-side mirror of :func:`davg`.
 

@@ -34,6 +34,8 @@ from hive_hw_spark.queries._util import (
     sql_dratio_round,
     sql_dsum,
     sql_dsum4,
+    sql_units4,
+    units4,
 )
 
 
@@ -2356,20 +2358,23 @@ def q288(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q289",
     oracle=f"""
-    SELECT event_id,
-           CAST(user_id AS BIGINT) AS user_id,
-           CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_epoch,
+    WITH u AS (
+      SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_epoch,
+             {sql_units4('value')} AS units
+      FROM events
+    )
+    SELECT event_id, user_id, ts_epoch,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
-           {sql_dec_ratio('SUM(CAST(value AS DECIMAL(30,10))) OVER w',
-                          '1')} AS sum_7d
-    FROM events
-    WINDOW w AS (PARTITION BY user_id
-                 ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+           CAST(CAST(SUM(units) OVER w AS BIGINT) AS DOUBLE) / 10000.0
+             AS sum_7d
+    FROM u
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_epoch
                  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
     ORDER BY event_id
     """,
     doc="Time-interval RANGE window frame — each event's trailing "
-    "7-DAY per-user activity (count + exact-DECIMAL sum), the "
+    "7-DAY per-user activity (count + exact fixed-point sum), the "
     "event-time sibling of q44's numeric range frame and the "
     "windowed form of q164's rolling actives: a ROWS frame is wrong "
     "here (17 events in 7 days vs 17 rows are different questions), "
@@ -2380,27 +2385,37 @@ def q288(spark: SparkSession, sf_dir: str) -> DataFrame:
     "evaluates it with a sliding aggregate per partition, never a "
     "per-row rescan; epoch seconds are tz-free instants, FLOORED to "
     "whole seconds in both engines (Spark unix_timestamp truncates; "
-    "a bare DuckDB CAST would round sub-second parts up); the "
-    "window sum rounds through dec_ratio's exact integer path, not "
-    "the engines' divergent double ROUNDs (r11 regen-fuzz flake).",
+    "a bare DuckDB CAST would round sub-second parts up). Values "
+    "quantize to 1e-4 integer units AT INGEST (units4 — same IEEE op "
+    "sequence both engines, the r11 .5e-4 ROUND-flake class stays "
+    "closed) so the sliding frame sums LONGs in codegen, not the "
+    "r11 DECIMAL(38) accumulator that cost ~2x wall; su/1e4 back to "
+    "double is exact below 2^53 and the same IEEE divide both sides. "
+    "Declared semantics: sum of 4-dp-quantized values.",
 )
 @plan_cache
 def q289(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     epoch = F.unix_timestamp("ts").cast("bigint")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(epoch)
-        .rangeBetween(-604800, 0)
-    )
-    return ev.select(
+    u = ev.select(
         "event_id",
         F.col("user_id").cast("bigint").alias("user_id"),
         epoch.alias("ts_epoch"),
+        units4("value").alias("units"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_epoch")
+        .rangeBetween(-604800, 0)
+    )
+    return u.select(
+        "event_id",
+        "user_id",
+        "ts_epoch",
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_7d"),
-        dec_ratio(
-            F.sum(F.col("value").cast(DEC)).over(w), F.lit(1)
-        ).alias("sum_7d"),
+        (F.sum("units").over(w).cast("double") / F.lit(10000.0)).alias(
+            "sum_7d"
+        ),
     ).orderBy("event_id")
 
 

@@ -28,9 +28,13 @@ from hive_hw_spark.queries._util import (
     DECZ,
     dec_ratio,
     dratio_round,
+    iratio_round4,
     sql_dec_ratio,
     sql_dratio_round,
     sql_dsum,
+    sql_iratio_round4,
+    sql_units4,
+    units4,
 )
 
 
@@ -241,34 +245,48 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q44",
     oracle=f"""
+    WITH u AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+             {sql_units4('value')} AS units
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, event_id,
+             CAST(SUM(units) OVER w AS BIGINT) AS su,
+             CAST(COUNT(*) OVER w AS BIGINT) AS cw
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    )
     SELECT user_id, event_id,
-           {sql_dec_ratio('SUM(CAST(value AS DECIMAL(30,10))) OVER w',
-                          'COUNT(*) OVER w')} AS avg_1h
-    FROM events
-    WINDOW w AS (PARTITION BY user_id
-                 ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
-                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
-    ORDER BY user_id, event_id
+           {sql_iratio_round4('su', 'cw')} AS avg_1h
+    FROM f ORDER BY user_id, event_id
     """,
     doc="1-hour trailing moving average per user: rangeBetween on unix "
-    "seconds (A17 window math as an analytic frame). sum/count instead of "
-    "avg so the accumulator is the exact DECIMAL path; the final ratio "
-    "divides in exact integer units via dec_ratio (regen-fuzz r11: the "
-    "old double ROUND flaked when a quotient's shortest repr landed on "
-    "a .5e-4 boundary — Spark rounds the shortest repr half-up, DuckDB "
-    "rounds the exact binary expansion).",
+    "seconds (A17 window math as an analytic frame). Values quantize to "
+    "1e-4 integer units AT INGEST (units4: same IEEE op sequence both "
+    "engines, no engine ROUND involved — the r11 regen-fuzz .5e-4 "
+    "boundary class stays closed), so the RANGE frame slides a plain "
+    "LONG sum in whole-stage codegen instead of the r11 DECIMAL(38) "
+    "accumulator that cost ~2x wall; the final per-row ratio rounds "
+    "half-away in exact all-LONG arithmetic (iratio_round4). Declared "
+    "semantics: avg of 4-dp-quantized values (money-grade fixed point).",
 )
 def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "ts_s", F.unix_timestamp("ts")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        units4("value").alias("units"),
     )
     w = Window.partitionBy("user_id").orderBy("ts_s").rangeBetween(-3600, 0)
     return (
         ev.select(
             "user_id",
             "event_id",
-            dec_ratio(
-                F.sum(F.col("value").cast(DEC)).over(w),
+            iratio_round4(
+                F.sum("units").over(w),
                 F.count(F.lit(1)).over(w),
             ).alias("avg_1h"),
         )
