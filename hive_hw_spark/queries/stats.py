@@ -69,9 +69,12 @@ from ._util import (
       FROM lags GROUP BY lag
     )
     SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
-           ROUND((n_pairs * sxy - sx * sy)
-                 / SQRT((n_pairs * sxx - sx * sx)
-                        * (n_pairs * syy - sy * sy)), 4) AS acf
+           CASE WHEN (n_pairs * sxx - sx * sx)
+                     * (n_pairs * syy - sy * sy) <> 0
+                THEN ROUND((n_pairs * sxy - sx * sy)
+                      / SQRT((n_pairs * sxx - sx * sx)
+                             * (n_pairs * syy - sy * sy)), 4)
+                ELSE NULL END AS acf
     FROM s ORDER BY lag
     """,
     doc="Series autocorrelation — Pearson ACF of the daily-revenue "
@@ -111,16 +114,23 @@ def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
     )
     n = F.col("n_pairs")
+    # Constant-series guard (q330/q372 class, extended r12): zero
+    # variance at either lag end zeroes the divisor — Spark-4 ANSI
+    # raises DIVIDE_BY_ZERO where DuckDB yields NaN/inf, so both
+    # engines agree on NULL first.
+    vprod = (n * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        n * F.col("syy") - F.col("sy") * F.col("sy")
+    )
     return s.select(
         "lag",
         "n_pairs",
-        F.round(
-            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / F.sqrt(
-                (n * F.col("sxx") - F.col("sx") * F.col("sx"))
-                * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+        F.when(
+            vprod != 0,
+            F.round(
+                (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / F.sqrt(vprod),
+                4,
             ),
-            4,
         ).alias("acf"),
     ).orderBy("lag")
 
@@ -2078,14 +2088,17 @@ def q279(spark: SparkSession, sf_dir: str) -> DataFrame:
     v AS (
       SELECT priority, n,
              CAST(sx AS DOUBLE) / n AS mean,
-             CAST(n * sxx - sx * sx AS DOUBLE)
-               / (CAST(n AS DOUBLE) * (n - 1)) AS var
+             CASE WHEN n > 1
+                  THEN CAST(n * sxx - sx * sx AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * (n - 1))
+                  ELSE NULL END AS var
       FROM s
     )
     SELECT priority, n,
            ROUND(mean, 4) AS mean_lines,
            ROUND(var, 4) AS var_lines,
-           ROUND(var / mean, 4) AS dispersion
+           CASE WHEN mean <> 0 THEN ROUND(var / mean, 4)
+                ELSE NULL END AS dispersion
     FROM v ORDER BY priority
     """,
     doc="Index-of-dispersion test on basket sizes per order priority — "
@@ -2120,14 +2133,16 @@ def q285(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     num = (n.cast("decimal(20,0)") * sxx - sx * sx).cast("double")
-    var = num / (n.cast("double") * (n - 1))
+    # n==1 guard (q330/q372 class, extended r12): Spark ANSI raises on
+    # the zero n*(n-1) divisor where DuckDB yields NaN/inf — NULL both.
+    var = F.when(n > 1, num / (n.cast("double") * (n - 1)))
     mean = sx.cast("double") / n
     return s.select(
         "priority",
         "n",
         F.round(mean, 4).alias("mean_lines"),
         F.round(var, 4).alias("var_lines"),
-        F.round(var / mean, 4).alias("dispersion"),
+        F.when(mean != 0, F.round(var / mean, 4)).alias("dispersion"),
     ).orderBy("priority")
 
 
@@ -2516,18 +2531,23 @@ def q291(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s
     ),
     theta AS (
-      SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS th,
+      SELECT CASE WHEN (n * sxx - sx * sx) <> 0
+                  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                  ELSE NULL END AS th,
              sx / n AS xbar
       FROM g
     )
     SELECT arm, n,
            {sql_dratio_round('sy_u', 'n * 10000000000')} AS mean_y,
            ROUND(sy / n - th * (sx / n - xbar), 4) AS mean_adj,
-           ROUND((syy - sy * sy / n) / (n - 1), 4) AS var_y,
-           ROUND(((syy - sy * sy / n)
-                  - 2 * th * (sxy - sx * sy / n)
-                  + th * th * (sxx - sx * sx / n)) / (n - 1), 4)
-             AS var_adj
+           CASE WHEN n > 1
+                THEN ROUND((syy - sy * sy / n) / (n - 1), 4)
+                ELSE NULL END AS var_y,
+           CASE WHEN n > 1
+                THEN ROUND(((syy - sy * sy / n)
+                       - 2 * th * (sxy - sx * sy / n)
+                       + th * th * (sxx - sx * sx / n)) / (n - 1), 4)
+                ELSE NULL END AS var_adj
     FROM s CROSS JOIN theta ORDER BY arm
     """,
     doc="CUPED variance-reduced A/B readout — pre-period activity as "
@@ -2588,10 +2608,16 @@ def q292(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sxx").alias("gsxx"),
         F.sum("sxy").alias("gsxy"),
     )
+    # Constant-pooled-covariate guard (q330/q372 class, extended r12):
+    # zero pooled var(x) zeroes th's divisor — Spark ANSI raises where
+    # DuckDB yields NaN/inf; NULL th propagates through the adjusted
+    # outputs identically in both engines.
+    gden = F.col("gn") * F.col("gsxx") - F.col("gsx") * F.col("gsx")
     theta = g.select(
-        (
+        F.when(
+            gden != 0,
             (F.col("gn") * F.col("gsxy") - F.col("gsx") * F.col("gsy"))
-            / (F.col("gn") * F.col("gsxx") - F.col("gsx") * F.col("gsx"))
+            / gden,
         ).alias("th"),
         (F.col("gsx") / F.col("gn")).alias("xbar"),
     )
@@ -2612,15 +2638,20 @@ def q292(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(sy / n - th * (sx / n - F.col("xbar")), 4).alias(
                 "mean_adj"
             ),
-            F.round((syy - sy * sy / n) / (n - 1), 4).alias("var_y"),
-            F.round(
-                (
-                    (syy - sy * sy / n)
-                    - 2 * th * (sxy - sx * sy / n)
-                    + th * th * (sxx - sx * sx / n)
-                )
-                / (n - 1),
-                4,
+            F.when(
+                n > 1, F.round((syy - sy * sy / n) / (n - 1), 4)
+            ).alias("var_y"),
+            F.when(
+                n > 1,
+                F.round(
+                    (
+                        (syy - sy * sy / n)
+                        - 2 * th * (sxy - sx * sy / n)
+                        + th * th * (sxx - sx * sx / n)
+                    )
+                    / (n - 1),
+                    4,
+                ),
             ).alias("var_adj"),
         )
         .orderBy("arm")
@@ -3141,14 +3172,18 @@ def q297(spark: SparkSession, sf_dir: str) -> DataFrame:
     v AS (
       SELECT event_type, n,
              CAST(sx AS DOUBLE) / n AS mu,
-             sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                  / (CAST(n AS DOUBLE) * (n - 1))) AS sd
+             CASE WHEN n > 1
+                  THEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * (n - 1)))
+                  ELSE NULL END AS sd
       FROM s
     )
     SELECT event_type, n,
            ROUND(mu / 3600, 4) AS mean_gap_h,
            ROUND(sd / 3600, 4) AS sd_gap_h,
-           ROUND((sd - mu) / (sd + mu), 4) AS burstiness
+           CASE WHEN (sd + mu) <> 0
+                THEN ROUND((sd - mu) / (sd + mu), 4)
+                ELSE NULL END AS burstiness
     FROM v ORDER BY event_type
     """,
     doc="Inter-event burstiness per event type — B = (σ−μ)/(σ+μ) over "
@@ -3184,13 +3219,18 @@ def q298(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     mu = sx.cast("double") / n
     num = (n.cast("decimal(20,0)") * sxx - sx * sx).cast("double")
-    sd = F.sqrt(num / (n.cast("double") * (n - 1)))
+    # Degenerate-data guards (q330/q372 class, extended r12): n==1
+    # zeroes sd's n*(n-1) divisor; all-zero gaps zero sd+mu — Spark
+    # ANSI raises where DuckDB yields NaN/inf, so NULL first, in both.
+    sd = F.when(n > 1, F.sqrt(num / (n.cast("double") * (n - 1))))
     return s.select(
         "event_type",
         "n",
         F.round(mu / 3600, 4).alias("mean_gap_h"),
         F.round(sd / 3600, 4).alias("sd_gap_h"),
-        F.round((sd - mu) / (sd + mu), 4).alias("burstiness"),
+        F.when(
+            (sd + mu) != 0, F.round((sd - mu) / (sd + mu), 4)
+        ).alias("burstiness"),
     ).orderBy("event_type")
 
 
@@ -3220,9 +3260,13 @@ def q298(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pts
     ),
     ab AS (
-      SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
-             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
-               AS a
+      SELECT CASE WHEN (n * sxx - sx * sx) <> 0
+                  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                  ELSE NULL END AS b,
+             CASE WHEN (n * sxx - sx * sx) <> 0
+                  THEN (sy - (n * sxy - sx * sy)
+                        / (n * sxx - sx * sx) * sx) / n
+                  ELSE NULL END AS a
       FROM s
     ),
     seas AS (
@@ -3291,8 +3335,14 @@ def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
     )
     n = F.col("n")
-    bexp = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    # Single-distinct-day guard (q330/q372 class, extended r12): zero
+    # x-variance zeroes the OLS divisor — Spark ANSI raises where
+    # DuckDB yields NaN/inf; NULL (a, b) propagate to NULL outputs
+    # identically in both engines.
+    bden = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    bexp = F.when(
+        bden != 0,
+        (n * F.col("sxy") - F.col("sx") * F.col("sy")) / bden,
     )
     ab = s.select(
         bexp.alias("b"),
@@ -3538,9 +3588,13 @@ def q300(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM train
     ),
     ab AS (
-      SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
-             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
-               AS a
+      SELECT CASE WHEN (n * sxx - sx * sx) <> 0
+                  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                  ELSE NULL END AS b,
+             CASE WHEN (n * sxx - sx * sx) <> 0
+                  THEN (sy - (n * sxy - sx * sy)
+                        / (n * sxx - sx * sx) * sx) / n
+                  ELSE NULL END AS a
       FROM s
     ),
     seas AS (
@@ -3615,8 +3669,14 @@ def q301(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
     )
     n = F.col("n")
-    bexp = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    # Single-distinct-day guard (q330/q372 class, extended r12): zero
+    # x-variance zeroes the OLS divisor — Spark ANSI raises where
+    # DuckDB yields NaN/inf; NULL (a, b) propagate to NULL outputs
+    # identically in both engines.
+    bden = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    bexp = F.when(
+        bden != 0,
+        (n * F.col("sxy") - F.col("sx") * F.col("sy")) / bden,
     )
     ab = s.select(
         bexp.alias("b"),
@@ -3871,10 +3931,16 @@ def q303(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM obs GROUP BY p_brand
     )
     SELECT p_brand, n,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
-             AS elasticity,
-           ROUND(POWER(n * sxy - sx * sy, 2)
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+           CASE WHEN (n * sxy - sx * sy) = 0 THEN 0.0
+                WHEN (n * sxx - sx * sx) <> 0
+                THEN ROUND((n * sxy - sx * sy)
+                           / (n * sxx - sx * sx), 4)
+                ELSE NULL END AS elasticity,
+           CASE WHEN (n * sxy - sx * sy) = 0 THEN 0.0
+                WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <> 0
+                THEN ROUND(POWER(n * sxy - sx * sy, 2)
+                      / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+                ELSE NULL END AS r2
     FROM s ORDER BY p_brand
     """,
     doc="Price-elasticity estimate per brand — log-log OLS of quantity "
@@ -3915,11 +3981,22 @@ def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
     vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
     vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    # Constant-price / constant-quantity guard (q330/q372 class,
+    # extended r12): zero variance at either end zeroes a divisor —
+    # Spark ANSI raises where DuckDB yields NaN/inf; NULL both. The
+    # cov==0 clamp comes FIRST: with exactly-zero covariance the slope
+    # is 0 regardless of vx, and deciding via vx would hit the two
+    # engines' sub-ulp decimal->double divergence on near-zero vx
+    # (0.0 vs -0.0 signs, and NULL-vs-0.0 splits — fence-caught r12).
     return s.select(
         "p_brand",
         "n",
-        F.round(cov / vx, 4).alias("elasticity"),
-        F.round(F.pow(cov, 2) / (vx * vy), 4).alias("r2"),
+        F.when(cov == 0, F.lit(0.0))
+        .when(vx != 0, F.round(cov / vx, 4))
+        .alias("elasticity"),
+        F.when(cov == 0, F.lit(0.0))
+        .when(vx * vy != 0, F.round(F.pow(cov, 2) / (vx * vy), 4))
+        .alias("r2"),
     ).orderBy("p_brand")
 
 
@@ -4665,11 +4742,17 @@ def q330(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     z AS (
       SELECT a.split_id,
-             (a.sx / a.n_users - b.sx / b.n_users)
-             / SQRT((a.sxx - a.sx * a.sx / a.n_users)
-                    / (a.n_users - 1) / a.n_users
-                    + (b.sxx - b.sx * b.sx / b.n_users)
-                    / (b.n_users - 1) / b.n_users) AS zval
+             CASE WHEN a.n_users > 1 AND b.n_users > 1
+                   AND ((a.sxx - a.sx * a.sx / a.n_users)
+                        / (a.n_users - 1) / a.n_users
+                        + (b.sxx - b.sx * b.sx / b.n_users)
+                        / (b.n_users - 1) / b.n_users) <> 0
+                  THEN (a.sx / a.n_users - b.sx / b.n_users)
+                       / SQRT((a.sxx - a.sx * a.sx / a.n_users)
+                          / (a.n_users - 1) / a.n_users
+                          + (b.sxx - b.sx * b.sx / b.n_users)
+                          / (b.n_users - 1) / b.n_users)
+                  ELSE NULL END AS zval
       FROM per_split a JOIN per_split b
         ON a.split_id = b.split_id AND a.arm_b = 0 AND b.arm_b = 1
     )
@@ -4714,9 +4797,23 @@ def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
     vb = (F.col("b.sxx") - F.col("b.sx") * F.col("b.sx") / F.col("b.n_users")) / (
         F.col("b.n_users") - 1
     ) / F.col("b.n_users")
-    z = (
-        F.col("a.sx") / F.col("a.n_users") - F.col("b.sx") / F.col("b.n_users")
-    ) / F.sqrt(va + vb)
+    # Degenerate-split guard (q330/q372 class, extended r12): singleton
+    # arms or zero pooled variance zero a divisor — Spark ANSI raises
+    # where DuckDB yields NaN/inf. Spark's And short-circuits, so the
+    # dividing third conjunct only evaluates when both n_users > 1.
+    zguard = (
+        (F.col("a.n_users") > 1)
+        & (F.col("b.n_users") > 1)
+        & ((va + vb) != 0)
+    )
+    z = F.when(
+        zguard,
+        (
+            F.col("a.sx") / F.col("a.n_users")
+            - F.col("b.sx") / F.col("b.n_users")
+        )
+        / F.sqrt(va + vb),
+    )
     return (
         a.join(F.broadcast(b), F.col("a.split_id") == F.col("b.split_id"))
         .select(
@@ -5496,12 +5593,18 @@ def q347(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     z AS (
       SELECT event_type,
-             (CAST(sxa AS DOUBLE) / na - CAST(sxb AS DOUBLE) / nb)
-             / SQRT((CAST(sxxa AS DOUBLE)
-                     - CAST(sxa AS DOUBLE) * sxa / na) / (na - 1) / na
-                    + (CAST(sxxb AS DOUBLE)
-                       - CAST(sxb AS DOUBLE) * sxb / nb) / (nb - 1) / nb)
-               AS zval
+             CASE WHEN na > 1 AND nb > 1
+                   AND (CAST(na AS HUGEINT) * sxxa
+                        - CAST(sxa AS HUGEINT) * sxa)
+                       + (CAST(nb AS HUGEINT) * sxxb
+                          - CAST(sxb AS HUGEINT) * sxb) <> 0
+                  THEN (CAST(sxa AS DOUBLE) / na
+                        - CAST(sxb AS DOUBLE) / nb)
+                       / SQRT((CAST(sxxa AS DOUBLE)
+                          - CAST(sxa AS DOUBLE) * sxa / na) / (na - 1) / na
+                         + (CAST(sxxb AS DOUBLE)
+                            - CAST(sxb AS DOUBLE) * sxb / nb) / (nb - 1) / nb)
+                  ELSE NULL END AS zval
       FROM mom CROSS JOIN arms
     ),
     pv AS (
@@ -5619,22 +5722,36 @@ def q348(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(arms)),
     )
-    zval = (
-        F.col("sxa").cast("double") / F.col("na")
-        - F.col("sxb").cast("double") / F.col("nb")
-    ) / F.sqrt(
+    # Degenerate-data guard (q330/q372 class, extended r12): an empty/
+    # singleton arm or a zero-variance metric in BOTH arms (every user
+    # has the same count of that type) zeroes a divisor — Spark ANSI
+    # raises where DuckDB yields NaN/inf. The condition is spelled
+    # DIVISION-FREE (exact decimal variance numerators) because Spark
+    # ANSI would raise while merely EVALUATING a dividing predicate.
+    vnum = (
+        F.col("na") * F.col("sxxa") - F.col("sxa") * F.col("sxa")
+    ) + (F.col("nb") * F.col("sxxb") - F.col("sxb") * F.col("sxb"))
+    zguard = (F.col("na") > 1) & (F.col("nb") > 1) & (vnum != 0)
+    zval = F.when(
+        zguard,
         (
-            F.col("sxxa").cast("double")
-            - F.col("sxa").cast("double") * F.col("sxa") / F.col("na")
+            F.col("sxa").cast("double") / F.col("na")
+            - F.col("sxb").cast("double") / F.col("nb")
         )
-        / (F.col("na") - 1)
-        / F.col("na")
-        + (
-            F.col("sxxb").cast("double")
-            - F.col("sxb").cast("double") * F.col("sxb") / F.col("nb")
-        )
-        / (F.col("nb") - 1)
-        / F.col("nb")
+        / F.sqrt(
+            (
+                F.col("sxxa").cast("double")
+                - F.col("sxa").cast("double") * F.col("sxa") / F.col("na")
+            )
+            / (F.col("na") - 1)
+            / F.col("na")
+            + (
+                F.col("sxxb").cast("double")
+                - F.col("sxb").cast("double") * F.col("sxb") / F.col("nb")
+            )
+            / (F.col("nb") - 1)
+            / F.col("nb")
+        ),
     )
     z = mom.select("event_type", zval.alias("zval"))
     # Abramowitz-Stegun 26.2.17 upper-tail polynomial; t re-spelled
@@ -5654,8 +5771,10 @@ def q348(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pv = z.select("event_type", "zval", p.alias("p"))
+    # asc_nulls_last matches DuckDB's ascending default; a guarded-NULL
+    # p (degenerate data) must rank identically in both engines.
     wr = Window.partitionBy(F.pmod(F.xxhash64("event_type"), F.lit(1))).orderBy(
-        "p", "event_type"
+        F.col("p").asc_nulls_last(), "event_type"
     )
     m = pv.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
     rc = (

@@ -71,3 +71,116 @@ def test_fuzz_parity(name, spark, fuzz_dirs):
     for seed, d in fuzz_dirs.items():
         con = duckdb_conn(d)
         compare(q.fn(spark, d), con, q.oracle, name=f"{name}-fuzz{seed}")
+
+
+def test_regen_fuzz_seed_reproducible(tmp_path):
+    """Same --seed twice => byte-identical output (r11 ADVICE: the old
+    salted hash(name) mix made a failing fuzz sweep unreproducible)."""
+    import subprocess
+    import sys
+
+    outs = []
+    for rep in ("a", "b"):
+        out = str(tmp_path / rep)
+        subprocess.run(
+            [
+                sys.executable, "scripts/regen_fuzz.py",
+                "--seed", "9",
+                "--src", "/root/testdata/sf0.001",
+                "--out", out,
+            ],
+            check=True,
+            cwd="/root/repo",
+        )
+        outs.append(out)
+    import pyarrow.parquet as pq
+
+    for t in ("lineitem", "events", "documents"):
+        a = pq.read_table(f"{outs[0]}/{t}.parquet")
+        b = pq.read_table(f"{outs[1]}/{t}.parquet")
+        assert a.equals(b), f"{t} differs across two same-seed fuzz runs"
+
+
+DEGEN_GUARDED = (
+    # the OLS/variance-z family guarded in r12 (q330/q372 class): on
+    # constant series each query's zero-variance divisor must yield
+    # agreed NULLs, not a Spark ANSI DIVIDE_BY_ZERO vs DuckDB inf.
+    "q252", "q285", "q292", "q298", "q299", "q301",
+    "q316", "q331", "q348", "q372",
+)
+
+
+@pytest.fixture(scope="module")
+def degen_dir(tmp_path_factory):
+    """sf0.001 copy with CONSTANT series: one event timestamp, constant
+    value, one order date, constant lineitem price/quantity — the
+    collapse no jitter-style fuzz produces but a pathological upstream
+    feed can."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp("degen") / "sf")
+    shutil.copytree("/root/testdata/sf0.001", d)
+    import os
+
+    def rewrite(name, edits):
+        path = f"{d}/{name}.parquet"
+        os.chmod(path, 0o644)
+        t = pq.read_table(path)
+        for col, val in edits.items():
+            idx = t.schema.get_field_index(col)
+            typ = t.schema.field(idx).type
+            arr = pa.array([val] * t.num_rows, type=typ)
+            t = t.set_column(idx, col, arr)
+        pq.write_table(t, path)
+
+    one_ts = np.datetime64("1995-06-15T12:00:00", "us").item()
+    rewrite("events", {"ts": one_ts, "value": 2.5})
+    rewrite("orders", {"o_orderdate": one_ts})
+    rewrite("lineitem", {"l_quantity": 1.0, "l_extendedprice": 100.0})
+    return d
+
+
+@pytest.mark.parametrize("name", DEGEN_GUARDED)
+def test_degenerate_constant_series_parity(name, spark, degen_dir):
+    q = all_queries()[name]
+    compare(
+        q.fn(spark, degen_dir),
+        duckdb_conn(degen_dir),
+        q.oracle,
+        name=f"{name}-degen",
+    )
+
+
+def test_q330_degenerate_single_ingest_day(spark, tmp_path):
+    """r12 guard: with every document on ONE ingest day the variance
+    denominator n*sxx - sx*sx is exactly 0 — Spark ANSI must not raise
+    DIVIDE_BY_ZERO and both engines must agree on NULL growth/runway
+    (the fuzz gate shuffles/jitters but never collapses the day spine,
+    so this edge needs its own fence)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "sf_degen")
+    shutil.copytree("/root/testdata/sf0.001", d)
+    t = pq.read_table(f"{d}/documents.parquet")
+    # doc_id scaled by 730 => doc_id % 730 == 0 for every row
+    doc_id = pa.array(
+        [v * 730 for v in t.column("doc_id").to_pylist()], type=pa.int64()
+    )
+    t = t.set_column(t.schema.get_field_index("doc_id"), "doc_id", doc_id)
+    import os
+
+    os.chmod(f"{d}/documents.parquet", 0o644)
+    pq.write_table(t, f"{d}/documents.parquet")
+    q = all_queries()["q330"]
+    got = q.fn(spark, d).toPandas()
+    assert len(got) == 1
+    assert got["daily_growth"].isna().all()
+    assert got["days_to_10x"].isna().all()
+    compare(q.fn(spark, d), duckdb_conn(d), q.oracle, name="q330-degen")
