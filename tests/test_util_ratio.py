@@ -300,3 +300,91 @@ def test_duckdb_round_double_matches_duckdb(spark, duck):
         (v, g, w) for v, g, w in zip(vals, got, want) if repr(g) != repr(w)
     ]
     assert not diffs, diffs[:10]
+
+
+def test_units4_matches_sql_units4(spark, duck):
+    """units4 / sql_units4 (r12, the q44/q289 fixed-point ingest) must
+    agree bit-for-bit: both run the same IEEE sequence (x*1e4, |..|+0.5,
+    floor, sign) on the same double, so NO rounding-model divergence is
+    possible — this pins the op sequence itself. Values ship to both
+    engines as binary doubles via pandas registration."""
+    import random
+
+    import pandas as pd
+
+    from hive_hw_spark.queries._util import sql_units4, units4
+
+    rng = random.Random(12)
+    vals = []
+    # exact .5-unit boundaries (odd k / 2e4) — the r11 flake class
+    vals += [(2 * k + 1) / 2 / 10000.0 for k in range(0, 4000, 31)]
+    vals += [-(2 * k + 1) / 2 / 10000.0 for k in range(0, 4000, 43)]
+    # fuzz-jittered money and continuous doubles
+    vals += [round(rng.randint(1, 10**6) / 100.0 * f, 10)
+             for f in (0.998, 1.001) for _ in range(150)]
+    vals += [rng.uniform(-1e6, 1e6) for _ in range(300)]
+    vals += [0.0, -0.0, 0.00005, -0.00005, 2.5, -2.5]
+
+    pdf = pd.DataFrame({"v": vals})
+    duck.register("t_units_probe", pdf)
+    want = [
+        r[0]
+        for r in duck.execute(
+            f"SELECT {sql_units4('v')} FROM t_units_probe"
+        ).fetchall()
+    ]
+    got = [
+        r.x
+        for r in spark.createDataFrame(pdf)
+        .select(units4(F.col("v")).alias("x"))
+        .collect()
+    ]
+    diffs = [
+        (v, g, w) for v, g, w in zip(vals, got, want) if g != w
+    ]
+    assert not diffs, diffs[:10]
+
+
+def test_iratio_round4_matches_reference_and_sql(spark, duck):
+    """iratio_round4 / sql_iratio_round4 (r12): all-LONG half-away
+    rounding of num/den in 1e-4 units, against the exact Fraction-free
+    integer reference (den > 0, |2*num|+den < 2^53)."""
+    from hive_hw_spark.queries._util import (
+        iratio_round4,
+        sql_iratio_round4,
+    )
+
+    def ref(num: int, den: int) -> float:
+        sign = -1 if num < 0 else 1
+        q = (2 * abs(num) + den) // (2 * den)
+        return sign * (float(q) / 10000.0)
+
+    import random
+
+    rng = random.Random(13)
+    cases = [
+        (0, 1), (5000, 1), (-5000, 1), (1, 2), (-1, 2),
+        (15000, 3), (2**50, 997), (-(2**50), 997),
+        (65375, 10),  # .5 boundary in units
+    ]
+    cases += [
+        (rng.randint(-(10**14), 10**14), rng.randint(1, 10**8))
+        for _ in range(300)
+    ]
+    for n, d in cases[:20]:
+        got_duck = duck.execute(
+            "SELECT "
+            + sql_iratio_round4(
+                f"CAST({n} AS BIGINT)", f"CAST({d} AS BIGINT)"
+            )
+        ).fetchone()[0]
+        assert repr(got_duck) == repr(ref(n, d)), ("duck", n, d, got_duck)
+    df = spark.createDataFrame(cases, "n long, d long")
+    got = [
+        r.x
+        for r in df.select(
+            iratio_round4(F.col("n"), F.col("d")).alias("x")
+        ).collect()
+    ]
+    for (n, d), g in zip(cases, got):
+        assert repr(g) == repr(ref(n, d)), ("spark", n, d, g)
