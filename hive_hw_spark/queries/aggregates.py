@@ -608,12 +608,18 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
-           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
-                 / n, 4) AS intercept,
-           ROUND((n * sxy - sx * sy)
-                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
-             AS corr_r
+           CASE WHEN (n * sxx - sx * sx) <> 0
+                THEN ROUND((n * sxy - sx * sy)
+                           / (n * sxx - sx * sx), 4)
+                ELSE NULL END AS slope,
+           CASE WHEN (n * sxx - sx * sx) <> 0
+                THEN ROUND((sy - ((n * sxy - sx * sy)
+                           / (n * sxx - sx * sx)) * sx) / n, 4)
+                ELSE NULL END AS intercept,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <> 0
+                THEN ROUND((n * sxy - sx * sy)
+                      / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+                ELSE NULL END AS corr_r
     FROM s ORDER BY l_returnflag
     """,
     doc="Statistical aggregate family — per-group least-squares slope/"
@@ -652,7 +658,10 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
     var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
     var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
-    slope = cov_n / var_x
+    # Constant-column guard (q330/q372 class, extended r12): zero
+    # variance zeroes the divisors — Spark ANSI raises where DuckDB
+    # yields NaN/inf, so both engines agree on NULL first.
+    slope = F.when(var_x != 0, cov_n / var_x)
     return s.select(
         "l_returnflag",
         "n",
@@ -660,7 +669,9 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("sy") - slope * F.col("sx")) / n, 4).alias(
             "intercept"
         ),
-        F.round(cov_n / F.sqrt(var_x * var_y), 4).alias("corr_r"),
+        F.when(
+            var_x * var_y != 0, F.round(cov_n / F.sqrt(var_x * var_y), 4)
+        ).alias("corr_r"),
     ).orderBy("l_returnflag")
 
 
@@ -1319,9 +1330,10 @@ def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     b AS (
       SELECT event_type,
-             LEAST(CAST(127 AS BIGINT), CAST(FLOOR(
-               (value - lo) / ((hi - lo) / CAST(128 AS DOUBLE))
-             ) AS BIGINT)) AS bin
+             CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+                  ELSE LEAST(CAST(127 AS BIGINT), CAST(FLOOR(
+                    (value - lo) / ((hi - lo) / CAST(128 AS DOUBLE))
+                  ) AS BIGINT)) END AS bin
       FROM events, mm
     ),
     h AS (
@@ -1363,12 +1375,21 @@ def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     mm = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     width = (F.col("hi") - F.col("lo")) / F.lit(128.0)
+    # Constant-value guard (q330/q372 class, extended r12): hi == lo
+    # zeroes the bin width — Spark ANSI raises on the divide where
+    # DuckDB yields NaN; everything lands in bin 0 in both engines.
     b = ev.crossJoin(F.broadcast(mm)).select(
         "event_type",
-        F.least(
-            F.lit(127).cast("bigint"),
-            F.floor((F.col("value") - F.col("lo")) / width).cast("bigint"),
-        ).alias("bin"),
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint"))
+        .otherwise(
+            F.least(
+                F.lit(127).cast("bigint"),
+                F.floor(
+                    (F.col("value") - F.col("lo")) / width
+                ).cast("bigint"),
+            )
+        )
+        .alias("bin"),
     )
     h = b.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("c"))
     w_cum = (

@@ -307,7 +307,9 @@ def q305(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s
     )
     SELECT n1, n2, ROUND(u1, 4) AS u_stat,
-           ROUND((u1 - mu) / sigma, 4) AS z_stat
+           CASE WHEN (n1 + n2) > 1 AND sigma <> 0
+                THEN ROUND((u1 - mu) / sigma, 4)
+                ELSE NULL END AS z_stat
     FROM d
     """,
     doc="Mann-Whitney U rank-sum test — are 'error' event values "
@@ -386,11 +388,17 @@ def q306(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("tie3") / ((n1 + n2).cast("double") * (n1 + n2 - 1))
         )
     )
+    # All-tied / tiny-sample guard (q330/q372 class, extended r12): one
+    # distinct value makes the tie correction cancel sigma to exactly 0,
+    # and n1+n2 <= 1 zeroes the tie divisor — Spark ANSI raises where
+    # DuckDB yields NaN/inf. And short-circuits, so sigma (which divides
+    # by (n1+n2)(n1+n2-1)) only evaluates when n1+n2 > 1.
+    zguard = ((n1 + n2) > 1) & (sigma != 0)
     return s.select(
         "n1",
         "n2",
         F.round(u1, 4).alias("u_stat"),
-        F.round((u1 - mu) / sigma, 4).alias("z_stat"),
+        F.when(zguard, F.round((u1 - mu) / sigma, 4)).alias("z_stat"),
     )
 
 
@@ -531,14 +539,20 @@ def q307(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     b AS (
       SELECT l_returnflag, n, m1, m2, my, c1y, c2y, cyy,
-             (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
-             (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2
+             CASE WHEN (c11 * c22 - c12 * c12) <> 0
+                  THEN (c1y * c22 - c2y * c12)
+                       / (c11 * c22 - c12 * c12) ELSE NULL END AS b1,
+             CASE WHEN (c11 * c22 - c12 * c12) <> 0
+                  THEN (c2y * c11 - c1y * c12)
+                       / (c11 * c22 - c12 * c12) ELSE NULL END AS b2
       FROM c
     )
     SELECT l_returnflag, n,
            ROUND(my - b1 * m1 - b2 * m2, 4) AS b0,
            ROUND(b1, 4) AS b_qty, ROUND(b2, 4) AS b_disc,
-           ROUND((b1 * c1y + b2 * c2y) / cyy, 4) AS r2
+           CASE WHEN cyy <> 0
+                THEN ROUND((b1 * c1y + b2 * c2y) / cyy, 4)
+                ELSE NULL END AS r2
     FROM b ORDER BY l_returnflag
     """,
     doc="Two-feature OLS via normal equations — extended price regressed "
@@ -581,8 +595,14 @@ def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2y = F.col("s2y") - F.col("s2") * F.col("sy") / n
     cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
     det = c11 * c22 - c12 * c12
-    b1 = (c1y * c22 - c2y * c12) / det
-    b2 = (c2y * c11 - c1y * c12) / det
+    # Collinear/constant-feature guard (q330/q372 class, extended r12):
+    # a singular normal-equation system or constant target zeroes a
+    # divisor — Spark ANSI raises where DuckDB yields NaN/inf. Note
+    # Spark's ANSI Divide raises on a ZERO divisor even when the
+    # numerator is NULL, so cyy needs its own guard (NULL b1 does not
+    # protect r2).
+    b1 = F.when(det != 0, (c1y * c22 - c2y * c12) / det)
+    b2 = F.when(det != 0, (c2y * c11 - c1y * c12) / det)
     m1, m2, my = F.col("s1") / n, F.col("s2") / n, F.col("sy") / n
     return (
         g.select(
@@ -591,7 +611,9 @@ def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(my - b1 * m1 - b2 * m2, 4).alias("b0"),
             F.round(b1, 4).alias("b_qty"),
             F.round(b2, 4).alias("b_disc"),
-            F.round((b1 * c1y + b2 * c2y) / cyy, 4).alias("r2"),
+            F.when(
+                cyy != 0, F.round((b1 * c1y + b2 * c2y) / cyy, 4)
+            ).alias("r2"),
         )
         .orderBy("l_returnflag")
     )
@@ -626,9 +648,11 @@ def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(day AS VARCHAR) AS day, ROUND(rev, 4) AS rev,
            ROUND(ewma, 4) AS ewma,
-           CAST(CASE WHEN ABS(ewma - s / n)
-                  > 3 * SQRT((ss - s * s / n) / (n - 1)) * SQRT(1.0 / 3)
-                THEN 1 ELSE 0 END AS INT) AS ooc
+           CASE WHEN n > 1 THEN
+             CAST(CASE WHEN ABS(ewma - s / n)
+                    > 3 * SQRT((ss - s * s / n) / (n - 1)) * SQRT(1.0 / 3)
+                  THEN 1 ELSE 0 END AS INT)
+           ELSE NULL END AS ooc
     FROM ew, gstat ORDER BY day
     """,
     doc="EWMA control chart on daily revenue — q260's truncated "
@@ -678,6 +702,9 @@ def q309(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, s, ss = F.col("n"), F.col("s"), F.col("ss")
     sigma = F.sqrt((ss - s * s / n) / (n - 1))
+    # Single-day guard (q330/q372 class, extended r12): n==1 zeroes
+    # sigma's n-1 divisor — Spark ANSI raises where DuckDB yields NaN;
+    # the control flag is undefined, NULL in both engines.
     return (
         ew.crossJoin(F.broadcast(glob))
         .select(
@@ -685,11 +712,13 @@ def q309(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rev", 4).alias("rev"),
             F.round("ewma", 4).alias("ewma"),
             F.when(
-                F.abs(F.col("ewma") - s / n)
-                > 3 * sigma * F.sqrt(F.lit(1.0) / 3),
-                1,
+                n > 1,
+                F.when(
+                    F.abs(F.col("ewma") - s / n)
+                    > 3 * sigma * F.sqrt(F.lit(1.0) / 3),
+                    1,
+                ).otherwise(0),
             )
-            .otherwise(0)
             .cast("int")
             .alias("ooc"),
         )
@@ -819,8 +848,10 @@ def q310(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n.n AS n_events, rdim AS n_types, cdim AS n_weekdays,
            ROUND(chi2, 4) AS chi2,
-           ROUND(SQRT(chi2 / (n.n * (LEAST(rdim, cdim) - 1))), 4)
-             AS cramers_v
+           CASE WHEN LEAST(rdim, cdim) > 1
+                THEN ROUND(SQRT(chi2
+                       / (n.n * (LEAST(rdim, cdim) - 1))), 4)
+                ELSE NULL END AS cramers_v
     FROM chi, n
     """,
     doc="Cramér's V association strength for the event-type x weekday "
@@ -878,11 +909,17 @@ def q311(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rdim").alias("n_types"),
         F.col("cdim").alias("n_weekdays"),
         F.round("chi2", 4).alias("chi2"),
-        F.round(
-            F.sqrt(
-                F.col("chi2")
-                / (F.col("n") * (F.least("rdim", "cdim") - 1))
+        # Single-row/column table guard (q330/q372 class, extended r12):
+        # LEAST(r,c)-1 == 0 — Spark ANSI raises where DuckDB yields
+        # NaN/inf; V is undefined on a 1xK table, NULL both engines.
+        F.when(
+            F.least("rdim", "cdim") > 1,
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("n") * (F.least("rdim", "cdim") - 1))
+                ),
+                4,
             ),
-            4,
         ).alias("cramers_v"),
     )

@@ -3446,8 +3446,9 @@ def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     )
     SELECT ROUND(total_rev, 2) AS total_rev, n_orders, n_customers,
-           ROUND((prev_rev - prev2_rev) / prev2_rev * 100, 4)
-             AS yoy_growth_pct,
+           CASE WHEN prev2_rev <> 0
+                THEN ROUND((prev_rev - prev2_rev) / prev2_rev * 100, 4)
+                ELSE NULL END AS yoy_growth_pct,
            {sql_dratio_round('n_churned', 'n_total')} AS churn_rate,
            substr(nat_key, 19) AS top_nation
     FROM rev CROSS JOIN yoy CROSS JOIN churn CROSS JOIN nat
@@ -3547,11 +3548,16 @@ def q300(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("total_rev", 2).alias("total_rev"),
             "n_orders",
             "n_customers",
-            F.round(
-                (F.col("prev_rev") - F.col("prev2_rev"))
-                / F.col("prev2_rev")
-                * 100,
-                4,
+            # No-prior-year guard (q330/q372 class, extended r12):
+            # Spark ANSI raises where DuckDB yields NaN/inf; NULL both.
+            F.when(
+                F.col("prev2_rev") != 0,
+                F.round(
+                    (F.col("prev_rev") - F.col("prev2_rev"))
+                    / F.col("prev2_rev")
+                    * 100,
+                    4,
+                ),
             ).alias("yoy_growth_pct"),
             dratio_round(
                 F.col("n_churned").cast(DECZ), F.col("n_total").cast(DECZ)
@@ -4282,24 +4288,42 @@ def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT var_a, var_b, ROUND(corr, 4) AS corr FROM (
       SELECT 'disc' AS var_a, 'price' AS var_b,
-             (n * spd - sp * sd)
+             CASE WHEN (n * spp - sp * sp)
+                  * (n * sdd - sd * sd) <> 0
+             THEN (n * spd - sp * sd)
              / (SQRT(n * spp - sp * sp) * SQRT(n * sdd - sd * sd))
+             ELSE NULL END
                AS corr FROM s
       UNION ALL SELECT 'disc', 'qty',
-             (n * sqd - sq * sd)
-             / (SQRT(n * sqq - sq * sq) * SQRT(n * sdd - sd * sd)) FROM s
+             CASE WHEN (n * sqq - sq * sq)
+                  * (n * sdd - sd * sd) <> 0
+             THEN (n * sqd - sq * sd)
+             / (SQRT(n * sqq - sq * sq) * SQRT(n * sdd - sd * sd))
+             ELSE NULL END FROM s
       UNION ALL SELECT 'disc', 'tax',
-             (n * sdt - sd * st)
-             / (SQRT(n * sdd - sd * sd) * SQRT(n * stt - st * st)) FROM s
+             CASE WHEN (n * sdd - sd * sd)
+                  * (n * stt - st * st) <> 0
+             THEN (n * sdt - sd * st)
+             / (SQRT(n * sdd - sd * sd) * SQRT(n * stt - st * st))
+             ELSE NULL END FROM s
       UNION ALL SELECT 'price', 'qty',
-             (n * sqp - sq * sp)
-             / (SQRT(n * sqq - sq * sq) * SQRT(n * spp - sp * sp)) FROM s
+             CASE WHEN (n * sqq - sq * sq)
+                  * (n * spp - sp * sp) <> 0
+             THEN (n * sqp - sq * sp)
+             / (SQRT(n * sqq - sq * sq) * SQRT(n * spp - sp * sp))
+             ELSE NULL END FROM s
       UNION ALL SELECT 'price', 'tax',
-             (n * spt - sp * st)
-             / (SQRT(n * spp - sp * sp) * SQRT(n * stt - st * st)) FROM s
+             CASE WHEN (n * spp - sp * sp)
+                  * (n * stt - st * st) <> 0
+             THEN (n * spt - sp * st)
+             / (SQRT(n * spp - sp * sp) * SQRT(n * stt - st * st))
+             ELSE NULL END FROM s
       UNION ALL SELECT 'qty', 'tax',
-             (n * sqt - sq * st)
-             / (SQRT(n * sqq - sq * sq) * SQRT(n * stt - st * st)) FROM s
+             CASE WHEN (n * sqq - sq * sq)
+                  * (n * stt - st * st) <> 0
+             THEN (n * sqt - sq * st)
+             / (SQRT(n * sqq - sq * sq) * SQRT(n * stt - st * st))
+             ELSE NULL END FROM s
     ) ORDER BY var_a, var_b
     """,
     doc="One-pass pairwise correlation matrix over the four lineitem "
@@ -4339,12 +4363,15 @@ def q321(spark: SparkSession, sf_dir: str) -> DataFrame:
     made = {f"{a}{b}" for a, b in pairs}
 
     def corr(a: str, b: str):
+        # Constant-column guard (q330/q372 class, extended r12): zero
+        # variance on either side zeroes the divisor — Spark ANSI
+        # raises where DuckDB yields NaN/inf; NULL both engines.
         n = F.col("n")
         ab = f"{a}{b}" if f"{a}{b}" in made else f"{b}{a}"
         cov = n * F.col(f"s{ab}") - F.col(f"s{a}") * F.col(f"s{b}")
         va = n * F.col(f"s{a}{a}") - F.col(f"s{a}") * F.col(f"s{a}")
         vb = n * F.col(f"s{b}{b}") - F.col(f"s{b}") * F.col(f"s{b}")
-        return cov / (F.sqrt(va) * F.sqrt(vb))
+        return F.when(va * vb != 0, cov / (F.sqrt(va) * F.sqrt(vb)))
 
     names = {"q": "qty", "p": "price", "d": "disc", "t": "tax"}
     out_pairs = [("d", "p"), ("d", "q"), ("d", "t"),
@@ -6744,9 +6771,13 @@ def q355(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ols AS (
       SELECT n,
-             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b1,
-             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
-               AS b0
+             CASE WHEN (n * sxx - sx * sx) <> 0
+                  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                  ELSE 0.0 END AS b1,
+             CASE WHEN (n * sxx - sx * sx) <> 0
+                  THEN (sy - (n * sxy - sx * sy)
+                        / (n * sxx - sx * sx) * sx) / n
+                  ELSE sy / n END AS b0
       FROM m
     ),
     res AS (
@@ -6778,11 +6809,14 @@ def q355(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(ols.b0, 4) AS icept_ols,
            ROUND((SELECT s FROM sc), 4) AS scale_s,
            wm.n_down AS n_downweighted,
-           ROUND((sw * swxy - swx * swy) / (sw * swxx - swx * swx), 4)
-             AS slope_huber,
-           ROUND((swy - (sw * swxy - swx * swy)
-                        / (sw * swxx - swx * swx) * swx) / sw, 4)
-             AS icept_huber
+           CASE WHEN (sw * swxx - swx * swx) <> 0
+                THEN ROUND((sw * swxy - swx * swy)
+                           / (sw * swxx - swx * swx), 4)
+                ELSE NULL END AS slope_huber,
+           CASE WHEN (sw * swxx - swx * swx) <> 0
+                THEN ROUND((swy - (sw * swxy - swx * swy)
+                             / (sw * swxx - swx * swx) * swx) / sw, 4)
+                ELSE NULL END AS icept_huber
     FROM ols CROSS JOIN wm ORDER BY n_days
     """,
     doc="One-step Huber robust trend on daily revenue: plain OLS "
@@ -6822,10 +6856,20 @@ def q357(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sxx"),
         F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
     )
-    b1 = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # Single-day guard (q330/q372 class, extended r12): on a one-point
+    # series the OLS degenerates to (slope 0, intercept = mean) so the
+    # residual pipeline still runs; Spark ANSI would raise on the zero
+    # variance divisor where DuckDB yields NaN/inf.
+    xden = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    b1 = F.when(
+        xden != 0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / xden,
+    ).otherwise(F.lit(0.0))
+    ols = m.select(
+        "n",
+        b1.alias("b1"),
+        ((F.col("sy") - b1 * F.col("sx")) / F.col("n")).alias("b0"),
     )
-    ols = m.select("n", b1.alias("b1"), ((F.col("sy") - b1 * F.col("sx")) / F.col("n")).alias("b0"))
     res = xy.crossJoin(F.broadcast(ols)).select(
         "x", "y", (F.col("y") - (F.col("b0") + F.col("b1") * F.col("x"))).alias("r")
     )
@@ -6849,8 +6893,11 @@ def q357(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("swxy"),
         F.count(F.when(F.col("w") < 1.0, 1)).cast("bigint").alias("n_down"),
     )
-    hb1 = (F.col("sw") * F.col("swxy") - F.col("swx") * F.col("swy")) / (
-        F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+    wden = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+    hb1 = F.when(
+        wden != 0,
+        (F.col("sw") * F.col("swxy") - F.col("swx") * F.col("swy"))
+        / wden,
     )
     return (
         ols.crossJoin(F.broadcast(sc))
@@ -6862,9 +6909,12 @@ def q357(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("s", 4).alias("scale_s"),
             F.col("n_down").alias("n_downweighted"),
             F.round(hb1, 4).alias("slope_huber"),
-            F.round((F.col("swy") - hb1 * F.col("swx")) / F.col("sw"), 4).alias(
-                "icept_huber"
-            ),
+            F.when(
+                wden != 0,
+                F.round(
+                    (F.col("swy") - hb1 * F.col("swx")) / F.col("sw"), 4
+                ),
+            ).alias("icept_huber"),
         )
         .orderBy("n_days")
     )
@@ -7751,10 +7801,14 @@ def q369(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     fit AS (
       SELECT n,
-             SQRT((ss - s * s / n) / (n - 1)) * 0.7796968012336093
-               AS beta,
-             s / n - SQRT((ss - s * s / n) / (n - 1))
-                     * 0.7796968012336093 * 0.5772156649015329 AS mu
+             CASE WHEN n > 1
+                  THEN SQRT((ss - s * s / n) / (n - 1))
+                       * 0.7796968012336093
+                  ELSE NULL END AS beta,
+             CASE WHEN n > 1
+                  THEN s / n - SQRT((ss - s * s / n) / (n - 1))
+                       * 0.7796968012336093 * 0.5772156649015329
+                  ELSE NULL END AS mu
       FROM m
     )
     SELECT n AS n_months, ROUND(mu, 4) AS mu, ROUND(beta, 4) AS beta,
@@ -7792,9 +7846,14 @@ def q370(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("ss"),
     )
-    sd = F.sqrt(
-        (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
-        / (F.col("n") - 1)
+    # Single-month guard (q330/q372 class, extended r12): n==1 zeroes
+    # the n-1 divisor — Spark ANSI raises where DuckDB yields NaN.
+    sd = F.when(
+        F.col("n") > 1,
+        F.sqrt(
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1)
+        ),
     )
     beta = sd * 0.7796968012336093
     mu = F.col("s") / F.col("n") - sd * 0.7796968012336093 * 0.5772156649015329
@@ -8793,9 +8852,12 @@ def q381(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     r AS (
       SELECT lag, n_pairs,
-             ROUND((n_pairs * sxy - sx * sy)
-                   / sqrt((n_pairs * sxx - sx * sx)
-                          * (n_pairs * syy - sy * sy)), 4) AS xcorr
+             CASE WHEN (n_pairs * sxx - sx * sx)
+                       * (n_pairs * syy - sy * sy) <> 0
+                  THEN ROUND((n_pairs * sxy - sx * sy)
+                        / sqrt((n_pairs * sxx - sx * sx)
+                               * (n_pairs * syy - sy * sy)), 4)
+                  ELSE NULL END AS xcorr
       FROM s
     )
     SELECT lag, n_pairs, xcorr,
@@ -8846,16 +8908,23 @@ def q383(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
     )
     n = F.col("n_pairs")
+    # Constant-series guard (q330/q372 class, extended r12): zero
+    # variance at either series zeroes the divisor — Spark ANSI raises
+    # where DuckDB yields NaN/inf; NULL both engines (the peak flag
+    # then compares NULL = NULL -> 0 in both).
+    vprod = (n * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        n * F.col("syy") - F.col("sy") * F.col("sy")
+    )
     r = s.select(
         "lag",
         "n_pairs",
-        F.round(
-            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / F.sqrt(
-                (n * F.col("sxx") - F.col("sx") * F.col("sx"))
-                * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+        F.when(
+            vprod != 0,
+            F.round(
+                (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / F.sqrt(vprod),
+                4,
             ),
-            4,
         ).alias("xcorr"),
     )
     peak = r.agg(F.max("xcorr").alias("peak"))
@@ -9601,12 +9670,15 @@ def q391(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     z AS (
       SELECT a.salt, a.day,
-             ROUND((CAST(a.cc AS DOUBLE) / a.cn
-                    - CAST(b.cc AS DOUBLE) / b.cn)
-                   / sqrt((CAST(a.cc + b.cc AS DOUBLE) / (a.cn + b.cn))
-                          * (1 - CAST(a.cc + b.cc AS DOUBLE)
-                                 / (a.cn + b.cn))
-                          * (1.0 / a.cn + 1.0 / b.cn)), 4) AS zd
+             CASE WHEN a.cc + b.cc > 0
+                   AND a.cc + b.cc < a.cn + b.cn
+                  THEN ROUND((CAST(a.cc AS DOUBLE) / a.cn
+                         - CAST(b.cc AS DOUBLE) / b.cn)
+                        / sqrt((CAST(a.cc + b.cc AS DOUBLE) / (a.cn + b.cn))
+                               * (1 - CAST(a.cc + b.cc AS DOUBLE)
+                                      / (a.cn + b.cn))
+                               * (1.0 / a.cn + 1.0 / b.cn)), 4)
+                  ELSE NULL END AS zd
       FROM (SELECT * FROM cum WHERE arm = 'A') a
       JOIN (SELECT * FROM cum WHERE arm = 'B') b
         ON b.salt = a.salt AND b.day = a.day
@@ -9702,17 +9774,26 @@ def q392(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "salt",
         "day",
-        F.round(
-            (
-                F.col("ac").cast("double") / F.col("an")
-                - F.col("bc").cast("double") / F.col("bn")
-            )
-            / F.sqrt(
-                pooled
-                * (1 - pooled)
-                * (1.0 / F.col("an") + 1.0 / F.col("bn"))
+        # All-converted / none-converted guard (q330/q372 class,
+        # extended r12): pooled p in {0,1} zeroes p(1-p) — Spark ANSI
+        # raises where DuckDB yields NaN/inf; NULL zd drops out of the
+        # MAX(CASE ...) flags identically in both engines. Division-
+        # free predicate (integer count compares).
+        F.when(
+            (F.col("ac") + F.col("bc") > 0)
+            & (F.col("ac") + F.col("bc") < F.col("an") + F.col("bn")),
+            F.round(
+                (
+                    F.col("ac").cast("double") / F.col("an")
+                    - F.col("bc").cast("double") / F.col("bn")
+                )
+                / F.sqrt(
+                    pooled
+                    * (1 - pooled)
+                    * (1.0 / F.col("an") + 1.0 / F.col("bn"))
+                ),
+                4,
             ),
-            4,
         ).alias("zd"),
     )
     last = z.agg(F.max("day").alias("last_day"))
@@ -9890,9 +9971,13 @@ def q393(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(c2 AS DOUBLE) / 7, 4) AS rate2_per_day,
            CASE WHEN c1 > 0 THEN {sql_dratio_round('c2', 'c1')}
                 ELSE NULL END AS rate_ratio,
-           ROUND((LN(CAST(c2 AS DOUBLE)) - LN(CAST(c1 AS DOUBLE)))
-                 / sqrt(1.0 / c1 + 1.0 / c2), 4) AS z_score,
-           CAST(CASE WHEN ABS(ROUND((LN(CAST(c2 AS DOUBLE))
+           CASE WHEN c1 > 0 AND c2 > 0
+                THEN ROUND((LN(CAST(c2 AS DOUBLE))
+                       - LN(CAST(c1 AS DOUBLE)))
+                      / sqrt(1.0 / c1 + 1.0 / c2), 4)
+                ELSE NULL END AS z_score,
+           CAST(CASE WHEN c1 > 0 AND c2 > 0
+                      AND ABS(ROUND((LN(CAST(c2 AS DOUBLE))
                       - LN(CAST(c1 AS DOUBLE)))
                       / sqrt(1.0 / c1 + 1.0 / c2), 4)) > 1.96
                 THEN 1 ELSE 0 END AS INTEGER) AS significant
@@ -9933,10 +10018,19 @@ def q394(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c2"),
         )
     )
-    z = F.round(
-        (F.log(F.col("c2").cast("double")) - F.log(F.col("c1").cast("double")))
-        / F.sqrt(1.0 / F.col("c1") + 1.0 / F.col("c2")),
-        4,
+    # Empty-week guard (q330/q372 class, extended r12): c1 or c2 == 0
+    # zeroes a 1/c divisor (Spark ANSI raises; DuckDB yields inf) and
+    # LN(0) is NULL in Spark vs -inf in DuckDB — NULL z in both.
+    z = F.when(
+        (F.col("c1") > 0) & (F.col("c2") > 0),
+        F.round(
+            (
+                F.log(F.col("c2").cast("double"))
+                - F.log(F.col("c1").cast("double"))
+            )
+            / F.sqrt(1.0 / F.col("c1") + 1.0 / F.col("c2")),
+            4,
+        ),
     )
     return c.select(
         F.col("c1").alias("errors_week1"),
@@ -10452,8 +10546,12 @@ def q399(spark: SparkSession, sf_dir: str) -> DataFrame:
              + (CASE WHEN p2 > 0
                      THEN 0.5 * p2 * LN(p2 / ((p1 + p2) / 2)) ELSE 0 END)
              AS DECIMAL(30,10))) AS DOUBLE) AS v
-      FROM (SELECT c1 / (SELECT SUM(c1) FROM pm) AS p1,
-                   c2 / (SELECT SUM(c2) FROM pm) AS p2
+      FROM (SELECT CASE WHEN (SELECT SUM(c1) FROM pm) <> 0
+                        THEN c1 / (SELECT SUM(c1) FROM pm)
+                        ELSE NULL END AS p1,
+                   CASE WHEN (SELECT SUM(c2) FROM pm) <> 0
+                        THEN c2 / (SELECT SUM(c2) FROM pm)
+                        ELSE NULL END AS p2
             FROM pm)
     )
     SELECT metric, value FROM (
@@ -10468,10 +10566,14 @@ def q399(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'priority_mix_jsd', ROUND(v, 6) FROM jsd
       UNION ALL
       SELECT 'totalprice_mean_z',
-             ROUND((sx2 / n2 - sx1 / n1)
-                   / sqrt(((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1
-                          + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2),
-                   4) FROM w
+             CASE WHEN n1 > 1 AND n2 > 1
+                   AND (((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1
+                        + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2) <> 0
+                  THEN ROUND((sx2 / n2 - sx1 / n1)
+                        / sqrt(((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1
+                           + ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2),
+                        4)
+                  ELSE NULL END FROM w
       UNION ALL
       SELECT 'totalprice_p50_ratio', ROUND(med2 / med1, 4) FROM w
     ) ORDER BY metric
@@ -10550,9 +10652,12 @@ def q401(spark: SparkSession, sf_dir: str) -> DataFrame:
     tots = pm.agg(
         F.sum("c1").alias("t1"), F.sum("c2").alias("t2")
     )
+    # Empty-half guard (q330/q372 class, extended r12): an empty half
+    # zeroes its mix total — Spark ANSI raises on 0/0 where DuckDB
+    # yields NaN; NULL probabilities cascade to a NULL JSD in both.
     probs = pm.crossJoin(F.broadcast(tots)).select(
-        (F.col("c1") / F.col("t1")).alias("p1"),
-        (F.col("c2") / F.col("t2")).alias("p2"),
+        F.when(F.col("t1") != 0, F.col("c1") / F.col("t1")).alias("p1"),
+        F.when(F.col("t2") != 0, F.col("c2") / F.col("t2")).alias("p2"),
     )
     mmix = (F.col("p1") + F.col("p2")) / 2
     jsd = probs.agg(
@@ -10595,15 +10700,34 @@ def q401(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         w.select(
             F.lit("totalprice_mean_z").alias("metric"),
-            F.round(
-                (F.col("sx2") / n2 - F.col("sx1") / n1)
-                / F.sqrt(
-                    ((F.col("sxx1") - F.col("sx1") * F.col("sx1") / n1) / (n1 - 1))
+            # Singleton/constant-half guard: And short-circuits, so the
+            # dividing variance conjunct only evaluates when n1,n2 > 1.
+            F.when(
+                (n1 > 1)
+                & (n2 > 1)
+                & (
+                    (
+                        (F.col("sxx1") - F.col("sx1") * F.col("sx1") / n1)
+                        / (n1 - 1)
+                    )
                     / n1
-                    + ((F.col("sxx2") - F.col("sx2") * F.col("sx2") / n2) / (n2 - 1))
+                    + (
+                        (F.col("sxx2") - F.col("sx2") * F.col("sx2") / n2)
+                        / (n2 - 1)
+                    )
                     / n2
+                    != 0
                 ),
-                4,
+                F.round(
+                    (F.col("sx2") / n2 - F.col("sx1") / n1)
+                    / F.sqrt(
+                        ((F.col("sxx1") - F.col("sx1") * F.col("sx1") / n1) / (n1 - 1))
+                        / n1
+                        + ((F.col("sxx2") - F.col("sx2") * F.col("sx2") / n2) / (n2 - 1))
+                        / n2
+                    ),
+                    4,
+                ),
             ).alias("value"),
         ),
         w.select(
@@ -10648,12 +10772,14 @@ def q401(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     z AS (
       SELECT a.look, a.n AS n_a, b2.n AS n_b,
-             ROUND((CAST(a.c AS DOUBLE) / a.n
-                    - CAST(b2.c AS DOUBLE) / b2.n)
-                   / sqrt((CAST(a.c + b2.c AS DOUBLE) / (a.n + b2.n))
-                          * (1 - CAST(a.c + b2.c AS DOUBLE)
-                                 / (a.n + b2.n))
-                          * (1.0 / a.n + 1.0 / b2.n)), 4) AS z
+             CASE WHEN a.c + b2.c > 0 AND a.c + b2.c < a.n + b2.n
+                  THEN ROUND((CAST(a.c AS DOUBLE) / a.n
+                         - CAST(b2.c AS DOUBLE) / b2.n)
+                        / sqrt((CAST(a.c + b2.c AS DOUBLE) / (a.n + b2.n))
+                               * (1 - CAST(a.c + b2.c AS DOUBLE)
+                                      / (a.n + b2.n))
+                               * (1.0 / a.n + 1.0 / b2.n)), 4)
+                  ELSE NULL END AS z
       FROM (SELECT * FROM cum WHERE arm = 'A') a
       JOIN (SELECT * FROM cum WHERE arm = 'B') b2 ON b2.look = a.look
     )
@@ -10717,15 +10843,24 @@ def q402(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooled = (F.col("ca") + F.col("cb")).cast("double") / (
         F.col("n_a") + F.col("n_b")
     )
-    z = F.round(
-        (
-            F.col("ca").cast("double") / F.col("n_a")
-            - F.col("cb").cast("double") / F.col("n_b")
-        )
-        / F.sqrt(
-            pooled * (1 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    # All-converted / none-converted guard (q330/q372 class, extended
+    # r12): pooled p in {0,1} zeroes p(1-p) — Spark ANSI raises where
+    # DuckDB yields NaN/inf; NULL z -> crossed 0 in both engines.
+    z = F.when(
+        (F.col("ca") + F.col("cb") > 0)
+        & (F.col("ca") + F.col("cb") < F.col("n_a") + F.col("n_b")),
+        F.round(
+            (
+                F.col("ca").cast("double") / F.col("n_a")
+                - F.col("cb").cast("double") / F.col("n_b")
+            )
+            / F.sqrt(
+                pooled
+                * (1 - pooled)
+                * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+            ),
+            4,
         ),
-        4,
     )
     bound = F.round(2.024 * F.sqrt(4.0 / F.col("look")), 4)
     return (
@@ -11477,7 +11612,9 @@ def _user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1
     )
     SELECT b.feature,
-           ROUND(b.ssb / (t.sxx - t.sxt * t.sxt / t.nt), 6) AS eta_sq
+           CASE WHEN (t.sxx - t.sxt * t.sxt / t.nt) <> 0
+                THEN ROUND(b.ssb / (t.sxx - t.sxt * t.sxt / t.nt), 6)
+                ELSE NULL END AS eta_sq
     FROM ssb b JOIN tot t ON t.feature = b.feature
     ORDER BY b.feature
     """,
@@ -11533,10 +11670,20 @@ def q409(spark: SparkSession, sf_dir: str) -> DataFrame:
         ssb.join(F.broadcast(tot), F.col("feature") == F.col("ft"))
         .select(
             "feature",
-            F.round(
-                F.col("ssb")
-                / (F.col("sxx") - F.col("sxt") * F.col("sxt") / F.col("nt")),
-                6,
+            # Constant-feature guard (q330/q372 class, extended r12):
+            # zero total variance zeroes SST — Spark ANSI raises where
+            # DuckDB yields NaN; eta^2 undefined, NULL both engines.
+            F.when(
+                F.col("sxx") - F.col("sxt") * F.col("sxt") / F.col("nt")
+                != 0,
+                F.round(
+                    F.col("ssb")
+                    / (
+                        F.col("sxx")
+                        - F.col("sxt") * F.col("sxt") / F.col("nt")
+                    ),
+                    6,
+                ),
             ).alias("eta_sq"),
         )
         .orderBy("feature")
@@ -11811,22 +11958,33 @@ def q413(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     d2 AS (
       SELECT n, sx / n AS mean_rev,
-             sqrt((sxx - sx * sx / n) / (n - 1)) AS sd,
-             ROUND((np * pxy - px * py)
-                   / sqrt((np * pxx - px * px) * (np * pyy - py * py)),
-                   6) AS rho
+             CASE WHEN n > 1
+                  THEN sqrt((sxx - sx * sx / n) / (n - 1))
+                  ELSE NULL END AS sd,
+             CASE WHEN (np * pxx - px * px)
+                       * (np * pyy - py * py) <> 0
+                  THEN ROUND((np * pxy - px * py)
+                        / sqrt((np * pxx - px * px)
+                               * (np * pyy - py * py)), 6)
+                  ELSE NULL END AS rho
       FROM s, ac
     ),
     d3 AS (
       SELECT n, mean_rev, sd, rho,
-             n * (1 - rho) / (1 + rho) AS n_eff
+             CASE WHEN (1 + rho) <> 0
+                  THEN n * (1 - rho) / (1 + rho)
+                  ELSE NULL END AS n_eff
       FROM d2
     )
     SELECT n AS n_days, ROUND(mean_rev, 2) AS mean_rev,
            ROUND(sd, 2) AS sd, rho AS rho1,
            ROUND(n_eff, 2) AS n_eff,
-           ROUND(mean_rev - 1.96 * sd / sqrt(n_eff), 2) AS ci_lo,
-           ROUND(mean_rev + 1.96 * sd / sqrt(n_eff), 2) AS ci_hi,
+           CASE WHEN n_eff > 0
+                THEN ROUND(mean_rev - 1.96 * sd / sqrt(n_eff), 2)
+                ELSE NULL END AS ci_lo,
+           CASE WHEN n_eff > 0
+                THEN ROUND(mean_rev + 1.96 * sd / sqrt(n_eff), 2)
+                ELSE NULL END AS ci_hi,
            ROUND(mean_rev - 1.96 * sd / sqrt(n), 2) AS naive_ci_lo,
            ROUND(mean_rev + 1.96 * sd / sqrt(n), 2) AS naive_ci_hi
     FROM d3 ORDER BY n_days
@@ -11867,34 +12025,49 @@ def q414(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("pxy"),
     )
     np_, n = F.col("np"), F.col("n")
+    # Degenerate-series guards (q330/q372 class, extended r12): n==1
+    # zeroes sd's divisor; constant pairs zero rho's; rho == +/-1
+    # (exact on a 2-point series) zeroes or kills n_eff — Spark ANSI
+    # raises where DuckDB yields NaN/inf; NULL cascade in both.
+    vprod = (np_ * F.col("pxx") - F.col("px") * F.col("px")) * (
+        np_ * F.col("pyy") - F.col("py") * F.col("py")
+    )
     j = s.crossJoin(F.broadcast(ac)).select(
         "n",
         (F.col("sx") / n).alias("mean_rev"),
-        F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)).alias(
-            "sd"
-        ),
-        F.round(
-            (np_ * F.col("pxy") - F.col("px") * F.col("py"))
-            / F.sqrt(
-                (np_ * F.col("pxx") - F.col("px") * F.col("px"))
-                * (np_ * F.col("pyy") - F.col("py") * F.col("py"))
+        F.when(
+            n > 1,
+            F.sqrt(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
             ),
-            6,
+        ).alias("sd"),
+        F.when(
+            vprod != 0,
+            F.round(
+                (np_ * F.col("pxy") - F.col("px") * F.col("py"))
+                / F.sqrt(vprod),
+                6,
+            ),
         ).alias("rho"),
     )
-    ne = F.col("n") * (1 - F.col("rho")) / (1 + F.col("rho"))
+    ne = F.when(
+        (1 + F.col("rho")) != 0,
+        F.col("n") * (1 - F.col("rho")) / (1 + F.col("rho")),
+    )
     return j.select(
         F.col("n").alias("n_days"),
         F.round(F.col("mean_rev"), 2).alias("mean_rev"),
         F.round(F.col("sd"), 2).alias("sd"),
         F.col("rho").alias("rho1"),
         F.round(ne, 2).alias("n_eff"),
-        F.round(F.col("mean_rev") - 1.96 * F.col("sd") / F.sqrt(ne), 2).alias(
-            "ci_lo"
-        ),
-        F.round(F.col("mean_rev") + 1.96 * F.col("sd") / F.sqrt(ne), 2).alias(
-            "ci_hi"
-        ),
+        F.when(
+            ne > 0,
+            F.round(F.col("mean_rev") - 1.96 * F.col("sd") / F.sqrt(ne), 2),
+        ).alias("ci_lo"),
+        F.when(
+            ne > 0,
+            F.round(F.col("mean_rev") + 1.96 * F.col("sd") / F.sqrt(ne), 2),
+        ).alias("ci_hi"),
         F.round(
             F.col("mean_rev") - 1.96 * F.col("sd") / F.sqrt(F.col("n")), 2
         ).alias("naive_ci_lo"),
@@ -14325,7 +14498,8 @@ _Q438_Z = "(es / se - 1.959963984540054)"
     )
     SELECT rel_effect, n_per_arm, baseline_p,
            ROUND(es, 6) AS abs_effect,
-           ROUND({PHI}, 4) AS power
+           CASE WHEN se <> 0 THEN ROUND({PHI}, 4)
+                ELSE NULL END AS power
     FROM terms ORDER BY rel_effect
     """.replace("{PHI}", _phi_sql(_Q438_Z)),
     doc="Statistical-power sensitivity curve: for relative effect sizes "
@@ -14371,12 +14545,17 @@ def q438(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_arm.cast("bigint").alias("n_per_arm"),
         F.round(F.col("p"), 6).alias("baseline_p"),
     )
+    # Saturated-conversion guard (q330/q372 class, extended r12):
+    # p in {0,1} zeroes the standard error — Spark ANSI raises on
+    # es/se inside Phi where DuckDB yields NaN/inf; NULL power both.
     return terms.select(
         "rel_effect",
         "n_per_arm",
         "baseline_p",
         F.round(F.col("es"), 6).alias("abs_effect"),
-        F.round(F.expr(_phi_sql(_Q438_Z)), 4).alias("power"),
+        F.when(
+            F.col("se") != 0, F.round(F.expr(_phi_sql(_Q438_Z)), 4)
+        ).alias("power"),
     ).orderBy("rel_effect")
 
 

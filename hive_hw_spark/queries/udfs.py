@@ -175,14 +175,19 @@ def _znorm_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
              CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS mu,
              COUNT(*) AS n
       FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT e2.user_id,
+             CAST(SUM(CAST((e2.value - m.mu) * (e2.value - m.mu)
+                  AS DECIMAL(38,18))) AS DOUBLE) / MAX(m.n) AS var
+      FROM events e2 JOIN m ON e2.user_id = m.user_id
+      GROUP BY e2.user_id
     )
     SELECT e.event_id, e.user_id,
-           ROUND((e.value - m.mu) /
-                 sqrt((SELECT CAST(SUM(CAST((e2.value - m.mu)*(e2.value - m.mu)
-                                   AS DECIMAL(38,18))) AS DOUBLE)
-                       FROM events e2 WHERE e2.user_id = e.user_id) / m.n),
-                 4) AS z
-    FROM events e JOIN m USING (user_id)
+           CASE WHEN v.var > 0
+                THEN ROUND((e.value - m.mu) / sqrt(v.var), 4)
+                ELSE 0.0 END AS z
+    FROM events e JOIN m USING (user_id) JOIN v USING (user_id)
     ORDER BY e.event_id
     """,
     doc="Grouped-map applyInPandas: z-normalize value per user — the "
@@ -192,7 +197,9 @@ def _znorm_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
     "groups discipline: applyInPandas invokes Python once per key, and "
     "~10k per-user calls cost 7 s at sf0.1 in overhead alone — 64 "
     "buckets amortize it to ~1 s); the per-user frames are recovered "
-    "INSIDE the call with pandas groupby, so the math is unchanged.",
+    "INSIDE the call with pandas groupby, so the math is unchanged. "
+    "Zero-variance groups emit z=0 (declared; the oracle states the "
+    "same CASE — DuckDB's bare 0/0 would yield NaN, fence-caught r12).",
 )
 def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

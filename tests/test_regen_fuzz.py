@@ -107,6 +107,12 @@ DEGEN_GUARDED = (
     # agreed NULLs, not a Spark ANSI DIVIDE_BY_ZERO vs DuckDB inf.
     "q252", "q285", "q292", "q298", "q299", "q301",
     "q316", "q331", "q348", "q372",
+    # second wave (found by the full-registry degen sweep, r12): every
+    # remaining ANSI divide-by-zero on the constant-series dataset,
+    # plus q82's zero-variance z (UDF emitted 0.0 vs DuckDB NaN).
+    "q133", "q175", "q300", "q306", "q308", "q309", "q311", "q321",
+    "q357", "q370", "q383", "q392", "q394", "q401", "q402", "q409",
+    "q414", "q438", "q82",
 )
 
 
