@@ -38,6 +38,7 @@ from ._util import (
     dec_ratio,
     dratio_round,
     dratio_round_wide,
+    duckdb_round_double,
     sql_dec_ratio,
     sql_dratio_round,
     sql_dratio_round_wide,
@@ -6751,7 +6752,7 @@ def q355(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS day,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
                AS y
       FROM orders GROUP BY 1
     ),
@@ -6763,10 +6764,10 @@ def q355(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(y AS DECIMAL(30,4))) AS DOUBLE) AS sy,
              CAST(SUM(CAST(CAST(x AS DOUBLE) * x AS DECIMAL(30,10)))
                   AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sxy
+             CAST(SUM(CAST(x * y AS DECIMAL(30,4))) AS DOUBLE) AS sxy
       FROM xy
     ),
     ols AS (
@@ -6837,8 +6838,13 @@ def q357(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_hw_spark.queries.llm_ops import _managed_persist
 
     o = load_table(spark, sf_dir, "orders")
+    # Scale-4 money accumulators (q414 fence rationale, r12): y and x*y
+    # are exact at <= 4 dp (2-dp money, integer day index), so scale 4
+    # keeps their sums conversion-exact in both engines up to ~9e11.
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
-        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("y")
+        F.sum(F.col("o_totalprice").cast("decimal(30,4)"))
+        .cast("double")
+        .alias("y")
     )
     mn = daily.agg(F.min("day").alias("mn"))
     xy = _managed_persist(
@@ -6850,11 +6856,13 @@ def q357(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = xy.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
-        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+        F.sum(F.col("y").cast("decimal(30,4)")).cast("double").alias("sy"),
         F.sum((F.col("x").cast("double") * F.col("x")).cast(DEC))
         .cast("double")
         .alias("sxx"),
-        F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(30,4)"))
+        .cast("double")
+        .alias("sxy"),
     )
     # Single-day guard (q330/q372 class, extended r12): on a one-point
     # series the OLS degenerates to (slope 0, intercept = mean) so the
@@ -6904,14 +6912,17 @@ def q357(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(wm))
         .select(
             F.col("n").alias("n_days"),
-            F.round("b1", 4).alias("slope_ols"),
-            F.round("b0", 4).alias("icept_ols"),
-            F.round("s", 4).alias("scale_s"),
+            # duckdb_round_double: on rational series (two-point fence)
+            # the OLS outputs land exactly on .5e-4 where Spark F.round
+            # and DuckDB ROUND disagree (q160 recipe, extended r12).
+            duckdb_round_double(F.col("b1"), 4).alias("slope_ols"),
+            duckdb_round_double(F.col("b0"), 4).alias("icept_ols"),
+            duckdb_round_double(F.col("s"), 4).alias("scale_s"),
             F.col("n_down").alias("n_downweighted"),
-            F.round(hb1, 4).alias("slope_huber"),
+            duckdb_round_double(hb1, 4).alias("slope_huber"),
             F.when(
                 wden != 0,
-                F.round(
+                duckdb_round_double(
                     (F.col("swy") - hb1 * F.col("swx")) / F.col("sw"), 4
                 ),
             ).alias("icept_huber"),
@@ -7784,7 +7795,7 @@ def q369(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS day,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
                AS y
       FROM orders GROUP BY 1
     ),
@@ -7795,7 +7806,7 @@ def q369(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(mx AS DECIMAL(30,10))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(mx AS DECIMAL(30,4))) AS DOUBLE) AS s,
              CAST(SUM(CAST(mx * mx AS DECIMAL(30,10))) AS DOUBLE) AS ss
       FROM bm
     ),
@@ -7833,15 +7844,21 @@ def q369(spark: SparkSession, sf_dir: str) -> DataFrame:
 @plan_cache
 def q370(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
+    # Scale-4 money accumulators (q414 fence rationale, r12): keeps the
+    # daily/block sums conversion-exact in both engines up to ~9e11.
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
-        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("y")
+        F.sum(F.col("o_totalprice").cast("decimal(30,4)"))
+        .cast("double")
+        .alias("y")
     )
     bm = daily.groupBy(
         F.date_format("day", "yyyy-MM").alias("mo")
     ).agg(F.max("y").alias("mx"))
     m = bm.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("mx").cast(DEC)).cast("double").alias("s"),
+        F.sum(F.col("mx").cast("decimal(30,4)"))
+        .cast("double")
+        .alias("s"),
         F.sum((F.col("mx") * F.col("mx")).cast(DEC))
         .cast("double")
         .alias("ss"),
@@ -7859,14 +7876,20 @@ def q370(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu = F.col("s") / F.col("n") - sd * 0.7796968012336093 * 0.5772156649015329
     # ln(-ln(1-1/T)) is spelled as F.log over literals (not a Python
     # math.log constant) so BOTH engines compute the same expression.
+    # Display rounding via duckdb_round_double (q160 recipe, extended
+    # r12): the unrounded doubles are engine-identical (decimal-exact
+    # sums, same IEEE tree), but on a rational series (two-point fence)
+    # they can land EXACTLY on .5e-4 — Spark F.round (shortest-repr
+    # half-up) then disagrees with DuckDB ROUND (half-away on the IEEE
+    # product); this Spark mirror of DuckDB's model closes the class.
     return m.select(
         F.col("n").alias("n_months"),
-        F.round(mu, 4).alias("mu"),
-        F.round(beta, 4).alias("beta"),
-        F.round(
+        duckdb_round_double(mu, 4).alias("mu"),
+        duckdb_round_double(beta, 4).alias("beta"),
+        duckdb_round_double(
             mu - beta * F.log(-F.log(F.lit(1) - F.lit(1.0) / 12)), 4
         ).alias("return_level_12mo"),
-        F.round(
+        duckdb_round_double(
             mu - beta * F.log(-F.log(F.lit(1) - F.lit(1.0) / 60)), 4
         ).alias("return_level_60mo"),
     ).orderBy("n_months")
@@ -11932,13 +11955,13 @@ def q413(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS day,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
                AS rev
       FROM orders GROUP BY 1
     ),
     s AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(rev AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(rev AS DECIMAL(30,4))) AS DOUBLE) AS sx,
              CAST(SUM(CAST(rev * rev AS DECIMAL(30,10))) AS DOUBLE)
                AS sxx
       FROM daily
@@ -12002,12 +12025,23 @@ def q413(spark: SparkSession, sf_dir: str) -> DataFrame:
 @plan_cache
 def q414(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
+    # Scale-4 money accumulators (dsum4 rationale, fence-extended r12):
+    # a few-distinct-day collapse makes the daily sum's scale-10
+    # unscaled value exceed 2^53, where DuckDB's two-step decimal->
+    # double conversion diverges sub-ulp from Spark's one-step — and
+    # the mean of two 2-dp days lands EXACTLY on .005, turning the
+    # sub-ulp into a cent flip. Scale 4 keeps money sums conversion-
+    # exact in both engines up to ~9e11.
     daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
-        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("rev")
+        F.sum(F.col("o_totalprice").cast("decimal(30,4)"))
+        .cast("double")
+        .alias("rev")
     )
     s = daily.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("rev").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("rev").cast("decimal(30,4)"))
+        .cast("double")
+        .alias("sx"),
         F.sum((F.col("rev") * F.col("rev")).cast(DEC))
         .cast("double")
         .alias("sxx"),
@@ -12054,24 +12088,33 @@ def q414(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1 + F.col("rho")) != 0,
         F.col("n") * (1 - F.col("rho")) / (1 + F.col("rho")),
     )
+    # duckdb_round_double on every display output (q160 recipe,
+    # extended r12): a mean of two 2-dp money days lands EXACTLY on a
+    # .005 boundary where Spark F.round (shortest-repr half-up) and
+    # DuckDB ROUND (half-away on the IEEE product) disagree — fence-
+    # caught; the unrounded doubles are engine-identical.
     return j.select(
         F.col("n").alias("n_days"),
-        F.round(F.col("mean_rev"), 2).alias("mean_rev"),
-        F.round(F.col("sd"), 2).alias("sd"),
+        duckdb_round_double(F.col("mean_rev"), 2).alias("mean_rev"),
+        duckdb_round_double(F.col("sd"), 2).alias("sd"),
         F.col("rho").alias("rho1"),
-        F.round(ne, 2).alias("n_eff"),
+        duckdb_round_double(ne, 2).alias("n_eff"),
         F.when(
             ne > 0,
-            F.round(F.col("mean_rev") - 1.96 * F.col("sd") / F.sqrt(ne), 2),
+            duckdb_round_double(
+                F.col("mean_rev") - 1.96 * F.col("sd") / F.sqrt(ne), 2
+            ),
         ).alias("ci_lo"),
         F.when(
             ne > 0,
-            F.round(F.col("mean_rev") + 1.96 * F.col("sd") / F.sqrt(ne), 2),
+            duckdb_round_double(
+                F.col("mean_rev") + 1.96 * F.col("sd") / F.sqrt(ne), 2
+            ),
         ).alias("ci_hi"),
-        F.round(
+        duckdb_round_double(
             F.col("mean_rev") - 1.96 * F.col("sd") / F.sqrt(F.col("n")), 2
         ).alias("naive_ci_lo"),
-        F.round(
+        duckdb_round_double(
             F.col("mean_rev") + 1.96 * F.col("sd") / F.sqrt(F.col("n")), 2
         ).alias("naive_ci_hi"),
     ).orderBy("n_days")

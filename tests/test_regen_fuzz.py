@@ -161,6 +161,63 @@ def test_degenerate_constant_series_parity(name, spark, degen_dir):
     )
 
 
+@pytest.fixture(scope="module")
+def twopoint_dir(tmp_path_factory):
+    """sf0.001 copy with a TWO-POINT series: every event/order lands on
+    one of exactly two days (~45 days apart), constant value within
+    each day. Exercises the n==2 edges the constant-series fence
+    cannot reach: a 2-point daily series makes Pearson rho EXACTLY
+    +/-1 (q414's n_eff = 0 or divide-by-(1+rho) paths), 2-month block
+    maxima (q370 n=2), and a 1-point q301 training slice."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp("twopoint") / "sf")
+    shutil.copytree("/root/testdata/sf0.001", d)
+    import os
+
+    t1 = np.datetime64("1995-06-15T09:00:00", "us").item()
+    t2 = np.datetime64("1995-07-30T17:00:00", "us").item()
+
+    def rewrite(name, col, vals2=None, valcol=None):
+        path = f"{d}/{name}.parquet"
+        os.chmod(path, 0o644)
+        t = pq.read_table(path)
+        nrow = t.num_rows
+        idx = t.schema.get_field_index(col)
+        arr = pa.array(
+            [t1 if i % 2 == 0 else t2 for i in range(nrow)],
+            type=t.schema.field(idx).type,
+        )
+        t = t.set_column(idx, col, arr)
+        if valcol is not None:
+            vidx = t.schema.get_field_index(valcol)
+            varr = pa.array(
+                [2.5 if i % 2 == 0 else 7.5 for i in range(nrow)],
+                type=t.schema.field(vidx).type,
+            )
+            t = t.set_column(vidx, valcol, varr)
+        pq.write_table(t, path)
+
+    rewrite("events", "ts", valcol="value")
+    rewrite("orders", "o_orderdate")
+    return d
+
+
+@pytest.mark.parametrize("name", DEGEN_GUARDED)
+def test_twopoint_series_parity(name, spark, twopoint_dir):
+    q = all_queries()[name]
+    compare(
+        q.fn(spark, twopoint_dir),
+        duckdb_conn(twopoint_dir),
+        q.oracle,
+        name=f"{name}-twopoint",
+    )
+
+
 def test_q330_degenerate_single_ingest_day(spark, tmp_path):
     """r12 guard: with every document on ONE ingest day the variance
     denominator n*sxx - sx*sx is exactly 0 — Spark ANSI must not raise
