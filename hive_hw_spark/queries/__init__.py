@@ -185,6 +185,19 @@ _ATTESTED = frozenset(
         "q390", "q391", "q392", "q393", "q394", "q395", "q396", "q397",
         "q398", "q399", "q400", "q401", "q402", "q403", "q404", "q405",
         "q406", "q407",
+        # r12 sweep (CORRECTNESS_r12.json, 49 hash-green + q140's
+        # by-design no_oracle row): the q408..q442 never-attested
+        # remainder, q140, and the oldest pre-regen window/scalar
+        # re-attestations. Completes the burn-down: every oracle entry
+        # now has a driver row.
+        "q408", "q409", "q410", "q411", "q412", "q413", "q414", "q415",
+        "q416", "q417", "q418", "q419", "q420", "q421", "q422", "q423",
+        "q424", "q425", "q426", "q427", "q428", "q429", "q430", "q431",
+        "q432", "q433", "q434", "q435", "q436", "q437", "q438", "q439",
+        "q440", "q441", "q442",
+        "q140",
+        "q40", "q42", "q43", "q44", "q45", "q50", "q51", "q52",
+        "q64", "q65", "q66", "q67", "q68", "q69",
     }
 )
 
@@ -251,43 +264,51 @@ _ATTESTED = frozenset(
 # CORRECTNESS_r10 came back all 50 green; the block moved to _ATTESTED.
 # Round-11 rotation (historical): q358..q407 — CORRECTNESS_r11 came
 # back all 50 green; the block moved to _ATTESTED.
-# Round-12 rotation (exactly 50 = the sweep cap), per the r11 verdict's
-# item 1 — the FINAL leg of the attestation burn-down:
-#   (a) q408..q442 — the 35 never-driver-sampled oracle entries
-#       (retrieval stack, TPC-DS shapes, late-wave stats/audits);
-#   (b) q140 — the HLL sketch rows-only entry, the one rows-only op
-#       with no driver row of any kind (pulled out of the rows-only
-#       deferral for exactly one round);
-#   (c) 14 slots of the OLDEST pre-regeneration re-attestations:
-#       q40/q42/q43/q44/q45/q50/q51/q52 (window/sort families) and
-#       q64..q69 (scalar families), last driver-green r4-r5 on
-#       PRE-regeneration testdata — q44 additionally carries this
-#       round's integer-unit window rewrite, so its driver row
-#       re-confirms fresh machinery, not just fresh data.
-# After r12, every oracle entry has a driver row; rotation returns to
-# freshness order (oldest attestation first, rewrites outrank).
+# Round-12 rotation (historical): q408..q442 + q140 + the oldest
+# pre-regen window/scalar re-attests — CORRECTNESS_r12 came back all 50
+# green (q140's row is its by-design no_oracle record); the block moved
+# to _ATTESTED. Every oracle entry now has a driver row.
+#
+# Round-13 rotation (45 + 5 refill slots), per the r12 verdict's item 1
+# — the LAST leg of the pre-regeneration staleness burn-down: the 45
+# entries whose latest driver CORRECTNESS record predates the round-6
+# testdata regeneration. This is almost exactly the LLM-ops family —
+# the engine's most differentiating operators are the only ones whose
+# driver evidence still sits on pre-regen data (all 45 are green in the
+# r12 forward/reverse vanilla sweeps and both regen-fuzz seeds, so the
+# risk is evidential, not functional):
+#   (a) 40 oracle entries last hash-green r4/r5: q41, q67b, q80/q81/
+#       q83/q84/q85 (q82 re-attested r7 post-regen), the q90..q110
+#       dedup/ANN/text block (incl. q94b/q94c), q112/q113, and the
+#       q115..q122 corpus-prep pipeline;
+#   (b) 5 rows-only entries whose no_oracle rows are r4/r5: q92b/q92c/
+#       q92d (LSH/IVF/PQ ANN), q102b, q111 — pulled out of the
+#       rows-only deferral for exactly one round, like q140 in r12.
+# After r13, every registry entry's latest driver record postdates the
+# regeneration; rotation then returns to pure freshness order (oldest
+# attestation first, rewrites outrank).
 _PRIORITY = frozenset(
     {
-        # (a) never-attested remainder: q408..q442 (35)
-        "q408", "q409", "q410", "q411", "q412", "q413", "q414", "q415",
-        "q416", "q417", "q418", "q419", "q420", "q421", "q422", "q423",
-        "q424", "q425", "q426", "q427", "q428", "q429", "q430", "q431",
-        "q432", "q433", "q434", "q435", "q436", "q437", "q438", "q439",
-        "q440", "q441", "q442",
-        # (b) the never-sampled rows-only sketch entry
-        "q140",
-        # (c) oldest pre-regen-stale re-attestations (r4-r5 rows)
-        "q40", "q42", "q43", "q44", "q45", "q50", "q51", "q52",
-        "q64", "q65", "q66", "q67", "q68", "q69",
+        # (a) pre-regen-stale oracle entries (r4/r5 hash rows)
+        "q41", "q67b",
+        "q80", "q81", "q83", "q84", "q85",
+        "q90", "q91", "q92", "q93", "q94", "q94b", "q94c", "q95",
+        "q96", "q97", "q98", "q99", "q100", "q101", "q102", "q103",
+        "q104", "q105", "q106", "q107", "q108", "q109", "q110",
+        "q112", "q113",
+        "q115", "q116", "q117", "q118", "q119", "q120", "q121", "q122",
+        # (b) pre-regen-stale rows-only entries (r4/r5 no_oracle rows)
+        "q92b", "q92c", "q92d", "q102b", "q111",
     }
 )
 
 # Back of the queue: ``oracle=None`` approximates whose driver check is
 # rows-only (the weak form) — their real evidence is the pytest error/
 # recall bounds, so a hash-checked oracle query always outranks them for
-# a sweep slot. q140 steps out for r12 (the one rows-only entry with no
-# driver row at all; see _PRIORITY (b) above) and returns afterwards.
-_ROWS_ONLY_DEFER = frozenset({"q92b", "q92c", "q92d", "q102b", "q111"})
+# a sweep slot. q92b/q92c/q92d/q102b/q111 step out for r13 (their
+# no_oracle rows predate the round-6 regeneration; see _PRIORITY (b))
+# and return afterwards. q32/q47b/q140 hold current post-regen rows.
+_ROWS_ONLY_DEFER = frozenset({"q32", "q47b", "q140"})
 
 
 def _load() -> None:
