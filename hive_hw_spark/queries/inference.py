@@ -388,17 +388,22 @@ def q306(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("tie3") / ((n1 + n2).cast("double") * (n1 + n2 - 1))
         )
     )
-    # All-tied / tiny-sample guard (q330/q372 class, extended r12): one
-    # distinct value makes the tie correction cancel sigma to exactly 0,
-    # and n1+n2 <= 1 zeroes the tie divisor — Spark ANSI raises where
-    # DuckDB yields NaN/inf. And short-circuits, so sigma (which divides
-    # by (n1+n2)(n1+n2-1)) only evaluates when n1+n2 > 1.
-    zguard = ((n1 + n2) > 1) & (sigma != 0)
+    # All-tied / tiny-sample guard (q330/q372 class, extended r12;
+    # NESTED per the r12 advice): one distinct value makes the tie
+    # correction cancel sigma to exactly 0, and n1+n2 <= 1 zeroes the
+    # tie divisor — Spark ANSI raises where DuckDB yields NaN/inf.
+    # Spark does not contractually short-circuit And, so the
+    # sigma-bearing comparison (which divides by (n1+n2)(n1+n2-1))
+    # lives one F.when deeper: CaseWhen guarantees inner-branch
+    # predicates only evaluate once n1+n2 > 1 held.
     return s.select(
         "n1",
         "n2",
         F.round(u1, 4).alias("u_stat"),
-        F.when(zguard, F.round((u1 - mu) / sigma, 4)).alias("z_stat"),
+        F.when(
+            (n1 + n2) > 1,
+            F.when(sigma != 0, F.round((u1 - mu) / sigma, 4)),
+        ).alias("z_stat"),
     )
 
 

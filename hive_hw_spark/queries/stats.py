@@ -4825,22 +4825,24 @@ def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
     vb = (F.col("b.sxx") - F.col("b.sx") * F.col("b.sx") / F.col("b.n_users")) / (
         F.col("b.n_users") - 1
     ) / F.col("b.n_users")
-    # Degenerate-split guard (q330/q372 class, extended r12): singleton
-    # arms or zero pooled variance zero a divisor — Spark ANSI raises
-    # where DuckDB yields NaN/inf. Spark's And short-circuits, so the
-    # dividing third conjunct only evaluates when both n_users > 1.
-    zguard = (
-        (F.col("a.n_users") > 1)
-        & (F.col("b.n_users") > 1)
-        & ((va + vb) != 0)
-    )
+    # Degenerate-split guard (q330/q372 class, extended r12; NESTED per
+    # the r12 advice): singleton arms or zero pooled variance zero a
+    # divisor — Spark ANSI raises where DuckDB yields NaN/inf. Spark
+    # does not contractually short-circuit And, so the dividing
+    # `(va+vb) != 0` comparison must not exist in the same predicate as
+    # the `n_users > 1` test: CaseWhen DOES guarantee non-selected
+    # branches (including inner-branch predicates) are not evaluated,
+    # so the division-bearing conjunct lives one F.when deeper.
     z = F.when(
-        zguard,
-        (
-            F.col("a.sx") / F.col("a.n_users")
-            - F.col("b.sx") / F.col("b.n_users")
-        )
-        / F.sqrt(va + vb),
+        (F.col("a.n_users") > 1) & (F.col("b.n_users") > 1),
+        F.when(
+            (va + vb) != 0,
+            (
+                F.col("a.sx") / F.col("a.n_users")
+                - F.col("b.sx") / F.col("b.n_users")
+            )
+            / F.sqrt(va + vb),
+        ),
     )
     return (
         a.join(F.broadcast(b), F.col("a.split_id") == F.col("b.split_id"))
@@ -10723,12 +10725,14 @@ def q401(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         w.select(
             F.lit("totalprice_mean_z").alias("metric"),
-            # Singleton/constant-half guard: And short-circuits, so the
-            # dividing variance conjunct only evaluates when n1,n2 > 1.
+            # Singleton/constant-half guard (NESTED per the r12 advice):
+            # Spark does not contractually short-circuit And, so the
+            # dividing variance conjunct lives one F.when deeper —
+            # CaseWhen guarantees the inner predicate (which divides by
+            # n-1 and n) only evaluates once both n1,n2 > 1 held.
             F.when(
-                (n1 > 1)
-                & (n2 > 1)
-                & (
+                (n1 > 1) & (n2 > 1),
+                F.when(
                     (
                         (F.col("sxx1") - F.col("sx1") * F.col("sx1") / n1)
                         / (n1 - 1)
@@ -10739,17 +10743,23 @@ def q401(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / (n2 - 1)
                     )
                     / n2
-                    != 0
-                ),
-                F.round(
-                    (F.col("sx2") / n2 - F.col("sx1") / n1)
-                    / F.sqrt(
-                        ((F.col("sxx1") - F.col("sx1") * F.col("sx1") / n1) / (n1 - 1))
-                        / n1
-                        + ((F.col("sxx2") - F.col("sx2") * F.col("sx2") / n2) / (n2 - 1))
-                        / n2
+                    != 0,
+                    F.round(
+                        (F.col("sx2") / n2 - F.col("sx1") / n1)
+                        / F.sqrt(
+                            (
+                                (F.col("sxx1") - F.col("sx1") * F.col("sx1") / n1)
+                                / (n1 - 1)
+                            )
+                            / n1
+                            + (
+                                (F.col("sxx2") - F.col("sx2") * F.col("sx2") / n2)
+                                / (n2 - 1)
+                            )
+                            / n2
+                        ),
+                        4,
                     ),
-                    4,
                 ),
             ).alias("value"),
         ),

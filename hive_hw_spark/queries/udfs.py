@@ -143,7 +143,12 @@ def _znorm(pdf: pd.DataFrame) -> pd.DataFrame:
     var = math.fsum((vals - mu) ** 2) / len(pdf)
     sd = math.sqrt(var)
     out = pdf[["event_id", "user_id"]].copy()
-    out["z"] = ((pdf["value"] - mu) / sd).round(4) if sd > 0 else 0.0
+    # Structural degenerate predicate (MIN==MAX), not sd>0: the oracle's
+    # DECIMAL-quantized var and fsum's exact var can disagree about
+    # "exactly zero" on continuous (>10 dp) values — MIN==MAX is
+    # engine-agnostic, and MIN!=MAX guarantees the exact sd is > 0.
+    degenerate = vals.min() == vals.max()
+    out["z"] = 0.0 if degenerate else ((pdf["value"] - mu) / sd).round(4)
     return out
 
 
@@ -158,9 +163,15 @@ def _znorm_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
     z = np.zeros(len(pdf))
     for idx in pdf.groupby("user_id", sort=False).indices.values():
         v = vals[idx]
-        mu = math.fsum(v) / len(v)
-        sd = math.sqrt(math.fsum((v - mu) ** 2) / len(v))
-        if sd > 0:
+        # Structural degenerate predicate (MIN==MAX), matching the
+        # oracle's CASE: comparing a COMPUTED var to 0 is engine-
+        # sensitive on continuous values (oracle var is DECIMAL-
+        # quantized, fsum is exact — a constant group can read var>0
+        # in one engine and 0 in the other; r12 advice). MIN!=MAX
+        # guarantees fsum's sd > 0 exactly.
+        if v.min() != v.max():
+            mu = math.fsum(v) / len(v)
+            sd = math.sqrt(math.fsum((v - mu) ** 2) / len(v))
             z[idx] = np.round((v - mu) / sd, 4)
     out = pdf[["event_id", "user_id"]].copy()
     out["z"] = z
@@ -179,12 +190,13 @@ def _znorm_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
     v AS (
       SELECT e2.user_id,
              CAST(SUM(CAST((e2.value - m.mu) * (e2.value - m.mu)
-                  AS DECIMAL(38,18))) AS DOUBLE) / MAX(m.n) AS var
+                  AS DECIMAL(38,18))) AS DOUBLE) / MAX(m.n) AS var,
+             MIN(e2.value) AS vmin, MAX(e2.value) AS vmax
       FROM events e2 JOIN m ON e2.user_id = m.user_id
       GROUP BY e2.user_id
     )
     SELECT e.event_id, e.user_id,
-           CASE WHEN v.var > 0
+           CASE WHEN v.vmin <> v.vmax
                 THEN ROUND((e.value - m.mu) / sqrt(v.var), 4)
                 ELSE 0.0 END AS z
     FROM events e JOIN m USING (user_id) JOIN v USING (user_id)
@@ -198,8 +210,12 @@ def _znorm_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
     "~10k per-user calls cost 7 s at sf0.1 in overhead alone — 64 "
     "buckets amortize it to ~1 s); the per-user frames are recovered "
     "INSIDE the call with pandas groupby, so the math is unchanged. "
-    "Zero-variance groups emit z=0 (declared; the oracle states the "
-    "same CASE — DuckDB's bare 0/0 would yield NaN, fence-caught r12).",
+    "Zero-variance groups emit z=0 via a STRUCTURAL predicate "
+    "(MIN(value)=MAX(value) per user, stated identically in both "
+    "engines): comparing a computed var to 0 is engine-sensitive on "
+    "continuous values — the oracle's DECIMAL-quantized var and the "
+    "UDF's exact fsum can disagree about 'exactly zero' (r12 advice; "
+    "the bare-0/0 NaN class was fence-caught r12).",
 )
 def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

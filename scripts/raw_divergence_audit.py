@@ -87,9 +87,19 @@ for i, name in enumerate(names):
             # the query would silently count as bit-identical (r11
             # ADVICE item, fixed r12).
             one_sided = mask & (np.isnan(g) ^ np.isnan(w))
-            d = np.where(
-                one_sided[mask], np.inf, np.abs(g[mask] - w[mask])
-            )
+            gm, wm = g[mask], w[mask]
+            with np.errstate(invalid="ignore"):
+                d = np.abs(gm - wm)
+            # Equal-sign inf pairs: inf-inf = NaN would poison d.max()
+            # (NaN > worst is False) and silently pass the WHOLE column
+            # even if other rows diverge (r12 ADVICE item, fixed r13).
+            # Same-sign inf agrees exactly -> 0; mixed-sign -> infinite.
+            both_inf = np.isinf(gm) & np.isinf(wm)
+            d = np.where(both_inf, np.where(gm == wm, 0.0, np.inf), d)
+            d = np.where(one_sided[mask], np.inf, d)
+            # Belt-and-braces: any residual NaN in d is a divergence,
+            # never a silent pass.
+            d = np.where(np.isnan(d), np.inf, d)
             if d.size and float(d.max()) > worst:
                 worst = float(d.max())
                 worst_col = c

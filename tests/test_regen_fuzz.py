@@ -218,6 +218,112 @@ def test_twopoint_series_parity(name, spark, twopoint_dir):
     )
 
 
+@pytest.fixture(scope="module")
+def singleton_dir(tmp_path_factory):
+    """sf0.001 copy exercising the SINGLETON (n<=1) guard arms that the
+    constant-series and two-point fences never reach (r12 advice): the
+    q331/q401/q306 guards place their dividing variance comparison
+    inside a nested F.when, and this fixture makes the OUTER predicate
+    false with the inner divisor exactly 0 — the configuration where a
+    broken nesting (or a Catalyst regression in CaseWhen's lazy-branch
+    contract) would raise DIVIDE_BY_ZERO in production:
+
+    - events.user_id -> row%2 (two users total): q331's (split 0,
+      arm 0/1) groups each hold exactly ONE user -> n_users == 1,
+      (n-1) == 0 inside the guarded Welch variance;
+    - events.event_type -> one 'error' row, rest 'view' (no 'click'):
+      q306's n1+n2 == 1 -> tie divisor (n1+n2)(n1+n2-1) == 0;
+    - orders truncated to TWO rows on distinct days: q401's halves
+      each hold one order -> n1 == n2 == 1, (n-1) == 0.
+    """
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp("singleton") / "sf")
+    shutil.copytree("/root/testdata/sf0.001", d)
+    import os
+
+    ev_path = f"{d}/events.parquet"
+    os.chmod(ev_path, 0o644)
+    t = pq.read_table(ev_path)
+    n = t.num_rows
+    uid_t = t.schema.field(t.schema.get_field_index("user_id")).type
+    t = t.set_column(
+        t.schema.get_field_index("user_id"),
+        "user_id",
+        pa.array([i % 2 for i in range(n)], type=uid_t),
+    )
+    et_t = t.schema.field(t.schema.get_field_index("event_type")).type
+    t = t.set_column(
+        t.schema.get_field_index("event_type"),
+        "event_type",
+        pa.array(["error" if i == 0 else "view" for i in range(n)], type=et_t),
+    )
+    pq.write_table(t, ev_path)
+
+    o_path = f"{d}/orders.parquet"
+    os.chmod(o_path, 0o644)
+    o = pq.read_table(o_path)
+    dates = o.column("o_orderdate").to_pylist()
+    lo = min(x for x in dates if x is not None)
+    keep = [i for i, x in enumerate(dates) if x is not None and x != lo]
+    first_lo = dates.index(lo)
+    o2 = o.take(pa.array([first_lo, keep[0]], type=pa.int64()))
+    pq.write_table(o2, o_path)
+    return d
+
+
+@pytest.mark.parametrize("name", ("q331", "q306", "q401"))
+def test_singleton_arm_parity(name, spark, singleton_dir):
+    q = all_queries()[name]
+    compare(
+        q.fn(spark, singleton_dir),
+        duckdb_conn(singleton_dir),
+        q.oracle,
+        name=f"{name}-singleton",
+    )
+
+
+def test_q331_singleton_arm_yields_null_z(spark, singleton_dir):
+    got = all_queries()["q331"].fn(spark, singleton_dir).toPandas()
+    assert len(got) == 1  # only split 0 has both arms populated
+    assert got["z_stat"].isna().all()
+
+
+def test_q82_constant_continuous_value_parity(spark, tmp_path):
+    """r12 advice: q82's old degenerate predicate compared a COMPUTED
+    var to 0 — on a constant value with >10 significant dp the oracle's
+    DECIMAL(30,10)-quantized mu differs from the value, so its var read
+    >0 (z=+/-1) while the UDF's exact fsum var read 0 (z=0). The
+    structural MIN=MAX predicate must keep both engines at z=0."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "sf_q82const")
+    shutil.copytree("/root/testdata/sf0.001", d)
+    import os
+
+    path = f"{d}/events.parquet"
+    os.chmod(path, 0o644)
+    t = pq.read_table(path)
+    idx = t.schema.get_field_index("value")
+    # full-mantissa constant: quantizing to 10 dp changes it
+    const = 2.5000000000123456789
+    t = t.set_column(
+        idx, "value",
+        pa.array([const] * t.num_rows, type=t.schema.field(idx).type),
+    )
+    pq.write_table(t, path)
+    q = all_queries()["q82"]
+    got = q.fn(spark, d).toPandas()
+    assert (got["z"] == 0.0).all()
+    compare(q.fn(spark, d), duckdb_conn(d), q.oracle, name="q82-constconst")
+
+
 def test_q330_degenerate_single_ingest_day(spark, tmp_path):
     """r12 guard: with every document on ONE ingest day the variance
     denominator n*sxx - sx*sx is exactly 0 — Spark ANSI must not raise

@@ -371,13 +371,23 @@ def test_iratio_round4_matches_reference_and_sql(spark, duck):
         (rng.randint(-(10**14), 10**14), rng.randint(1, 10**8))
         for _ in range(300)
     ]
-    for n, d in cases[:20]:
-        got_duck = duck.execute(
+    # ONE DuckDB pass over the FULL cases list (r12 advice: the old
+    # cases[:20] slice meant the 300 random BIGINT cases never
+    # validated sql_iratio_round4's // floor-division spelling).
+    import pandas as pd
+
+    cases_pdf = pd.DataFrame(cases, columns=["n", "d"]).astype("int64")
+    duck.register("t_iratio_probe", cases_pdf)
+    duck_got = [
+        r[0]
+        for r in duck.execute(
             "SELECT "
-            + sql_iratio_round4(
-                f"CAST({n} AS BIGINT)", f"CAST({d} AS BIGINT)"
-            )
-        ).fetchone()[0]
+            + sql_iratio_round4("n", "d")
+            + " FROM t_iratio_probe"
+        ).fetchall()
+    ]
+    duck.unregister("t_iratio_probe")
+    for (n, d), got_duck in zip(cases, duck_got):
         assert repr(got_duck) == repr(ref(n, d)), ("duck", n, d, got_duck)
     df = spark.createDataFrame(cases, "n long, d long")
     got = [
