@@ -268,6 +268,31 @@ def sql_units4(expr: str) -> str:
     return f"CAST(SIGN({x}) * FLOOR(ABS({x}) + 0.5) AS BIGINT)"
 
 
+def units2(col: Column | str) -> Column:
+    """:func:`units4` at scale 100 — integer 1e-2 (cents) units.
+
+    For money-family columns exact at <= 2 dp (lineitem price/discount/
+    tax/quantity) the cents grid loses nothing, and the smaller
+    magnitudes keep per-row unit PRODUCTS (cents x cents, for moment
+    folds like q321/q308/q133) comfortably inside LONG: max lineitem
+    cross product ~1.2e14 << 2^63. Same engine-agnostic IEEE op
+    sequence as units4 (x*100, |..|+0.5, floor) — no ROUND model or
+    double->decimal cast involved. Accumulate the products as
+    DECIMAL(38,0) (long->decimal cast is integer-cheap; the old
+    double->DECIMAL(30,10) per-row cast paid a Double.toString), and
+    cast the scale-0 sums back to double — correctly rounded in BOTH
+    engines at any magnitude (r11 probe), unlike scaled-decimal casts.
+    """
+    x = (F.col(col) if isinstance(col, str) else col) * F.lit(100.0)
+    return (F.signum(x) * F.floor(F.abs(x) + F.lit(0.5))).cast("long")
+
+
+def sql_units2(expr: str) -> str:
+    """DuckDB-side mirror of :func:`units2` (same IEEE op sequence)."""
+    x = f"(({expr}) * 100.0)"
+    return f"CAST(SIGN({x}) * FLOOR(ABS({x}) + 0.5) AS BIGINT)"
+
+
 def iratio_round4(num: Column, den: Column) -> Column:
     """Half-away-from-zero round of ``num/den`` to 4 dp where ``num`` is
     already in 1e-4 integer units and ``den`` a positive LONG count —

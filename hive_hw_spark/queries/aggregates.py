@@ -34,7 +34,9 @@ from hive_hw_spark.queries._util import (
     sql_dratio_round,
     sql_dsum,
     sql_dsum4,
+    sql_units2,
     sql_units4,
+    units2,
     units4,
 )
 
@@ -592,20 +594,22 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q133",
-    oracle="""
-    WITH s AS (
+    oracle=f"""
+    WITH u AS (
+      SELECT l_returnflag,
+             {sql_units2('l_quantity')} AS xu,
+             {sql_units2('l_extendedprice')} AS yu
+      FROM lineitem
+    ),
+    s AS (
       SELECT l_returnflag,
              CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
-               AS sy,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,10)))
-               AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice * l_extendedprice
-               AS DECIMAL(30,10))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,10)))
-               AS DOUBLE) AS sxy
-      FROM lineitem GROUP BY l_returnflag
+             CAST(SUM(xu) AS DOUBLE) AS sx,
+             CAST(SUM(yu) AS DOUBLE) AS sy,
+             CAST(SUM(xu * xu) AS DOUBLE) AS sxx,
+             CAST(SUM(yu * yu) AS DOUBLE) AS syy,
+             CAST(SUM(xu * yu) AS DOUBLE) AS sxy
+      FROM u GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
            CASE WHEN (n * sxx - sx * sx) <> 0
@@ -614,7 +618,7 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE NULL END AS slope,
            CASE WHEN (n * sxx - sx * sx) <> 0
                 THEN ROUND((sy - ((n * sxy - sx * sy)
-                           / (n * sxx - sx * sx)) * sx) / n, 4)
+                           / (n * sxx - sx * sx)) * sx) / n / 100.0, 4)
                 ELSE NULL END AS intercept,
            CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <> 0
                 THEN ROUND((n * sxy - sx * sy)
@@ -624,33 +628,42 @@ def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Statistical aggregate family — per-group least-squares slope/"
     "intercept and Pearson correlation (quantity vs extendedprice per "
-    "returnflag) computed from EXACT DECIMAL sufficient statistics "
+    "returnflag) from EXACT integer-unit sufficient statistics "
     "(n, Sx, Sy, Sxx, Syy, Sxy) rather than the built-in "
     "regr_slope/corr: float-accumulator aggregates are partition-order-"
-    "dependent (bit instability under AQE re-plans), while decimal "
-    "sums are associative-exact and still map-side combinable — the "
-    "mergeable-statistics algebra a 1000-executor agg needs, same "
-    "discipline as dsum. Per-row products stay in IEEE double (both "
-    "engines compute the identical multiply), the six statistics "
-    "reduce in one partial+final hash agg pass over one scan, and the "
-    "closed-form derivations run on the driver-side 3-row result.",
+    "dependent (bit instability under AQE re-plans). Declared "
+    "semantics: both measures are QUANTIZED AT INGEST to 1e-2 units "
+    "(units2 — lossless here, lineitem money/qty are exact at 2 dp); "
+    "per-row unit products are LONG multiplies inside codegen "
+    "(<= ~1.2e14 << 2^63) accumulating in DECIMAL(38,0) — the r12 "
+    "q44/q289 fixed-point discipline ported to moment folds (r13): "
+    "the long->decimal cast is integer-cheap where the old "
+    "double->DECIMAL(30,10) cast paid a per-row Double.toString, and "
+    "the scale-0 sum->double cast is correctly rounded in BOTH "
+    "engines at any magnitude (the scale-10 cast diverged sub-ulp "
+    "above ~9e5). Unit scales cancel in slope/corr; the intercept "
+    "unscales by /100 with the identical op order in both engines. "
+    "Still one partial+final map-side-combinable hash-agg pass; the "
+    "closed forms run on the 3-row result.",
 )
 def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    dec = "decimal(30,10)"
-    s = li.groupBy("l_returnflag").agg(
+    u = li.select(
+        "l_returnflag",
+        units2(F.col("l_quantity")).alias("xu"),
+        units2(F.col("l_extendedprice")).alias("yu"),
+    )
+    s = u.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sx"),
-        F.sum(F.col("l_extendedprice").cast(dec)).cast("double").alias("sy"),
-        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(dec))
+        F.sum(F.col("xu").cast(DECZ)).cast("double").alias("sx"),
+        F.sum(F.col("yu").cast(DECZ)).cast("double").alias("sy"),
+        F.sum((F.col("xu") * F.col("xu")).cast(DECZ))
         .cast("double")
         .alias("sxx"),
-        F.sum(
-            (F.col("l_extendedprice") * F.col("l_extendedprice")).cast(dec)
-        )
+        F.sum((F.col("yu") * F.col("yu")).cast(DECZ))
         .cast("double")
         .alias("syy"),
-        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast(dec))
+        F.sum((F.col("xu") * F.col("yu")).cast(DECZ))
         .cast("double")
         .alias("sxy"),
     )
@@ -666,9 +679,9 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "n",
         F.round(slope, 4).alias("slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / n, 4).alias(
-            "intercept"
-        ),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / n / F.lit(100.0), 4
+        ).alias("intercept"),
         F.when(
             var_x * var_y != 0, F.round(cov_n / F.sqrt(var_x * var_y), 4)
         ).alias("corr_r"),

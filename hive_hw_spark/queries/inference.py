@@ -43,6 +43,8 @@ from ._util import (
     dround_units,
     sql_dratio_round,
     sql_dround_units,
+    sql_units2,
+    units2,
 )
 
 DEC38 = "decimal(38,0)"
@@ -512,27 +514,27 @@ def q307(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q308",
-    oracle="""
-    WITH g AS (
+    oracle=f"""
+    WITH u AS (
+      SELECT l_returnflag,
+             {sql_units2('l_quantity')} AS x1u,
+             {sql_units2('l_discount')} AS x2u,
+             {sql_units2('l_extendedprice')} AS yu
+      FROM lineitem
+    ),
+    g AS (
       SELECT l_returnflag,
              CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE) AS s2,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
-               AS sy,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,10)))
-               AS DOUBLE) AS s11,
-             CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(30,10)))
-               AS DOUBLE) AS s22,
-             CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(30,10)))
-               AS DOUBLE) AS s12,
-             CAST(SUM(CAST(l_quantity * l_extendedprice
-               AS DECIMAL(30,10))) AS DOUBLE) AS s1y,
-             CAST(SUM(CAST(l_discount * l_extendedprice
-               AS DECIMAL(30,10))) AS DOUBLE) AS s2y,
-             CAST(SUM(CAST(l_extendedprice * l_extendedprice
-               AS DECIMAL(30,10))) AS DOUBLE) AS syy
-      FROM lineitem GROUP BY l_returnflag
+             CAST(SUM(x1u) AS DOUBLE) AS s1,
+             CAST(SUM(x2u) AS DOUBLE) AS s2,
+             CAST(SUM(yu) AS DOUBLE) AS sy,
+             CAST(SUM(x1u * x1u) AS DOUBLE) AS s11,
+             CAST(SUM(x2u * x2u) AS DOUBLE) AS s22,
+             CAST(SUM(x1u * x2u) AS DOUBLE) AS s12,
+             CAST(SUM(x1u * yu) AS DOUBLE) AS s1y,
+             CAST(SUM(x2u * yu) AS DOUBLE) AS s2y,
+             CAST(SUM(yu * yu) AS DOUBLE) AS syy
+      FROM u GROUP BY l_returnflag
     ),
     c AS (
       SELECT l_returnflag, n,
@@ -553,7 +555,7 @@ def q307(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c
     )
     SELECT l_returnflag, n,
-           ROUND(my - b1 * m1 - b2 * m2, 4) AS b0,
+           ROUND((my - b1 * m1 - b2 * m2) / 100.0, 4) AS b0,
            ROUND(b1, 4) AS b_qty, ROUND(b2, 4) AS b_disc,
            CASE WHEN cyy <> 0
                 THEN ROUND((b1 * c1y + b2 * c2y) / cyy, 4)
@@ -565,22 +567,35 @@ def q307(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regression generalization of q133's simple regression, solved "
     "in closed form (centered 2x2 system by Cramer's rule) from one "
     "pass of sufficient statistics; reports intercept, both "
-    "coefficients, and R^2.  Scale shape: ONE partial+final "
-    "group-by fold of the fact table to a 3-row, 10-moment frame "
-    "(pure map-side-combinable; no second shuffle); per-row cross "
-    "products stay IEEE double, moment sums accumulate in exact "
-    "DECIMAL, and the matrix solve runs per row of the tiny frame "
-    "identically in both engines.",
+    "coefficients, and R^2.  Declared semantics: all three measures "
+    "are QUANTIZED AT INGEST to 1e-2 units (units2 — lossless, "
+    "lineitem values exact at 2 dp); per-row cross products are LONG "
+    "multiplies inside codegen accumulating in DECIMAL(38,0) (the "
+    "r12 fixed-point discipline ported to moment folds, r13 — "
+    "replaces the per-row double->DECIMAL(30,10) cast), and the "
+    "scale-0 sum->double casts are correctly rounded in BOTH "
+    "engines.  Unit scales cancel in b1/b2/R^2 (y and x scale "
+    "together); b0 unscales by /100 with identical op order in both "
+    "engines.  Scale shape: ONE partial+final group-by fold of the "
+    "fact table to a 3-row, 10-moment frame (pure map-side-"
+    "combinable; no second shuffle); the matrix solve runs per row "
+    "of the tiny frame identically in both engines.",
 )
 @plan_cache
 def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    u = li.select(
+        "l_returnflag",
+        units2(F.col("l_quantity")).alias("x1u"),
+        units2(F.col("l_discount")).alias("x2u"),
+        units2(F.col("l_extendedprice")).alias("yu"),
+    )
+    x1, x2, y = F.col("x1u"), F.col("x2u"), F.col("yu")
 
     def ds(c, name):
-        return F.sum(c.cast(DEC)).cast("double").alias(name)
+        return F.sum(c.cast(DECZ)).cast("double").alias(name)
 
-    g = li.groupBy("l_returnflag").agg(
+    g = u.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         ds(x1, "s1"),
         ds(x2, "s2"),
@@ -613,7 +628,7 @@ def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.select(
             "l_returnflag",
             "n",
-            F.round(my - b1 * m1 - b2 * m2, 4).alias("b0"),
+            F.round((my - b1 * m1 - b2 * m2) / F.lit(100.0), 4).alias("b0"),
             F.round(b1, 4).alias("b_qty"),
             F.round(b2, 4).alias("b_disc"),
             F.when(

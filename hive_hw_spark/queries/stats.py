@@ -42,6 +42,8 @@ from ._util import (
     sql_dec_ratio,
     sql_dratio_round,
     sql_dratio_round_wide,
+    sql_units2,
+    units2,
 )
 
 
@@ -4255,37 +4257,31 @@ def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q321",
-    oracle="""
-    WITH s AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)
-               AS sq,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
-               AS sp,
-             CAST(SUM(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE)
-               AS sd,
-             CAST(SUM(CAST(l_tax AS DECIMAL(30,10))) AS DOUBLE) AS st,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,10)))
-               AS DOUBLE) AS sqq,
-             CAST(SUM(CAST(l_extendedprice * l_extendedprice
-               AS DECIMAL(30,10))) AS DOUBLE) AS spp,
-             CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(30,10)))
-               AS DOUBLE) AS sdd,
-             CAST(SUM(CAST(l_tax * l_tax AS DECIMAL(30,10))) AS DOUBLE)
-               AS stt,
-             CAST(SUM(CAST(l_quantity * l_extendedprice
-               AS DECIMAL(30,10))) AS DOUBLE) AS sqp,
-             CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(30,10)))
-               AS DOUBLE) AS sqd,
-             CAST(SUM(CAST(l_quantity * l_tax AS DECIMAL(30,10)))
-               AS DOUBLE) AS sqt,
-             CAST(SUM(CAST(l_extendedprice * l_discount
-               AS DECIMAL(30,10))) AS DOUBLE) AS spd,
-             CAST(SUM(CAST(l_extendedprice * l_tax AS DECIMAL(30,10)))
-               AS DOUBLE) AS spt,
-             CAST(SUM(CAST(l_discount * l_tax AS DECIMAL(30,10)))
-               AS DOUBLE) AS sdt
+    oracle=f"""
+    WITH u AS (
+      SELECT {sql_units2('l_quantity')} AS qu,
+             {sql_units2('l_extendedprice')} AS pu,
+             {sql_units2('l_discount')} AS du,
+             {sql_units2('l_tax')} AS tu
       FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(qu) AS DOUBLE) AS sq,
+             CAST(SUM(pu) AS DOUBLE) AS sp,
+             CAST(SUM(du) AS DOUBLE) AS sd,
+             CAST(SUM(tu) AS DOUBLE) AS st,
+             CAST(SUM(qu * qu) AS DOUBLE) AS sqq,
+             CAST(SUM(pu * pu) AS DOUBLE) AS spp,
+             CAST(SUM(du * du) AS DOUBLE) AS sdd,
+             CAST(SUM(tu * tu) AS DOUBLE) AS stt,
+             CAST(SUM(qu * pu) AS DOUBLE) AS sqp,
+             CAST(SUM(qu * du) AS DOUBLE) AS sqd,
+             CAST(SUM(qu * tu) AS DOUBLE) AS sqt,
+             CAST(SUM(pu * du) AS DOUBLE) AS spd,
+             CAST(SUM(pu * tu) AS DOUBLE) AS spt,
+             CAST(SUM(du * tu) AS DOUBLE) AS sdt
+      FROM u
     )
     SELECT var_a, var_b, ROUND(corr, 4) AS corr FROM (
       SELECT 'disc' AS var_a, 'price' AS var_b,
@@ -4332,30 +4328,42 @@ def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
     "C(4,2) = 6 Pearson coefficients from a SINGLE scan computing "
     "15 mergeable sufficient statistics (the feature-screening / "
     "multicollinearity pre-check before any q308-style regression; "
-    "naive per-pair corr() would scan the fact 6 times).  Scale "
-    "shape: ONE partial+final fold to a 1-row moment frame "
-    "(map-side combinable, DECIMAL accumulators, per-row products "
-    "in IEEE double); the 6 output rows unfold from that single "
-    "row driver-free.",
+    "naive per-pair corr() would scan the fact 6 times).  Declared "
+    "semantics: all four measures are QUANTIZED AT INGEST to 1e-2 "
+    "units (units2 — lossless, lineitem values exact at 2 dp); "
+    "per-row products are LONG multiplies inside codegen "
+    "accumulating in DECIMAL(38,0) (the r12 fixed-point discipline "
+    "ported to moment folds, r13 — replaces the per-row "
+    "double->DECIMAL(30,10) cast), scale-0 sum->double casts are "
+    "correctly rounded in BOTH engines, and the unit scales cancel "
+    "in every correlation.  Scale shape: ONE partial+final fold to "
+    "a 1-row moment frame (map-side combinable); the 6 output rows "
+    "unfold from that single row driver-free.",
 )
 @plan_cache
 def q321(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    li = li.select(
+        units2(F.col("l_quantity")).alias("uq"),
+        units2(F.col("l_extendedprice")).alias("up"),
+        units2(F.col("l_discount")).alias("ud"),
+        units2(F.col("l_tax")).alias("ut"),
+    )
     cols = {
-        "q": F.col("l_quantity"),
-        "p": F.col("l_extendedprice"),
-        "d": F.col("l_discount"),
-        "t": F.col("l_tax"),
+        "q": F.col("uq"),
+        "p": F.col("up"),
+        "d": F.col("ud"),
+        "t": F.col("ut"),
     }
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]
     for k, c in cols.items():
-        aggs.append(F.sum(c.cast(DEC)).cast("double").alias(f"s{k}"))
+        aggs.append(F.sum(c.cast(DECZ)).cast("double").alias(f"s{k}"))
     pairs = [("q", "q"), ("p", "p"), ("d", "d"), ("t", "t"),
              ("q", "p"), ("q", "d"), ("q", "t"),
              ("p", "d"), ("p", "t"), ("d", "t")]
     for a, b in pairs:
         aggs.append(
-            F.sum((cols[a] * cols[b]).cast(DEC))
+            F.sum((cols[a] * cols[b]).cast(DECZ))
             .cast("double")
             .alias(f"s{a}{b}")
         )
