@@ -1014,9 +1014,9 @@ def q380(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
       SELECT source,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(CAST(n_chars AS DECIMAL(30,10))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(CAST(n_chars AS DOUBLE) * n_chars
-                           AS DECIMAL(30,10))) AS DOUBLE) AS sxx
+             CAST(SUM(n_chars) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(n_chars AS BIGINT) * n_chars) AS DOUBLE)
+               AS sxx
       FROM documents GROUP BY 1
     ),
     m AS (
@@ -1057,9 +1057,14 @@ def q396(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     g = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(F.col("n_chars").cast(DEC)).cast("double").alias("sx"),
+        # n_chars is an integer count: scale-0 accumulators (exact LONG
+        # products, DECIMAL(38,0)/HUGEINT sums) keep the final
+        # decimal->double cast correctly rounded in BOTH engines at any
+        # magnitude — the scale-10 cast diverges sub-ulp past ~9e5
+        # (r13 discipline sweep, same as q331/q321/q308/q133).
+        F.sum(F.col("n_chars").cast(DECZ)).cast("double").alias("sx"),
         F.sum(
-            (F.col("n_chars").cast("double") * F.col("n_chars")).cast(DEC)
+            (F.col("n_chars").cast("long") * F.col("n_chars")).cast(DECZ)
         )
         .cast("double")
         .alias("sxx"),

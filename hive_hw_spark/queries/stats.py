@@ -4771,9 +4771,8 @@ def q330(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(FLOOR(bucket / 2) AS BIGINT) AS split_id,
              bucket % 2 AS arm_b,
              CAST(COUNT(*) AS BIGINT) AS n_users,
-             CAST(SUM(CAST(n_ev AS DECIMAL(30,10))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(n_ev * n_ev AS DECIMAL(30,10))) AS DOUBLE)
-               AS sxx
+             CAST(SUM(n_ev) AS DOUBLE) AS sx,
+             CAST(SUM(n_ev * n_ev) AS DOUBLE) AS sxx
       FROM arm GROUP BY 1, 2
     ),
     z AS (
@@ -4820,8 +4819,13 @@ def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("bucket"), F.lit(2)).alias("arm_b"),
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
-        F.sum(F.col("n_ev").cast(DEC)).cast("double").alias("sx"),
-        F.sum((F.col("n_ev") * F.col("n_ev")).cast(DEC))
+        # n_ev is an integer count: accumulate at SCALE 0 (DECIMAL(38,0)
+        # / HUGEINT) so the final decimal->double cast is correctly
+        # rounded in BOTH engines at any magnitude — the scale-10 cast
+        # diverges sub-ulp once sums pass ~9e5 (r11 probe), which a
+        # 100 TB per-arm event total would (r13 discipline sweep).
+        F.sum(F.col("n_ev").cast(DECZ)).cast("double").alias("sx"),
+        F.sum((F.col("n_ev") * F.col("n_ev")).cast(DECZ))
         .cast("double")
         .alias("sxx"),
     )
@@ -9425,9 +9429,9 @@ def q388(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
       SELECT source,
              CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(n_chars AS DECIMAL(30,10))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(CAST(n_chars AS DOUBLE) * n_chars
-                           AS DECIMAL(30,10))) AS DOUBLE) AS sxx
+             CAST(SUM(n_chars) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(n_chars AS BIGINT) * n_chars) AS DOUBLE)
+               AS sxx
       FROM documents GROUP BY 1
     ),
     m AS (
@@ -9478,9 +9482,14 @@ def q389(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     g = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.col("n_chars").cast(DEC)).cast("double").alias("sx"),
+        # n_chars is an integer count: scale-0 accumulators (exact LONG
+        # products, DECIMAL(38,0)/HUGEINT sums) keep the final
+        # decimal->double cast correctly rounded in BOTH engines at any
+        # magnitude — the scale-10 cast diverges sub-ulp past ~9e5
+        # (r13 discipline sweep, same as q331/q321/q308/q133).
+        F.sum(F.col("n_chars").cast(DECZ)).cast("double").alias("sx"),
         F.sum(
-            (F.col("n_chars").cast("double") * F.col("n_chars")).cast(DEC)
+            (F.col("n_chars").cast("long") * F.col("n_chars")).cast(DECZ)
         )
         .cast("double")
         .alias("sxx"),
