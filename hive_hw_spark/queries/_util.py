@@ -241,6 +241,32 @@ def sql_dsum4(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(30,4))) AS DOUBLE)"
 
 
+def usum4(col: Column | str) -> Column:
+    """:func:`dsum4` on the fixed-point fast path: quantize to 1e-4
+    integer units at ingest (units4 — lossless under dsum4's own
+    precondition, values exact at <= 4 dp), sum LONGs into a
+    DECIMAL(38,0) accumulator (the long->decimal cast is
+    integer-cheap; DECIMAL(30,4)'s per-row double->decimal cast pays
+    a Double.toString, and precision 30 exceeds Spark's long-backed
+    compact decimal so the old sum boxed BigDecimal per row), cast
+    the scale-0 sum to double — correctly rounded in BOTH engines at
+    ANY magnitude (r11 probe; the scale-4 cast was only exact below
+    ~9e11) — and divide once by 10000.0, the same single IEEE op in
+    both engines (:func:`sql_usum4`). Same contract as dsum4/units4:
+    money-family expressions only, NEVER continuous doubles. The r13
+    port of the r12 window discipline to plain hash-agg folds
+    (q30/q39 subset anchors).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(units4(c).cast(DECZ)).cast("double") / F.lit(10000.0)
+
+
+def sql_usum4(expr: str) -> str:
+    """DuckDB-side mirror of :func:`usum4` (HUGEINT sum of 1e-4 units,
+    correctly-rounded scale-0 cast, one final IEEE divide)."""
+    return f"(CAST(SUM({sql_units4(expr)}) AS DOUBLE) / 10000.0)"
+
+
 def units4(col: Column | str) -> Column:
     """Quantize a double to integer 1e-4 units (half away from zero), as
     BIGINT — the fixed-point ingest convention for rolling/window frames.

@@ -36,8 +36,10 @@ from hive_hw_spark.queries._util import (
     sql_dsum4,
     sql_units2,
     sql_units4,
+    sql_usum4,
     units2,
     units4,
+    usum4,
 )
 
 
@@ -45,23 +47,26 @@ from hive_hw_spark.queries._util import (
     "q30",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           {sql_dsum4('l_quantity')} AS sum_qty,
-           {sql_dsum4('l_extendedprice')} AS sum_price,
+           {sql_usum4('l_quantity')} AS sum_qty,
+           {sql_usum4('l_extendedprice')} AS sum_price,
            {sql_davg('l_discount')} AS avg_disc,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,
-    doc="TPC-H Q1-shaped hash aggregate (partial+final combine).",
+    doc="TPC-H Q1-shaped hash aggregate (partial+final combine). Money "
+    "sums ride the usum4 fixed-point fast path (1e-4 integer units "
+    "quantized at ingest — lossless, LONG sums in codegen, scale-0 "
+    "casts correctly rounded both engines; r13).",
 )
 def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum4("l_quantity").alias("sum_qty"),
-            dsum4("l_extendedprice").alias("sum_price"),
+            usum4("l_quantity").alias("sum_qty"),
+            usum4("l_extendedprice").alias("sum_price"),
             davg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("n"),
         )
@@ -276,7 +281,7 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q39",
     oracle=f"""
-    SELECT n_name, {sql_dsum4('l_extendedprice * (1 - l_discount)')} AS revenue
+    SELECT n_name, {sql_usum4('l_extendedprice * (1 - l_discount)')} AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -285,7 +290,9 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Multi-join + aggregate: revenue per nation (TPC-H Q5 shape). "
     "nation broadcasts; lineitem⋈orders is the big shuffle, co-locatable "
-    "by bucketing both on orderkey at scale.",
+    "by bucketing both on orderkey at scale. Revenue rides the usum4 "
+    "fixed-point fast path (1e-4 units at ingest — lossless for "
+    "price*(1-disc), LONG sums in codegen; r13).",
 )
 def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -298,7 +305,7 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            dsum4(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            usum4(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
@@ -2455,14 +2462,14 @@ def q289(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q359",
-    oracle="""
+    oracle=f"""
     WITH pr AS (
       SELECT l_partkey,
-             SUM(CAST(l_extendedprice * (1 - l_discount)
-                      AS DECIMAL(30,10))) AS rev
+             CAST(SUM({sql_units4('l_extendedprice * (1 - l_discount)')})
+                  AS BIGINT) AS rev
       FROM lineitem GROUP BY l_partkey
     ),
-    t AS (SELECT SUM(rev) AS tot FROM pr),
+    t AS (SELECT CAST(SUM(rev) AS BIGINT) AS tot FROM pr),
     c AS (
       SELECT l_partkey, rev,
              SUM(rev) OVER (ORDER BY rev DESC, l_partkey
@@ -2493,14 +2500,13 @@ def q289(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_partkey,
              CAST(date_diff('day', mn, CAST(l_shipdate AS DATE)) // 7
                   AS BIGINT) AS w,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)
-               AS q
+             CAST(SUM({sql_units2('l_quantity')}) AS BIGINT) AS q
       FROM lineitem CROSS JOIN bounds GROUP BY 1, 2
     ),
     cv AS (
       SELECT l_partkey,
-             CAST(SUM(CAST(q AS DECIMAL(30,10))) AS DOUBLE) AS s,
-             CAST(SUM(CAST(q * q AS DECIMAL(30,10))) AS DOUBLE) AS ss
+             CAST(SUM(q) AS DOUBLE) AS s,
+             CAST(SUM(q * q) AS DOUBLE) AS ss
       FROM wk GROUP BY 1
     ),
     xyz AS (
@@ -2527,7 +2533,13 @@ def q289(spark: SparkSession, sf_dir: str) -> DataFrame:
     "zero weeks contribute through the global week count, so "
     "sporadic parts are correctly Z, not X), the 9-cell planning "
     "matrix behind stocking policy (AX = automate, CZ = "
-    "make-to-order).  Scale shape: per-part revenue persisted and "
+    "make-to-order).  Declared semantics: revenue is QUANTIZED AT "
+    "INGEST to 1e-4 units (units4 — lossless, price*(1-disc) exact "
+    "at 4 dp) and weekly demand to 1e-2 units (units2), so every "
+    "fold and the cumulative window sum LONGs in codegen (r13 "
+    "fixed-point port); unit scales cancel in the CV ratio and the "
+    "revenue shares, and scale-0 casts are correctly rounded in "
+    "both engines.  Scale shape: per-part revenue persisted and "
     "cumulated with q167's two-phase bucket discipline (oracle "
     "states the naive global window), weekly demand folds to "
     "(part, week) with map-side combine then to per-part moments, "
@@ -2538,13 +2550,12 @@ def q359(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_hw_spark.queries.llm_ops import _managed_persist
 
     li = load_table(spark, sf_dir, "lineitem")
-    dec = "decimal(30,10)"
     pr = _managed_persist(
         "q359_part_rev",
         li.groupBy("l_partkey").agg(
             F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    dec
+                units4(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
                 )
             ).alias("rev")
         ),
@@ -2619,11 +2630,11 @@ def q359(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("w"),
         )
-        .agg(F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("q"))
+        .agg(F.sum(units2(F.col("l_quantity"))).alias("q"))
     )
     cv = wk.groupBy("l_partkey").agg(
-        F.sum(F.col("q").cast(dec)).cast("double").alias("s"),
-        F.sum((F.col("q") * F.col("q")).cast(dec)).cast("double").alias("ss"),
+        F.sum(F.col("q")).cast("double").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("double").alias("ss"),
     )
     cv_expr = F.sqrt(
         (F.col("ss") - F.col("s") * F.col("s") / F.col("nw"))

@@ -38,9 +38,11 @@ from ._util import (
     dec_ratio,
     dratio_round,
     dratio_round_wide,
+    dround_units,
     duckdb_round_double,
     sql_dec_ratio,
     sql_dratio_round,
+    sql_dround_units,
     sql_dratio_round_wide,
     sql_units2,
     units2,
@@ -5993,10 +5995,13 @@ def q349(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q350",
-    oracle="""
+    oracle=f"""
     WITH reps AS (SELECT range AS b FROM range(40)),
+    u AS (
+      SELECT o_orderkey, {sql_units2('o_totalprice')} AS pu FROM orders
+    ),
     ww AS (
-      SELECT b, o_totalprice AS price,
+      SELECT b, pu,
              CASE
                WHEN ((o_orderkey * 40 + b) % 2147483648)
                     * 2654435761 % 1000000 < 367879 THEN 0
@@ -6016,15 +6021,14 @@ def q349(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * 2654435761 % 1000000 < 999990 THEN 7
                ELSE 8
              END AS w
-      FROM orders CROSS JOIN reps
+      FROM u CROSS JOIN reps
     ),
     per AS (
       SELECT b, CAST(SUM(w) AS BIGINT) AS sw,
-             CAST(SUM(CAST(w * price AS DECIMAL(30,10))) AS DOUBLE)
-               AS swp
+             CAST(SUM(w * pu) AS DOUBLE) AS swp
       FROM ww GROUP BY b
     ),
-    m AS (SELECT b, swp / sw AS mb FROM per),
+    m AS (SELECT b, swp / sw / 100.0 AS mb FROM per),
     s AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS bn,
              CAST(SUM(CAST(mb AS DECIMAL(30,10))) AS DOUBLE) AS sm,
@@ -6034,9 +6038,8 @@ def q349(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     pt AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
-               / COUNT(*) AS mu
-      FROM orders
+             CAST(SUM(pu) AS DOUBLE) / COUNT(*) / 100.0 AS mu
+      FROM u
     )
     SELECT n_orders, ROUND(mu, 4) AS point_mean,
            ROUND(SQRT((smm - sm * sm / bn) / (bn - 1)), 4) AS boot_se,
@@ -6057,15 +6060,23 @@ def q349(spark: SparkSession, sf_dir: str) -> DataFrame:
     "micro-units compared against exact Poisson(1) CDF thresholds "
     "— pure 64-bit integer arithmetic, identical in both engines, "
     "no float RNG anywhere.  SE = stddev of replicate means, "
-    "normal-interval CI around the exact point estimate.  Scale "
-    "shape: the 40x row expansion is map-side (no shuffle "
+    "normal-interval CI around the exact point estimate.  Declared "
+    "semantics: prices are QUANTIZED AT INGEST to integer cents "
+    "(units2 — lossless, o_totalprice exact at 2 dp), so the hot "
+    "40x-exploded fold sums LONG products in codegen instead of "
+    "boxing a BigDecimal per row (the r13 fixed-point discipline); "
+    "replicate means divide the correctly-rounded scale-0 sum by "
+    "count then by 100 with identical IEEE op order both engines.  "
+    "Scale shape: the 40x row expansion is map-side (no shuffle "
     "amplification — partial aggregation folds each partition to "
     "40 rows before the exchange), the replicate frame is 40 rows, "
-    "and every sum is an exact DECIMAL accumulator.",
+    "and the 40-row replicate-mean moments stay exact DECIMAL.",
 )
 @plan_cache
 def q350(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", units2(F.col("o_totalprice")).alias("pu")
+    )
     h = F.pmod(
         F.pmod(F.col("o_orderkey") * 40 + F.col("b"), F.lit(2147483648))
         * 2654435761,
@@ -6084,16 +6095,18 @@ def q350(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ww = o.select(
         "o_orderkey",
-        F.col("o_totalprice").alias("price"),
+        "pu",
         F.explode(F.sequence(F.lit(0), F.lit(39))).alias("b"),
-    ).select("b", "price", wcol.alias("w"))
+    ).select("b", "pu", wcol.alias("w"))
     per = ww.groupBy("b").agg(
         F.sum("w").cast("bigint").alias("sw"),
-        F.sum((F.col("w") * F.col("price")).cast(DEC))
+        F.sum((F.col("w") * F.col("pu")).cast(DECZ))
         .cast("double")
         .alias("swp"),
     )
-    mrep = per.select("b", (F.col("swp") / F.col("sw")).alias("mb"))
+    mrep = per.select(
+        "b", (F.col("swp") / F.col("sw") / F.lit(100.0)).alias("mb")
+    )
     s = mrep.agg(
         F.count(F.lit(1)).cast("bigint").alias("bn"),
         F.sum(F.col("mb").cast(DEC)).cast("double").alias("sm"),
@@ -6104,8 +6117,9 @@ def q350(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = o.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         (
-            F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
+            F.sum(F.col("pu").cast(DECZ)).cast("double")
             / F.count(F.lit(1))
+            / F.lit(100.0)
         ).alias("mu"),
     )
     se = F.sqrt(
@@ -7098,10 +7112,10 @@ def q360(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q363",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS day,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)
+             CAST(SUM({sql_units2('o_totalprice')}) AS DOUBLE) / 100.0
                AS y
       FROM orders GROUP BY 1
     ),
@@ -7168,7 +7182,11 @@ def q360(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the mean-adjusted cumulative sum, S = population sd, H = "
     "log-log slope of avg(R/S) vs block size — the long-memory "
     "diagnostic (H≈0.5 random walk, H>0.5 persistent trends, H<0.5 "
-    "mean-reverting) that q252's short-lag ACF cannot see.  Scale "
+    "mean-reverting) that q252's short-lag ACF cannot see.  Daily "
+    "revenue is QUANTIZED AT INGEST to cents (units2, lossless at "
+    "2 dp) so the one fact-scale fold sums LONGs in codegen; both "
+    "engines divide the correctly-rounded scale-0 sum by 100.0 "
+    "identically (r13 fixed-point port).  Scale "
     "shape: one fold to the calendar frame, a 4x map-side block "
     "expansion, cumulative DECIMAL prefix sums in windows "
     "partitioned by (block size, block) — bounded frames, never "
@@ -7181,7 +7199,10 @@ def q363(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
-        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("y")
+        (
+            F.sum(units2(F.col("o_totalprice"))).cast("double")
+            / F.lit(100.0)
+        ).alias("y")
     )
     mn = daily.agg(F.min("day").alias("mn"))
     xy = _managed_persist(
@@ -13725,30 +13746,31 @@ def q432(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH ps AS (
       SELECT l_partkey, l_suppkey,
-             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10)))
-                        AS DOUBLE)
-                   / CAST(SUM(CAST(l_quantity AS DECIMAL(30,10)))
-                          AS DOUBLE), 6) AS price
+             CAST({sql_dround_units(
+                 f"CAST(SUM({sql_units2('l_extendedprice')}) AS HUGEINT)"
+                 " * 10000",
+                 f"SUM({sql_units2('l_quantity')})")}
+                  AS BIGINT) AS pu
       FROM lineitem GROUP BY 1, 2
     ),
     agg AS (
       SELECT l_partkey,
              CAST(COUNT(*) AS BIGINT) AS n_suppliers,
-             CAST(SUM(CAST(price AS DECIMAL(30,10))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(price * price AS DECIMAL(30,10))) AS DOUBLE)
-               AS sxx
+             CAST(SUM(pu) AS BIGINT) AS sx,
+             CAST(SUM(pu * pu) AS DOUBLE) AS sxx
       FROM ps GROUP BY 1 HAVING COUNT(*) >= 3
     )
     SELECT l_partkey AS partkey, n_suppliers,
-           {sql_dratio_round('CAST(sx * 1000000 AS HUGEINT)',
-                             'n_suppliers * 1000000')} AS mean_price,
-           ROUND(sqrt((sxx - sx * sx / n_suppliers)
+           {sql_dratio_round('sx', 'n_suppliers * 10000')} AS mean_price,
+           ROUND(sqrt((sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                             / n_suppliers)
                       / (n_suppliers - 1))
-                 / (sx / n_suppliers), 4) AS price_cv
+                 / (CAST(sx AS DOUBLE) / n_suppliers), 4) AS price_cv
     FROM agg
-    ORDER BY ROUND(sqrt((sxx - sx * sx / n_suppliers)
+    ORDER BY ROUND(sqrt((sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                               / n_suppliers)
                         / (n_suppliers - 1))
-                   / (sx / n_suppliers), 4) DESC, partkey
+                   / (CAST(sx AS DOUBLE) / n_suppliers), 4) DESC, partkey
     LIMIT 15
     """,
     doc="Law-of-one-price dispersion audit: for every part sourced from "
@@ -13756,37 +13778,45 @@ def q432(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unit prices — the 15 most dispersed parts are where procurement "
     "is leaving money on the table (or where the 'same' part number "
     "hides different goods); the PRICE-side mirror of q381's "
-    "volume-concentration risk. Determinism: per-(part, supplier) "
-    "unit prices round(6) through exact-DECIMAL spend/qty folds "
-    "before the moment fold; CV round(4) with partkey tie-break on "
-    "the ordered-limit cut. Scale shape: two partial+final hash "
-    "folds over one fact scan, no joins; top-15 is an ordered limit.",
+    "volume-concentration risk. Declared semantics (r13 fixed-point "
+    "port): spend/qty are QUANTIZED AT INGEST to cents (units2 — "
+    "lossless at 2 dp), the per-(part, supplier) unit price is the "
+    "EXACT half-up integer division of spend/qty in 1e-4 units "
+    "(dround_units — no engine ROUND model involved, killing the "
+    "F.round-vs-DuckDB-ROUND boundary flake the old round(6) double "
+    "carried), and the moment fold sums LONG unit prices/squares in "
+    "codegen; unit scales cancel in the CV. CV round(4) with partkey "
+    "tie-break on the ordered-limit cut. Scale shape: two "
+    "partial+final hash folds over one fact scan, no joins; top-15 "
+    "is an ordered limit.",
 )
 @plan_cache
 def q433(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
-            / F.sum(F.col("l_quantity").cast(DEC)).cast("double"),
-            6,
-        ).alias("price")
+        dround_units(
+            F.sum(units2(F.col("l_extendedprice"))).cast(DECZ)
+            * F.lit(10000).cast("decimal(5,0)"),
+            F.sum(units2(F.col("l_quantity"))).cast(DECZ),
+        )
+        .cast("long")
+        .alias("pu")
     )
     agg = (
         ps.groupBy("l_partkey")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
-            F.sum(F.col("price").cast(DEC)).cast("double").alias("sx"),
-            F.sum((F.col("price") * F.col("price")).cast(DEC))
+            F.sum("pu").cast("bigint").alias("sx"),
+            F.sum((F.col("pu") * F.col("pu")).cast(DECZ))
             .cast("double")
             .alias("sxx"),
         )
         .where(F.col("n_suppliers") >= 3)
     )
     n = F.col("n_suppliers")
+    sxd = F.col("sx").cast("double")
     cv = F.round(
-        F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1))
-        / (F.col("sx") / n),
+        F.sqrt((F.col("sxx") - sxd * sxd / n) / (n - 1)) / (sxd / n),
         4,
     )
     return (
@@ -13794,8 +13824,8 @@ def q433(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("partkey"),
             "n_suppliers",
             dratio_round(
-                (F.col("sx") * 1000000).cast(DECZ),
-                (n * 1000000).cast(DECZ),
+                F.col("sx").cast(DECZ),
+                (n * 10000).cast(DECZ),
             ).alias("mean_price"),
             cv.alias("price_cv"),
         )
@@ -14873,14 +14903,14 @@ def q440(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q441",
-    oracle="""
+    oracle=f"""
     WITH pm AS (
       SELECT CAST(YEAR(CAST(o.o_orderdate AS DATE)) * 100
                   + MONTH(CAST(o.o_orderdate AS DATE)) AS BIGINT)
                AS month_id,
              l.l_partkey,
-             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,10)))
-                  AS DOUBLE) AS rev
+             CAST(SUM({sql_units2('l.l_extendedprice')}) AS BIGINT)
+               AS rev
       FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
       GROUP BY 1, 2
     ),
@@ -14888,7 +14918,7 @@ def q440(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT month_id, l_partkey,
              CAST(ROW_NUMBER() OVER (PARTITION BY month_id
                                      ORDER BY rev DESC, l_partkey)
-                  AS DOUBLE) AS r
+                  AS BIGINT) AS r
       FROM pm
     ),
     nxt AS (
@@ -14907,11 +14937,11 @@ def q440(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT month_id, CAST(COUNT(*) AS BIGINT) AS n_common,
-             CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(y * y AS DECIMAL(30,10))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sxy
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy
       FROM pairs GROUP BY 1
     )
     SELECT month_id, n_common,
@@ -14927,10 +14957,12 @@ def q440(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TIME-SERIES of ranking churn whose single-step extremes q407's "
     "top-movers report names (a falling stability series says the "
     "catalog's competitive order itself is destabilizing — a leading "
-    "indicator no level metric shows). Determinism: ranks are "
-    "row_numbers on exact-decimal revenue with partkey tie-break; "
-    "per-pair rank products are exact-in-double integers summed in "
-    "DECIMAL. Scale shape: one (month, part) fold, per-month rank "
+    "indicator no level metric shows). Determinism: revenue is "
+    "QUANTIZED AT INGEST to cents (units2 — lossless at 2 dp and "
+    "strictly order-preserving, so ranks are unchanged); ranks stay "
+    "BIGINT end-to-end and the moment fold sums LONG rank products "
+    "in codegen with scale-0 casts (r13 fixed-point port). Scale "
+    "shape: one (month, part) fold, per-month rank "
     "windows over the rollup frame, consecutive months linked by a "
     "distinct-months self-join, one moment fold per month pair.",
 )
@@ -14950,11 +14982,7 @@ def q441(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("month_id"),
             "l_partkey",
         )
-        .agg(
-            F.sum(F.col("l_extendedprice").cast(DEC))
-            .cast("double")
-            .alias("rev")
-        )
+        .agg(F.sum(units2(F.col("l_extendedprice"))).alias("rev"))
         .localCheckpoint()
     )
     w = Window.partitionBy("month_id").orderBy(
@@ -14963,7 +14991,7 @@ def q441(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = pm.select(
         "month_id",
         "l_partkey",
-        F.row_number().over(w).cast("double").alias("r"),
+        F.row_number().over(w).cast("bigint").alias("r"),
     )
     months = pm.select("month_id").distinct()
     m2 = months.select(F.col("month_id").alias("mb"))
@@ -14992,11 +15020,17 @@ def q441(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = pairs.groupBy("month_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_common"),
-        F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
-        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
-        F.sum((F.col("x") * F.col("x")).cast(DEC)).cast("double").alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast(DEC)).cast("double").alias("syy"),
-        F.sum((F.col("x") * F.col("y")).cast(DEC)).cast("double").alias("sxy"),
+        F.sum(F.col("x").cast(DECZ)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DECZ)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(DECZ))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(DECZ))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(DECZ))
+        .cast("double")
+        .alias("sxy"),
     )
     n = F.col("n_common")
     return (

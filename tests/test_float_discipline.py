@@ -70,7 +70,6 @@ KNOWN_BOUNCE_SITES: frozenset[tuple[str, str]] = frozenset(
         ("q355", "x"),
         ("q357", "y"),
         ("q360", "y"),
-        ("q363", "y"),
         ("q366", "x"),
         ("q369", "rs"),
         ("q375", "v"),
