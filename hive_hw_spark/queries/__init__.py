@@ -137,7 +137,7 @@ _ATTESTED = frozenset(
         # r6 sweep (regenerated testdata)
         "q01", "q02", "q06", "q10", "q11", "q12", "q13", "q14", "q15",
         "q20", "q21", "q22", "q23", "q24", "q25", "q26", "q27", "q28",
-        "q30", "q31", "q32", "q33", "q34", "q35", "q36", "q37", "q39",
+        "q31", "q32", "q33", "q34", "q35", "q36", "q37",
         "q46", "q47", "q47b", "q48", "q49", "q53", "q54", "q55", "q56",
         "q57", "q58", "q60", "q61", "q62", "q124", "q125", "q126",
         "q127", "q128", "q129", "q130", "q131",
@@ -178,7 +178,7 @@ _ATTESTED = frozenset(
         "q350", "q351", "q352", "q353", "q354", "q355", "q356", "q357",
         # r11 sweep (CORRECTNESS_r11.json, all 50 green): the q358..q407
         # never-attested block ordered by the r10 verdict's item 1.
-        "q358", "q359", "q360", "q361", "q362", "q363", "q364", "q365",
+        "q358", "q360", "q361", "q362", "q363", "q364", "q365",
         "q366", "q367", "q368", "q369", "q370", "q371", "q372", "q373",
         "q374", "q375", "q376", "q377", "q378", "q379", "q380", "q381",
         "q382", "q383", "q384", "q385", "q386", "q387", "q388", "q389",
@@ -193,8 +193,8 @@ _ATTESTED = frozenset(
         "q408", "q409", "q410", "q411", "q412", "q413", "q414", "q415",
         "q416", "q417", "q418", "q419", "q420", "q421", "q422", "q423",
         "q424", "q425", "q426", "q427", "q428", "q429", "q430", "q431",
-        "q432", "q433", "q434", "q435", "q436", "q437", "q438", "q439",
-        "q440", "q441", "q442",
+        "q432", "q434", "q435", "q436", "q437", "q438", "q439",
+        "q440", "q442",
         "q140",
         "q40", "q42", "q43", "q44", "q45", "q50", "q51", "q52",
         "q64", "q65", "q66", "q67", "q68", "q69",
@@ -287,6 +287,15 @@ _ATTESTED = frozenset(
 # After r13, every registry entry's latest driver record postdates the
 # regeneration; rotation then returns to pure freshness order (oldest
 # attestation first, rewrites outrank).
+#
+# r13 continuation: the 5 refill slots move from q01/q02/q06/q146/q234
+# (unchanged since their green rows) to the freshly REWRITTEN
+# fixed-point ports q30/q39/q359/q433/q441 — "rewrites outrank"
+# applies the round the spec changes, and these five changed both the
+# Spark plan and the oracle (usum4/units quantized-at-ingest, q433's
+# exact-integer unit price, q441's BIGINT ranks). They step out of
+# _ATTESTED below; q350/q363 (same port, lighter spec delta) keep
+# their attested rows and re-enter the freshness queue in r14.
 _PRIORITY = frozenset(
     {
         # (a) pre-regen-stale oracle entries (r4/r5 hash rows)

@@ -37,8 +37,12 @@ X10_DIR = f"/tmp/scale{COPIES}x"
 # representative per core family over lineitem: q213 predicate-pushdown
 # scan, q30 TPC-H-Q1 hash agg, q151 3-table join->agg->top-k (orders/
 # customer stay 1x behind the symlinks, so the join fans out 10x on the
-# probe side — the shuffle-scaling signal we want)
-QUERIES = ("q321", "q308", "q133", "q213", "q30", "q151")
+# probe side — the shuffle-scaling signal we want). r13 adds the newly
+# fixed-point-ported lineitem folds: q359 ABC-XYZ (two fact folds +
+# part-bucketed cumsum), q433 price dispersion (two-level hash fold),
+# q441 rank stability (fact join->rollup->per-month windows).
+QUERIES = ("q321", "q308", "q133", "q213", "q30", "q151",
+           "q359", "q433", "q441")
 
 
 def _build(spark, dst_dir: str, copies: int) -> None:

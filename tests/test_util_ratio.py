@@ -398,3 +398,51 @@ def test_iratio_round4_matches_reference_and_sql(spark, duck):
     ]
     for (n, d), g in zip(cases, got):
         assert repr(g) == repr(ref(n, d)), ("spark", n, d, g)
+
+
+def test_usum4_matches_sql_usum4(spark, duck):
+    """usum4 / sql_usum4 (r13, dsum4's fixed-point fast path) must agree
+    bit-for-bit INCLUDING at magnitudes where the old scale-4 decimal
+    cast was the only exact zone boundary (sums > ~9e11): the scale-0
+    sum->double cast is correctly rounded in both engines at any
+    magnitude and the final /10000.0 is one shared IEEE op. Groups mix
+    signs, sub-cent 4dp values, and a >9e11 total."""
+    import random
+
+    import pandas as pd
+
+    from hive_hw_spark.queries._util import sql_usum4, usum4
+
+    rng = random.Random(13)
+    rows = []
+    # group 0: ordinary money (2 dp), group 1: 4 dp values incl. exact
+    # .5e-4 boundaries, group 2: large values pushing the sum past 9e11
+    # (beyond dsum4's bit-exact zone), group 3: mixed-sign cancellation.
+    for _ in range(4000):
+        rows.append((0, rng.randint(1, 10**7) / 100.0))
+    for k in range(0, 4000, 7):
+        rows.append((1, (2 * k + 1) / 2 / 10000.0))
+        rows.append((1, rng.randint(1, 10**8) / 10000.0))
+    for _ in range(2000):
+        rows.append((2, rng.randint(10**10, 10**11) / 100.0))
+    for _ in range(3000):
+        rows.append((3, rng.choice((-1, 1)) * rng.randint(1, 10**9) / 100.0))
+    pdf = pd.DataFrame(rows, columns=["g", "v"])
+    assert sum(v for g, v in rows if g == 2) > 9e11
+    duck.register("t_usum_probe", pdf)
+    want = dict(
+        duck.execute(
+            f"SELECT g, {sql_usum4('v')} FROM t_usum_probe GROUP BY g"
+        ).fetchall()
+    )
+    duck.unregister("t_usum_probe")
+    got = {
+        r.g: r.x
+        for r in spark.createDataFrame(pdf)
+        .groupBy("g")
+        .agg(usum4(F.col("v")).alias("x"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    diffs = {g: (got[g], want[g]) for g in got if repr(got[g]) != repr(want[g])}
+    assert not diffs, diffs
