@@ -1539,8 +1539,17 @@ def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
     ".5e-4 round boundaries where engine double-ROUNDs disagree.",
 )
 def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
     li = load_table(spark, sf_dir, "lineitem")
-    d = li.select("l_orderkey", "l_partkey").distinct()
+    # Three consumers (baskets main branch, s1 and nb broadcast builds)
+    # would each re-run the fact scan + distinct shuffle: exchange reuse
+    # does not reliably fire across branches under AQE (CLAUDE.md), and
+    # the scan-dup probe read 4 lineitem scans in this plan. One
+    # materialization serves all three.
+    d = _managed_persist(
+        "q214_d", li.select("l_orderkey", "l_partkey").distinct()
+    )
     baskets = d.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("items")
     )
@@ -1790,14 +1799,19 @@ def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
     "first month / first year emit NULL by the left joins.",
 )
 def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = (
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    # The monthly fold feeds the report plus both lag broadcasts — 3
+    # orders scans in one plan without materialization.
+    m = _managed_persist(
+        "q222_m",
         load_table(spark, sf_dir, "orders")
         .groupBy(
             (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
             .cast("bigint")
             .alias("month_key")
         )
-        .agg(dsum("o_totalprice").alias("revenue"))
+        .agg(dsum("o_totalprice").alias("revenue")),
     )
     pm_key = F.when(
         F.col("month_key") % 100 == 1, F.col("month_key") - 89
@@ -2312,8 +2326,19 @@ def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
     "threshold compare is bit-stable.",
 )
 def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
-    med = ev.groupBy("user_id").agg(F.median("value").alias("m"))
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    # ev feeds three branches (median, MAD, flag pass) and med feeds
+    # two — 4 events scans in one plan without materialization
+    # (scan-dup probe); the three-pass shape is inherent to MAD, the
+    # re-scans are not.
+    ev = _managed_persist(
+        "q246_ev",
+        load_table(spark, sf_dir, "events").select("user_id", "value"),
+    )
+    med = _managed_persist(
+        "q246_med", ev.groupBy("user_id").agg(F.median("value").alias("m"))
+    )
     mad = (
         ev.join(med, "user_id")
         .groupBy("user_id")
@@ -2549,16 +2574,24 @@ def q289(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q359(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_hw_spark.queries.llm_ops import _managed_persist
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li_raw = load_table(spark, sf_dir, "lineitem")
+    # One narrow projection feeds the ABC revenue fold AND the XYZ
+    # week-grid/CV folds — without it the fact scanned 4x in one plan
+    # (scan-dup probe). Per-row quantization order is unchanged.
+    li = _managed_persist(
+        "q359_lif",
+        li_raw.select(
+            "l_partkey",
+            units4(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revu"),
+            F.col("l_shipdate").cast("date").alias("sd"),
+            units2(F.col("l_quantity")).alias("qu"),
+        ),
+    )
     pr = _managed_persist(
         "q359_part_rev",
-        li.groupBy("l_partkey").agg(
-            F.sum(
-                units4(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                )
-            ).alias("rev")
-        ),
+        li.groupBy("l_partkey").agg(F.sum(F.col("revu")).alias("rev")),
     )
     bounds = pr.agg(
         F.expr(
@@ -2606,15 +2639,9 @@ def q359(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     b = li.agg(
-        F.min(F.col("l_shipdate").cast("date")).alias("mn"),
+        F.min(F.col("sd")).alias("mn"),
         (
-            F.floor(
-                F.datediff(
-                    F.max(F.col("l_shipdate").cast("date")),
-                    F.min(F.col("l_shipdate").cast("date")),
-                )
-                / 7
-            )
+            F.floor(F.datediff(F.max(F.col("sd")), F.min(F.col("sd"))) / 7)
             + 1
         )
         .cast("bigint")
@@ -2624,13 +2651,11 @@ def q359(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.crossJoin(F.broadcast(b))
         .groupBy(
             "l_partkey",
-            F.floor(
-                F.datediff(F.col("l_shipdate").cast("date"), F.col("mn")) / 7
-            )
+            F.floor(F.datediff(F.col("sd"), F.col("mn")) / 7)
             .cast("bigint")
             .alias("w"),
         )
-        .agg(F.sum(units2(F.col("l_quantity"))).alias("q"))
+        .agg(F.sum(F.col("qu")).alias("q"))
     )
     cv = wk.groupBy("l_partkey").agg(
         F.sum(F.col("q")).cast("double").alias("s"),

@@ -679,7 +679,13 @@ def q362(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q397(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _copurchase_edges(spark, sf_dir)
     comm = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    lab = (
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    # lab feeds the edge count, the intra-community fold and both
+    # union legs of the degree fold — 8 part scans in one plan
+    # without materialization (scan-dup probe).
+    lab = _managed_persist(
+        "q397_lab",
         edges.join(
             F.broadcast(
                 comm.select(
@@ -696,7 +702,7 @@ def q397(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "b",
         )
-        .select("ba", "bb")
+        .select("ba", "bb"),
     )
     m = lab.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
     intra = (

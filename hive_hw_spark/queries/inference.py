@@ -195,13 +195,22 @@ def q304(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 @plan_cache
 def q305(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cm = (
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    # cm feeds the freq-rank fold, the percentile bounds and the
+    # bucketed chain; bucketed feeds the bucket totals and the ranked
+    # pass — 8 orders scans in one plan without materialization
+    # (scan-dup probe).
+    cm = _managed_persist(
+        "q305_cm",
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).cast("long").alias("freq"),
-            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("rev"),
-        )
+            F.sum(F.col("o_totalprice").cast(DEC))
+            .cast("double")
+            .alias("rev"),
+        ),
     )
     # Frequency average ranks over the tiny distinct-count frame:
     # triangular broadcast join (bounded by |distinct freq|, ~22 rows).
@@ -222,11 +231,14 @@ def q305(spark: SparkSession, sf_dir: str) -> DataFrame:
             "percentile(rev, array(0.125,0.25,0.375,0.5,0.625,0.75,0.875))"
         ).alias("bs")
     )
-    bucketed = cm.crossJoin(F.broadcast(bounds)).select(
-        "o_custkey",
-        "freq",
-        "rev",
-        F.expr("size(filter(bs, b -> b < rev))").alias("bk"),
+    bucketed = _managed_persist(
+        "q305_bucketed",
+        cm.crossJoin(F.broadcast(bounds)).select(
+            "o_custkey",
+            "freq",
+            "rev",
+            F.expr("size(filter(bs, b -> b < rev))").alias("bk"),
+        ),
     )
     btot = bucketed.groupBy("bk").agg(F.count(F.lit(1)).alias("bn"))
     b2 = btot.select(F.col("bk").alias("bk2"), F.col("bn").alias("bn2"))
@@ -335,24 +347,34 @@ def q306(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isin("error", "click") & F.col("value").isNotNull()
     )
-    vc = ev.groupBy(F.col("value").alias("v")).agg(
-        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
-        .cast("long")
-        .alias("c1"),
-        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
-        .cast("long")
-        .alias("c2"),
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    # q254's discipline (6 events scans in the plan probe): vc feeds
+    # bounds + bucketed; bucketed feeds the bucket totals + cum chain.
+    vc = _managed_persist(
+        "q306_vc",
+        ev.groupBy(F.col("value").alias("v")).agg(
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("c2"),
+        ),
     )
     bounds = vc.agg(
         F.expr(
             "percentile(v, array(0.125,0.25,0.375,0.5,0.625,0.75,0.875))"
         ).alias("bs")
     )
-    bucketed = vc.crossJoin(F.broadcast(bounds)).select(
-        "v",
-        "c1",
-        "c2",
-        F.expr("size(filter(bs, b -> b < v))").alias("bk"),
+    bucketed = _managed_persist(
+        "q306_bucketed",
+        vc.crossJoin(F.broadcast(bounds)).select(
+            "v",
+            "c1",
+            "c2",
+            F.expr("size(filter(bs, b -> b < v))").alias("bk"),
+        ),
     )
     btot = bucketed.groupBy("bk").agg(F.sum("c2").alias("b2"))
     bo = btot.select(F.col("bk").alias("bk2"), F.col("b2").alias("e2"))
@@ -691,10 +713,17 @@ def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 @plan_cache
 def q309(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = (
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    # daily feeds the global moments and both sides of the decay band
+    # join — 3 orders scans in one plan without materialization.
+    daily = _managed_persist(
+        "q309_daily",
         load_table(spark, sf_dir, "orders")
         .groupBy(F.to_date("o_orderdate").alias("day"))
-        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("rev"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("rev")
+        ),
     )
     glob = daily.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -891,13 +920,22 @@ def q310(spark: SparkSession, sf_dir: str) -> DataFrame:
 @plan_cache
 def q311(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    obs = ev.groupBy(
-        "event_type",
-        F.pmod(
-            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")),
-            F.lit(7),
-        ).alias("wd"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    # obs feeds the row/column margins, the grand total and the cell
+    # join — 4 events scans in one plan without materialization.
+    obs = _managed_persist(
+        "q311_obs",
+        ev.groupBy(
+            "event_type",
+            F.pmod(
+                F.datediff(
+                    F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+                ),
+                F.lit(7),
+            ).alias("wd"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("c")),
+    )
     rt = obs.groupBy("event_type").agg(F.sum("c").cast("long").alias("r"))
     ct = obs.groupBy("wd").agg(F.sum("c").cast("long").alias("cc"))
     ntot = obs.agg(F.sum("c").cast("long").alias("n"))

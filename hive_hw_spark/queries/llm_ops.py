@@ -5233,17 +5233,24 @@ def q382(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _exploded_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, label, pos 1-based, x double) — the exploded embedding
     frame every DECIMAL-exact ANN audit arithmetic runs over, matching
-    the oracles' generate_subscripts/unnest shape."""
+    the oracles' generate_subscripts/unnest shape. Managed-persisted
+    (r13): the frontier/audit queries reference it from several plan
+    branches each (q405 read 11 embeddings scans, q444/q430 5 — the
+    scan-dup probe), and exchange reuse across branches is unreliable
+    under AQE; one |N|x|dims| materialization serves them all."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", "label"
     )
-    return emb.select(
-        "vec_id", "label", F.posexplode("embedding").alias("p0", "xf")
-    ).select(
-        "vec_id",
-        "label",
-        (F.col("p0") + 1).alias("pos"),
-        F.col("xf").cast("double").alias("x"),
+    return _managed_persist(
+        "exploded_embeddings",
+        emb.select(
+            "vec_id", "label", F.posexplode("embedding").alias("p0", "xf")
+        ).select(
+            "vec_id",
+            "label",
+            (F.col("p0") + 1).alias("pos"),
+            F.col("xf").cast("double").alias("x"),
+        ),
     )
 
 
@@ -6405,13 +6412,19 @@ def q405(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cos").alias("cos_other"),
         )
     )
-    marg = own.join(other, F.col("vec_id") == F.col("ov")).select(
-        "vec_id",
-        "label",
-        "cos_own",
-        "best_other_label",
-        "cos_other",
-        F.round(F.col("cos_own") - F.col("cos_other"), 4).alias("margin"),
+    # marg feeds the median fence, the MAD fence and the final readout
+    # — each replayed the own/other window split (9 embeddings scans in
+    # the plan probe).
+    marg = _managed_persist(
+        "q405_marg",
+        own.join(other, F.col("vec_id") == F.col("ov")).select(
+            "vec_id",
+            "label",
+            "cos_own",
+            "best_other_label",
+            "cos_other",
+            F.round(F.col("cos_own") - F.col("cos_other"), 4).alias("margin"),
+        ),
     )
     rob = marg.groupBy(F.col("label").alias("rl")).agg(
         F.round(F.expr("percentile(margin, 0.5)"), 6).alias("med")
@@ -6777,10 +6790,17 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("term_score"),
         )
     )
-    return scored.groupBy("doc_id").agg(
-        F.round(
-            F.sum(F.col("term_score").cast(DEC)).cast("double"), 4
-        ).alias("bm25")
+    # Managed-persisted (r13): q427/q428/q430/q431 each consume this
+    # frame from several branches (rank + top-k + fusion legs) — one
+    # |docs| materialization instead of re-running the corpus TF/DF
+    # folds per branch (scan-dup probe: 13 scans in q430's plan).
+    return _managed_persist(
+        "bm25_scores",
+        scored.groupBy("doc_id").agg(
+            F.round(
+                F.sum(F.col("term_score").cast(DEC)).cast("double"), 4
+            ).alias("bm25")
+        ),
     )
 
 
@@ -6955,7 +6975,10 @@ def _dense_scores_vs_doc0(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").alias("qpos"), F.col("x").alias("qx")
     )
     qn = vnorm.where(F.col("vec_id") == 0).select(F.col("vn").alias("qn"))
-    return (
+    # Managed-persisted (r13): the dense leg is consumed from several
+    # branches by q428/q429/q430 — one materialization per session.
+    return _managed_persist(
+        "dense_scores_doc0",
         ex.join(F.broadcast(q), F.col("pos") == F.col("qpos"))
         .groupBy("vec_id")
         .agg(
@@ -6970,7 +6993,7 @@ def _dense_scores_vs_doc0(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("dot") / F.sqrt(F.col("vn") * F.col("qn")), 4
             ).alias("cos"),
-        )
+        ),
     )
 
 

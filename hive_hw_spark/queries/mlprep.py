@@ -215,10 +215,17 @@ def q333(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 @plan_cache
 def q334(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
     o = load_table(spark, sf_dir, "orders")
-    s = o.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sx"),
+    # The 5-row priority moment frame feeds the grand total AND the
+    # encode join — each re-ran the orders fold (3 scans in the probe).
+    s = _managed_persist(
+        "q334_s",
+        o.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sx"),
+        ),
     )
     g = s.agg(
         F.sum("n").cast("long").alias("gn"),

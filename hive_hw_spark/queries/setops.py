@@ -131,12 +131,22 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
     "re-counted per key so the oracle compare is order-free.",
 )
 def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
     orders = load_table(spark, sf_dir, "orders")
-    f = orders.where(F.col("o_orderstatus") == "F").select(
-        F.col("o_custkey").alias("custkey")
+    # Both bag set-ops consume both legs — each leg's scan re-ran
+    # twice (4 orders scans in the plan probe).
+    f = _managed_persist(
+        "q200_f",
+        orders.where(F.col("o_orderstatus") == "F").select(
+            F.col("o_custkey").alias("custkey")
+        ),
     )
-    o = orders.where(F.col("o_orderstatus") == "O").select(
-        F.col("o_custkey").alias("custkey")
+    o = _managed_persist(
+        "q200_o",
+        orders.where(F.col("o_orderstatus") == "O").select(
+            F.col("o_custkey").alias("custkey")
+        ),
     )
     inter = (
         f.intersectAll(o)

@@ -923,11 +923,16 @@ def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the engines' double ROUNDs disagree — the q259 class).",
 )
 def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
     ev = load_table(spark, sf_dir, "events")
-    s = (
+    # s feeds the conversion join AND the cohort rollup — the signup
+    # fold re-ran for each (3 events scans in the plan probe).
+    s = _managed_persist(
+        "q180_s",
         ev.where(F.col("event_type") == "signup")
         .groupBy("user_id")
-        .agg(F.min("ts").alias("signup_ts"))
+        .agg(F.min("ts").alias("signup_ts")),
     )
     p = ev.where(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
@@ -1100,18 +1105,27 @@ def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.max("l_shipdate").alias("max_ship"))
     )
-    spans = (
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    # spans feeds both union legs of the sweep-line deltas, and daily
+    # feeds the year totals AND the running series — 6 lineitem + 6
+    # orders scans in one plan without materialization (scan-dup
+    # probe; the q118 materialize-before-union rule).
+    spans = _managed_persist(
+        "q204_spans",
         load_table(spark, sf_dir, "orders")
         .join(li_end, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
             F.to_date("o_orderdate").alias("sd"),
             F.date_add(F.to_date("max_ship"), 1).alias("ed"),
-        )
+        ),
     )
     deltas = spans.select(F.col("sd").alias("day"), F.lit(1).alias("d")).unionAll(
         spans.select(F.col("ed").alias("day"), F.lit(-1).alias("d"))
     )
-    daily = deltas.groupBy("day").agg(F.sum("d").alias("d"))
+    daily = _managed_persist(
+        "q204_daily", deltas.groupBy("day").agg(F.sum("d").alias("d"))
+    )
     # per-year offset: sum of all PRIOR years' deltas (triangular join
     # over the tiny year-total frame — structural, never a global window)
     yearly = daily.groupBy(F.year("day").alias("y")).agg(
