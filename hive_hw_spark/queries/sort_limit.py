@@ -140,7 +140,14 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("price")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    loc = loc.withColumn("local_prefix", F.max("grp_max").over(wb))
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    # loc feeds the carry-in summary AND the prefix-max join — without
+    # materialization the group fold + bucket window re-ran for each
+    # (5 part scans in the plan probe).
+    loc = _managed_persist(
+        "q53_loc", loc.withColumn("local_prefix", F.max("grp_max").over(wb))
+    )
     # carry-in: max over all strictly earlier buckets (per-bucket summary
     # is <= 8 rows; non-foldable constant partition key, q45's idiom)
     wall = (

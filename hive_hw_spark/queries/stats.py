@@ -178,27 +178,35 @@ def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 @plan_cache
 def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = (
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    # daily feeds the totals fence and both sides of the triangular
+    # join; cum feeds the peak fence and the final flag pass — 6
+    # events scans in one plan without materialization (scan-dup
+    # probe).
+    daily = _managed_persist(
+        "q253_daily",
         load_table(spark, sf_dir, "events")
         .groupBy(F.to_date("ts").cast("string").alias("day"))
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).alias("c")),
     )
     tot = daily.agg(
         F.count(F.lit(1)).alias("n_days"), F.sum("c").alias("total")
     )
     d2 = daily.select(F.col("day").alias("day2"), F.col("c").alias("c2"))
     # one triangular join yields BOTH the prefix sum and the day index
-    cum = (
+    cum = _managed_persist(
+        "q253_cum",
         daily.join(F.broadcast(d2), F.col("day2") <= F.col("day"))
         .groupBy("day", "c")
         .agg(F.sum("c2").alias("p"), F.count(F.lit(1)).alias("idx"))
         .crossJoin(F.broadcast(tot))
         .withColumn(
             "d_stat",
-            (F.col("n_days") * F.col("p") - F.col("idx") * F.col("total")).cast(
-                "long"
-            ),
-        )
+            (
+                F.col("n_days") * F.col("p") - F.col("idx") * F.col("total")
+            ).cast("long"),
+        ),
     )
     peak = cum.agg(F.max(F.abs(F.col("d_stat"))).alias("peak"))
     return (

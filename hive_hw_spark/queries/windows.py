@@ -335,7 +335,14 @@ def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("bs")
     )
     wp = Window.partitionBy("bkt").orderBy("o_totalprice", "o_orderkey")
-    local = local.withColumn("lrn", F.row_number().over(wp))
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    # local feeds the per-bucket counts fence AND the final join —
+    # without materialization the scan + bucket window re-ran for each
+    # (4 orders scans in the plan probe).
+    local = _managed_persist(
+        "q45_local", local.withColumn("lrn", F.row_number().over(wp))
+    )
     counts = local.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
     # constant-valued but non-foldable partition key (a bare literal gets
     # optimized out of the spec); input is one row per bucket
