@@ -134,25 +134,24 @@ _loaded = False
 # r6 verdict's top item is re-attesting that q40–q52 / q63–q122 pool.
 _ATTESTED = frozenset(
     {
-        # r6 sweep (regenerated testdata)
-        "q01", "q02", "q06", "q10", "q11", "q12", "q13", "q14", "q15",
-        "q20", "q21", "q22", "q23", "q24", "q25", "q26", "q27", "q28",
-        "q31", "q32", "q33", "q34", "q35", "q36", "q37",
-        "q46", "q47", "q47b", "q48", "q49", "q53", "q54", "q55", "q56",
-        "q57", "q58", "q60", "q61", "q62", "q124", "q125", "q126",
+        # r6 sweep (regenerated testdata) — the q01..q61 scans/filters/
+        # joins/aggregates/windows names stepped out for the r14
+        # freshness window (_R14_REFRESH above): they carry the OLDEST
+        # driver rows on record now that the pre-regen backlog is gone.
+        "q62", "q124", "q125", "q126",
         "q127", "q128", "q129", "q130", "q131",
         # r7 sweep (CORRECTNESS_r07.json, all green)
         "q38", "q70", "q82", "q123", "q181", "q186", "q187", "q188",
         "q192", "q193", "q194", "q195", "q196", "q197", "q198", "q199",
         "q200", "q201", "q202", "q203", "q204", "q205", "q206", "q209",
-        "q213", "q214", "q215", "q216", "q217", "q218", "q219", "q220",
+        "q213", "q215", "q216", "q217", "q218", "q219", "q220",
         "q221", "q222", "q223", "q224", "q227", "q233", "q234", "q235",
         "q238", "q239", "q240", "q241", "q242", "q243", "q244", "q245",
         "q246", "q249",
         # r8 sweep (CORRECTNESS_r08.json, all 50 green)
-        "q63", "q71", "q72", "q78", "q114", "q132", "q133", "q134",
-        "q135", "q136", "q137", "q138", "q139", "q141", "q142", "q143",
-        "q144", "q145", "q146", "q148", "q149", "q151", "q152", "q153",
+        "q63", "q71", "q72", "q78", "q114", "q132", "q134",
+        "q135", "q136", "q137", "q138", "q141", "q142", "q143",
+        "q144", "q145", "q146", "q148", "q149", "q151", "q153",
         "q154", "q155", "q156", "q157", "q158", "q160", "q161", "q162",
         "q163", "q164", "q165", "q166", "q167", "q170", "q172", "q173",
         "q174", "q175", "q176", "q177", "q178", "q180", "q285", "q294",
@@ -165,24 +164,24 @@ _ATTESTED = frozenset(
         "q256", "q257", "q258", "q260", "q261", "q262", "q263", "q264",
         "q265", "q266", "q267", "q268", "q269", "q270", "q271", "q272",
         "q274", "q276", "q277", "q278", "q279", "q286", "q288", "q289",
-        "q290", "q291", "q292", "q293", "q295", "q296", "q297", "q299",
+        "q290", "q291", "q292", "q293", "q295", "q296", "q299",
         "q300", "q301", "q303", "q304", "q305", "q306", "q443", "q444",
         # r10 sweep (CORRECTNESS_r10.json, all 50 green): the q259/q307
         # re-attestations (r9 reds, fixed) plus the q308..q357 block.
         "q259", "q307",
-        "q308", "q309", "q310", "q311", "q313", "q314", "q315", "q316",
-        "q317", "q318", "q319", "q320", "q321", "q322", "q323", "q324",
-        "q325", "q326", "q328", "q329", "q330", "q331", "q332", "q333",
+        "q309", "q310", "q311", "q313", "q314", "q315", 
+        "q317", "q318", "q319", "q320", "q323", "q324",
+        "q325", "q326", "q328", "q329", "q330", "q332", "q333",
         "q334", "q335", "q336", "q337", "q338", "q339", "q340", "q341",
         "q342", "q343", "q344", "q345", "q346", "q347", "q348", "q349",
-        "q350", "q351", "q352", "q353", "q354", "q355", "q356", "q357",
+        "q351", "q352", "q353", "q354", "q355", "q356", "q357",
         # r11 sweep (CORRECTNESS_r11.json, all 50 green): the q358..q407
         # never-attested block ordered by the r10 verdict's item 1.
-        "q358", "q360", "q361", "q362", "q363", "q364", "q365",
+        "q358", "q360", "q361", "q362", "q364", "q365",
         "q366", "q367", "q368", "q369", "q370", "q371", "q372", "q373",
         "q374", "q375", "q376", "q377", "q378", "q379", "q380", "q381",
-        "q382", "q383", "q384", "q385", "q386", "q387", "q388", "q389",
-        "q390", "q391", "q392", "q393", "q394", "q395", "q396", "q397",
+        "q382", "q383", "q384", "q385", "q386", "q387", "q388", 
+        "q390", "q391", "q392", "q393", "q394", "q395", "q397",
         "q398", "q399", "q400", "q401", "q402", "q403", "q404", "q405",
         "q406", "q407",
         # r12 sweep (CORRECTNESS_r12.json, 49 hash-green + q140's
@@ -198,6 +197,17 @@ _ATTESTED = frozenset(
         "q140",
         "q40", "q42", "q43", "q44", "q45", "q50", "q51", "q52",
         "q64", "q65", "q66", "q67", "q68", "q69",
+        # r13 sweep (CORRECTNESS_r13.json, 45/45 hash-green; the 5
+        # rows-only ANN/sketch entries returned to _ROWS_ONLY_DEFER):
+        # the pre-regen-stale LLM-ops block + the 5 rewritten refills.
+        "q41", "q67b",
+        "q80", "q81", "q83", "q84", "q85",
+        "q90", "q91", "q92", "q93", "q94", "q94b", "q94c", "q95",
+        "q96", "q97", "q98", "q99", "q100", "q101", "q102", "q103",
+        "q104", "q105", "q106", "q107", "q108", "q109", "q110",
+        "q112", "q113",
+        "q115", "q116", "q117", "q118", "q119", "q120", "q121", "q122",
+        "q30", "q39", "q359", "q433", "q441",
     }
 )
 
@@ -296,28 +306,54 @@ _ATTESTED = frozenset(
 # exact-integer unit price, q441's BIGINT ranks). They step out of
 # _ATTESTED below; q350/q363 (same port, lighter spec delta) keep
 # their attested rows and re-enter the freshness queue in r14.
+#
+# Round-13 rotation (historical): the 45 pre-regen-stale entries
+# (q41/q67b/q80..q122 incl. the 5 rows-only ANN/sketch ops) + the 5
+# rewritten refills q30/q39/q359/q433/q441 — CORRECTNESS_r13 came back
+# 45/45 hash-green + 5 by-design no_oracle rows; the block moved to
+# _ATTESTED below and the rows-only five returned to _ROWS_ONLY_DEFER.
+#
+# Round-14 rotation (exactly 50), per the r13 verdict's item 2
+# ("rewrites outrank", then freshness):
+#   (a) the 8 r13 fixed-point ports whose post-rewrite equivalence
+#       evidence is local-only (q321/q308/q133 moment folds,
+#       q331/q389/q396 scale-0 ports, q350/q363 tail ports) — every
+#       r13 rewrite then has a post-rewrite driver hash row;
+#   (b) the 6 r14 optimization rewrites: q297 (units2 window weights),
+#       q316 (units6 ln moments), q322 (histogram percentile), q139/
+#       q214 (collect_set dedup, no distinct pass), q152 (plan_cache);
+#   (c) 36 freshness refills — the OLDEST driver rows on record, the
+#       r6-sweep scans/filters/joins/aggregates/windows block (q01..
+#       q61), stepped out of _ATTESTED into the middle tier.
 _PRIORITY = frozenset(
     {
-        # (a) pre-regen-stale oracle entries (r4/r5 hash rows)
-        "q41", "q67b",
-        "q80", "q81", "q83", "q84", "q85",
-        "q90", "q91", "q92", "q93", "q94", "q94b", "q94c", "q95",
-        "q96", "q97", "q98", "q99", "q100", "q101", "q102", "q103",
-        "q104", "q105", "q106", "q107", "q108", "q109", "q110",
-        "q112", "q113",
-        "q115", "q116", "q117", "q118", "q119", "q120", "q121", "q122",
-        # (b) pre-regen-stale rows-only entries (r4/r5 no_oracle rows)
-        "q92b", "q92c", "q92d", "q102b", "q111",
+        # (a) r13 rewrites without a post-rewrite driver row
+        "q321", "q308", "q133", "q331", "q389", "q396", "q350", "q363",
+        # (b) r14 rewrites
+        "q297", "q316", "q322", "q139", "q214", "q152",
+    }
+)
+
+# (c) r14 freshness refills: stepped out of _ATTESTED (below) so they
+# fill the window's remaining 36 slots in registration order.
+_R14_REFRESH = frozenset(
+    {
+        "q01", "q02", "q06", "q10", "q11", "q12", "q13", "q14", "q15",
+        "q20", "q21", "q22", "q23", "q24", "q25", "q26", "q27", "q28",
+        "q31", "q33", "q34", "q35", "q36", "q37",
+        "q46", "q47", "q48", "q49", "q53", "q54", "q55", "q56",
+        "q57", "q58", "q60", "q61",
     }
 )
 
 # Back of the queue: ``oracle=None`` approximates whose driver check is
 # rows-only (the weak form) — their real evidence is the pytest error/
 # recall bounds, so a hash-checked oracle query always outranks them for
-# a sweep slot. q92b/q92c/q92d/q102b/q111 step out for r13 (their
-# no_oracle rows predate the round-6 regeneration; see _PRIORITY (b))
-# and return afterwards. q32/q47b/q140 hold current post-regen rows.
-_ROWS_ONLY_DEFER = frozenset({"q32", "q47b", "q140"})
+# a sweep slot. All hold post-regeneration rows (q92b/q92c/q92d/q102b/
+# q111 re-attested r13).
+_ROWS_ONLY_DEFER = frozenset(
+    {"q32", "q47b", "q140", "q92b", "q92c", "q92d", "q102b", "q111"}
+)
 
 
 def _load() -> None:

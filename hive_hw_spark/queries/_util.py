@@ -319,6 +319,33 @@ def sql_units2(expr: str) -> str:
     return f"CAST(SIGN({x}) * FLOOR(ABS({x}) + 0.5) AS BIGINT)"
 
 
+def units6(col: Column | str) -> Column:
+    """:func:`units4` at scale 1e6 — the fixed-point ingest grid for
+    CONTINUOUS (irrational-valued) doubles whose declared spec already
+    quantizes them, e.g. log-transformed moments that previously summed
+    ``CAST(x AS DECIMAL(30,10))`` (a 1e-10 half-up quantizer paying a
+    per-row double->BigDecimal boxing). Declaring the grid at 1e-6
+    keeps unit PRODUCTS for |x| <= ~300 inside LONG (3e8^2 = 9e16 <
+    2^63) so moment folds run as codegen long multiplies into
+    DECIMAL(38,0) accumulators (the q321 r13 port, extended to the
+    ln() family). Same engine-agnostic IEEE op sequence (x*1e6,
+    |..|+0.5, floor) — no ROUND model or double->decimal cast
+    involved. Semantics shift to declare in the op doc: the moments
+    aggregate VALUES QUANTIZED AT INGEST on the 1e-6 grid (and
+    products of quantized values, not quantized products); for
+    round(4) ratio outputs of O(1) statistics the 5e-7 grid error is
+    ~100x below output granularity.
+    """
+    x = (F.col(col) if isinstance(col, str) else col) * F.lit(1000000.0)
+    return (F.signum(x) * F.floor(F.abs(x) + F.lit(0.5))).cast("long")
+
+
+def sql_units6(expr: str) -> str:
+    """DuckDB-side mirror of :func:`units6` (same IEEE op sequence)."""
+    x = f"(({expr}) * 1000000.0)"
+    return f"CAST(SIGN({x}) * FLOOR(ABS({x}) + 0.5) AS BIGINT)"
+
+
 def iratio_round4(num: Column, den: Column) -> Column:
     """Half-away-from-zero round of ``num/den`` to 4 dp where ``num`` is
     already in 1e-4 integer units and ``den`` a positive LONG count —

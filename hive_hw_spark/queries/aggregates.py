@@ -711,7 +711,11 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in the same order, kept at support >= 2. The oracle states it as "
     "the textbook fact self-join; the engine NEVER self-joins the fact "
     "— one shuffle groups each order's distinct parts into a sorted "
-    "array, pairs are generated per basket with an index-aware "
+    "array (collect_set dedups per basket, so no separate distinct "
+    "pass: the r13 form pre-distincted into its OWN full-fact "
+    "exchange, doubling fact shuffle bytes for a dedup the set agg "
+    "already does — r14 plan diff: 2 fact Exchanges -> 1), pairs are "
+    "generated per basket with an index-aware "
     "transform over slice() (expansion bounded by basket_size^2, ~4 "
     "items/order here, and the lambdas touch only basket-sized arrays "
     "— the interpreted-HOF concern applies to corpus-sized streams, "
@@ -726,7 +730,6 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     baskets = (
         li.select("l_orderkey", "l_partkey")
-        .distinct()
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
     )
@@ -1542,16 +1545,21 @@ def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_hw_spark.queries.llm_ops import _managed_persist
 
     li = load_table(spark, sf_dir, "lineitem")
-    # Three consumers (baskets main branch, s1 and nb broadcast builds)
-    # would each re-run the fact scan + distinct shuffle: exchange reuse
-    # does not reliably fire across branches under AQE (CLAUDE.md), and
-    # the scan-dup probe read 4 lineitem scans in this plan. One
-    # materialization serves all three.
-    d = _managed_persist(
-        "q214_d", li.select("l_orderkey", "l_partkey").distinct()
-    )
-    baskets = d.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    # Three consumers (pair expansion, s1 and nb broadcast builds)
+    # would each re-run the fact scan: exchange reuse does not reliably
+    # fire across branches under AQE (CLAUDE.md). r13 materialized the
+    # distinct (orderkey, partkey) frame; r14 materializes the BASKET
+    # frame instead — collect_set dedups per order, so the separate
+    # distinct pass was a second full-fact exchange for nothing, and
+    # the persisted frame shrinks from |fact| pair rows to |orders|
+    # small arrays. s1 (distinct orders per part) and nb (order count)
+    # derive from the basket frame exactly: exploding the dedup'd item
+    # arrays re-emits each distinct (order, part) pair once.
+    baskets = _managed_persist(
+        "q214_baskets",
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items")),
     )
     pairs = (
         baskets.select(
@@ -1568,12 +1576,18 @@ def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("supp"))
         .filter(F.col("supp") >= 3)
     )
-    s1 = d.groupBy(F.col("l_partkey").alias("k")).agg(
-        F.count(F.lit(1)).alias("s")
+    # s1 feeds TWO broadcast builds (sa and sb) and every broadcast
+    # build re-executes its subtree (CLAUDE.md materialize-before-
+    # broadcast rule; the r14 plan read the explode+two-level agg
+    # twice). Persisting the |parts|-row aggregate makes both builds
+    # read the same tiny cached frame.
+    s1 = _managed_persist(
+        "q214_s1",
+        baskets.select(F.explode("items").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("s")),
     )
-    nb = d.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).alias("nb")
-    )
+    nb = baskets.agg(F.count(F.lit(1)).alias("nb"))
     return (
         pairs.join(
             F.broadcast(s1.select(F.col("k").alias("ka"), F.col("s").alias("sa"))),

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_hw_spark.catalog import load_table
-from hive_hw_spark.queries import register
+from hive_hw_spark.queries import plan_cache, register
 
 
 @register(
@@ -691,8 +691,13 @@ def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(orderkey); the 'supplier in the customer's nation' condition "
     "rides the broadcast join as a residual instead of a second "
     "fact shuffle. Year filter prunes orders at the scan. Exact "
-    "DECIMAL revenue; total order by (revenue desc, unique n_name).",
+    "DECIMAL revenue; total order by (revenue desc, unique n_name). "
+    "plan_cache (r14): Catalyst analysis of the 5-join snowflake "
+    "tree costs ~0.3-0.5 s of driver time per build — the prepared-"
+    "statement memo pays it once per (session, sf_dir); every "
+    "invocation still executes fully.",
 )
+@plan_cache
 def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
     asia_nations = (
         load_table(spark, sf_dir, "nation")

@@ -45,7 +45,9 @@ from ._util import (
     sql_dround_units,
     sql_dratio_round_wide,
     sql_units2,
+    sql_units6,
     units2,
+    units6,
 )
 
 
@@ -3189,19 +3191,18 @@ def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q297",
-    oracle="""
+    oracle=f"""
     WITH r AS (
       SELECT l_returnflag AS flag, l_extendedprice AS price,
-             CAST(l_quantity AS DECIMAL(30,10)) AS wt,
-             SUM(CAST(l_quantity AS DECIMAL(30,10))) OVER w AS cumw,
-             SUM(CAST(l_quantity AS DECIMAL(30,10)))
+             SUM({sql_units2('l_quantity')}) OVER w AS cumw,
+             SUM({sql_units2('l_quantity')})
                OVER (PARTITION BY l_returnflag) AS totw
       FROM lineitem
       WINDOW w AS (PARTITION BY l_returnflag
                    ORDER BY l_extendedprice, l_orderkey, l_linenumber)
     )
     SELECT flag,
-           ROUND(CAST(MAX(totw) AS DOUBLE), 4) AS total_weight,
+           ROUND(CAST(MAX(totw) AS DOUBLE) / 100.0, 4) AS total_weight,
            MIN(CASE WHEN 2 * cumw >= totw THEN price END)
              AS weighted_median
     FROM r GROUP BY flag ORDER BY flag
@@ -3210,13 +3211,20 @@ def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
     "flag's QUANTITY mass in half (the 'typical unit sells at' "
     "number; the unweighted q218 median answers what the typical "
     "LINE costs — different question when quantities skew). "
-    "Determinism: cumulative and total weights are exact DECIMAL "
-    "window sums with a unique (price, orderkey, linenumber) sort "
-    "key, the half-mass test 2·cumw ≥ totw is an exact DECIMAL "
-    "compare (no float rates), and the pick is MIN over qualifying "
-    "rows — an actual data row. Scale shape: ONE exchange on the "
-    "group key carries both windows and the final conditional agg "
-    "(q218's single-exchange quantile plan, weight-generalized).",
+    "Weights are QUANTIZED AT INGEST to 1e-2 integer units "
+    "(units2 — lossless: l_quantity is exact at <= 2 dp), so both "
+    "cumulative sums slide LONGs in whole-stage codegen instead of "
+    "boxing a DECIMAL accumulator per row (the r11 q44/q289 window "
+    "discipline, r14 port; was the 2x cost of this plan). "
+    "Determinism: integer-unit window sums with a unique (price, "
+    "orderkey, linenumber) sort key, the half-mass test "
+    "2·cumw ≥ totw is an exact integer compare (no float rates), "
+    "and the pick is MIN over qualifying rows — an actual data "
+    "row; total weight unscales by one /100.0 IEEE divide of a "
+    "correctly-rounded integer->double cast, identical in both "
+    "engines. Scale shape: ONE exchange on the group key carries "
+    "both windows and the final conditional agg (q218's single-"
+    "exchange quantile plan, weight-generalized).",
 )
 @plan_cache
 def q297(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3225,17 +3233,19 @@ def q297(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice", "l_orderkey", "l_linenumber"
     )
     wn = Window.partitionBy("l_returnflag")
-    wt = F.col("l_quantity").cast(DEC)
+    wtu = units2(F.col("l_quantity"))
     r = li.select(
         F.col("l_returnflag").alias("flag"),
         F.col("l_extendedprice").alias("price"),
-        F.sum(wt).over(w).alias("cumw"),
-        F.sum(wt).over(wn).alias("totw"),
+        F.sum(wtu).over(w).alias("cumw"),
+        F.sum(wtu).over(wn).alias("totw"),
     )
     return (
         r.groupBy("flag")
         .agg(
-            F.round(F.max("totw").cast("double"), 4).alias("total_weight"),
+            F.round(
+                F.max("totw").cast("double") / F.lit(100.0), 4
+            ).alias("total_weight"),
             F.min(
                 F.when(2 * F.col("cumw") >= F.col("totw"), F.col("price"))
             ).alias("weighted_median"),
@@ -4031,21 +4041,21 @@ def q303(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q316",
-    oracle="""
+    oracle=f"""
     WITH obs AS (
       SELECT p_brand,
-             ln(l_extendedprice / l_quantity) AS x,
-             ln(l_quantity) AS y
+             {sql_units6('ln(l_extendedprice / l_quantity)')} AS xu,
+             {sql_units6('ln(l_quantity)')} AS yu
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE l_quantity > 0
     ),
     s AS (
       SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(y * y AS DECIMAL(30,10))) AS DOUBLE) AS syy
+             CAST(SUM(xu) AS DOUBLE) AS sx,
+             CAST(SUM(yu) AS DOUBLE) AS sy,
+             CAST(SUM(xu * xu) AS DOUBLE) AS sxx,
+             CAST(SUM(xu * yu) AS DOUBLE) AS sxy,
+             CAST(SUM(yu * yu) AS DOUBLE) AS syy
       FROM obs GROUP BY p_brand
     )
     SELECT p_brand, n,
@@ -4063,34 +4073,44 @@ def q303(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Price-elasticity estimate per brand — log-log OLS of quantity "
     "on unit price (ln q = a + e*ln p; the slope e IS the elasticity), "
-    "the demand-curve read every pricing team runs.  Scale shape: "
+    "the demand-curve read every pricing team runs.  The ln inputs "
+    "are QUANTIZED AT INGEST on the 1e-6 grid (units6) and the "
+    "moments are sums of unit PRODUCTS — the declared statistic "
+    "was already 1e-10-quantized (the old per-moment "
+    "DECIMAL(30,10) casts), and the 1e-6 grid moves slope/R^2 by "
+    "O(5e-7), ~100x below the round(4) output granularity, while "
+    "the unit scales cancel exactly in both ratios (no unscaling "
+    "anywhere). Scale shape: "
     "the dimension joins BROADCAST (|part| rows, pruned to the two "
-    "join/group columns); per-row ln products stay IEEE double; the "
+    "join/group columns); per-row work is 2 ln + codegen LONG "
+    "multiplies (the r13 q321 fixed-point discipline — the old "
+    "fold boxed 5 BigDecimals per row); the "
     "corpus folds to a 25-row (|brands|) moment frame in ONE "
-    "partial+final agg with exact DECIMAL accumulators; the "
-    "slope/R^2 closed form runs per brand row.",
+    "partial+final agg with exact DECIMAL(38,0) accumulators whose "
+    "scale-0 double casts are correctly rounded in BOTH engines; "
+    "the slope/R^2 closed form runs per brand row.",
 )
 @plan_cache
 def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
     pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    x = F.log(F.col("l_extendedprice") / F.col("l_quantity"))
-    y = F.log(F.col("l_quantity"))
+    xu = units6(F.log(F.col("l_extendedprice") / F.col("l_quantity")))
+    yu = units6(F.log(F.col("l_quantity")))
     s = (
         li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
-        .select("p_brand", x.alias("x"), y.alias("y"))
+        .select("p_brand", xu.alias("xu"), yu.alias("yu"))
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(F.col("x").cast(DEC)).cast("double").alias("sx"),
-            F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
-            F.sum((F.col("x") * F.col("x")).cast(DEC))
+            F.sum(F.col("xu").cast(DECZ)).cast("double").alias("sx"),
+            F.sum(F.col("yu").cast(DECZ)).cast("double").alias("sy"),
+            F.sum((F.col("xu") * F.col("xu")).cast(DECZ))
             .cast("double")
             .alias("sxx"),
-            F.sum((F.col("x") * F.col("y")).cast(DEC))
+            F.sum((F.col("xu") * F.col("yu")).cast(DECZ))
             .cast("double")
             .alias("sxy"),
-            F.sum((F.col("y") * F.col("y")).cast(DEC))
+            F.sum((F.col("yu") * F.col("yu")).cast(DECZ))
             .cast("double")
             .alias("syy"),
         )
@@ -4544,10 +4564,16 @@ def q321(spark: SparkSession, sf_dir: str) -> DataFrame:
     "interpolating percentile() ≡ DuckDB quantile_cont on integer "
     "day diffs cast to double.  Scale shape: the orders side "
     "prunes to two columns before a single shuffle join on "
-    "orderkey (both sides fact-scale — sort-merge, AQE-planned), "
-    "then ONE fold to the 5-row priority frame; exact percentiles "
-    "imply a per-group sort, bounded because groups are 5 and the "
-    "latency domain is small-integer days.",
+    "orderkey (both sides fact-scale — sort-merge, AQE-planned); "
+    "the corpus then folds to the tiny (priority, days) histogram "
+    "in a codegen count agg (map-side combinable — the shuffle "
+    "carries <= |priorities|x|day values| cells per task, not "
+    "rows), and the exact interpolating percentile runs over the "
+    "histogram via percentile()'s frequency argument — value-"
+    "identical to the row-level form (r14 A/B: bit-equal outputs) "
+    "because Spark's Percentile buffer IS a (value -> count) map; "
+    "per-group holistic state is bounded by the day-value domain, "
+    "not the row count.",
 )
 @plan_cache
 def q322(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4563,13 +4589,22 @@ def q322(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("days"),
     )
+    hist = lat.groupBy("o_orderpriority", "days").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
     return (
-        lat.groupBy("o_orderpriority")
+        hist.groupBy("o_orderpriority")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.percentile("days", F.lit(0.5)), 4).alias("p50"),
-            F.round(F.percentile("days", F.lit(0.9)), 4).alias("p90"),
-            F.round(F.percentile("days", F.lit(0.99)), 4).alias("p99"),
+            F.sum("cnt").cast("long").alias("n"),
+            F.round(
+                F.percentile("days", F.lit(0.5), F.col("cnt")), 4
+            ).alias("p50"),
+            F.round(
+                F.percentile("days", F.lit(0.9), F.col("cnt")), 4
+            ).alias("p90"),
+            F.round(
+                F.percentile("days", F.lit(0.99), F.col("cnt")), 4
+            ).alias("p99"),
         )
         .orderBy("o_orderpriority")
     )

@@ -24,6 +24,9 @@ def load(path: str) -> dict[str, float]:
 
 
 def main() -> None:
+    if len(sys.argv) < 3:
+        print(__doc__.strip().splitlines()[2])
+        sys.exit(2)
     old = load(sys.argv[1])
     new = load(sys.argv[2])
     top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 25
@@ -32,6 +35,10 @@ def main() -> None:
           f"new sum {sum(new.values()):.1f}s ({len(new)}q)   "
           f"common {len(common)}")
     ratios = [new[k] / old[k] for k in common if old[k] > 0]
+    if not ratios:
+        print("no common queries with old > 0 — nothing to compare "
+              "(is one file a gate-fields-only stdout capture?)")
+        return
     print(f"median per-query ratio new/old: {statistics.median(ratios):.3f}")
     movers = sorted(common, key=lambda k: -(abs(new[k] - old[k])))
     print(f"{'query':8s} {'old':>8s} {'new':>8s} {'delta':>8s} {'ratio':>6s}")

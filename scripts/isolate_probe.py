@@ -1,6 +1,6 @@
 """Isolate-time queries with bench methodology (noop sink, min-of-N).
 
-Usage: python scripts/isolate_probe.py q214 q375 q286 [--reps N]
+Usage: python scripts/isolate_probe.py q214 q375 q286 [--reps N | --reps=N]
 
 Same session factory and timed action as bench.py, one fresh session,
 queries in the given order, min-of-N (default 4) per query with all
@@ -20,11 +20,13 @@ from hive_hw_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    reps = 4
-    for a in sys.argv[1:]:
-        if a.startswith("--reps"):
-            reps = int(a.split("=")[1])
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("queries", nargs="+")
+    ap.add_argument("--reps", type=int, default=4)
+    ns = ap.parse_args()
+    args, reps = ns.queries, ns.reps
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="isolate_probe")
     registry = all_queries()
