@@ -1041,8 +1041,18 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    o = docs.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).cast("double").alias("obs")
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    # r14 dup-scan fix (v2 probe: 5 documents scans): r/c/n each re-ran
+    # the corpus fold and dof did its own full scan. Persist the tiny
+    # cell frame and derive dof from it (distinct langs/sources among
+    # group keys == among docs) — exactly the one-fold shape the doc
+    # declares.
+    o = _managed_persist(
+        "q162_o",
+        docs.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).cast("double").alias("obs")
+        ),
     )
     r = o.groupBy("lang").agg(F.sum("obs").alias("rt"))
     c = o.groupBy("source").agg(F.sum("obs").alias("ct"))
@@ -1058,7 +1068,7 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    dof = docs.agg(
+    dof = o.agg(
         (
             (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
         ).cast("bigint").alias("dof")

@@ -51,6 +51,15 @@ def _toks(col: str = "text") -> F.Column:
 
 _PERSIST_CACHE: dict[str, tuple[str | None, DataFrame]] = {}
 
+# r14 (verdict item 7): append-only (slot, built) event log so the bench
+# detail can attribute a shared helper's one-time materialization cost to
+# the FIRST-builder query (q384/q405/q427-q431/q444 share
+# _exploded_embeddings etc. — whichever runs first pays the build, the
+# rest read warm, and per-query numbers in the family are otherwise not
+# independent). Readers (bench.py) clear it per query; nothing in the
+# query path depends on it.
+PERSIST_EVENTS: list[tuple[str, bool]] = []
+
 # (docs_plan_key, pairs_plan_key) -> (session, labels frame).
 # Connected-components results are checkpoint-backed, so the CacheManager
 # can never match them by plan; this session-scope memo is the only way a
@@ -105,11 +114,13 @@ def _managed_persist(key: str, df: DataFrame) -> DataFrame:
     if old is not None:
         try:
             if new_pk is not None and new_pk == old_pk:
+                PERSIST_EVENTS.append((key, False))
                 return old
             old.unpersist(False)
         except Exception:
             pass
     _PERSIST_CACHE[key] = (new_pk, df.persist(StorageLevel.MEMORY_AND_DISK))
+    PERSIST_EVENTS.append((key, True))
     return df
 
 
@@ -2206,7 +2217,13 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    # r14 dup-scan fix (v2 probe: 3 documents scans): the c broadcast
+    # and the m fence each re-folded the corpus. Persist the per-lang
+    # counts; m re-aggs the tiny frame.
+    c = _managed_persist(
+        "q120_c",
+        d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")),
+    )
     m = c.agg(F.min("cnt").alias("tgt"))
     h = (
         F.pmod(F.col("doc_id"), F.lit(2147483648))
@@ -3604,8 +3621,16 @@ def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bigram"),
         )
     )
-    dbc = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("cnt"))
-    c12 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    # r14 dup-scan fix (v2 probe: 4 documents scans, each paying the
+    # full tokenize+explode): dbc and c12 both re-ran bg, and c1 nested
+    # c12's copy. Persist the per-doc bigram counts and derive the
+    # corpus bigram counts from them (count over occurrences == sum of
+    # per-doc counts) — 4 corpus passes -> 2 (dbc build + vocab).
+    dbc = _managed_persist(
+        "q206_dbc",
+        bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("cnt")),
+    )
+    c12 = dbc.groupBy("bigram").agg(F.sum("cnt").alias("c12"))
     c1 = (
         c12.groupBy(F.split(F.col("bigram"), " ").getItem(0).alias("w1"))
         .agg(F.sum("c12").alias("c1"))
@@ -4914,11 +4939,15 @@ def q361(spark: SparkSession, sf_dir: str) -> DataFrame:
 @plan_cache
 def q367(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    wc = (
+    # r14 dup-scan fix (v2 probe: 4 documents scans): gw/tot/gtot and
+    # the z join each re-ran the word explode+fold. Persist the
+    # (source, word) count frame; one corpus pass, three tiny re-aggs.
+    wc = _managed_persist(
+        "q367_wc",
         d.select("source", F.explode(F.split("text", " ")).alias("word"))
         .where(F.col("word") != "")
         .groupBy("source", "word")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).alias("c")),
     )
     gw = wc.groupBy("word").agg(F.sum("c").cast("bigint").alias("g"))
     tot = wc.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
@@ -6510,8 +6539,14 @@ def q405(spark: SparkSession, sf_dir: str) -> DataFrame:
 @plan_cache
 def q411(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    lc = docs.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    # r14 dup-scan fix (v2 probe: 4 documents scans): tots, r, k and
+    # the final select all nested the per-lang fold. Persist it; one
+    # corpus pass, the Kish math runs on |langs| rows.
+    lc = _managed_persist(
+        "q411_lc",
+        docs.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs")
+        ),
     )
     tots = lc.agg(
         F.sum(F.sqrt(F.col("n_docs").cast("double")).cast(DEC))
@@ -7349,13 +7384,21 @@ def q430(spark: SparkSession, sf_dir: str) -> DataFrame:
     q0 = emb.where(F.col("vec_id") == 0).select(
         F.col("label").alias("qlabel")
     )
-    gold = emb.crossJoin(F.broadcast(q0)).select(
-        F.col("vec_id").alias("gd"),
-        F.when(
-            (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != 0), 1
-        )
-        .otherwise(0)
-        .alias("rel"),
+    # r14 dup-scan fix (v2 probe: 4 embeddings scans): nrel and scored
+    # each re-ran gold, and every gold rebuild re-scanned embeddings
+    # twice (the base scan + the q0 label fence broadcast). Persist the
+    # tiny (vec_id, rel) lookup; embeddings is read once per session.
+    gold = _managed_persist(
+        "q430_gold",
+        emb.crossJoin(F.broadcast(q0)).select(
+            F.col("vec_id").alias("gd"),
+            F.when(
+                (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != 0),
+                1,
+            )
+            .otherwise(0)
+            .alias("rel"),
+        ),
     )
     nrel = gold.agg(F.sum("rel").cast("bigint").alias("nr"))
     pos = spark.range(1, 11).select(F.col("id").alias("p"))

@@ -9424,8 +9424,17 @@ _Q386_Z = "((LN(CAST(v AS DOUBLE)) - mu) / sigma)"
 @plan_cache
 def q386(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
-    vc = docs.groupBy(F.col("n_chars").alias("v")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    # r14 dup-scan fix (v2 probe: 8 documents scans): vc feeds fit,
+    # bounds and bucketed, and the offsets/cum/d chain nests those
+    # branches — every one re-ran the corpus fold. Persist the tiny
+    # value-count frame; one scan, every branch reads it warm.
+    vc = _managed_persist(
+        "q386_vc",
+        docs.groupBy(F.col("n_chars").alias("v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        ),
     )
     lx = F.log(F.col("v").cast("double"))
     fit = vc.agg(
@@ -9761,19 +9770,29 @@ def q388(spark: SparkSession, sf_dir: str) -> DataFrame:
 @plan_cache
 def q389(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    g = docs.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        # n_chars is an integer count: scale-0 accumulators (exact LONG
-        # products, DECIMAL(38,0)/HUGEINT sums) keep the final
-        # decimal->double cast correctly rounded in BOTH engines at any
-        # magnitude — the scale-10 cast diverges sub-ulp past ~9e5
-        # (r13 discipline sweep, same as q331/q321/q308/q133).
-        F.sum(F.col("n_chars").cast(DECZ)).cast("double").alias("sx"),
-        F.sum(
-            (F.col("n_chars").cast("long") * F.col("n_chars")).cast(DECZ)
-        )
-        .cast("double")
-        .alias("sxx"),
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    # r14 dup-scan fix (v2 probe: 3 documents scans): pool, s and the
+    # final select all nested the per-source moment fold. Persist it;
+    # the shrinkage math runs on |sources| rows.
+    g = _managed_persist(
+        "q389_g",
+        docs.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            # n_chars is an integer count: scale-0 accumulators (exact
+            # LONG products, DECIMAL(38,0)/HUGEINT sums) keep the final
+            # decimal->double cast correctly rounded in BOTH engines at
+            # any magnitude — the scale-10 cast diverges sub-ulp past
+            # ~9e5 (r13 discipline sweep, same as q331/q321/q308/q133).
+            F.sum(F.col("n_chars").cast(DECZ)).cast("double").alias("sx"),
+            F.sum(
+                (F.col("n_chars").cast("long") * F.col("n_chars")).cast(
+                    DECZ
+                )
+            )
+            .cast("double")
+            .alias("sxx"),
+        ),
     )
     m = g.select(
         "source",
@@ -13485,11 +13504,19 @@ def q422(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     ).localCheckpoint()
-    dims = docs.agg(
+    # r14 dup-scan fix: dims was a second full documents agg AND its
+    # subtree was embedded in every broadcast(dims) inside the nested
+    # IPF lineage — the v2 scan probe counted 31 documents scans in one
+    # plan (1,3,7,15 doubling per step + final joins). Derive it from
+    # the checkpointed cells frame instead (identical by definition:
+    # distinct langs/sources among group keys == among docs, and
+    # count(*) == sum of group counts) and checkpoint the 1-row result
+    # so each broadcast build reads a materialized RDD, not the corpus.
+    dims = cells.agg(
         F.countDistinct("lang").cast("bigint").alias("nl"),
         F.countDistinct("source").cast("bigint").alias("ns"),
-        F.count(F.lit(1)).cast("bigint").alias("nt"),
-    )
+        F.sum("n").cast("bigint").alias("nt"),
+    ).localCheckpoint()
     w = cells.select("lang", "source", "n", F.lit(1.0).alias("w"))
     for key, tgt in [
         ("lang", "nl"),
@@ -13892,29 +13919,65 @@ def q426(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
 
     def one(name, a, b, ka, kb):
-        sa = a.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_a"),
-            F.countDistinct(ka).cast("bigint").alias("ndv_a"),
+        # r14 rewrite (v2 probe: each pair scanned both tables twice —
+        # stats agg + raw fact-fact join; 12 scans total). Tag-union the
+        # two key streams and fold per key ONCE: the inner equi-join
+        # cardinality is exactly sum(cnt_a * cnt_b) over shared keys
+        # (NULL keys never match — the null group's product term is
+        # excluded below just as join equality excludes it), row counts
+        # are sum(cnt), and NDV is the non-null group count. One scan
+        # per table per pair, one pre-aggregated key shuffle instead of
+        # shuffling every fact row through the join (guide §2.3).
+        ua = a.select(
+            F.col(ka).alias("k"),
+            F.lit(1).alias("ta"),
+            F.lit(0).alias("tb"),
         )
-        sb = b.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_b"),
-            F.countDistinct(kb).cast("bigint").alias("ndv_b"),
+        ub = b.select(
+            F.col(kb).alias("k"),
+            F.lit(0).alias("ta"),
+            F.lit(1).alias("tb"),
         )
-        act = (
-            a.join(b, F.col(ka) == F.col(kb))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("actual"))
-        )
-        return (
-            sa.crossJoin(F.broadcast(sb))
-            .crossJoin(F.broadcast(act))
-            .select(
-                F.lit(name).alias("join_name"),
-                "n_a",
-                "n_b",
-                "ndv_a",
-                "ndv_b",
-                "actual",
+        per = (
+            ua.unionAll(ub)
+            .groupBy("k")
+            .agg(
+                F.sum("ta").cast("long").alias("cnt_a"),
+                F.sum("tb").cast("long").alias("cnt_b"),
             )
+        )
+        agg = per.agg(
+            F.sum("cnt_a").cast("bigint").alias("n_a"),
+            F.sum("cnt_b").cast("bigint").alias("n_b"),
+            F.count(
+                F.when(F.col("k").isNotNull() & (F.col("cnt_a") > 0), 1)
+            )
+            .cast("bigint")
+            .alias("ndv_a"),
+            F.count(
+                F.when(F.col("k").isNotNull() & (F.col("cnt_b") > 0), 1)
+            )
+            .cast("bigint")
+            .alias("ndv_b"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("k").isNotNull(),
+                        (F.col("cnt_a") * F.col("cnt_b")).cast(DECZ),
+                    )
+                ),
+                F.lit(0).cast(DECZ),
+            )
+            .cast("bigint")
+            .alias("actual"),
+        )
+        return agg.select(
+            F.lit(name).alias("join_name"),
+            "n_a",
+            "n_b",
+            "ndv_a",
+            "ndv_b",
+            "actual",
         )
 
     stats = (
@@ -14237,25 +14300,44 @@ def q434(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("source").orderBy(
         F.col("cnt").desc(), "lang"
     )
+    # r14 dup-scan fix (v2 probe: 10 documents scans): n/po/ma/mb each
+    # re-ran docs JOIN broadcast(maj) — and every broadcast build re-ran
+    # maj's own corpus fold. Every aggregate here is a pure function of
+    # the (source, lang) cell counts (a doc row contributes its cell's
+    # cnt), so fold the corpus ONCE into the tiny cells frame,
+    # checkpoint it, and derive maj + the per-(a,b) weighted counts
+    # from it: count(rows of docs-join-maj) == sum(cnt) over cells.
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    cells = _managed_persist(
+        "q434_cells",
+        docs.groupBy("source", "lang").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ),
+    )
     maj = (
-        docs.groupBy("source", "lang")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("rn", F.row_number().over(w))
+        cells.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select(F.col("source").alias("msrc"), F.col("lang").alias("pred"))
     )
-    lab = docs.join(
+    lab = cells.join(
         F.broadcast(maj), F.col("msrc") == F.col("source")
-    ).select(F.col("lang").alias("a"), F.col("pred").alias("b"))
-    n = lab.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ).select(
+        F.col("lang").alias("a"), F.col("pred").alias("b"), F.col("cnt")
+    )
+    n = lab.agg(F.sum("cnt").cast("bigint").alias("n"))
     po = lab.agg(
-        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0)).alias("agree")
+        F.sum(
+            F.when(F.col("a") == F.col("b"), F.col("cnt")).otherwise(
+                F.lit(0)
+            )
+        ).alias("agree")
     )
     ma = lab.groupBy(F.col("a").alias("lang")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("ca")
+        F.sum("cnt").cast("bigint").alias("ca")
     )
     mb = lab.groupBy(F.col("b").alias("lang_b")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("cb")
+        F.sum("cnt").cast("bigint").alias("cb")
     )
     pe = (
         ma.join(F.broadcast(mb), F.col("lang_b") == F.col("lang"))
