@@ -406,6 +406,19 @@ def main() -> None:
         plan_cache_clear()
         spark.catalog.clearCache()
 
+    # r14 (verdict item 7): per-query build-vs-reuse attribution for the
+    # shared _managed_persist helper families (_exploded_embeddings,
+    # _bm25_scores, ...). Whichever family member runs first pays the
+    # one-time materialization inside its timed region; the rest read it
+    # warm — the headline total is honest but per-query numbers in a
+    # family are not independent. The detail record now says which is
+    # which. Additive detail-file fields only; the timed loop and the
+    # stdout gate line are untouched.
+    from hive_hw_spark.queries import llm_ops as _llm_ops
+
+    persist_built: dict[str, list[str]] = {}
+    persist_reused: dict[str, list[str]] = {}
+
     n_run = 0
     for name in HEADLINE:
         if name not in registry:
@@ -413,6 +426,7 @@ def main() -> None:
         n_run += 1
         if n_run % 150 == 0:
             release_all_cached_state()
+        _llm_ops.PERSIST_EVENTS.clear()
         reps: list[float] = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -444,6 +458,18 @@ def main() -> None:
             ld = load1()
         timings[name] = round(best, 3)
         per_query_load[name] = ld
+        # Slots this query MATERIALIZED during its reps vs slots it only
+        # read warm (built earlier by another family member). A slot
+        # built on rep 1 and reused on reps 2-3 counts as built here.
+        _built = sorted({k for k, b in _llm_ops.PERSIST_EVENTS if b})
+        _warm = sorted(
+            {k for k, b in _llm_ops.PERSIST_EVENTS if not b}
+            - set(_built)
+        )
+        if _built:
+            persist_built[name] = _built
+        if _warm:
+            persist_reused[name] = _warm
 
     # 1/5/15-min load averages from the shared host — bench numbers swing
     # ±30% with machine load, so the reader needs this to adjudicate noise.
@@ -485,6 +511,8 @@ def main() -> None:
                     "n_queries": len(timings),
                     "cpu_anchor_sec": cpu_anchor,
                     "page_cache_warmed": True,
+                    "persist_built": persist_built,
+                    "persist_reused": persist_reused,
                 },
                 fh,
                 indent=1,
