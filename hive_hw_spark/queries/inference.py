@@ -820,7 +820,13 @@ def q309(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 @plan_cache
 def q310(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = (
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    # r14 dup-scan fix (v2 probe: 2 lineitem scans): both sides of the
+    # month-pair cross join rebuilt the monthly fold. Persist it; the
+    # Kendall pair expansion runs on |months|^2 rows.
+    m = _managed_persist(
+        "q310_m",
         load_table(spark, sf_dir, "lineitem")
         .groupBy(F.trunc(F.col("l_shipdate"), "month").alias("month"))
         .agg(
@@ -832,7 +838,7 @@ def q310(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("rev"),
             F.count(F.lit(1)).cast("long").alias("vol"),
-        )
+        ),
     )
     b = m.select(
         F.col("month").alias("month2"),

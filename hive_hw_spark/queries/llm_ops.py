@@ -3057,19 +3057,15 @@ def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
     "are large.",
 )
 def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
     dec = "decimal(30,10)"
-    ex = emb.select(
-        "vec_id",
-        "label",
-        F.posexplode("embedding").alias("pos", "xf"),
-    ).select(
-        "vec_id",
-        "label",
-        # duckdb's 1-based generate_subscripts
-        (F.col("pos") + 1).alias("pos"),
-        F.col("xf").cast("double").alias("x"),
-    )
+    # r14 dup-scan fix (v2 probe: 2 embeddings scans, each paying the
+    # full posexplode): cent and d2 both rebuilt the exploded frame.
+    # The shared _exploded_embeddings helper IS this frame (vec_id,
+    # label, 1-based pos, x double) — one managed-persisted
+    # materialization serves both branches and the q384/q405/q444
+    # family. (The _label_centroids helper is NOT reusable here: it
+    # rounds coordinates to 6 dp, this query's declared cent is 8 dp.)
+    ex = _exploded_embeddings(spark, sf_dir)
     cent = ex.groupBy("label", "pos").agg(
         F.round(
             (F.sum(F.col("x").cast(dec)) / F.count(F.lit(1))).cast(

@@ -1237,28 +1237,44 @@ def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("ts").alias("ts_s"),
     )
     w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
-    dim = (
+    # r14 dup-scan fix (v2 probe: 2 events scans + a 3rd exchange for
+    # the union): dim and probes were two branches over ev. One pass
+    # computes both — version as the RUNNING COUNT of state-change
+    # flags (identical to row_number over the filtered change rows),
+    # then each source row explodes into its dim row (if a change)
+    # and/or its probe row (if a purchase): one scan, one user_id
+    # exchange, the merged as-of sort rides the same partitioning.
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chg = F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    one = (
         ev.withColumn("prev", F.lag("event_type").over(w))
-        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
-        .withColumn("version", F.row_number().over(w).cast("bigint"))
-        .select(
-            "user_id",
-            F.col("ts_s").alias("t"),
-            F.lit(0).alias("kind"),
+        .withColumn("is_chg", chg)
+        .withColumn(
             "version",
-            F.col("event_type").alias("state"),
-            F.lit(None).cast("long").alias("event_id"),
+            F.sum(F.when(chg, 1).otherwise(0)).over(wrun).cast("bigint"),
         )
     )
-    probes = ev.where(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("ts_s").alias("t"),
-        F.lit(1).alias("kind"),
-        F.lit(None).cast("bigint").alias("version"),
-        F.lit(None).cast("string").alias("state"),
-        "event_id",
+    merged = (
+        one.select(
+            "user_id",
+            F.explode(
+                F.expr(
+                    "filter(array("
+                    " CASE WHEN is_chg THEN"
+                    "  named_struct('t', ts_s, 'kind', 0,"
+                    "   'version', version, 'state', event_type,"
+                    "   'event_id', CAST(NULL AS BIGINT)) END,"
+                    " CASE WHEN event_type = 'purchase' THEN"
+                    "  named_struct('t', ts_s, 'kind', 1,"
+                    "   'version', CAST(NULL AS BIGINT),"
+                    "   'state', CAST(NULL AS STRING),"
+                    "   'event_id', event_id) END"
+                    "), x -> x IS NOT NULL)"
+                )
+            ).alias("r"),
+        )
+        .select("user_id", "r.t", "r.kind", "r.version", "r.state", "r.event_id")
     )
-    merged = dim.unionAll(probes)
     asof = (
         Window.partitionBy("user_id")
         .orderBy("t", "kind", F.col("version").asc_nulls_last())
