@@ -1062,7 +1062,13 @@ def q380(spark: SparkSession, sf_dir: str) -> DataFrame:
 @plan_cache
 def q396(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    g = docs.groupBy("source").agg(
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    # r14 dup-scan fix (v2 probe: 2 documents scans): the weighting
+    # total re-ran the per-source moment fold. Persist it (q389's fix).
+    g = _managed_persist(
+        "q396_g",
+        docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         # n_chars is an integer count: scale-0 accumulators (exact LONG
         # products, DECIMAL(38,0)/HUGEINT sums) keep the final
@@ -1075,6 +1081,7 @@ def q396(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("sxx"),
+        ),
     )
     m = g.select(
         "source",

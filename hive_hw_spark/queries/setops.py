@@ -43,12 +43,18 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nationkey")
     )
     u = c.unionAll(s)
-    bag = (
-        u.groupBy("nationkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.lit("all").alias("variant"), "nationkey", "n")
+    # r14 dup-scan fix (v2 probe: customer and supplier each scanned
+    # twice — bag and dset both re-read the union): the distinct key
+    # set IS the bag's key set, so derive both variants from ONE
+    # grouped fold.
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    counts = _managed_persist(
+        "q55_counts",
+        u.groupBy("nationkey").agg(F.count(F.lit(1)).alias("n")),
     )
-    dset = u.distinct().select(
+    bag = counts.select(F.lit("all").alias("variant"), "nationkey", "n")
+    dset = counts.select(
         F.lit("distinct").alias("variant"),
         "nationkey",
         F.lit(1).cast("long").alias("n"),

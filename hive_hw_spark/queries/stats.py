@@ -51,6 +51,40 @@ from ._util import (
 )
 
 
+def _user_day_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, day) distinct activity pairs. Managed-persisted (r14):
+    q324 (rolling WAU) and q325 (DAU/MAU stickiness) each consumed this
+    fold from two plan branches (2 events scans per query, v2 scan
+    probe); the distinct frame is the natural shared materialization —
+    far smaller than events, read by all four branches."""
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    return _managed_persist(
+        "user_day_distinct",
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct(),
+    )
+
+
+def _orders_daily_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, rev) — exact-DECIMAL daily order revenue. Managed-persisted
+    (r14): q252/q260/q272 each consumed this identical fold from BOTH
+    sides of a day-pair self-join (2 orders scans per query, v2 scan
+    probe); one tiny per-day materialization serves all six branches."""
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    return _managed_persist(
+        "orders_daily_rev",
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("rev")
+        ),
+    )
+
+
 @register(
     "q252",
     oracle="""
@@ -97,11 +131,7 @@ from ._util import (
 )
 @plan_cache
 def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = (
-        load_table(spark, sf_dir, "orders")
-        .groupBy(F.to_date("o_orderdate").alias("day"))
-        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("rev"))
-    )
+    daily = _orders_daily_rev(spark, sf_dir)
     lags = spark.range(1, 4).select(F.col("id").alias("lag"))
     d2 = daily.select(F.col("day").alias("day2"), F.col("rev").alias("y"))
     pairs = (
@@ -574,11 +604,16 @@ def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q257(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    cnt = (
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    # r14 dup-scan fix (v2 probe: 2 events scans): the row-total fence
+    # re-ran the lag window + fold. Persist the |types|^2 count frame.
+    cnt = _managed_persist(
+        "q257_cnt",
         ev.withColumn("prev_type", F.lag("event_type").over(w))
         .where(F.col("prev_type").isNotNull())
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).alias("n")),
     )
     tot = cnt.groupBy("prev_type").agg(F.sum("n").cast("long").alias("t"))
     return (
@@ -848,11 +883,7 @@ def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 @plan_cache
 def q260(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = (
-        load_table(spark, sf_dir, "orders")
-        .groupBy(F.to_date("o_orderdate").alias("day"))
-        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("rev"))
-    )
+    daily = _orders_daily_rev(spark, sf_dir)
     d2 = daily.select(F.col("day").alias("day2"), F.col("rev").alias("rev2"))
     w = F.pow(F.lit(0.5), F.datediff("day", "day2"))
     return (
@@ -1598,11 +1629,7 @@ def q271(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 @plan_cache
 def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = (
-        load_table(spark, sf_dir, "orders")
-        .groupBy(F.to_date("o_orderdate").alias("day"))
-        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("rev"))
-    )
+    daily = _orders_daily_rev(spark, sf_dir)
     d2 = daily.select(F.col("day").alias("day2"), F.col("rev").alias("rev2"))
     band = (
         daily.join(
@@ -1796,7 +1823,12 @@ def q276(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     pt = load_table(spark, sf_dir, "part")
     yr = F.year(F.to_date("l_shipdate"))
-    y = (
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    # r14 dup-scan fix (v2 probe: lineitem and part each scanned twice
+    # — both year-slices re-ran the brand-year fold). Persist it.
+    y = _managed_persist(
+        "q276_y",
         li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
         .where(yr.isin(1999, 2000))
         .groupBy("p_brand", yr.cast("int").alias("yr"))
@@ -1807,7 +1839,7 @@ def q276(spark: SparkSession, sf_dir: str) -> DataFrame:
                     DEC
                 )
             ).alias("rev"),
-        )
+        ),
     )
     a = y.where(F.col("yr") == 1999).select(
         "p_brand",
@@ -4007,9 +4039,17 @@ def q302(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q303(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     pt = load_table(spark, sf_dir, "part")
-    last_sale = li.groupBy("l_partkey").agg(
-        F.max(F.to_date("l_shipdate")).alias("last_day"),
-        F.count(F.lit(1)).alias("n_sales"),
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    # r14 dup-scan fix (v2 probe: 2 lineitem scans): the dmax fence
+    # re-ran the per-part fold. Persist it; the fence re-aggs the
+    # per-part frame.
+    last_sale = _managed_persist(
+        "q303_last_sale",
+        li.groupBy("l_partkey").agg(
+            F.max(F.to_date("l_shipdate")).alias("last_day"),
+            F.count(F.lit(1)).alias("n_sales"),
+        ),
     )
     hw = last_sale.agg(F.max("last_day").alias("dmax"))
     age = F.datediff("dmax", "last_day")
@@ -4650,15 +4690,23 @@ def q322(spark: SparkSession, sf_dir: str) -> DataFrame:
 @plan_cache
 def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    obs = ev.groupBy(
-        F.pmod(
-            F.datediff(
-                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
-            ),
-            F.lit(7),
-        ).alias("wd"),
-        "event_type",
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    # r14 dup-scan fix (v2 probe: 2 events scans): the per-weekday
+    # totals fence re-ran the corpus fold. Persist the 7x|types| frame.
+    obs = _managed_persist(
+        "q323_obs",
+        ev.groupBy(
+            F.pmod(
+                F.datediff(
+                    F.col("ts").cast("date"),
+                    F.lit("1970-01-01").cast("date"),
+                ),
+                F.lit(7),
+            ).alias("wd"),
+            "event_type",
+        ).agg(F.count(F.lit(1)).cast("long").alias("c")),
+    )
     tot = obs.groupBy("wd").agg(
         F.sum("c").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("k"),
@@ -4720,12 +4768,7 @@ def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 @plan_cache
 def q324(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    ud = (
-        ev.where(F.col("user_id").isNotNull())
-        .select("user_id", F.col("ts").cast("date").alias("day"))
-        .distinct()
-    )
+    ud = _user_day_distinct(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("day")
     spans = ud.withColumn("nxt", F.lead("day").over(w)).select(
         "day",
@@ -4790,12 +4833,7 @@ def q324(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 @plan_cache
 def q325(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    ud = (
-        ev.where(F.col("user_id").isNotNull())
-        .select("user_id", F.col("ts").cast("date").alias("day"))
-        .distinct()
-    )
+    ud = _user_day_distinct(spark, sf_dir)
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
     m = dau.groupBy(F.trunc("day", "month").alias("month")).agg(
         F.count(F.lit(1)).cast("long").alias("active_days"),
@@ -4969,20 +5007,28 @@ def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
     arm = ev.groupBy(
         F.pmod(F.col("user_id"), F.lit(16)).alias("bucket"), "user_id"
     ).agg(F.count(F.lit(1)).cast("long").alias("n_ev"))
-    per_split = arm.groupBy(
-        F.floor(F.col("bucket") / 2).cast("long").alias("split_id"),
-        F.pmod(F.col("bucket"), F.lit(2)).alias("arm_b"),
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_users"),
-        # n_ev is an integer count: accumulate at SCALE 0 (DECIMAL(38,0)
-        # / HUGEINT) so the final decimal->double cast is correctly
-        # rounded in BOTH engines at any magnitude — the scale-10 cast
-        # diverges sub-ulp once sums pass ~9e5 (r11 probe), which a
-        # 100 TB per-arm event total would (r13 discipline sweep).
-        F.sum(F.col("n_ev").cast(DECZ)).cast("double").alias("sx"),
-        F.sum((F.col("n_ev") * F.col("n_ev")).cast(DECZ))
-        .cast("double")
-        .alias("sxx"),
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    # r14 dup-scan fix (v2 probe: 2 events scans): the a/b arm branches
+    # each re-ran the per-user fold. Persist the 16-row split frame.
+    per_split = _managed_persist(
+        "q331_per_split",
+        arm.groupBy(
+            F.floor(F.col("bucket") / 2).cast("long").alias("split_id"),
+            F.pmod(F.col("bucket"), F.lit(2)).alias("arm_b"),
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            # n_ev is an integer count: accumulate at SCALE 0
+            # (DECIMAL(38,0) / HUGEINT) so the final decimal->double
+            # cast is correctly rounded in BOTH engines at any
+            # magnitude — the scale-10 cast diverges sub-ulp once sums
+            # pass ~9e5 (r11 probe), which a 100 TB per-arm event total
+            # would (r13 discipline sweep).
+            F.sum(F.col("n_ev").cast(DECZ)).cast("double").alias("sx"),
+            F.sum((F.col("n_ev") * F.col("n_ev")).cast(DECZ))
+            .cast("double")
+            .alias("sxx"),
+        ),
     )
     a = per_split.where(F.col("arm_b") == 0).alias("a")
     b = per_split.where(F.col("arm_b") == 1).alias("b")
@@ -6719,10 +6765,16 @@ def q353(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 @plan_cache
 def q354(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    x = e.select(
-        F.posexplode("embedding").alias("dim", "vf")
-    ).select("dim", F.col("vf").cast("double").alias("v"))
+    # r14 dup-scan fix (v2 probe: 2 embeddings scans, each paying the
+    # full posexplode): the min/max fence and the error pass both
+    # rebuilt the exploded frame. The shared _exploded_embeddings
+    # helper carries the same values (1-based pos) — derive the 0-based
+    # dim from it so both branches read one materialization.
+    from hive_hw_spark.queries.llm_ops import _exploded_embeddings
+
+    x = _exploded_embeddings(spark, sf_dir).select(
+        (F.col("pos") - 1).alias("dim"), F.col("x").alias("v")
+    )
     st = x.groupBy("dim").agg(
         F.min("v").alias("lo"),
         F.max("v").alias("hi"),
@@ -9676,13 +9728,22 @@ def q387(spark: SparkSession, sf_dir: str) -> DataFrame:
 @plan_cache
 def q388(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        F.floor(F.col("ts").cast("long") / 3600).cast("bigint").alias("hr")
-    ).agg(
-        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
-        .cast("bigint")
-        .alias("errs"),
-        F.count(F.lit(1)).cast("bigint").alias("total"),
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    # r14 dup-scan fix (v2 probe: 2 events scans): both sides of the
+    # 6h-band self-join re-ran the hourly fold. Persist it.
+    hourly = _managed_persist(
+        "q388_hourly",
+        ev.groupBy(
+            F.floor(F.col("ts").cast("long") / 3600)
+            .cast("bigint")
+            .alias("hr")
+        ).agg(
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("errs"),
+            F.count(F.lit(1)).cast("bigint").alias("total"),
+        ),
     )
     p = hourly.select(
         F.col("hr").alias("phr"),
@@ -12269,24 +12330,20 @@ _Q413_Z = "((mb - ma) / SQRT(va + vb))"
 @plan_cache
 def q413(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    users = ev.select("user_id").distinct()
     arm = F.when(
         (F.col("user_id") % F.lit(2147483648)) * 2654435761 % 100 < 50, "A"
     ).otherwise("B")
-    conv = (
-        ev.where(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("np"))
-        .where(F.col("np") >= 14)
-        .select("user_id", F.lit(1).alias("cv"))
+    # r14 dup-scan fix (v2 probe: 2 events scans): distinct users +
+    # purchase fold collapse to ONE per-user fold (q242's rewrite) —
+    # converted == purchase count >= 14, every user gets a row.
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("np")
     )
-    arms = (
-        users.join(conv, "user_id", "left")
-        .groupBy(arm.alias("arm"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.count("cv").cast("bigint").alias("c"),
-        )
+    arms = per_user.groupBy(arm.alias("arm")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.when(F.col("np") >= 14, 1)).cast("bigint").alias("c"),
     )
     post = arms.agg(
         F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("na"),
@@ -13751,12 +13808,18 @@ def q424(spark: SparkSession, sf_dir: str) -> DataFrame:
             "percentile(tv, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
         ).alias("qs")
     )
-    ex = qa.select(
-        "arm", F.posexplode("qs").alias("d0", "qv")
-    ).select(
-        "arm",
-        (F.col("d0") + 1).alias("d"),
-        F.round(F.col("qv").cast("double"), 4).alias("q"),
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    # r14 dup-scan fix (v2 probe: 2 events scans): the A and B decile
+    # branches each re-ran the per-user fold + percentile agg. Persist
+    # the 18-row decile frame.
+    ex = _managed_persist(
+        "q424_ex",
+        qa.select("arm", F.posexplode("qs").alias("d0", "qv")).select(
+            "arm",
+            (F.col("d0") + 1).alias("d"),
+            F.round(F.col("qv").cast("double"), 4).alias("q"),
+        ),
     )
     a = ex.where(F.col("arm") == "A").select(
         F.col("d").alias("decile"), F.col("q").alias("val_a")

@@ -35,6 +35,79 @@ from hive_hw_spark.catalog import TABLES  # noqa: E402
 from hive_hw_spark.queries import all_queries  # noqa: E402
 from hive_hw_spark.session import get_spark  # noqa: E402
 
+# r14 (verdict item 4): every residual >=2x REAL scan was reviewed and
+# either FIXED (persist/derive the shared fold — see plans/r14/) or
+# classified here as an inherent multi-pass shape. Classes:
+#   fence+apply  — a tiny aggregate (min/max/percentile/top-k/query-row)
+#                  must complete before the main pass can consume it;
+#                  the fence scan is column-pruned. Folding it away
+#                  would need a second shuffle of the fact table.
+#   self-join    — the operator IS a join of the table against itself
+#                  (or against its own group-aggregates on the same
+#                  key); materializing the probe side trades a pruned
+#                  scan for a fact-sized persist.
+#   two-pass     — a small fence FRAME is built from one full pass and
+#                  applied in a second (decontamination, boilerplate,
+#                  thresholds); the passes read different column sets.
+#   distinct-passes — branches aggregate DIFFERENT groupings/filters of
+#                  the table where no shared sub-fold exists.
+#   union-sides  — two filtered selections of the table union into one
+#                  stream (as-of emulation, A/B layout audit).
+#   tiny-dim     — the doubly-scanned table is a broadcast dimension
+#                  (nation: 25 rows); a persist costs more than a scan.
+INHERENT: dict[str, str] = {
+    "q117": "two-pass (pruned eval-slice scan + shingle pass + id scan)",
+    "q165": "two-pass (chunk-df fence + apply; + pruned count fence)",
+    "q300": "distinct-passes (yoy after dmax fence, churn fold, "
+    "nation join)",
+    "q27": "self-join (minute-bucket burst pairs)",
+    "q78": "fence+apply (max-day split) + materialized rollup re-read",
+    "q92": "fence+apply (query-vector row)",
+    "q92b": "fence+apply (query-vector bucket)",
+    "q102b": "fence+apply (query-vector row; scores persisted)",
+    "q111": "fence+apply (query-doc TF row)",
+    "q113": "distinct-passes (two referential audits, different keys)",
+    "q115": "union-sides (word + bigram streams; persisting the "
+    "tokenized corpus trades a scan for a corpus-sized spill)",
+    "q121": "two-pass (per-lang P25 fence + apply; declared shape)",
+    "q134": "self-join (decorrelated Q21: fact vs its own per-order "
+    "supplier stats)",
+    "q138": "self-join (decorrelated Q2: fact vs its own per-part min)",
+    "q140": "distinct-passes (sharded-vs-direct sketch comparison IS "
+    "the operator)",
+    "q144": "self-join (decorrelated Q17: fact vs per-part avg)",
+    "q163": "self-join (name-length-bucket fuzzy pairs)",
+    "q166": "fence+apply (per-lang ratio fence onto corpus)",
+    "q174": "fence+apply (min-day fence)",
+    "q175": "fence+apply (global min/max bin fence)",
+    "q177": "fence+apply (avg-acctbal fence)",
+    "q186": "cogroup (trades/quotes as-of sides)",
+    "q187": "fence+apply (top-40 anchor fence)",
+    "q192": "tiny-dim (nation 25 rows, two branches)",
+    "q193": "tiny-dim (nation 25 rows, two branches)",
+    "q209": "one real scan after r14 rewrite; residue is probe artifact",
+    "q216": "union-sides (aggregated touches + raw purchases; purchase "
+    "rows cannot ride the touch groupBy)",
+    "q233": "self-join (spatial grid-cell pairs)",
+    "q240": "distinct-passes (per-user cohort fold + row-level "
+    "purchase join)",
+    "q258": "fence+apply (first-purchase fence onto touches)",
+    "q271": "fence+apply (per-type percentile fence)",
+    "q279": "fence+apply (per-type VaR fence)",
+    "q294": "fence+apply (min/max ts fence; intervals persisted)",
+    "q332": "distinct-passes (disjoint pre/post date slices)",
+    "q335": "distinct-passes (token-stat fold + hash-distinct fold; "
+    "merging them forces an Expand over the corpus)",
+    "q342": "distinct-passes (placed-day fold + completion join)",
+    "q364": "fence+apply (min/max orderdate fence)",
+    "q373": "fence+apply (doc-count fence + word fold)",
+    "q380": "distinct-passes (persisted scores + label lookup)",
+    "q387": "fence+apply (time-cut fence; transitions persisted)",
+    "q394": "fence+apply (min-day fence)",
+    "q418": "union-sides (A/B page-layout audit: two different "
+    "groupings of the same scan IS the comparison)",
+}
+
 
 def _table_of(location_line: str) -> str:
     for t in TABLES:
@@ -133,7 +206,12 @@ def main() -> None:
         dups = {t: c for t, c in real.items() if c >= 2 and t != "<other>"}
         n_inmem = plan.count("InMemoryTableScan")
         n_reuse = plan.count("ReusedExchange")
-        tag = "DUP " + str(dups) if dups else "ok"
+        if dups and name in INHERENT:
+            tag = f"inherent[{INHERENT[name]}] {dups}"
+        elif dups:
+            tag = "DUP " + str(dups)
+        else:
+            tag = "ok"
         rows.append((name, tag))
         print(
             f"{name}: real={real} cached_def={cached} inmem={n_inmem} "
@@ -141,7 +219,11 @@ def main() -> None:
             flush=True,
         )
     n_dup = sum(1 for _, t in rows if t.startswith("DUP"))
-    print(f"\n{n_dup}/{len(rows)} queries with a >=2x REAL base-table scan")
+    n_inh = sum(1 for _, t in rows if t.startswith("inherent"))
+    print(
+        f"\n{n_dup}/{len(rows)} queries with an UNEXPLAINED >=2x REAL "
+        f"base-table scan ({n_inh} whitelisted inherent multi-pass)"
+    )
 
 
 if __name__ == "__main__":
