@@ -524,7 +524,12 @@ _BENFORD = [
 )
 @plan_cache
 def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
-    obs = (
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    # r14 dup-scan fix (v2 probe: 2 orders scans): the total fence
+    # re-ran the digit fold. Persist the 9-row frame.
+    obs = _managed_persist(
+        "q256_obs",
         load_table(spark, sf_dir, "orders")
         .select(
             F.substring(
@@ -538,7 +543,7 @@ def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("digit")
         )
         .groupBy("digit")
-        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .agg(F.count(F.lit(1)).alias("n_obs")),
     )
     tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
     exp = spark.createDataFrame(_BENFORD, ["digit", "p"]).select(
@@ -1948,19 +1953,27 @@ def q277(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = ex.groupBy("vec_id").agg(
         F.sum((F.col("x") * wgt).cast(DEC)).cast("double").alias("z")
     )
-    sc = z.select(
-        "vec_id",
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6).alias(
-            "score"
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    # r14 dup-scan fix (v2 probe: 2 embeddings scans): the decile-
+    # threshold fence re-ran the explode + score pipeline. Persist the
+    # per-vector score frame.
+    sc = _managed_persist(
+        "q277_sc",
+        z.select(
+            "vec_id",
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6
+            ).alias("score"),
+            (
+                F.pmod(
+                    F.pmod(F.col("vec_id"), F.lit(2147483648))
+                    * F.lit(2654435761),
+                    F.lit(1000000),
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("u"),
         ),
-        (
-            F.pmod(
-                F.pmod(F.col("vec_id"), F.lit(2147483648))
-                * F.lit(2654435761),
-                F.lit(1000000),
-            ).cast("double")
-            / F.lit(1000000.0)
-        ).alias("u"),
     )
     th = sc.agg(
         F.expr(

@@ -242,14 +242,23 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        "user_id", F.date_trunc("hour", "ts").alias("hour")
-    ).agg(dsum("value").alias("sum_v"))
+    from hive_hw_spark.queries.llm_ops import _managed_persist
+
+    # r14 dup-scan fix (v2 probe: 2 events scans): the spine bounds
+    # re-scanned events. Persist the per-(user, hour) fold and derive
+    # the bounds from it — hour-truncation is monotone, so
+    # trunc(min ts) == min(trunc ts) and likewise for max.
+    hourly = _managed_persist(
+        "q114_hourly",
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour")).agg(
+            dsum("value").alias("sum_v")
+        ),
+    )
     spine = (
-        ev.groupBy("user_id")
+        hourly.groupBy("user_id")
         .agg(
-            F.date_trunc("hour", F.min("ts")).alias("h0"),
-            F.date_trunc("hour", F.max("ts")).alias("h1"),
+            F.min("hour").alias("h0"),
+            F.max("hour").alias("h1"),
         )
         .select(
             "user_id",

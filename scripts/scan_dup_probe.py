@@ -106,6 +106,9 @@ INHERENT: dict[str, str] = {
     "q394": "fence+apply (min-day fence)",
     "q418": "union-sides (A/B page-layout audit: two different "
     "groupings of the same scan IS the comparison)",
+    "q426": "distinct-passes (lineitem/orders each feed TWO join-pair "
+    "folds on different keys after the r14 one-pass-per-pair rewrite; "
+    "12 scans -> 6 is the floor without cross-pair persists)",
 }
 
 
