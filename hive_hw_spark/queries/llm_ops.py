@@ -3618,15 +3618,16 @@ def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # r14 dup-scan fix (v2 probe: 4 documents scans, each paying the
-    # full tokenize+explode): dbc and c12 both re-ran bg, and c1 nested
-    # c12's copy. Persist the per-doc bigram counts and derive the
-    # corpus bigram counts from them (count over occurrences == sum of
-    # per-doc counts) — 4 corpus passes -> 2 (dbc build + vocab).
-    dbc = _managed_persist(
-        "q206_dbc",
-        bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("cnt")),
+    # full tokenize+explode): c1 nested c12's corpus pass on top of
+    # c12's own. Persist the VOCAB-sized corpus bigram counts — c1 and
+    # the lp broadcast read it warm — and leave the corpus-sized dbc
+    # unpersisted (one pass, one consumer; materializing it costs more
+    # than the scan at every scale). 4 corpus passes -> 3.
+    dbc = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    c12 = _managed_persist(
+        "q206_c12",
+        bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12")),
     )
-    c12 = dbc.groupBy("bigram").agg(F.sum("cnt").alias("c12"))
     c1 = (
         c12.groupBy(F.split(F.col("bigram"), " ").getItem(0).alias("w1"))
         .agg(F.sum("c12").alias("c1"))

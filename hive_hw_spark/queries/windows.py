@@ -1257,9 +1257,12 @@ def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = (
         one.select(
             "user_id",
+            # explode keeps null elements; dropping them AFTER the
+            # explode stays in codegen — a filter() HOF lambda here
+            # would be interpreted per element (CLAUDE.md gotcha).
             F.explode(
                 F.expr(
-                    "filter(array("
+                    "array("
                     " CASE WHEN is_chg THEN"
                     "  named_struct('t', ts_s, 'kind', 0,"
                     "   'version', version, 'state', event_type,"
@@ -1269,10 +1272,11 @@ def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "   'version', CAST(NULL AS BIGINT),"
                     "   'state', CAST(NULL AS STRING),"
                     "   'event_id', event_id) END"
-                    "), x -> x IS NOT NULL)"
+                    ")"
                 )
             ).alias("r"),
         )
+        .where(F.col("r").isNotNull())
         .select("user_id", "r.t", "r.kind", "r.version", "r.state", "r.event_id")
     )
     asof = (

@@ -85,6 +85,10 @@ INHERENT: dict[str, str] = {
     "q187": "fence+apply (top-40 anchor fence)",
     "q192": "tiny-dim (nation 25 rows, two branches)",
     "q193": "tiny-dim (nation 25 rows, two branches)",
+    "q206": "two-pass (per-doc bigram fold + unigram vocab fold; the "
+    "corpus bigram counts are persisted VOCAB-sized — persisting the "
+    "corpus-sized dbc instead measured slower at sf0.1 and is a "
+    "corpus-sized spill at 100 TB)",
     "q209": "one real scan after r14 rewrite; residue is probe artifact",
     "q216": "union-sides (aggregated touches + raw purchases; purchase "
     "rows cannot ride the touch groupBy)",
